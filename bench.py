@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured with the "noop" sink so plans run fully (all
+shuffles + aggregates) without driver-side row transfer skewing the
+numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: Headline queries: the flagship KPI pipeline plus the heaviest
+#: join/agg/window/extension plans.
+HEADLINE = [
+    "trip_daily_kpis",
+    "global_agg",
+    "join_inner",
+    "multiway_join_agg",
+    "latest_event_per_user",
+    "windowed_event_agg",
+    "event_correlation",
+    "count_distinct",
+    "percentiles",
+    "topk_orders",
+]
+
+
+def _run(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    from real_time_trip_processing_project_spark.plans import REGISTRY
+    from real_time_trip_processing_project_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
+
+    # warm the JVM/codegen path so q1 isn't charged for session startup
+    _run(spark.range(1000).selectExpr("sum(id) AS s"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qdef = REGISTRY.get(name)
+        if qdef is None:
+            continue
+        t0 = time.perf_counter()
+        _run(qdef.fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,664 @@
+"""Core declared queries: the reference's operator inventory (SURVEY.md §2)
+mapped onto the driver fixture tables (FIXTURES.md §B role mapping —
+``orders``/``lineitem`` play trip-start/trip-end, ``events`` plays the
+event streams, dimension tables exercise multi-way joins).
+
+Every query here is a single declarative DataFrame plan — Catalyst gets
+the whole tree, so predicate pushdown / column pruning / broadcast
+selection apply.  Scale annotations are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_project_spark.plans.catalog import register
+from real_time_trip_processing_project_spark.sources.readers import load_fixture
+
+
+def _cents(col: str):
+    """Exact integer cents for a 2-decimal money column.
+
+    Summing doubles is order-sensitive (Spark and DuckDB visit rows in
+    different orders), so a float SUM can differ in the last ulp and flip
+    a subsequent round() at a .xx5 boundary — which 2-decimal money data
+    hits constantly.  Integer sums are exact and order-insensitive, so
+    both engines produce bit-identical aggregates.  The same convention
+    scales: a 100 TB sum of cents fits int64/int128 comfortably.
+    """
+    return F.round(F.col(col) * 100).cast("long")
+
+
+#: SQL fragment mirroring :func:`_cents`.
+def _cents_sql(col: str) -> str:
+    return f"CAST(round({col} * 100) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: trip-style daily KPIs (reference daily_kpi_aggregation.py:107-118
+# + notebook join cell 782784dd, fused into one pass)
+# ---------------------------------------------------------------------------
+
+@register(
+    "trip_daily_kpis",
+    oracle=f"""
+        SELECT CAST(o_orderdate AS DATE) AS date,
+               CAST(sum({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100.0
+                   AS total_fare,
+               count(*) AS count_trips,
+               CAST(sum({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100.0
+                   / CAST(count(*) AS DOUBLE) AS average_fare,
+               max(l_extendedprice) AS max_fare,
+               min(l_extendedprice) AS min_fare
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1
+    """,
+    tags=["J1", "A1", "A2", "A3", "A4", "A5", "A6", "P6"],
+)
+def trip_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Start ⋈ end correlate + per-day 5-KPI aggregate, one pass.
+
+    The reference runs the five KPIs as 5-6 separate Spark actions
+    (daily_kpi_aggregation.py:113-117); here they are one groupBy().agg()
+    — one scan, map-side partial + final HashAggregate.  The join key
+    (orderkey ~ trip_id) is unique and uniform, so the shuffle has no
+    skew; at 100 TB, AQE picks shuffle-hash/SMJ and coalesces partitions.
+    """
+    orders = load_fixture(spark, sf_dir, "orders")
+    lineitem = load_fixture(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "inner"
+    )
+    cents_sum = F.sum(_cents("l_extendedprice")).cast("double")
+    return joined.groupBy(F.to_date("o_orderdate").alias("date")).agg(
+        (cents_sum / 100.0).alias("total_fare"),
+        F.count("*").alias("count_trips"),
+        (cents_sum / 100.0 / F.count("*").cast("double")).alias("average_fare"),
+        F.max("l_extendedprice").alias("max_fare"),
+        F.min("l_extendedprice").alias("min_fare"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / scalar expressions / filters (§2.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "projection_cast_rename",
+    oracle="""
+        SELECT l_orderkey                      AS order_id,
+               l_linenumber                    AS line_no,
+               CAST(l_linenumber AS BIGINT)    AS line_no_big,
+               CAST(l_quantity AS VARCHAR)     AS qty_str,
+               l_extendedprice                 AS price,
+               upper(l_returnflag)             AS flag
+        FROM lineitem
+    """,
+    tags=["P1", "P5", "P11", "P2"],
+)
+def projection_cast_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 field projection + P5 casts + P11 renames (trip_processor.py:43-50,
+    daily_kpi_aggregation.py:93-96).  Pure narrow ops — no shuffle; column
+    pruning reaches the parquet scan (ReadSchema shows 5 columns)."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_linenumber").cast("bigint").alias("line_no_big"),
+        F.col("l_quantity").cast("string").alias("qty_str"),
+        F.col("l_extendedprice").alias("price"),
+        F.upper("l_returnflag").alias("flag"),
+    )
+
+
+@register(
+    "filter_eq",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    tags=["F1", "F2"],
+)
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 dimension-equality + F2 key-range filter
+    (daily_kpi_aggregation.py:46-55).  Both predicates push down to the
+    parquet scan (PushedFilters); on a date-partitioned store the date
+    predicate prunes partitions before any IO."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "empty_day_guard",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) = DATE '1970-01-01'
+    """,
+    tags=["F3"],
+)
+def empty_day_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: a day with no data yields an empty (0-row) result rather than an
+    error (daily_kpi_aggregation.py:178-181)."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return orders.filter(
+        F.to_date("o_orderdate") == F.lit("1970-01-01").cast("date")
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "date_functions",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE)                         AS order_date,
+               CAST(o_orderdate - INTERVAL 1 DAY AS DATE)        AS prev_day,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE)       AS due_day,
+               strftime(o_orderdate, '%Y-%m')                    AS year_month,
+               CAST(extract(year FROM o_orderdate) AS INTEGER)   AS order_year,
+               CAST(extract(month FROM o_orderdate) AS INTEGER)  AS order_month
+        FROM orders
+    """,
+    tags=["P6", "P7", "P12"],
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 date extraction + P7 date arithmetic/formatting
+    (daily_kpi_aggregation.py:33-36,137).  All JVM-side built-ins inside
+    whole-stage codegen."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.date_sub(F.to_date("o_orderdate"), 1).alias("prev_day"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    )
+
+
+@register(
+    "string_json_ops",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER)  AS k,
+               split_part('arn/stream/' || event_type, '/', 3)     AS stream,
+               to_base64(encode(event_type))                       AS b64,
+               event_type                                          AS roundtrip
+        FROM events
+    """,
+    tags=["P8", "P9", "P10"],
+)
+def string_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 stream-name split (trip_processor.py:39), P9 base64
+    (trip_processor.py:31), P10 JSON field extraction (trip_processor.py:33)
+    — the Lambda's per-record decode chain as vectorized JVM expressions."""
+    events = load_fixture(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.substring_index(
+            F.concat(F.lit("arn/stream/"), F.col("event_type")), "/", -1
+        ).alias("stream"),
+        F.base64(F.encode("event_type", "UTF-8")).alias("b64"),
+        F.decode(
+            F.unbase64(F.base64(F.encode("event_type", "UTF-8"))), "UTF-8"
+        ).alias("roundtrip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_inner",
+    oracle="""
+        SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=["J1"],
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 key-equality inner join (notebook cell 782784dd).  The customer
+    side is dimension-sized → broadcast hash join (no shuffle of the fact
+    side); at 100 TB the 64 MB autoBroadcast threshold governs, and AQE
+    can still demote to SMJ if the dim outgrows it."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    customer = load_fixture(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+@register(
+    "join_left",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders
+          ON o_custkey = c_custkey AND o_orderstatus = 'F'
+    """,
+    tags=["J1", "J2"],
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — keeps customers with no matching (filtered)
+    orders, NULL-extending the right side."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    customer = load_fixture(spark, sf_dir, "customer")
+    return customer.join(
+        orders,
+        (orders.o_custkey == customer.c_custkey)
+        & (orders.o_orderstatus == "F"),
+        "left",
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    tags=["J2"],
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: the 'matched' branch of the reference's existence
+    probe (trip_processor.py:59-78) as a set operation."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    customer = load_fixture(spark, sf_dir, "customer")
+    return customer.join(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        customer.c_custkey == orders.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    tags=["J2"],
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: the orphan branch — end events with no stored start
+    (trip_processor.py:60-62) surfaced as a dataset instead of a warn+drop."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    customer = load_fixture(spark, sf_dir, "customer")
+    return customer.join(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        customer.c_custkey == orders.o_custkey,
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "multiway_join_agg",
+    oracle="""
+        SELECT r_name,
+               n_name,
+               count(*) AS n_customers,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    tags=["J3", "A6"],
+)
+def multiway_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 multi-way assembly join (notebook cell d9989d85) done the Spark
+    way: chained broadcast joins on tiny dims + one grouped aggregate,
+    instead of five 1-row-per-key frames joined sequentially."""
+    customer = load_fixture(spark, sf_dir, "customer")
+    nation = load_fixture(spark, sf_dir, "nation")
+    region = load_fixture(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(_cents("c_acctbal")).cast("double") / 100.0).alias(
+                "total_acctbal"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "global_agg",
+    oracle=f"""
+        SELECT CAST(sum({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100.0
+                   AS total_fare,
+               count(*) AS count_trips,
+               CAST(sum({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100.0
+                   / CAST(count(*) AS DOUBLE) AS average_fare,
+               max(l_extendedprice) AS max_fare,
+               min(l_extendedprice) AS min_fare
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+    """,
+    tags=["A7", "F1"],
+)
+def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: the Glue job's filter-then-global-aggregate shape
+    (daily_kpi_aggregation.py:110-118), all five KPIs in one action."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    cents_sum = F.sum(_cents("l_extendedprice")).cast("double")
+    return li.filter(F.col("l_returnflag") == "R").agg(
+        (cents_sum / 100.0).alias("total_fare"),
+        F.count("*").alias("count_trips"),
+        (cents_sum / 100.0 / F.count("*").cast("double")).alias("average_fare"),
+        F.max("l_extendedprice").alias("max_fare"),
+        F.min("l_extendedprice").alias("min_fare"),
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_custs,
+               count(*)                  AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=["A6", "EXT"],
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION: exact distinct aggregation (not in reference — §2.6).
+    Spark expands this to a two-phase aggregate; partial dedup happens
+    map-side, so the shuffle carries distinct pairs, not raw rows."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "percentiles",
+    oracle=f"""
+        SELECT l_returnflag,
+               quantile_cont({_cents_sql('l_extendedprice')}, 0.25) / 100.0 AS p25,
+               quantile_cont({_cents_sql('l_extendedprice')}, 0.50) / 100.0 AS p50,
+               quantile_cont({_cents_sql('l_extendedprice')}, 0.75) / 100.0 AS p75
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=["EXT"],
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION: exact interpolated (type-7) percentiles per group
+    (reference has none — §2.6), computed distribution-style:
+
+    1. ``groupBy(key, value).count()`` — shrinks N rows to the distinct-
+       value histogram with map-side partial aggregation (the built-in
+       ``percentile`` UDAF instead hauls every raw value into one
+       aggregation buffer per group — 7× slower at sf0.1 and a
+       memory cliff at 100 TB).
+    2. cumulative counts via a window over the same key partitioning
+       (no extra shuffle), locating the two order statistics each
+       quantile interpolates between.
+    3. a tiny final per-key aggregate.
+
+    Values are integer cents, so the quarter-point interpolation is exact
+    binary arithmetic — bit-identical to DuckDB's ``quantile_cont``."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    dist = (
+        li.withColumn("cents", _cents("l_extendedprice"))
+        .groupBy("l_returnflag", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    dist = (
+        dist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy("l_returnflag"))
+        )
+        .withColumn("lo", F.col("cum") - F.col("cnt"))  # first 0-based index held
+    )
+    aggs = []
+    for tag, q in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75)):
+        h = (F.col("n") - 1) * F.lit(q)
+        k = F.floor(h)
+        # the row covers 0-based positions [lo, cum-1]
+        a = F.max(
+            F.when((k >= F.col("lo")) & (k < F.col("cum")), F.col("cents"))
+        )
+        b = F.max(
+            F.when(
+                (k + 1 >= F.col("lo")) & (k + 1 < F.col("cum")), F.col("cents")
+            )
+        )
+        g = F.max(h - k)
+        aggs.append(
+            (
+                F.when(g == 0, a.cast("double"))
+                .otherwise(a.cast("double") + g * (b - a).cast("double"))
+                / 100.0
+            ).alias(tag)
+        )
+    return dist.groupBy("l_returnflag").agg(*aggs)
+
+
+@register(
+    "approx_count_distinct",
+    oracle=None,  # approximate — no deterministic SQL oracle; rows-only check
+    tags=["EXT"],
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION: HyperLogLog++ distinct estimate — the 100 TB-scale
+    alternative to exact countDistinct (mergeable sketch, no dedup
+    shuffle).  Approximate ⇒ rows-only driver check."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("n_custs_approx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k / set ops (EXTENSION tier — §2.6 absences made first-class)
+# ---------------------------------------------------------------------------
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+        SELECT user_id, event_id, event_type, ts
+        FROM (
+            SELECT user_id, event_id, event_type, ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    tags=["S5", "EXT"],
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert dedup-on-read pattern (S5's Spark mapping): latest row
+    per key via row_number — exactly how the engine reads the trips store
+    back into current-state form.  One shuffle on the key; at scale the
+    window runs per-partition after hash partitioning, no global sort."""
+    events = load_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    tags=["EXT"],
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heap + driver merge of k rows, NOT a global sort.
+    Tie-break on the unique key keeps the result set deterministic."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return orders.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    ).limit(10).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "set_intersect",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=["EXT"],
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION set op: customers holding both an 'F' and an 'O' order."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@register(
+    "set_except",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=["EXT"],
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION set op: customers with an 'F' order but no 'O' order."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(o)
+
+
+@register(
+    "union_tagged",
+    oracle="""
+        SELECT 'start' AS side, o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'end' AS side, o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=["T7", "EXT"],
+)
+def union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 dual-stream routing, batch form: union of two sources with a
+    discriminator tag (trip_processor.py:39,41,56 branches on stream name)."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    starts = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.lit("start").alias("side"), F.col("o_orderkey").alias("k")
+    )
+    ends = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("end").alias("side"), F.col("o_orderkey").alias("k")
+    )
+    return starts.unionByName(ends)
+
+
+# ---------------------------------------------------------------------------
+# Event-stream semantics, batch-checkable (§2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_correlation",
+    oracle="""
+        WITH s AS (SELECT user_id, min(ts) AS signup_ts
+                   FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             p AS (SELECT user_id, min(ts) AS purchase_ts
+                   FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        SELECT s.user_id, s.signup_ts, p.purchase_ts,
+               CAST(floor(epoch(p.purchase_ts)) - floor(epoch(s.signup_ts)) AS BIGINT)
+                   AS gap_sec
+        FROM s JOIN p ON s.user_id = p.user_id
+    """,
+    tags=["T2", "J1"],
+)
+def event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trip state machine's batch shadow: first 'signup' (start)
+    correlated with first 'purchase' (end) per user — the same
+    started→completed pairing trip_processor.py:41-78 does record-at-a-
+    time, as two partial aggregates + one join."""
+    events = load_fixture(spark, sf_dir, "events")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return signups.join(purchases, "user_id").select(
+        "user_id",
+        "signup_ts",
+        "purchase_ts",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("gap_sec"),
+    )
+
+
+@register(
+    "windowed_event_agg",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=["T6", "A6"],
+)
+def windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: the daily tumbling aggregation in streaming-native form —
+    ``F.window`` over event time (identical semantics to the scheduled
+    daily batch; in a stream this runs with a watermark)."""
+    events = load_fixture(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 day").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

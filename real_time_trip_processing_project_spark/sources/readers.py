@@ -1,0 +1,69 @@
+"""Batch sources (SURVEY.md §2.1 S1, S7, S8).
+
+The reference reads CSVs with pandas inference (send_to_kinesis.py:26,34)
+and pulls its keyed store to the driver via paginated boto3 queries
+(daily_kpi_aggregation.py:45-82).  The engine replaces both with
+distributed scans using explicit schemas:
+
+- CSV scan with a pinned ``StructType`` — no inference pass, stable types.
+- Parquet scan of the trips store partitioned by ``date`` — Catalyst
+  partition pruning + predicate pushdown replace DynamoDB's
+  ``KeyConditionExpression`` / ``FilterExpression`` (S7), and the data
+  never round-trips through the driver (fixes the collect-then-parallelize
+  scalability cliff at daily_kpi_aggregation.py:58-90).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from real_time_trip_processing_project_spark import schemas
+
+#: CSV timestamp format used by the reference data ("YYYY-MM-DD HH:MM:SS").
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def read_trip_start_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: trip-start CSV with explicit schema (no inference)."""
+    return spark.read.csv(
+        path, header=True, schema=schemas.TRIP_START, timestampFormat=TS_FMT
+    )
+
+
+def read_trip_end_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: trip-end CSV with explicit schema (no inference)."""
+    return spark.read.csv(
+        path, header=True, schema=schemas.TRIP_END, timestampFormat=TS_FMT
+    )
+
+
+def read_trips_store(spark: SparkSession, path: str) -> DataFrame:
+    """S7: scan of the keyed trips store (parquet partitioned by date).
+
+    Filters on ``date`` prune partitions; filters on ``status`` push down
+    to parquet row groups — the Catalyst-native equivalent of the
+    reference's KeyConditionExpression + FilterExpression
+    (daily_kpi_aggregation.py:45-55).
+    """
+    return spark.read.schema(schemas.TRIPS).parquet(path)
+
+
+def load_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one driver fixture table with its pinned schema.
+
+    An explicit ``.schema(...)`` keeps column pruning/pushdown intact and
+    guards against footer-type drift across scale factors.  ``events.ts``
+    is parquet TIMESTAMP(NANOS): read as long nanos, converted here to a
+    microsecond TimestampType (same truncation DuckDB applies casting
+    TIMESTAMP_NS → TIMESTAMP).
+    """
+    if table == "events":
+        from pyspark.sql import functions as F
+
+        raw = spark.read.schema(schemas.EVENTS_RAW).parquet(
+            f"{sf_dir}/{table}.parquet"
+        )
+        # integer `div` — float division would lose precision on ~1e18 ns
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    schema = schemas.FIXTURE_TABLES[table]
+    return spark.read.schema(schema).parquet(f"{sf_dir}/{table}.parquet")
