@@ -1,0 +1,106 @@
+"""Sinks: the keyed trips store (S5) and the daily KPI document (S9).
+
+The reference's keyed store is DynamoDB with full-item upserts
+(``put_item`` — trip_processor.py:54,78).  Vanilla Spark parquet has no
+MERGE, so the engine uses the idiomatic append + dedup-on-read design:
+
+- every emitted state transition is APPENDED to parquet partitioned by
+  ``date`` (the DynamoDB partition key — README.md:44) with a
+  monotonically increasing ``updated_at`` version;
+- readers reconstruct current state with ``row_number() over
+  (partition by trip_id order by updated_at desc)`` — S5's documented
+  Spark mapping — so re-delivered micro-batches are harmless
+  (at-least-once append + last-writer-wins read = effective upsert);
+- a compaction pass can periodically rewrite partitions to one row per
+  trip (same dedup query + overwrite), bounding read amplification.
+
+At 100 TB: appends are partition-local (no shuffle), the dedup window
+shuffles only the partitions a query actually reads after `date`
+pruning, and compaction is embarrassingly parallel per date partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_project_spark import schemas
+
+ORPHAN_STATUS = "Orphaned"
+
+
+def append_trip_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
+                      orphan_dir: str | None = None) -> None:
+    """foreachBatch body: version-stamp and append one micro-batch.
+
+    ``updated_at`` encodes (batch_id, status rank) so dedup-on-read is
+    deterministic under re-delivery: a retried batch rewrites identical
+    rows and last-writer-wins picks the same winner.  Within a batch the
+    only per-trip ordering that matters is Started → Completed, which the
+    status rank encodes without relying on row order.
+    """
+    stamped = batch_df.withColumn(
+        "updated_at",
+        F.timestamp_micros(
+            F.lit(int(batch_id)) * F.lit(10)
+            + F.when(F.col("status") == "Completed", 1).otherwise(0)
+        ),
+    )
+    orphans = stamped.filter(F.col("status") == ORPHAN_STATUS)
+    trips = stamped.filter(F.col("status") != ORPHAN_STATUS)
+    trips.write.mode("append").partitionBy("date").parquet(store_dir)
+    if orphan_dir is not None:
+        # orphan ends have no pickup date — quarantined unpartitioned
+        # (reference logs-and-drops these; trip_processor.py:60-62)
+        orphans.drop("date").write.mode("append").parquet(orphan_dir)
+
+
+def current_trips(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Dedup-on-read: latest version per trip (the S5 upsert view).
+
+    'Completed' outranks 'Started' at equal version only as a tiebreak —
+    versions are strictly increasing within a batch, so the rank order is
+    effectively (updated_at desc).
+    """
+    raw = spark.read.schema(schemas.TRIPS).parquet(store_dir)
+    w = Window.partitionBy("trip_id").orderBy(
+        F.col("updated_at").desc(),
+        F.when(F.col("status") == "Completed", 1).otherwise(0).desc(),
+    )
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def compact_trips(spark: SparkSession, store_dir: str, out_dir: str) -> None:
+    """Rewrite the store to one current row per trip (periodic maintenance)."""
+    current_trips(spark, store_dir).write.mode("overwrite").partitionBy(
+        "date"
+    ).parquet(out_dir)
+
+
+def write_kpi_document(kpi_row_df: DataFrame, out_root: str) -> str | None:
+    """S9: one JSON object per day at ``{out}/{YYYY-MM}/{YYYY-MM-DD}.json``
+    (daily_kpi_aggregation.py:137-148 layout).
+
+    The KPI row is one row per day — a driver-side dump gives the exact
+    single-file naming the reference uses; at scale this is a metadata
+    write, not a data write.
+    """
+    import json
+    import os
+
+    rows = kpi_row_df.collect()
+    if not rows:
+        return None  # F3 empty-day guard (daily_kpi_aggregation.py:178-181)
+    path = None
+    for row in rows:
+        d = row["date"]
+        ym = d[:7]
+        os.makedirs(os.path.join(out_root, ym), exist_ok=True)
+        path = os.path.join(out_root, ym, f"{d}.json")
+        with open(path, "w") as fh:
+            json.dump(row.asDict(recursive=True), fh, indent=2)
+    return path

@@ -1,0 +1,238 @@
+"""The trip state machine: keyed streaming correlation of start/end events.
+
+Engine equivalent of the reference's Lambda consumer
+(``src/lambda_functions/trip_processor.py``): per ``trip_id``, hold the
+start event, merge the end event onto it when it arrives, and emit
+status transitions (Started → Completed).  Instead of per-record
+DynamoDB get/put round-trips (trip_processor.py:54,59,78), state lives in
+Spark's partitioned state store behind ``applyInPandasWithState`` — the
+shuffle on ``trip_id`` IS the reference's PartitionKey hashing
+(send_to_kinesis.py:56), and lookups are local to the executor.
+
+Late/out-of-order handling (T3): the spec says events "may not be
+perfectly ordered" (docs PDF p.2).  The reference warns-and-drops an end
+with no stored start (trip_processor.py:60-62).  The engine supports both:
+
+- ``mode="buffer"`` (default, strictly-better superset): an early end is
+  held in state and the pair completes when the start arrives.
+- ``mode="drop"`` (reference-compat): an early end is emitted as an
+  ``Orphaned`` row for the orphan sink — surfaced as data, not a log line.
+
+State TTL (engine addition; the reference leaks unmatched state forever):
+``state_ttl_ms`` cleans up abandoned trips via processing-time timeout.
+It cannot change matched-pair results — only unmatched state is dropped.
+
+Deviations fixed on purpose (SURVEY §3.2 reference bugs a-c): ``date`` is
+derived from ``pickup_datetime`` at start time; state is keyed
+consistently by ``trip_id``; nullable numerics stay SQL NULL.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Columns originating in the start stream (trip_processor.py:43-50).
+START_FIELDS = [
+    "trip_id",
+    "pickup_location_id",
+    "dropoff_location_id",
+    "vendor_id",
+    "pickup_datetime",
+    "estimated_dropoff_datetime",
+    "estimated_fare_amount",
+]
+
+#: Columns originating in the end stream (trip_processor.py:65-74).
+END_FIELDS = [
+    "dropoff_datetime",
+    "rate_code",
+    "passenger_count",
+    "trip_distance",
+    "fare_amount",
+    "tip_amount",
+    "payment_type",
+    "trip_type",
+]
+
+#: Unified wire schema of the tagged union of both streams.  Datetimes stay
+#: strings on the wire (the reference's JSON carries "YYYY-MM-DD HH:MM:SS"
+#: strings); typing happens at emit.
+WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("trip_id", T.StringType(), False),
+        T.StructField("pickup_location_id", T.IntegerType(), True),
+        T.StructField("dropoff_location_id", T.IntegerType(), True),
+        T.StructField("vendor_id", T.IntegerType(), True),
+        T.StructField("pickup_datetime", T.StringType(), True),
+        T.StructField("estimated_dropoff_datetime", T.StringType(), True),
+        T.StructField("estimated_fare_amount", T.DoubleType(), True),
+        T.StructField("dropoff_datetime", T.StringType(), True),
+        T.StructField("rate_code", T.DoubleType(), True),
+        T.StructField("passenger_count", T.DoubleType(), True),
+        T.StructField("trip_distance", T.DoubleType(), True),
+        T.StructField("fare_amount", T.DoubleType(), True),
+        T.StructField("tip_amount", T.DoubleType(), True),
+        T.StructField("payment_type", T.DoubleType(), True),
+        T.StructField("trip_type", T.DoubleType(), True),
+    ]
+)
+
+#: Correlator output: typed trip rows (the sink adds ``updated_at``).
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("trip_id", T.StringType(), False),
+        T.StructField("pickup_location_id", T.IntegerType(), True),
+        T.StructField("dropoff_location_id", T.IntegerType(), True),
+        T.StructField("vendor_id", T.IntegerType(), True),
+        T.StructField("pickup_datetime", T.TimestampType(), True),
+        T.StructField("estimated_dropoff_datetime", T.TimestampType(), True),
+        T.StructField("estimated_fare_amount", T.DoubleType(), True),
+        T.StructField("dropoff_datetime", T.TimestampType(), True),
+        T.StructField("rate_code", T.DoubleType(), True),
+        T.StructField("passenger_count", T.DoubleType(), True),
+        T.StructField("trip_distance", T.DoubleType(), True),
+        T.StructField("fare_amount", T.DoubleType(), True),
+        T.StructField("tip_amount", T.DoubleType(), True),
+        T.StructField("payment_type", T.DoubleType(), True),
+        T.StructField("trip_type", T.DoubleType(), True),
+        T.StructField("date", T.DateType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+#: State per trip_id: the JSON-serialized start/end events + completion flag.
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_json", T.StringType(), True),
+        T.StructField("end_json", T.StringType(), True),
+        T.StructField("completed", T.BooleanType(), True),
+    ]
+)
+
+_TS_FIELDS = {"pickup_datetime", "estimated_dropoff_datetime", "dropoff_datetime"}
+_INT_FIELDS = {"pickup_location_id", "dropoff_location_id", "vendor_id"}
+
+
+def _py(v: Any) -> Any:
+    """numpy/pandas scalar → plain Python (JSON-serializable state)."""
+    if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
+        return None
+    if hasattr(v, "item"):
+        v = v.item()
+    return None if (isinstance(v, float) and pd.isna(v)) else v
+
+
+def _emit_row(
+    trip_id: str, start: dict | None, end: dict | None, status: str
+) -> dict[str, Any]:
+    row: dict[str, Any] = {f.name: None for f in OUT_SCHEMA.fields}
+    row["trip_id"] = trip_id
+    for src, fields in ((start, START_FIELDS), (end, END_FIELDS)):
+        if src:
+            for f in fields:
+                if f != "trip_id":
+                    row[f] = src.get(f)
+    for f in _TS_FIELDS:
+        if row[f] is not None:
+            row[f] = pd.Timestamp(row[f])
+    for f in _INT_FIELDS:
+        if row[f] is not None:
+            row[f] = int(row[f])
+    # date derived at start time (fixes reference bug b — the Lambda never
+    # writes the `date` attribute the README declares at README.md:34,44)
+    if row["pickup_datetime"] is not None:
+        row["date"] = row["pickup_datetime"].date()
+    row["status"] = status
+    return row
+
+
+def make_correlator(mode: str = "buffer", state_ttl_ms: int | None = None):
+    """Build the applyInPandasWithState function for the trip state machine."""
+    if mode not in ("buffer", "drop"):
+        raise ValueError(f"mode must be 'buffer' or 'drop', got {mode!r}")
+
+    def correlate(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        trip_id = key[0]
+        if state.hasTimedOut:
+            # abandoned trip: reclaim state (engine addition; cannot affect
+            # matched pairs — only unmatched state reaches a timeout)
+            state.remove()
+            return
+        start_json, end_json, completed = (
+            state.get if state.exists else (None, None, False)
+        )
+        start = json.loads(start_json) if start_json else None
+        end = json.loads(end_json) if end_json else None
+        out: list[dict] = []
+
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                etype = rec.pop("event_type")
+                ev = {k: _py(v) for k, v in rec.items()}
+                if etype == "trip_start":
+                    start = {k: ev.get(k) for k in START_FIELDS}
+                    if end is not None:
+                        completed = True
+                        out.append(_emit_row(trip_id, start, end, "Completed"))
+                    else:
+                        out.append(_emit_row(trip_id, start, None, "Started"))
+                elif etype == "trip_end":
+                    ev_end = {k: ev.get(k) for k in END_FIELDS}
+                    if start is not None:
+                        end = ev_end
+                        completed = True
+                        out.append(_emit_row(trip_id, start, end, "Completed"))
+                    elif mode == "buffer":
+                        end = ev_end  # hold the early end until its start
+                    else:  # reference-compat: surface as orphan, don't store
+                        out.append(
+                            _emit_row(trip_id, None, ev_end, "Orphaned")
+                        )
+                # unknown event_type: per-record isolation (T5) — skip
+
+        state.update(
+            (
+                json.dumps(start) if start else None,
+                json.dumps(end) if end else None,
+                completed,
+            )
+        )
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return correlate
+
+
+def correlate_stream(
+    tagged: DataFrame, mode: str = "buffer", state_ttl_ms: int | None = None
+) -> DataFrame:
+    """Apply the trip state machine to a tagged union stream (WIRE_SCHEMA).
+
+    The groupBy shuffles by ``trip_id`` — the same key hashing the
+    reference gets from Kinesis PartitionKey — and the state store is
+    partition-local, so each micro-batch does zero remote lookups.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return tagged.groupBy("trip_id").applyInPandasWithState(
+        make_correlator(mode=mode, state_ttl_ms=state_ttl_ms),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

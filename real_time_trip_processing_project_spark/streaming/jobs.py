@@ -1,0 +1,171 @@
+"""End-to-end streaming pipeline wiring (SURVEY.md §3.2 engine lifecycle).
+
+``readStream(start dir) ∪ readStream(end dir)`` → tag (T7) → keyed state
+machine (T2/T3) → ``foreachBatch`` append into the partitioned trips
+store (S5), orphans quarantined.  The daily KPI job (T6) then runs as a
+partition-pruned batch over the store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from real_time_trip_processing_project_spark.operators import trip_batch
+from real_time_trip_processing_project_spark.sources import sinks
+from real_time_trip_processing_project_spark.streaming import correlator as C
+
+#: JSON-on-the-wire schemas per stream (datetimes are strings on the wire,
+#: matching the reference's CSV→JSON events — send_to_kinesis.py:45-50).
+START_WIRE = T.StructType(
+    [
+        T.StructField("trip_id", T.StringType(), False),
+        T.StructField("pickup_location_id", T.IntegerType(), True),
+        T.StructField("dropoff_location_id", T.IntegerType(), True),
+        T.StructField("vendor_id", T.IntegerType(), True),
+        T.StructField("pickup_datetime", T.StringType(), True),
+        T.StructField("estimated_dropoff_datetime", T.StringType(), True),
+        T.StructField("estimated_fare_amount", T.DoubleType(), True),
+    ]
+)
+
+END_WIRE = T.StructType(
+    [
+        T.StructField("dropoff_datetime", T.StringType(), True),
+        T.StructField("rate_code", T.DoubleType(), True),
+        T.StructField("passenger_count", T.DoubleType(), True),
+        T.StructField("trip_distance", T.DoubleType(), True),
+        T.StructField("fare_amount", T.DoubleType(), True),
+        T.StructField("tip_amount", T.DoubleType(), True),
+        T.StructField("payment_type", T.DoubleType(), True),
+        T.StructField("trip_type", T.DoubleType(), True),
+        T.StructField("trip_id", T.StringType(), False),
+    ]
+)
+
+
+def _tag(df: DataFrame, event_type: str) -> DataFrame:
+    """T7 dual-stream routing: attach the discriminator and align to the
+    unified wire schema (missing fields → NULL)."""
+    cols = [F.lit(event_type).alias("event_type")]
+    present = set(df.columns)
+    for field in C.WIRE_SCHEMA.fields:
+        if field.name == "event_type":
+            continue
+        if field.name in present:
+            cols.append(F.col(field.name).cast(field.dataType))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def tagged_union_stream(
+    spark: SparkSession,
+    start_dir: str,
+    end_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Two file-source streams (S4) unioned with event_type tags (T7).
+
+    ``maxFilesPerTrigger`` is the micro-batch size analogue of the
+    reference's 100-record Kinesis trigger (README.md:26-28).
+    """
+    reader = spark.readStream.schema(START_WIRE)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    starts = reader.json(start_dir)
+    reader = spark.readStream.schema(END_WIRE)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ends = reader.json(end_dir)
+    return _tag(starts, "trip_start").unionByName(_tag(ends, "trip_end"))
+
+
+def start_trip_pipeline(
+    spark: SparkSession,
+    start_dir: str,
+    end_dir: str,
+    store_dir: str,
+    orphan_dir: str,
+    checkpoint_dir: str,
+    mode: str = "buffer",
+    state_ttl_ms: int | None = None,
+    processing_time: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Wire the full pipeline and start it.
+
+    ``available_now=True`` drains everything currently in the source dirs
+    and stops — the test/backfill path.  ``processing_time`` mirrors the
+    reference's 100 s trigger window (T1).
+    """
+    tagged = tagged_union_stream(spark, start_dir, end_dir)
+    trips = C.correlate_stream(tagged, mode=mode, state_ttl_ms=state_ttl_ms)
+    writer = (
+        trips.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, bid: sinks.append_trip_batch(
+                df, bid, store_dir, orphan_dir
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_pipeline_to_completion(
+    spark: SparkSession,
+    start_dir: str,
+    end_dir: str,
+    store_dir: str,
+    orphan_dir: str,
+    checkpoint_dir: str,
+    mode: str = "buffer",
+) -> None:
+    """Drain the stream dirs synchronously (test/backfill entry point)."""
+    q = start_trip_pipeline(
+        spark,
+        start_dir,
+        end_dir,
+        store_dir,
+        orphan_dir,
+        checkpoint_dir,
+        mode=mode,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+def daily_kpi_job(
+    spark: SparkSession, store_dir: str, target_date: str, out_root: str
+) -> str | None:
+    """T6: the scheduled daily aggregation as one partition-pruned batch.
+
+    Reference shape (daily_kpi_aggregation.py:38-157): driver-side
+    paginated fetch + 5 separate agg actions + boto3 S3 put.  Engine
+    shape: partition-pruned scan (`date=` directory pruning) → dedup to
+    current state → completed-only filter → ONE aggregate → JSON document.
+    """
+    current = sinks.current_trips(spark, store_dir)
+    kpis = trip_batch.kpis_for_date(current, target_date)
+    doc = kpis.select(
+        F.lit(target_date).alias("date"),
+        F.struct(
+            F.lit(target_date).alias("trip_date"),
+            F.col("total_fare"),
+            F.col("count_trips"),
+            F.col("average_fare"),
+            F.col("max_fare"),
+            F.col("min_fare"),
+        ).alias("metrics"),
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "timestamp"
+        ),
+    ).filter(F.col("metrics.count_trips") > 0)
+    return sinks.write_kpi_document(doc, out_root)
