@@ -1,0 +1,348 @@
+"""Text-analytics column functions (training-data pipeline tier).
+
+The reference has no text processing at all (SURVEY.md §2.6) — this tier
+is the north-star extension surface (SURVEY.md §2.7): language ID,
+quality scoring, token counting, and document fingerprinting over the
+``documents`` fixture table.
+
+Design rules:
+
+- **Everything is a JVM-side built-in expression** (length/replace/
+  regexp/md5/array ops) inside whole-stage codegen — no Python UDFs in
+  the per-row path, so the same code runs unchanged on a 1000-executor
+  cluster with zero serialization overhead.
+- **Each builder has a paired ``*_sql`` twin** generated from the same
+  constant tables (marker-word lists, regex patterns, weights).  The
+  DuckDB oracle is therefore parity-by-construction: both engines run
+  exact integer/string ops (replace-count trick, md5 hex, regexp counts),
+  never float-order-sensitive math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Constant tables shared by the Spark and SQL builders
+# ---------------------------------------------------------------------------
+
+#: Language marker words for the n-gram/stopword language-ID heuristic.
+#: Order matters: it is the deterministic tie-break (first wins on equal
+#: scores).  Scores count whole-word occurrences via the exact
+#: replace-length trick, identical in both engines.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and"]),
+    ("de", ["der", "und", "die", "das"]),
+    ("es", ["el", "los", "y", "que"]),
+    ("fr", ["le", "la", "et", "les"]),
+    ("zh", ["de", "shi", "bu", "le"]),
+]
+
+#: English-ish stopwords for the quality score's stopword ratio.
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+#: "BPE-ish" token pattern: letter runs, digit runs, or single non-space
+#: symbols — the classic pre-tokenizer shape.  RE2 (DuckDB) and Java
+#: regex (Spark) agree on this subset.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Punctuation / symbol pattern for the quality score.
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+#: Character-shingle width for document fingerprinting.
+FINGERPRINT_K = 8
+
+
+# ---------------------------------------------------------------------------
+# Occurrence counting (exact, engine-portable)
+# ---------------------------------------------------------------------------
+
+def word_count_expr(text: str, word: str) -> Column:
+    """# of whole-word occurrences of ``word`` in column ``text``.
+
+    Pads with spaces then applies the replace-length trick:
+    ``(len(s) - len(replace(s, w, ''))) / len(w)`` — exact integer
+    arithmetic, no regex engine differences.
+    """
+    padded = F.concat(F.lit(" "), F.col(text), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
+        / F.lit(len(needle) - 1)
+    ).cast("long")
+
+
+def word_count_sql(text: str, word: str) -> str:
+    """SQL twin of :func:`word_count_expr` (DuckDB)."""
+    padded = f"(' ' || {text} || ' ')"
+    needle = f" {word} "
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{needle}', ' ')))"
+        f" / {len(needle) - 1} AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / counting
+# ---------------------------------------------------------------------------
+
+def ws_tokens(text: str) -> Column:
+    """Whitespace tokens (array<string>)."""
+    return F.split(F.trim(F.col(text)), r"\s+")
+
+
+def ws_token_count_expr(text: str) -> Column:
+    """Whitespace token count — `size(split(trim(text), '\\s+'))`."""
+    return F.size(ws_tokens(text)).cast("long")
+
+
+def ws_token_count_sql(text: str) -> str:
+    return f"CAST(len(string_split_regex(trim({text}), '\\s+')) AS BIGINT)"
+
+
+def bpe_token_count_expr(text: str) -> Column:
+    """BPE-ish token count via regexp_extract_all (vectorized, JVM-side)."""
+    return F.size(
+        F.regexp_extract_all(F.col(text), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    ).cast("long")
+
+
+def bpe_token_count_sql(text: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({text}, '{BPE_TOKEN_PATTERN}')) AS BIGINT)"
+    )
+
+
+def punct_count_expr(text: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(F.col(text), F.lit(PUNCT_PATTERN), F.lit(0))
+    ).cast("long")
+
+
+def punct_count_sql(text: str) -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{PUNCT_PATTERN}')) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+def lang_score_exprs(text: str) -> dict[str, Column]:
+    """Per-language marker-occurrence totals."""
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS:
+        score = None
+        for w in markers:
+            c = word_count_expr(text, w)
+            score = c if score is None else score + c
+        out[lang] = score.cast("long")
+    return out
+
+
+def lang_score_sqls(text: str) -> dict[str, str]:
+    return {
+        lang: "CAST(" + " + ".join(word_count_sql(text, w) for w in markers) + " AS BIGINT)"
+        for lang, markers in LANG_MARKERS
+    }
+
+
+def lang_id_expr(text: str) -> Column:
+    """argmax over language scores; ties go to the earlier LANG_MARKERS
+    entry; all-zero scores → 'und' (undetermined)."""
+    scores = lang_score_exprs(text)
+    best = None
+    for lang, _ in LANG_MARKERS:
+        s = scores[lang]
+        # chain order is the tie-break: first WHEN with score >= all others
+        others = [scores[l2] for l2, _ in LANG_MARKERS if l2 != lang]
+        ge_all = None
+        for o in others:
+            c = s >= o
+            ge_all = c if ge_all is None else (ge_all & c)
+        w = F.when((s > 0) & ge_all, F.lit(lang))
+        best = w if best is None else best.when((s > 0) & ge_all, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def lang_id_sql(text: str) -> str:
+    scores = lang_score_sqls(text)
+    whens = []
+    for lang, _ in LANG_MARKERS:
+        s = scores[lang]
+        ge_all = " AND ".join(
+            f"{s} >= {scores[l2]}" for l2, _ in LANG_MARKERS if l2 != lang
+        )
+        whens.append(f"WHEN {s} > 0 AND {ge_all} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+# Ratios are integer-count divisions rounded to 6 dp on both sides, so the
+# composite is deterministic across engines.
+
+def quality_exprs(text: str) -> dict[str, Column]:
+    n_chars = F.length(F.col(text)).cast("long")
+    n_tokens = ws_token_count_expr(text)
+    stop = None
+    for w in STOPWORDS:
+        c = word_count_expr(text, w)
+        stop = c if stop is None else stop + c
+    alpha_chars = F.length(
+        F.regexp_replace(F.col(text), r"[^A-Za-z]", "")
+    ).cast("long")
+    punct = punct_count_expr(text)
+    avg_token_len = F.round(
+        alpha_chars.cast("double") / n_tokens.cast("double"), 6
+    )
+    stop_ratio = F.round(stop.cast("double") / n_tokens.cast("double"), 6)
+    punct_ratio = F.round(punct.cast("double") / n_chars.cast("double"), 6)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": avg_token_len,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+    }
+
+
+def quality_sqls(text: str) -> dict[str, str]:
+    n_chars = f"CAST(length({text}) AS BIGINT)"
+    n_tokens = ws_token_count_sql(text)
+    stop = " + ".join(word_count_sql(text, w) for w in STOPWORDS)
+    alpha = f"CAST(length(regexp_replace({text}, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+    punct = punct_count_sql(text)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": (
+            f"round(CAST({alpha} AS DOUBLE) / CAST({n_tokens} AS DOUBLE), 6)"
+        ),
+        "stopword_ratio": (
+            f"round(CAST({stop} AS DOUBLE) / CAST({n_tokens} AS DOUBLE), 6)"
+        ),
+        "punct_ratio": (
+            f"round(CAST({punct} AS DOUBLE) / CAST({n_chars} AS DOUBLE), 6)"
+        ),
+    }
+
+
+#: Quality-score weights (doc passes if score >= 0.5; purely illustrative
+#: deterministic composite — length band + stopword presence).
+def quality_score_expr(text: str) -> Column:
+    q = quality_exprs(text)
+    length_ok = F.when(
+        (q["n_chars"] >= 100) & (q["n_chars"] <= 20000), F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    stop_ok = F.when(q["stopword_ratio"] >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when(q["punct_ratio"] <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    return F.round(length_ok + stop_ok + punct_ok, 6)
+
+
+def quality_score_sql(text: str) -> str:
+    q = quality_sqls(text)
+    return (
+        "round("
+        f"(CASE WHEN {q['n_chars']} >= 100 AND {q['n_chars']} <= 20000 "
+        "THEN 0.5 ELSE 0.0 END) + "
+        f"(CASE WHEN {q['stopword_ratio']} >= 0.01 THEN 0.3 ELSE 0.0 END) + "
+        f"(CASE WHEN {q['punct_ratio']} <= 0.2 THEN 0.2 ELSE 0.0 END)"
+        ", 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (char-shingle rolling window, md5 min-hash)
+# ---------------------------------------------------------------------------
+
+def char_shingles_expr(text: str, k: int = FINGERPRINT_K) -> Column:
+    """All k-char shingles of ``text`` as array<string> (rolling window).
+
+    Pure SQL expression — sequence + transform + substring run inside
+    codegen; no explode needed until a consumer wants one row per shingle.
+    """
+    return F.expr(
+        f"transform(sequence(1, greatest(length({text}) - {k - 1}, 1)),"
+        f" i -> substring({text}, i, {k}))"
+    )
+
+
+def fingerprint_exprs(text: str, k: int = FINGERPRINT_K) -> dict[str, Column]:
+    """Min-hash style document fingerprint over char shingles.
+
+    ``fp`` = lexicographic min of md5(shingle) — a 1-permutation MinHash
+    with md5 as the random order (identical hex in every engine);
+    ``n_shingles`` = distinct shingle count (document "novelty" size).
+    """
+    sh = char_shingles_expr(text, k)
+    return {
+        "fp": F.array_min(F.transform(sh, lambda s: F.md5(s))),
+        "n_shingles": F.size(F.array_distinct(sh)).cast("long"),
+    }
+
+
+def fingerprint_sqls(text: str, k: int = FINGERPRINT_K) -> dict[str, str]:
+    shingles = (
+        f"[ substr({text}, i, {k}) FOR i IN "
+        f"range(1, greatest(length({text}) - {k - 1}, 1) + 1) ]"
+    )
+    return {
+        "fp": f"list_min(list_transform({shingles}, s -> md5(s)))",
+        "n_shingles": f"CAST(len(list_distinct({shingles})) AS BIGINT)",
+    }
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-derived bits — engine-portable)
+# ---------------------------------------------------------------------------
+
+HEX_DIGITS = "0123456789abcdef"
+SIMHASH_BITS = 32
+
+
+def _hex_nibble_expr(hexcol: Column, pos: int) -> Column:
+    """Value 0-15 of the hex digit at 1-based ``pos`` of an md5 string."""
+    return F.instr(F.lit(HEX_DIGITS), F.substring(hexcol, pos, 1)) - 1
+
+
+def simhash_bit_exprs(token_hash: Column) -> list[Column]:
+    """±1 contribution of one token's md5 to each of the 32 simhash bits.
+
+    Bit b lives in hex digit ``b // 4`` (nibble), bit ``b % 4`` within it.
+    """
+    bits: list[Column] = []
+    for b in range(SIMHASH_BITS):
+        nib = _hex_nibble_expr(token_hash, b // 4 + 1)
+        bit = F.floor(nib / (2 ** (b % 4))) % 2
+        bits.append(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)))
+    return bits
+
+
+def simhash_from_bit_sums(bit_sums: list[Column]) -> Column:
+    """Collapse the 32 per-bit vote sums into one BIGINT simhash."""
+    acc = F.lit(0).cast("long")
+    for b, s in enumerate(bit_sums):
+        acc = acc + F.when(s > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def simhash_bit_sql(token_hash_sql: str, b: int) -> str:
+    """SQL twin of one ±1 bit contribution."""
+    nib = f"(strpos('{HEX_DIGITS}', substr({token_hash_sql}, {b // 4 + 1}, 1)) - 1)"
+    bit = f"(CAST(floor({nib} / {2 ** (b % 4)}) AS BIGINT) % 2)"
+    return f"(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+
+
+def simhash_sql(token_hash_sql: str, sum_wrap) -> str:
+    """Build ``sum_wrap`` is a fn mapping the per-bit ±1 SQL to an
+    aggregated sum SQL (caller decides grouping); returns the final
+    bit-recombination SQL."""
+    parts = []
+    for b in range(SIMHASH_BITS):
+        s = sum_wrap(simhash_bit_sql(token_hash_sql, b))
+        parts.append(f"(CASE WHEN {s} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"

@@ -1,0 +1,214 @@
+"""Similarity search over embedding columns (SURVEY.md §2.7).
+
+The ``embeddings`` fixture is (vec_id, embedding: array<float>[64],
+label).  Two tiers:
+
+- **Brute-force cosine top-k** — the exactness baseline.  The query set
+  is broadcast; the corpus is scanned once; per-query top-k via window
+  rank.  Dot products run as ``aggregate(zip_with(...))`` in DOUBLE with
+  strict left-to-right accumulation — bit-identical to DuckDB's
+  ``list_cosine_similarity`` on ``DOUBLE[]`` (verified empirically in
+  tests), which makes the oracle hash-stable.
+- **LSH-bucketed ANN (random hyperplanes)** — the 100 TB path: sign-bit
+  signatures against H broadcast hyperplanes shrink each comparison to a
+  Hamming-bucket probe; exact cosine re-ranking only within candidate
+  buckets.  Planes are generated with a seeded NumPy RNG on the driver
+  and embedded as literals (deterministic, no executor RNG).
+
+No Python UDFs anywhere — the arithmetic is Catalyst ``aggregate`` /
+``zip_with`` expressions inside codegen.  (A pandas-UDF matmul variant
+would batch better per-core, but loses oracle bit-parity and JVM
+locality; at cluster scale the win comes from pruning candidates — the
+LSH tier — not from faster brute force.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Hyperplane-LSH index shape: L independent tables × b bits per table.
+#: Collision prob for angle θ per table: (1 - θ/π)^b; union over tables
+#: and 1-bit multi-probes sets the recall/candidate-count trade-off.
+ANN_TABLES = 8
+ANN_BITS = 8
+
+
+def _dot(a, b):
+    """Σ aᵢ·bᵢ in double, strict sequential order (oracle-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    """cos(a, b) as a codegen expression (double)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` (small) is broadcast → the corpus is scanned once with no
+    shuffle of the big side; ranking shuffles only Q·N candidate rows on
+    query_id.  At 100 TB with large Q, swap in :func:`ann_topk`.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _planes(
+    dim: int, n_tables: int = ANN_TABLES, n_bits: int = ANN_BITS, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic random hyperplanes per table (driver-side, seeded)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim)).tolist()
+
+
+def signature_expr(vec_col, planes: list[list[float]]):
+    """Sign-bit LSH signature (int) of a vector against one table's planes."""
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(_dot(vec_col, plane) > 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
+    return sig
+
+
+def ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane-LSH + exact re-rank.
+
+    Corpus side: ANN_TABLES signatures per vector (computed once,
+    codegen) → exploded to (table, bucket, id, vec) index rows.  Query
+    side: same signatures plus every 1-bit flip (multi-probe) per table.
+    Join on (table, bucket) → exact cosine only for candidates →
+    per-query top-k.
+
+    Scale: the corpus index is (table, bucket, id, vec) — re-usable
+    across query batches and bucketable on disk
+    (``partitionBy(table, bucket)``) so a probe touches only matching
+    partitions; index size is ANN_TABLES× the corpus, the classic
+    LSH space-for-recall trade."""
+    planes = _planes(dim)
+    c_sigs = F.array(
+        *[signature_expr(F.col("cv"), planes[t]) for t in range(len(planes))]
+    )
+    c = (
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("sigs", c_sigs)
+        .select(
+            "neighbor_id",
+            "cv",
+            F.posexplode("sigs").alias("table", "bucket"),
+        )
+    )
+    q_sigs = F.array(
+        *[signature_expr(F.col("qv"), planes[t]) for t in range(len(planes))]
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("sigs", q_sigs)
+        .select("query_id", "qv", F.posexplode("sigs").alias("table", "sig"))
+    )
+    # multi-probe: the signature itself plus each 1-bit flip
+    probes = F.array(
+        F.col("sig"),
+        *[F.expr(f"cast(sig as int) ^ {1 << i}") for i in range(ANN_BITS)],
+    )
+    qp = q.withColumn("bucket", F.explode(probes)).drop("sig")
+    scored = (
+        F.broadcast(qp)
+        .join(c, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
+
+    Test-SF implementation is the exact O(N²/2) self-join (N=500 at
+    sf0.01); the 100 TB path replaces the cross join with the
+    :func:`ann_topk` bucket index (identical filter semantics, candidate
+    generation only).
+    """
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", cosine_expr(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )

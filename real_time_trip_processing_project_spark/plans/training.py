@@ -1,0 +1,342 @@
+"""Training-data pipeline queries (SURVEY.md §2.7 north-star tier):
+dedup, similarity search, text analysis, multimodal — over the
+``documents`` and ``embeddings`` fixture tables.
+
+Oracle policy: every SQL-expressible op carries a DuckDB oracle built
+from the same constant tables as the Spark expression (parity by
+construction).  Approximate ops (MinHash-LSH, hyperplane ANN) are
+rows-only for the driver and get recall assertions against their exact
+twins in tests/test_training_tier.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_project_spark.functions import text as TX
+from real_time_trip_processing_project_spark.operators import dedup as DD
+from real_time_trip_processing_project_spark.operators import multimodal as MM
+from real_time_trip_processing_project_spark.operators import similarity as SIM
+from real_time_trip_processing_project_spark.plans.catalog import register
+from real_time_trip_processing_project_spark.sources.readers import load_fixture
+
+#: Word-shingle list in DuckDB syntax (list comprehension + slice join),
+#: mirroring operators/dedup.py:word_shingles.
+_SHINGLES_SQL = f"""
+    list_distinct([ array_to_string(words[i + 1 : i + {DD.SHINGLE_W}], ' ')
+                    FOR i IN range(0, greatest(len(words) - {DD.SHINGLE_W}, 0) + 1) ])
+"""
+
+#: Jaccard threshold for near-dup pairs (fixture plants ~0.99 pairs).
+JACCARD_T = 0.8
+
+#: Cosine threshold for embedding near-dup pairs (fixture max ≈ 0.48).
+COSINE_T = 0.4
+
+#: ANN/brute-force top-k depth and query-set predicate.
+TOPK = 10
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS text_hash,
+               min(doc_id) AS canonical_id,
+               count(*)    AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=["EXT", "dedup"],
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash-groupBy dedup; shuffle key is md5(text), 32B/row."""
+    return DD.exact_dedup(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id AS id, shingles, len(shingles)::BIGINT AS n_sh
+            FROM (SELECT doc_id, {_SHINGLES_SQL} AS shingles
+                  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+                        FROM documents))
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                     / (a.n_sh + b.n_sh - len(list_intersect(a.shingles, b.shingles))),
+                     6) AS jaccard
+        FROM sh a JOIN sh b ON a.id < b.id
+        WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                    / (a.n_sh + b.n_sh - len(list_intersect(a.shingles, b.shingles))),
+                    6) >= {JACCARD_T}
+    """,
+    tags=["EXT", "dedup"],
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join —
+    only shingle-sharing pairs materialize; oracle does the O(N²) check)."""
+    return DD.jaccard_pairs(load_fixture(spark, sf_dir, "documents"), JACCARD_T)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # approximate (banded LSH) — rows-only; recall vs exact in tests
+    tags=["EXT", "dedup"],
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16×4) candidate generation, exact-Jaccard verify.
+    At the fixture's ~0.99-Jaccard planted pairs, collision probability is
+    1-(1-0.99⁴)¹⁶ ≈ 1 − 1e-22 — recall asserted in tests."""
+    return DD.minhash_lsh_pairs(load_fixture(spark, sf_dir, "documents"), JACCARD_T)
+
+
+def _simhash_oracle() -> str:
+    sum_wrap = lambda bit_sql: f"sum({bit_sql})"  # noqa: E731
+    sim = TX.simhash_sql("md5(tok)", sum_wrap)
+    return f"""
+        SELECT id, {sim} AS simhash
+        FROM (SELECT doc_id AS id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+              FROM documents)
+        GROUP BY id
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=["EXT", "dedup"])
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (md5-nibble bit votes — oracle
+    reproduces the exact bit pattern)."""
+    return DD.simhash_docs(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM e a JOIN e b ON a.id < b.id
+        WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_T}
+    """,
+    tags=["EXT", "dedup", "similarity"],
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact; ANN tier is the scale path)."""
+    return SIM.cosine_pairs(load_fixture(spark, sf_dir, "embeddings"), COSINE_T)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+             scored AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.v, e.v) AS cos
+                FROM q JOIN e ON q.vec_id <> e.vec_id
+             )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= {TOPK}
+    """,
+    tags=["EXT", "similarity"],
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 cosine neighbors for the query subset
+    (vec_id % 100 = 0).  Queries broadcast; corpus scanned once."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.cosine_topk(emb, queries, TOPK)
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=None,  # approximate — rows-only; recall vs brute force in tests
+    tags=["EXT", "similarity"],
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-10 for the same query subset (16-bit
+    signatures + 1-bit multi-probe, exact re-rank inside buckets)."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.ann_topk(emb, queries, TOPK, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        SELECT doc_id,
+               lang AS lang_declared,
+               {TX.lang_id_sql('text')} AS lang_pred,
+               {TX.lang_score_sqls('text')['en']} AS score_en
+        FROM documents
+    """,
+    tags=["EXT", "text"],
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (exact replace-count scores, deterministic
+    argmax) vs the declared lang column."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        TX.lang_id_expr("text").alias("lang_pred"),
+        TX.lang_score_exprs("text")["en"].alias("score_en"),
+    )
+
+
+def _quality_oracle() -> str:
+    q = TX.quality_sqls("text")
+    return f"""
+        SELECT doc_id,
+               {q['n_chars']}        AS n_chars,
+               {q['n_tokens']}       AS n_tokens,
+               {q['avg_token_len']}  AS avg_token_len,
+               {q['stopword_ratio']} AS stopword_ratio,
+               {q['punct_ratio']}    AS punct_ratio,
+               {TX.quality_score_sql('text')} AS quality_score
+        FROM documents
+    """
+
+
+@register("text_quality", oracle=_quality_oracle(), tags=["EXT", "text"])
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score (length band, stopword
+    ratio, punctuation ratio) — all integer-exact or 6dp-rounded."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    q = TX.quality_exprs("text")
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["avg_token_len"].alias("avg_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        TX.quality_score_expr("text").alias("quality_score"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               {TX.ws_token_count_sql('text')}  AS n_tokens_ws,
+               {TX.bpe_token_count_sql('text')} AS n_tokens_bpe
+        FROM documents
+    """,
+    tags=["EXT", "text"],
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + BPE-ish regex pre-tokenizer."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.ws_token_count_expr("text").alias("n_tokens_ws"),
+        TX.bpe_token_count_expr("text").alias("n_tokens_bpe"),
+    )
+
+
+def _fingerprint_oracle() -> str:
+    s = TX.fingerprint_sqls("text")
+    return f"""
+        SELECT doc_id, {s['fp']} AS fp, {s['n_shingles']} AS n_shingles
+        FROM documents
+    """
+
+
+@register("text_fingerprint", oracle=_fingerprint_oracle(), tags=["EXT", "text"])
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 8-char-shingle fingerprint: min-md5 (1-perm MinHash) +
+    distinct-shingle count; all codegen array expressions."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    fp = TX.fingerprint_exprs("text")
+    return docs.select(
+        "doc_id", fp["fp"].alias("fp"), fp["n_shingles"].alias("n_shingles")
+    )
+
+
+@register(
+    "text_term_freq",
+    oracle="""
+        SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents)
+        GROUP BY tok
+    """,
+    tags=["EXT", "text"],
+)
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency (explode + two-level aggregate) —
+    the tokenize-explode-count backbone of TF-IDF-style text stats."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text)                                  AS content_hash,
+               CAST(greatest(octet_length(encode(text)) // 64, 1) AS BIGINT)
+                                                          AS frame_count,
+               CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+               CAST(64 + octet_length(encode(text)) % 433 AS BIGINT) AS height
+        FROM documents
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through Arrow-batched mapInPandas
+    (real plumbing, deterministic fake codec — operators/multimodal.py).
+    The oracle recomputes the same features from the source text."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    return MM.extract_media_features(MM.media_from_documents(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH m AS (SELECT doc_id AS media_id,
+                          greatest(octet_length(encode(text)) // 64, 1) AS fc
+                   FROM documents),
+             fr AS (SELECT media_id, CAST(unnest(range(0, fc)) AS BIGINT) AS frame_idx
+                    FROM m)
+        SELECT media_id, frame_idx FROM fr WHERE frame_idx % 10 = 0
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-frame sampling over the fake frame index space — the
+    explode/filter shape of video frame extraction."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.media_from_documents(docs), every_nth=10)

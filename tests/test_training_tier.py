@@ -1,0 +1,103 @@
+"""Semantics tests for the training-data pipeline tier that the DuckDB
+oracle can't express: LSH recall vs exact twins, SimHash locality, and
+the multimodal codec seam."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_project_spark.operators import multimodal as MM
+from real_time_trip_processing_project_spark.plans import REGISTRY
+from real_time_trip_processing_project_spark.sources.readers import load_fixture
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    """At the fixture's planted ~0.99-Jaccard near-dups, 16×4 banding has
+    collision probability ≈ 1 − 1e-22 — LSH must find the exact pair set."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, SF).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, SF).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    # verification filter makes LSH ⊆ exact; banding makes exact ⊆ LSH here
+    assert lsh == exact
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """8 tables × 8 bits + 1-bit multi-probe on quasi-random 64-d vectors:
+    recall@10 ≈ 0.68 measured; assert a safe floor well above chance
+    (chance ≈ k/N = 10/499 ≈ 0.02)."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, SF).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_ann_lsh"].fn(spark, SF).collect()
+    }
+    assert bf
+    assert len(bf & ann) / len(bf) >= 0.4
+
+
+def test_simhash_locality(spark):
+    """Planted near-dup pairs must sit closer in Hamming space than the
+    population median — the property SimHash bucketing exploits."""
+    sims = {
+        r.id: r.simhash for r in REGISTRY["dedup_simhash"].fn(spark, SF).collect()
+    }
+    near = [
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, SF).collect()
+    ]
+    assert near
+
+    def ham(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    near_d = [ham(sims[a], sims[b]) for a, b in near]
+    ids = sorted(sims)[:80]
+    far_d = [
+        ham(sims[a], sims[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (a, b) not in set(near)
+    ]
+    avg_near = sum(near_d) / len(near_d)
+    avg_far = sum(far_d) / len(far_d)
+    assert avg_near < avg_far / 2, (avg_near, avg_far)
+
+
+def test_multimodal_real_codec_is_stubbed(spark):
+    """The 'real' decode path is an explicit NotImplementedError seam."""
+    docs = load_fixture(spark, SF, "documents").limit(4)
+    media = MM.media_from_documents(docs)
+    with pytest.raises(Exception) as ei:
+        MM.extract_media_features(media, codec="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+    with pytest.raises(ValueError):
+        MM.extract_media_features(media, codec="nope")
+
+
+def test_frame_sample_counts(spark):
+    """Frame sampling keeps ceil(frame_count/10) frames per media row."""
+    docs = load_fixture(spark, SF, "documents").limit(50)
+    media = MM.media_from_documents(docs)
+    feats = {r.media_id: r.frame_count for r in MM.extract_media_features(media).collect()}
+    sampled = (
+        MM.sample_frames(media, every_nth=10)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got = {r.media_id: r.n for r in sampled}
+    want = {m: (fc + 9) // 10 for m, fc in feats.items()}
+    assert got == want
