@@ -1,0 +1,432 @@
+"""Extended analytics queries (EXTENSION tier — SURVEY.md §2.6 explicit
+absences made first-class).
+
+The reference implements none of these (its only imports are
+col/sum/count/avg/max/min/to_date — daily_kpi_aggregation.py:10); a user
+replacing the reference still expects the surrounding analytics surface,
+so each is declared with a DuckDB oracle.  Float discipline follows
+plans/core.py (_cents integer-exact money sums, 6dp rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_project_spark.plans.catalog import register
+from real_time_trip_processing_project_spark.plans.core import _cents, _cents_sql
+from real_time_trip_processing_project_spark.sources.readers import load_fixture
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_region_nation",
+    oracle=f"""
+        SELECT r_name, n_name,
+               count(*) AS n_customers,
+               CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100.0 AS total_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    tags=["EXT", "A6"],
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total) in one
+    pass — Spark expands to a single shuffle with grouping-id, not one
+    job per level."""
+    customer = load_fixture(spark, sf_dir, "customer")
+    nation = load_fixture(spark, sf_dir, "nation")
+    region = load_fixture(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(_cents("c_acctbal")).cast("double") / 100.0).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=["EXT", "A6"],
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping sets in one aggregate."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "grouping_sets_explicit",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=["EXT", "A6"],
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent breakdowns, one scan."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_running_sum",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey,
+               CAST(sum({_cents_sql('o_totalprice')}) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS DOUBLE) / 100.0 AS running_total
+        FROM orders
+    """,
+    tags=["EXT"],
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer revenue (cumulative frame).  One shuffle on
+    the partition key; cents-exact so the frame order can't perturb the
+    float result."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(_cents("o_totalprice")).over(w).cast("double") / 100.0).alias(
+            "running_total"
+        ),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               lag(o_totalprice)  OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=["EXT"],
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead — the prior/next order per customer (time-series shape;
+    also the batch form of an as-of self-pairing)."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(rank()       OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               round(percent_rank() OVER w, 6)     AS prnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=["EXT"],
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family (rank/dense_rank/percent_rank) within status."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / conditional aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "pivot_status_counts",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=["EXT"],
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with pinned value list (deterministic columns) — compiles to
+    conditional aggregation, one scan, no per-value jobs."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array / collection functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "array_agg_per_customer",
+    oracle="""
+        SELECT o_custkey,
+               list_sort(list(o_orderkey)) AS order_keys,
+               CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    tags=["EXT"],
+)
+def array_agg_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + array_sort (sorted ⇒ deterministic multiset value)."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.size(F.collect_list("o_orderkey")).alias("n_orders"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER)       AS dim,
+               embedding[1]                          AS first_val,
+               embedding[5 : 8]                      AS mid_slice,
+               list_max(embedding)                   AS max_val,
+               list_min(embedding)                   AS min_val
+        FROM embeddings
+    """,
+    tags=["EXT"],
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array element/slice/extrema ops over the embedding column — no
+    arithmetic, so float32 values compare exactly across engines."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.slice("embedding", 5, 4).alias("mid_slice"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_min("embedding").alias("min_val"),
+    )
+
+
+@register(
+    "from_json_typed",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               json_extract_string(props, '$.source')             AS src
+        FROM events
+    """,
+    tags=["P10", "EXT"],
+)
+def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/P10 typed JSON parse: ``from_json`` with explicit struct schema
+    (single parse per row, all fields pruned at the scan)."""
+    events = load_fixture(spark, sf_dir, "events")
+    schema = "k INT, source STRING"
+    parsed = events.select(
+        "event_id", F.from_json("props", schema).alias("p")
+    )
+    return parsed.select(
+        "event_id", F.col("p.k").alias("k"), F.col("p.source").alias("src")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+@register(
+    "correlated_subquery",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+                           FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    tags=["EXT"],
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (above-nation-average customers).
+    Declared through spark.sql so Catalyst's subquery decorrelation
+    rewrites it into the aggregate+join it should be."""
+    customer = load_fixture(spark, sf_dir, "customer")
+    customer.createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer_sq c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+                           FROM customer_sq c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@register(
+    "histogram_bucket",
+    oracle="""
+        SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+               count(*) AS n,
+               min(o_totalprice) AS lo,
+               max(o_totalprice) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=["EXT"],
+)
+def histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via floor-division bucketing (the scalable
+    histogram shape — one pass, no sort)."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time windows beyond tumbling (T6 generalized)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sliding_window_agg",
+    oracle="""
+        WITH starts AS (
+            SELECT ts, value,
+                   to_timestamp((floor(epoch(ts) / 43200) - i) * 43200) AS w_start
+            FROM events, LATERAL (SELECT unnest([0, 1]) AS i)
+        )
+        SELECT w_start AS window_start,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS total_value
+        FROM starts
+        WHERE ts < w_start + INTERVAL 24 HOUR AND ts >= w_start
+        GROUP BY 1
+    """,
+    tags=["EXT", "T6"],
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (24h width, 12h slide): each event lands in 2
+    windows.  Streaming-native ``F.window`` with slide; the oracle
+    reproduces it by exploding the 2 candidate window starts."""
+    events = load_fixture(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "24 hours", "12 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts)                        AS session_start,
+               max(ts) + INTERVAL 1 HOUR      AS session_end,
+               count(*)                       AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS total_value
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    tags=["EXT", "T2", "T6"],
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (1h inactivity gap) per user — Spark's native
+    ``session_window`` (merging state op in streaming; gaps-and-islands
+    equivalent in the oracle)."""
+    events = load_fixture(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "1 hour").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
