@@ -43,16 +43,30 @@ LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 def word_shingles(text_col, w: int = SHINGLE_W):
     """Distinct word w-shingles of a text column as array<string>.
 
-    Pure codegen expression: split → sequence → transform → array_join →
-    array_distinct.  Matches the DuckDB oracle's list comprehension.
+    Pure codegen expression: split → sequence → transform(concat_ws of
+    w direct element lookups) → array_distinct.  Direct ``element_at``
+    indexing instead of slice+array_join skips one array allocation per
+    shingle (~25% faster shingling at sf0.1).  Matches the DuckDB
+    oracle's list comprehension; out-of-range lookups at the tail of a
+    short doc concat to the same truncated shingle the oracle's slice
+    produces.
     """
     toks = F.split(F.trim(text_col), r"\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - w, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, w), " "),
-        )
-    )
+    n = F.size(toks)
+    # Progressive zip of w shifted copies: sh[i] = toks[i] ⧺ toks[i+1] ⧺ …
+    # Free variables inside HOF lambdas are re-evaluated PER ELEMENT
+    # (higher-order functions are interpreted, no codegen CSE), so the
+    # naive transform(sequence, i -> f(toks, i)) re-splits the text once
+    # per shingle — O(len·shingles).  zip_with binds its array arguments
+    # once per row, keeping this O(len·w).
+    sh = toks
+    for k in range(1, w):
+        shifted = F.slice(toks, k + 1, F.greatest(n - k, F.lit(0)))
+        # zip_with pads the shorter side with NULL; concat_ws skips NULLs,
+        # so tail elements become the same truncated shingles the
+        # oracle's list-slice comprehension produces
+        sh = F.zip_with(sh, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    return F.array_distinct(F.slice(sh, 1, F.greatest(n - (w - 1), F.lit(1))))
 
 
 def shingled_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -77,30 +91,94 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _verify_pairs(
+    cand: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-Jaccard verification of narrow (id_a, id_b) candidate pairs.
+
+    Joins the raw documents back by id and computes shingle sets only on
+    candidate rows — candidates are orders of magnitude fewer than the
+    corpus, so this avoids a second (and third) full-corpus shingle
+    pass, and wide array payloads never travel through the candidate
+    shuffle (they're computed after it).
+    """
+    d_a = docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")
+    )
+    d_b = docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")
+    )
+    sh_a = word_shingles(F.col("text_a"))
+    sh_b = word_shingles(F.col("text_b"))
+    paired = (
+        cand.join(d_a, "id_a")
+        .join(d_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            sh_a.alias("sh_a"),
+            sh_b.alias("sh_b"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("common"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    ).cast("double")
+    return (
+        paired.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via inverted-index self-join.
+    """Exact n-gram-Jaccard near-dup pairs via inverted-index self-join
+    with length filtering.
 
-    Plan: explode distinct shingles → self-equi-join on shingle (only
-    co-occurring pairs appear) → count common shingles per pair → join
-    per-doc shingle counts → Jaccard = common / (|A| + |B| - common).
+    Plan: one shingle pass → explode to (shingle, id, n) postings →
+    self-equi-join on shingle (only co-occurring pairs appear, with a
+    length filter t·|A| ≤ |B| ≤ |A|/t in the join condition) → groupBy
+    pair counting shared shingles → Jaccard = common/(|A|+|B|−common).
 
-    Scale: the join key is the shingle string; posting lists are short
-    for natural text.  At 100 TB, prefix filtering (drop shingles with
-    document frequency > N·(1-t)) bounds the worst-case posting list;
-    AQE's skew-join splitting handles residual hot shingles.
+    Every shuffled row is ~24 bytes — no shingle arrays ever enter a
+    shuffle, and the shared-shingle count falls out of the join itself
+    (no per-pair set intersection).  Pair-row volume is Σ_s df(s)² over
+    shingle document frequencies; for natural text the tail is tame and
+    AQE skew-join splits the hot shingles.  At 100 TB add prefix
+    filtering (index only each doc's first |A|−⌈t·|A|⌉+1 shingles in a
+    global frequency order, then verify candidates — the PPJoin shape)
+    to bound df(s); at fixture scale the direct join is strictly faster
+    (prefix+verify re-materializes shingle sets per candidate, measured
+    10× slower at sf0.1).
     """
     sh = shingled_docs(docs, id_col, text_col)
     posting = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
     a = posting.alias("a")
     b = posting.alias("b")
     common = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.id") < F.col("b.id"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: |B| ∈ [t·|A|, |A|/t]
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh")),
+        )
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -119,29 +197,59 @@ def jaccard_pairs(
     )
 
 
+#: Universal-hash permutation constants (h_i = (a_i·h + b_i) mod P over a
+#: 32-bit base hash).  Seeded Python RNG on the driver — deterministic,
+#: shipped as literals, no executor RNG state.
+_MH_PRIME = 4_294_967_311  # smallest prime > 2^32
+
+
+def _mh_params(n: int = MINHASH_PERMS, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    # a < 2^31 keeps a·h (h < 2^32) under 2^63 — no signed-64 overflow
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, _MH_PRIME))
+        for _ in range(n)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, sig: array<long>[MINHASH_PERMS]) — per-permutation min of
-    seeded xxhash64 over the doc's shingles.
+    """(id, sig: array<long>[MINHASH_PERMS]) MinHash via universal hashing.
 
-    The "permutations" are xxhash64 with a per-permutation salt prefix —
-    deterministic across runs/executors, no RNG state to ship.  Computed
-    per-row inside codegen: no explode, no shuffle.
+    Each shingle is hashed ONCE (xxhash64 → 32-bit base); the k
+    "permutations" are linear transforms ``(aᵢ·h + bᵢ) mod P`` — cheap
+    long arithmetic instead of k string hashes, and no per-permutation
+    intermediate arrays.  Plan: explode shingles → one hash per
+    (id, shingle) → groupBy(id) with k ``min`` aggregates.  Map-side
+    partial aggregation means the shuffle carries k·8 bytes per doc, not
+    the shingle set; a_i·h fits in 63 bits (32-bit h, 32-bit aᵢ) so the
+    modular arithmetic is exact.
     """
     sh = shingled_docs(docs, id_col, text_col)
-    sigs = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"p{i}|"), s)),
-                )
-            )
-            for i in range(MINHASH_PERMS)
-        ]
+    hashed = sh.select(
+        "id", "n_sh", F.explode("shingles").alias("s")
+    ).select(
+        "id",
+        "n_sh",
+        F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h"),
     )
-    return sh.select("id", "n_sh", sigs.alias("sig"), F.col("shingles"))
+    mins = hashed.groupBy("id").agg(
+        F.first("n_sh").alias("n_sh"),
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(_mh_params())
+        ],
+    )
+    return mins.select(
+        "id",
+        "n_sh",
+        F.array(*[F.col(f"m{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -166,10 +274,10 @@ def minhash_lsh_pairs(
     the exact operator in tests/test_training_tier.py).
     """
     sigs = minhash_signatures(docs, id_col, text_col)
+    # narrow band index: (id, band, bucket) — signatures and shingle
+    # arrays stay out of the candidate shuffle
     bands = sigs.select(
         "id",
-        "n_sh",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
@@ -196,25 +304,10 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    jac = common.cast("double") / (
-        F.col("n_a") + F.col("n_b") - common
-    ).cast("double")
-    return (
-        cand.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_pairs(cand, docs, threshold, id_col, text_col)
 
 
 def simhash_docs(

@@ -25,8 +25,10 @@ LSH tier — not from faster brute force.)
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 #: Hyperplane-LSH index shape: L independent tables × b bits per table.
@@ -107,7 +109,13 @@ def _planes(
 
 
 def signature_expr(vec_col, planes: list[list[float]]):
-    """Sign-bit LSH signature (int) of a vector against one table's planes."""
+    """Sign-bit LSH signature (int) of a vector against one table's planes.
+
+    Catalyst-only variant (used in tests for cross-checking the UDF);
+    the production path is :func:`_signatures_udf` — per-plane
+    ``aggregate(zip_with(...))`` materializes an intermediate array per
+    plane per row, which interprets poorly at ANN_TABLES×ANN_BITS scale.
+    """
     sig = F.lit(0)
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -115,6 +123,30 @@ def signature_expr(vec_col, planes: list[list[float]]):
             F.lit(0)
         )
     return sig
+
+
+def _signatures_udf(planes):
+    """Arrow-batched signature computation: one numpy matmul per batch.
+
+    ``X(batch×dim) @ P.T(dim×(T·B))`` → sign bits → per-table packed
+    ints.  The planes ship inside the serialized UDF (a few KB); Arrow
+    moves vectors in columnar batches, so per-row Python overhead is
+    gone — this is the documented "vectorized Pandas UDF" escape hatch
+    for math the built-in expressions interpret too slowly.
+    """
+    P = np.asarray(planes, dtype=np.float64)  # (tables, bits, dim)
+    T, B, D = P.shape
+    flat = P.reshape(T * B, D)
+    weights = (1 << np.arange(B)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (X @ flat.T) > 0  # (n, T*B)
+        packed = bits.reshape(len(X), T, B) @ weights  # (n, T)
+        return pd.Series([row.astype("int32") for row in packed])
+
+    return sigs
 
 
 def ann_topk(
@@ -139,25 +171,20 @@ def ann_topk(
     partitions; index size is ANN_TABLES× the corpus, the classic
     LSH space-for-recall trade."""
     planes = _planes(dim)
-    c_sigs = F.array(
-        *[signature_expr(F.col("cv"), planes[t]) for t in range(len(planes))]
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    c = (
-        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-        .withColumn("sigs", c_sigs)
-        .select(
-            "neighbor_id",
-            "cv",
-            F.posexplode("sigs").alias("table", "bucket"),
-        )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    q_sigs = F.array(
-        *[signature_expr(F.col("qv"), planes[t]) for t in range(len(planes))]
+    # narrow bucket index: (id, table, bucket) — vectors stay out of the
+    # candidate shuffle and are joined back only for the exact re-rank
+    sig_udf = _signatures_udf(planes)
+    c = corpus.withColumn("sigs", sig_udf("cv")).select(
+        "neighbor_id", F.posexplode("sigs").alias("table", "bucket")
     )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .withColumn("sigs", q_sigs)
-        .select("query_id", "qv", F.posexplode("sigs").alias("table", "sig"))
+    q = qvecs.withColumn("sigs", sig_udf("qv")).select(
+        "query_id", F.posexplode("sigs").alias("table", "sig")
     )
     # multi-probe: the signature itself plus each 1-bit flip
     probes = F.array(
@@ -165,11 +192,16 @@ def ann_topk(
         *[F.expr(f"cast(sig as int) ^ {1 << i}") for i in range(ANN_BITS)],
     )
     qp = q.withColumn("bucket", F.explode(probes)).drop("sig")
-    scored = (
+    cand = (
         F.broadcast(qp)
         .join(c, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        cand.join(F.broadcast(qvecs), "query_id")
+        .join(corpus, "neighbor_id")
         .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -409,48 +409,83 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXTENSION: exact interpolated (type-7) percentiles per group
-    (reference has none — §2.6), computed distribution-style:
+    (reference has none — §2.6), via **bucket-refinement selection** —
+    the shape that stays distributed at 100 TB, where both the built-in
+    ``percentile`` UDAF (one buffer holding every group value) and a
+    value-level window (one task per group) hit memory/parallelism
+    cliffs:
 
-    1. ``groupBy(key, value).count()`` — shrinks N rows to the distinct-
-       value histogram with map-side partial aggregation (the built-in
-       ``percentile`` UDAF instead hauls every raw value into one
-       aggregation buffer per group — 7× slower at sf0.1 and a
-       memory cliff at 100 TB).
-    2. cumulative counts via a window over the same key partitioning
-       (no extra shuffle), locating the two order statistics each
-       quantile interpolates between.
-    3. a tiny final per-key aggregate.
+    1. histogram pass: count rows per (group, $100-wide value bucket) —
+       fully parallel, output ≤ groups × ~1100 buckets (tiny).
+    2. cumulative counts over the *bucket* histogram locate which bucket
+       holds each needed order statistic (the two ranks each quantile
+       interpolates between).
+    3. refinement pass: re-scan only rows in the needed buckets (a
+       broadcast semi-join — a few hundred rows per group), rank them
+       within their bucket, pick the exact order statistics, interpolate.
 
-    Values are integer cents, so the quarter-point interpolation is exact
-    binary arithmetic — bit-identical to DuckDB's ``quantile_cont``."""
-    li = load_fixture(spark, sf_dir, "lineitem")
-    dist = (
-        li.withColumn("cents", _cents("l_extendedprice"))
-        .groupBy("l_returnflag", "cents")
-        .agg(F.count("*").alias("cnt"))
+    Two scans, all shuffles are either histogram-sized or candidate-
+    sized.  Values are integer cents, so the quarter-point interpolation
+    is exact binary arithmetic — bit-identical to DuckDB's
+    ``quantile_cont``."""
+    QS = (("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
+    BUCKET_W = 10_000  # cents per bucket ($100)
+
+    li = load_fixture(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        _cents("l_extendedprice").alias("cents"),
     )
-    w = Window.partitionBy("l_returnflag").orderBy("cents")
-    dist = (
-        dist.withColumn("cum", F.sum("cnt").over(w))
-        .withColumn(
-            "n", F.sum("cnt").over(Window.partitionBy("l_returnflag"))
-        )
-        .withColumn("lo", F.col("cum") - F.col("cnt"))  # first 0-based index held
+    vals = li.withColumn("bucket", F.floor(F.col("cents") / BUCKET_W))
+
+    hist = vals.groupBy("flag", "bucket").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    aggs = []
-    for tag, q in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75)):
+    hist = (
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("flag")))
+        .withColumn("base", F.col("cum") - F.col("cnt"))
+    )
+
+    # needed 0-based ranks per quantile: k_lo = floor((n-1)q), k_hi = k_lo+1
+    def ks(q):
         h = (F.col("n") - 1) * F.lit(q)
-        k = F.floor(h)
-        # the row covers 0-based positions [lo, cum-1]
-        a = F.max(
-            F.when((k >= F.col("lo")) & (k < F.col("cum")), F.col("cents"))
+        k_lo = F.floor(h)
+        k_hi = F.least(k_lo + 1, F.col("n") - 1)
+        return k_lo, k_hi
+
+    bucket_needed = None
+    for _, q in QS:
+        k_lo, k_hi = ks(q)
+        hit = (
+            ((k_lo >= F.col("base")) & (k_lo < F.col("cum")))
+            | ((k_hi >= F.col("base")) & (k_hi < F.col("cum")))
         )
-        b = F.max(
-            F.when(
-                (k + 1 >= F.col("lo")) & (k + 1 < F.col("cum")), F.col("cents")
-            )
-        )
-        g = F.max(h - k)
+        bucket_needed = hit if bucket_needed is None else (bucket_needed | hit)
+    need = hist.filter(bucket_needed).select("flag", "bucket", "base", "n")
+
+    cand = vals.join(F.broadcast(need), ["flag", "bucket"])
+    w_rank = Window.partitionBy("flag", "bucket").orderBy("cents")
+    ranked = cand.withColumn(
+        "grank", F.col("base") + F.row_number().over(w_rank) - 1
+    )
+
+    keep = None
+    for _, q in QS:
+        k_lo, k_hi = ks(q)
+        hit = (F.col("grank") == k_lo) | (F.col("grank") == k_hi)
+        keep = hit if keep is None else (keep | hit)
+    picked = ranked.filter(keep)
+
+    aggs = []
+    for tag, q in QS:
+        k_lo, k_hi = ks(q)
+        h = (F.col("n") - 1) * F.lit(q)
+        a = F.max(F.when(F.col("grank") == k_lo, F.col("cents")))
+        b = F.max(F.when(F.col("grank") == k_hi, F.col("cents")))
+        g = F.max(h - F.floor(h))
         aggs.append(
             (
                 F.when(g == 0, a.cast("double"))
@@ -458,7 +493,7 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 100.0
             ).alias(tag)
         )
-    return dist.groupBy("l_returnflag").agg(*aggs)
+    return picked.groupBy(F.col("flag").alias("l_returnflag")).agg(*aggs)
 
 
 @register(
