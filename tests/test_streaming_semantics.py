@@ -1,0 +1,163 @@
+"""Streaming semantics tests (SURVEY.md §5.3-5.4): out-of-order arrival,
+buffer-vs-drop late modes, duplicate-delivery idempotency, and the
+property that any event permutation/partitioning yields the same final
+trips state as the batch correlator.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_project_spark.sources import producer, sinks
+from real_time_trip_processing_project_spark.streaming import jobs
+
+
+def _start_event(i: int, day: str = "2024-05-25") -> dict:
+    return {
+        "trip_id": f"t{i:04d}",
+        "pickup_location_id": 1 + i % 200,
+        "dropoff_location_id": 1 + (i * 7) % 200,
+        "vendor_id": 1 + i % 2,
+        "pickup_datetime": f"{day} 10:{i % 60:02d}:00",
+        "estimated_dropoff_datetime": f"{day} 11:{i % 60:02d}:00",
+        "estimated_fare_amount": 10.0 + i,
+    }
+
+
+def _end_event(i: int, day: str = "2024-05-25") -> dict:
+    return {
+        "dropoff_datetime": f"{day} 11:{i % 60:02d}:30",
+        "rate_code": 1.0,
+        "passenger_count": 1.0 + i % 4,
+        "trip_distance": 2.5 + i,
+        "fare_amount": 20.0 + i,
+        "tip_amount": 1.0,
+        "payment_type": 1.0,
+        "trip_type": 1.0,
+        "trip_id": f"t{i:04d}",
+    }
+
+
+def _dirs(tmp_path):
+    return (
+        str(tmp_path / "start"),
+        str(tmp_path / "end"),
+        str(tmp_path / "store"),
+        str(tmp_path / "orphans"),
+        str(tmp_path / "ckpt"),
+    )
+
+
+def _drain(spark, dirs, mode="buffer"):
+    start_dir, end_dir, store, orphans, ckpt = dirs
+    jobs.run_pipeline_to_completion(
+        spark, start_dir, end_dir, store, orphans, ckpt, mode=mode
+    )
+
+
+def test_end_before_start_buffer_mode(spark, tmp_path):
+    """An end that arrives a micro-batch BEFORE its start still completes
+    the trip (buffer mode holds it in state) — strictly better than the
+    reference's warn-and-drop (trip_processor.py:60-62)."""
+    dirs = _dirs(tmp_path)
+    start_dir, end_dir, store, orphans, _ = dirs
+    n = 6
+    # batch 1: only ends
+    producer.write_stream_files([_end_event(i) for i in range(n)], end_dir)
+    producer.write_stream_files([], start_dir)
+    _drain(spark, dirs)
+    # batch 2: the matching starts
+    producer.write_stream_files(
+        [_start_event(i) for i in range(n)], start_dir, prefix="late"
+    )
+    _drain(spark, dirs)
+
+    cur = sinks.current_trips(spark, store)
+    by_status = {r["status"]: r["count"] for r in cur.groupBy("status").count().collect()}
+    assert by_status == {"Completed": n}
+    # fare fields from the buffered end were merged onto the start
+    assert cur.filter(F.col("fare_amount").isNull()).count() == 0
+
+
+def test_end_before_start_drop_mode(spark, tmp_path):
+    """Reference-compat mode: an early end is surfaced to the orphan sink
+    (as data, not a log line) and the trip stays Started."""
+    dirs = _dirs(tmp_path)
+    start_dir, end_dir, store, orphans, _ = dirs
+    n = 4
+    producer.write_stream_files([_end_event(i) for i in range(n)], end_dir)
+    producer.write_stream_files([], start_dir)
+    _drain(spark, dirs, mode="drop")
+    producer.write_stream_files(
+        [_start_event(i) for i in range(n)], start_dir, prefix="late"
+    )
+    _drain(spark, dirs, mode="drop")
+
+    cur = sinks.current_trips(spark, store)
+    by_status = {r["status"]: r["count"] for r in cur.groupBy("status").count().collect()}
+    assert by_status == {"Started": n}
+    orphan_df = spark.read.parquet(orphans)
+    assert orphan_df.count() == n
+    assert orphan_df.filter(F.col("status") == "Orphaned").count() == n
+
+
+def test_duplicate_events_idempotent(spark, tmp_path):
+    """Re-delivered events (at-least-once sources) must not change the
+    current-state view or the KPIs — upsert-on-read semantics."""
+    dirs = _dirs(tmp_path)
+    start_dir, end_dir, store, _, _ = dirs
+    n = 5
+    starts = [_start_event(i) for i in range(n)]
+    ends = [_end_event(i) for i in range(n)]
+    producer.write_stream_files(starts, start_dir)
+    producer.write_stream_files(ends, end_dir)
+    _drain(spark, dirs)
+    # duplicates arrive again in later batches
+    producer.write_stream_files(starts, start_dir, prefix="dup")
+    producer.write_stream_files(ends, end_dir, prefix="dup")
+    _drain(spark, dirs)
+
+    cur = sinks.current_trips(spark, store)
+    assert cur.count() == n
+    assert cur.filter(F.col("status") == "Completed").count() == n
+    row = cur.agg(F.sum("fare_amount").alias("s")).collect()[0]
+    assert row["s"] == pytest.approx(sum(20.0 + i for i in range(n)))
+
+
+def test_permutation_invariance(spark, tmp_path):
+    """Property (SURVEY §5.4): ANY interleaving/partitioning of the event
+    stream yields the same final completed set — state machine order-
+    insensitivity.  Three seeded random shuffles across micro-batches."""
+    n = 12
+    want_fares = {f"t{i:04d}": 20.0 + i for i in range(n)}
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        events = [("s", _start_event(i)) for i in range(n)] + [
+            ("e", _end_event(i)) for i in range(n)
+        ]
+        rng.shuffle(events)
+        base = tmp_path / f"perm{seed}"
+        base.mkdir()
+        dirs = _dirs(base)
+        start_dir, end_dir, store, _, _ = dirs
+        # split the shuffled tape into 3 sequential micro-batch waves
+        k = len(events) // 3
+        for wave, chunk in enumerate(
+            (events[:k], events[k : 2 * k], events[2 * k :])
+        ):
+            producer.write_stream_files(
+                [e for t, e in chunk if t == "s"], start_dir, prefix=f"w{wave}"
+            )
+            producer.write_stream_files(
+                [e for t, e in chunk if t == "e"], end_dir, prefix=f"w{wave}"
+            )
+            _drain(spark, dirs)
+        cur = sinks.current_trips(spark, store)
+        got = {
+            r["trip_id"]: r["fare_amount"]
+            for r in cur.filter(F.col("status") == "Completed").collect()
+        }
+        assert got == want_fares, f"seed {seed}"
