@@ -310,6 +310,64 @@ def minhash_lsh_pairs(
     return _verify_pairs(cand, docs, threshold, id_col, text_col)
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (doc_id, canonical_id) where
+    canonical is the min id reachable through the pair graph.
+
+    Iterative label propagation: every node starts labeled with itself;
+    each round joins labels across edges (both directions) and keeps the
+    min.  Convergence is checked with an ``isEmpty`` on the changed set,
+    so rounds = graph diameter (near-dup clusters are shallow — 2-4
+    rounds in practice).  This is the DataFrame form of the classic
+    MapReduce min-label CC; at 100 TB swap in large-star/small-star to
+    cut the round count to O(log n) on high-diameter graphs.
+
+    Only nodes that appear in a pair are returned (singletons are their
+    own cluster trivially and would dominate the output).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iterations):
+        # candidate labels flowing across edges
+        prop = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("new_label"),
+                "label",
+            )
+        )
+        changed = updated.filter(F.col("new_label") < F.col("label"))
+        labels = updated.select("id", F.col("new_label").alias("label"))
+        # local checkpoint truncates the growing lineage each round AND
+        # materializes `labels` so the convergence probe below doesn't
+        # recompute the whole chain
+        labels = labels.localCheckpoint(eager=True)
+        if changed.isEmpty():
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
 def simhash_docs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

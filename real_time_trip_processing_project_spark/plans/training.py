@@ -96,6 +96,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(load_fixture(spark, sf_dir, "documents"), JACCARD_T)
 
 
+#: Near-dup pair set as a DuckDB CTE body (shared by the pair query's
+#: oracle and the cluster query's recursive oracle).
+_PAIRS_CTE = f"""
+        sh AS (
+            SELECT doc_id AS id, shingles, len(shingles)::BIGINT AS n_sh
+            FROM (SELECT doc_id, {_SHINGLES_SQL} AS shingles
+                  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+                        FROM documents))
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                        / (a.n_sh + b.n_sh - len(list_intersect(a.shingles, b.shingles))),
+                        6) >= {JACCARD_T}
+        )
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(v, r) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+        )
+        SELECT v AS doc_id, min(r) AS canonical_id
+        FROM reach GROUP BY v
+    """,
+    tags=["EXT", "dedup"],
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the exact
+    near-dup pair graph, canonical = min doc_id per component (iterative
+    min-label propagation; recursive-CTE oracle)."""
+    pairs = DD.jaccard_pairs(load_fixture(spark, sf_dir, "documents"), JACCARD_T)
+    return DD.connected_components(pairs)
+
+
 def _simhash_oracle() -> str:
     sum_wrap = lambda bit_sql: f"sum({bit_sql})"  # noqa: E731
     sim = TX.simhash_sql("md5(tok)", sum_wrap)
