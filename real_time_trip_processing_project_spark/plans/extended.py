@@ -343,6 +343,76 @@ def histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_salted_agg",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(sum({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100.0
+                   AS total_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=["EXT", "A6"],
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for pathologically hot group keys.
+
+    ``l_returnflag`` has 3 values over the whole table — a plain groupBy
+    sends each key's entire volume to one reducer.  Stage 1 groups by
+    (key, salt) spreading each hot key over 16 reducers; stage 2 merges
+    the 3×16 partials.  Semantics identical to the plain aggregate (the
+    oracle IS the plain aggregate); sums stay exact-integer so the
+    two-stage reassociation cannot perturb the result.  At 100 TB this
+    (or AQE skew handling) is mandatory for power-law keys.
+    """
+    N_SALTS = 16
+    li = load_fixture(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum(_cents("l_extendedprice")).alias("cents"),
+        F.count("*").alias("n"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        (F.sum("cents").cast("double") / 100.0).alias("total_price"),
+        F.sum("n").alias("n"),
+    )
+
+
+@register(
+    "json_roundtrip",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderstatus AS status_rt,
+               o_totalprice  AS price_rt
+        FROM orders
+    """,
+    tags=["S2", "P10", "EXT"],
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 row→JSON event encode (send_to_kinesis.py:45-50) and back:
+    ``to_json(struct(...))`` → ``from_json`` must be lossless for the
+    event payload.  Output is the parsed fields (JSON text itself is not
+    compared — engines format numbers differently)."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    encoded = orders.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct("o_orderstatus", "o_totalprice")
+        ).alias("payload"),
+    )
+    schema = "o_orderstatus STRING, o_totalprice DOUBLE"
+    return encoded.select(
+        "o_orderkey", F.from_json("payload", schema).alias("p")
+    ).select(
+        "o_orderkey",
+        F.col("p.o_orderstatus").alias("status_rt"),
+        F.col("p.o_totalprice").alias("price_rt"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time windows beyond tumbling (T6 generalized)
 # ---------------------------------------------------------------------------

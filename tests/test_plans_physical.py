@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the optimizations the engine's scale
+story depends on must actually appear in the executed plans — predicate
+pushdown, column pruning, broadcast joins, top-k without global sort,
+map-side partial aggregation."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from real_time_trip_processing_project_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_eq")
+    assert "PushedFilters:" in plan
+    # the status equality must be pushed to the parquet reader
+    assert "EqualTo(o_orderstatus,F)" in plan.replace(" ", "")
+
+
+def test_projection_prunes_columns(spark):
+    plan = _plan(spark, "projection_cast_rename")
+    # scan must read only the 5 referenced columns, not all 11
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read and "l_comment" not in read
+    assert read.count(":") - 1 <= 6  # struct<...> with ≤5 fields
+
+
+def test_flagship_broadcasts_and_fuses_aggregates(spark):
+    plan = _plan(spark, "trip_daily_kpis")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+    # exactly one shuffle (the date-key hash exchange) — all 5 KPIs fused
+    simple = _plan(spark, "trip_daily_kpis", "simple")
+    assert simple.count("Exchange hashpartitioning") == 1
+
+
+def test_dimension_joins_broadcast(spark):
+    simple = _plan(spark, "multiway_join_agg", "simple")
+    assert simple.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in simple
+    # both dim joins are shuffle-free: the only exchange is the final agg's
+    assert simple.count("Exchange hashpartitioning") == 1
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    # no full Sort + Exchange for a LIMIT 10
+    assert "GlobalLimit" not in plan or "Sort" not in plan
+
+
+def test_semi_anti_join_types(spark):
+    assert "LeftSemi" in _plan(spark, "join_semi")
+    assert "LeftAnti" in _plan(spark, "join_anti")
+
+
+def test_grouped_agg_has_mapside_partial(spark):
+    plan = _plan(spark, "global_agg")
+    assert "partial_sum" in plan
+    assert "PushedFilters:" in plan
+
+
+def test_wholestage_codegen_in_hot_paths(spark):
+    for name in ("trip_daily_kpis", "filter_eq", "histogram_bucket"):
+        plan = _plan(spark, name, "codegen")
+        assert "WholeStageCodegen subtrees" in plan, name
+        assert "Found 0" not in plan.splitlines()[1], name
+
+
+def test_no_cartesian_products_in_catalogue(spark):
+    """Nothing in the catalogue may fall back to an unintended cartesian
+    product.  The exact-pair similarity ops use an inequality self-join by
+    design (bounded fixture corpus; ANN is the scale path) — everything
+    else must be key-joined."""
+    allowed = {"sim_cosine_topk", "dedup_embedding_cosine"}
+    for name in REGISTRY:
+        if name in allowed:
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -127,6 +127,35 @@ def test_duplicate_events_idempotent(spark, tmp_path):
     assert row["s"] == pytest.approx(sum(20.0 + i for i in range(n)))
 
 
+def test_compaction_preserves_current_state(spark, tmp_path):
+    """Periodic compaction (one row per trip) must be a pure rewrite: the
+    current-state view over the compacted store equals the view over the
+    append log, and the version-history rows are gone."""
+    dirs = _dirs(tmp_path)
+    start_dir, end_dir, store, _, _ = dirs
+    n = 6
+    producer.write_stream_files([_start_event(i) for i in range(n)], start_dir)
+    producer.write_stream_files([], end_dir)
+    _drain(spark, dirs)
+    producer.write_stream_files([_end_event(i) for i in range(n)], end_dir, prefix="e")
+    _drain(spark, dirs)
+
+    raw_rows = spark.read.parquet(store).count()
+    assert raw_rows == 2 * n  # Started + Completed versions
+    compacted = str(tmp_path / "compacted")
+    sinks.compact_trips(spark, store, compacted)
+    assert spark.read.parquet(compacted).count() == n
+    before = {
+        (r["trip_id"], r["status"], r["fare_amount"])
+        for r in sinks.current_trips(spark, store).collect()
+    }
+    after = {
+        (r["trip_id"], r["status"], r["fare_amount"])
+        for r in sinks.current_trips(spark, compacted).collect()
+    }
+    assert before == after
+
+
 def test_permutation_invariance(spark, tmp_path):
     """Property (SURVEY §5.4): ANY interleaving/partitioning of the event
     stream yields the same final completed set — state machine order-
