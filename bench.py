@@ -90,8 +90,53 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    streaming = _stream_throughput(spark)
+    if streaming:
+        out["streaming"] = streaming
     print(json.dumps(out))
     spark.stop()
+
+
+def _stream_throughput(spark) -> dict | None:
+    """Replay the reference's 9,998 trip events through the full streaming
+    pipeline (file sources → stateful correlator → partitioned store) and
+    report end-to-end events/sec.
+
+    The reference's own single-node path is bounded below by its 300 s
+    producer sleep plus per-record Kinesis/Lambda/DynamoDB round-trips
+    (send_to_kinesis.py:75, trip_processor.py:54-78) for the same 9,998
+    events — this number is the engine's direct comparison point.
+    """
+    import shutil
+    import tempfile
+
+    ref = "/root/reference/data"
+    if not os.path.isdir(ref):
+        return None
+    from real_time_trip_processing_project_spark.sources import producer
+    from real_time_trip_processing_project_spark.streaming import jobs
+
+    root = tempfile.mkdtemp(prefix="bench-stream-")
+    try:
+        dirs = {n: os.path.join(root, n) for n in ("start", "end", "store", "orphans", "ckpt")}
+        n_start, n_end = producer.produce_trip_streams(
+            f"{ref}/trip_start.csv", f"{ref}/trip_end.csv",
+            dirs["start"], dirs["end"], n_files=4,
+        )
+        t0 = time.perf_counter()
+        jobs.run_pipeline_to_completion(
+            spark, dirs["start"], dirs["end"], dirs["store"],
+            dirs["orphans"], dirs["ckpt"],
+        )
+        dt = time.perf_counter() - t0
+        n = n_start + n_end
+        return {
+            "events": n,
+            "pipeline_sec": round(dt, 3),
+            "events_per_sec": round(n / dt, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
