@@ -46,6 +46,16 @@ END_WIRE = T.StructType(
 )
 
 
+#: Name of the PERMISSIVE-mode corrupt-record capture column (T5).
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+
+
 def _tag(df: DataFrame, event_type: str) -> DataFrame:
     """T7 dual-stream routing: attach the discriminator and align to the
     unified wire schema (missing fields → NULL)."""
@@ -66,21 +76,42 @@ def tagged_union_stream(
     start_dir: str,
     end_dir: str,
     max_files_per_trigger: int | None = None,
-) -> DataFrame:
-    """Two file-source streams (S4) unioned with event_type tags (T7).
+) -> tuple[DataFrame, DataFrame]:
+    """Two file-source streams (S4) unioned with event_type tags (T7);
+    returns (tagged_valid_stream, quarantine_stream).
 
     ``maxFilesPerTrigger`` is the micro-batch size analogue of the
     reference's 100-record Kinesis trigger (README.md:26-28).
+
+    Per-record error isolation (T5): the JSON sources parse in PERMISSIVE
+    mode capturing malformed lines into ``_corrupt_record``.  The
+    reference swallows such records with a catch-all and still returns
+    200 (trip_processor.py:82-89); the engine instead routes them to a
+    quarantine sink as data (rows where the capture column is set, or
+    where the required ``trip_id`` key is missing).
     """
-    reader = spark.readStream.schema(START_WIRE)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    starts = reader.json(start_dir)
-    reader = spark.readStream.schema(END_WIRE)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    ends = reader.json(end_dir)
-    return _tag(starts, "trip_start").unionByName(_tag(ends, "trip_end"))
+
+    def _read(schema: T.StructType, path: str, tag: str) -> DataFrame:
+        reader = (
+            spark.readStream.schema(_with_corrupt(schema))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        df = reader.json(path)
+        bad = F.col(CORRUPT_COL).isNotNull() | F.col("trip_id").isNull()
+        quarantine = df.filter(bad).select(
+            F.lit(tag).alias("stream"),
+            F.coalesce(F.col(CORRUPT_COL), F.to_json(F.struct("*"))).alias(
+                "raw"
+            ),
+        )
+        return _tag(df.filter(~bad).drop(CORRUPT_COL), tag), quarantine
+
+    starts, bad_starts = _read(START_WIRE, start_dir, "trip_start")
+    ends, bad_ends = _read(END_WIRE, end_dir, "trip_end")
+    return starts.unionByName(ends), bad_starts.unionByName(bad_ends)
 
 
 def start_trip_pipeline(
@@ -94,14 +125,20 @@ def start_trip_pipeline(
     state_ttl_ms: int | None = None,
     processing_time: str | None = None,
     available_now: bool = False,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """Wire the full pipeline and start it.
 
     ``available_now=True`` drains everything currently in the source dirs
     and stops — the test/backfill path.  ``processing_time`` mirrors the
-    reference's 100 s trigger window (T1).
+    reference's 100 s trigger window (T1).  ``quarantine_dir`` (when set)
+    starts a second query writing malformed source records (T5) as
+    parquet rows instead of swallowing them.
+
+    Returns the main StreamingQuery (and the quarantine query, if any,
+    as ``query._quarantine_query``).
     """
-    tagged = tagged_union_stream(spark, start_dir, end_dir)
+    tagged, quarantine = tagged_union_stream(spark, start_dir, end_dir)
     trips = C.correlate_stream(tagged, mode=mode, state_ttl_ms=state_ttl_ms)
     writer = (
         trips.writeStream.outputMode("append")
@@ -112,11 +149,25 @@ def start_trip_pipeline(
             )
         )
     )
+    qwriter = None
+    if quarantine_dir is not None:
+        qwriter = (
+            quarantine.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", quarantine_dir)
+            .option("checkpointLocation", checkpoint_dir + "-quarantine")
+        )
     if available_now:
         writer = writer.trigger(availableNow=True)
+        if qwriter is not None:
+            qwriter = qwriter.trigger(availableNow=True)
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+        if qwriter is not None:
+            qwriter = qwriter.trigger(processingTime=processing_time)
+    q = writer.start()
+    q._quarantine_query = qwriter.start() if qwriter is not None else None
+    return q
 
 
 def run_pipeline_to_completion(
@@ -127,6 +178,7 @@ def run_pipeline_to_completion(
     orphan_dir: str,
     checkpoint_dir: str,
     mode: str = "buffer",
+    quarantine_dir: str | None = None,
 ) -> None:
     """Drain the stream dirs synchronously (test/backfill entry point)."""
     q = start_trip_pipeline(
@@ -138,8 +190,11 @@ def run_pipeline_to_completion(
         checkpoint_dir,
         mode=mode,
         available_now=True,
+        quarantine_dir=quarantine_dir,
     )
     q.awaitTermination()
+    if q._quarantine_query is not None:
+        q._quarantine_query.awaitTermination()
 
 
 def daily_kpi_job(

@@ -127,6 +127,33 @@ def test_duplicate_events_idempotent(spark, tmp_path):
     assert row["s"] == pytest.approx(sum(20.0 + i for i in range(n)))
 
 
+def test_corrupt_records_quarantined(spark, tmp_path):
+    """T5 per-record error isolation: malformed JSON lines and records
+    missing the trip_id key are routed to the quarantine sink as data;
+    valid records in the same files still process normally.  (The
+    reference swallows these with a catch-all and returns 200 —
+    trip_processor.py:82-89.)"""
+    dirs = _dirs(tmp_path)
+    start_dir, end_dir, store, orphans, ckpt = dirs
+    quarantine = str(tmp_path / "quarantine")
+    n = 3
+    producer.write_stream_files([_start_event(i) for i in range(n)], start_dir)
+    producer.write_stream_files([_end_event(i) for i in range(n)], end_dir)
+    # hand-append garbage: one syntactically broken line, one key-less record
+    with open(f"{start_dir}/bad.json", "w") as fh:
+        fh.write('{"trip_id": "tbad", "pickup_location_id": OOPS}\n')
+        fh.write('{"pickup_location_id": 7, "vendor_id": 1}\n')
+    jobs.run_pipeline_to_completion(
+        spark, start_dir, end_dir, store, orphans, ckpt,
+        quarantine_dir=quarantine,
+    )
+    cur = sinks.current_trips(spark, store)
+    assert cur.filter(F.col("status") == "Completed").count() == n
+    bad = spark.read.parquet(quarantine)
+    assert bad.count() == 2
+    assert {r["stream"] for r in bad.collect()} == {"trip_start"}
+
+
 def test_compaction_preserves_current_state(spark, tmp_path):
     """Periodic compaction (one row per trip) must be a pure rewrite: the
     current-state view over the compacted store equals the view over the
