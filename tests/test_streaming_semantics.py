@@ -183,6 +183,72 @@ def test_compaction_preserves_current_state(spark, tmp_path):
     assert before == after
 
 
+def test_store_scan_prunes_date_partitions(spark, tmp_path):
+    """S7: a date filter on the trips store must become a partition
+    filter (directory pruning) — the Catalyst equivalent of the
+    reference's KeyConditionExpression on the DynamoDB partition key
+    (daily_kpi_aggregation.py:46,52)."""
+    import contextlib
+    import io
+
+    dirs = _dirs(tmp_path)
+    start_dir, end_dir, store, _, _ = dirs
+    events = [_start_event(i, day="2024-05-25") for i in range(3)] + [
+        _start_event(i + 100, day="2024-05-26") for i in range(3)
+    ]
+    producer.write_stream_files(events, start_dir)
+    producer.write_stream_files([], end_dir)
+    _drain(spark, dirs)
+
+    df = spark.read.parquet(store).filter(F.col("date") == "2024-05-25")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "2024-05-25" in "".join(
+        l for l in plan.splitlines() if "PartitionFilters" in l
+    )
+    assert df.count() == 3
+
+
+def test_kpi_partition_additivity(spark, tmp_path):
+    """Property (SURVEY §5.4): for ANY split of the trips into two sets,
+    sum/count/max/min KPIs merge to the full-set KPIs (avg only via
+    sum/count).  Three different split predicates."""
+    from real_time_trip_processing_project_spark.operators import trip_batch
+
+    dirs = _dirs(tmp_path)
+    start_dir, end_dir, store, _, _ = dirs
+    n = 20
+    producer.write_stream_files([_start_event(i) for i in range(n)], start_dir)
+    producer.write_stream_files([_end_event(i) for i in range(n)], end_dir)
+    _drain(spark, dirs)
+    cur = sinks.current_trips(spark, store).filter(F.col("status") == "Completed")
+
+    full = trip_batch.daily_kpis(cur).collect()[0]
+    for split in (
+        F.col("vendor_id") == 1,
+        F.col("fare_amount") < 30.0,
+        F.col("passenger_count") <= 2,
+    ):
+        parts = [
+            trip_batch.daily_kpis(cur.filter(split)).collect(),
+            trip_batch.daily_kpis(cur.filter(~split)).collect(),
+        ]
+        rows = [r for p in parts for r in p]
+        assert sum(r["count_trips"] for r in rows) == full["count_trips"]
+        assert sum(r["total_fare"] for r in rows) == pytest.approx(
+            full["total_fare"]
+        )
+        assert max(r["max_fare"] for r in rows) == full["max_fare"]
+        assert min(r["min_fare"] for r in rows) == full["min_fare"]
+        merged_avg = sum(r["total_fare"] for r in rows) / sum(
+            r["count_trips"] for r in rows
+        )
+        assert merged_avg == pytest.approx(full["average_fare"])
+
+
 def test_permutation_invariance(spark, tmp_path):
     """Property (SURVEY §5.4): ANY interleaving/partitioning of the event
     stream yields the same final completed set — state machine order-
