@@ -123,12 +123,21 @@ def _stream_throughput(spark) -> dict | None:
             f"{ref}/trip_start.csv", f"{ref}/trip_end.csv",
             dirs["start"], dirs["end"], n_files=4,
         )
+        # stateful streaming has no AQE: the shuffle-partition count is
+        # baked into the checkpoint as the state-store partition count.
+        # Size it to the replay volume (10k events) — every state
+        # partition costs a per-micro-batch commit regardless of data.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         t0 = time.perf_counter()
-        jobs.run_pipeline_to_completion(
-            spark, dirs["start"], dirs["end"], dirs["store"],
-            dirs["orphans"], dirs["ckpt"],
-        )
-        dt = time.perf_counter() - t0
+        try:
+            jobs.run_pipeline_to_completion(
+                spark, dirs["start"], dirs["end"], dirs["store"],
+                dirs["orphans"], dirs["ckpt"],
+            )
+            dt = time.perf_counter() - t0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
         n = n_start + n_end
         return {
             "events": n,
