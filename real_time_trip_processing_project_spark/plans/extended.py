@@ -382,6 +382,70 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "summary_stats",
+    oracle=f"""
+        WITH m AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   sum({_cents_sql('l_extendedprice')})      AS s1,
+                   sum({_cents_sql('l_extendedprice')}
+                       * {_cents_sql('l_extendedprice')})    AS s2,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round(CAST(s1 AS DOUBLE) / n / 100.0, 6) AS mean_price,
+               round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                          / (n - 1)) / 100.0, 6)        AS std_price,
+               min_price, max_price
+        FROM m
+    """,
+    tags=["EXT", "A6"],
+)
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EDA notebook's ``describe()`` (cells 582b594b/41160361) as one
+    scalable pass: exact integer moments (n, Σx, Σx² in cents — int64/
+    int128-safe) aggregated map-side, mean/std derived from them with the
+    identical closed-form on both engines, so even ``std`` is
+    bit-reproducible (naive per-row float accumulation would diverge
+    between engines and under re-partitioning)."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    cents = _cents("l_extendedprice")
+    # Σx² in DECIMAL(38,0): cents² ~1e14 × 1e12 rows ≈ 1e26 overflows
+    # int64 but fits 38 digits (DuckDB promotes the same sum to HUGEINT;
+    # both sides then convert the exact integer to double identically)
+    cents_dec = cents.cast("decimal(19,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents_dec * cents_dec).alias("s2"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("s1").cast("double") / F.col("n") / 100.0, 6).alias(
+            "mean_price"
+        ),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            )
+            / 100.0,
+            6,
+        ).alias("std_price"),
+        "min_price",
+        "max_price",
+    )
+
+
+@register(
     "json_roundtrip",
     oracle="""
         SELECT o_orderkey,
