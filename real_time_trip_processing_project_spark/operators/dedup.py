@@ -310,6 +310,67 @@ def minhash_lsh_pairs(
     return _verify_pairs(cand, docs, threshold, id_col, text_col)
 
 
+#: SimHash banding: 32 bits → 4 bands of 8.  By pigeonhole, any pair with
+#: Hamming distance ≤ 3 matches exactly in at least one band.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 8
+SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: split each 32-bit simhash into 4 byte-bands
+    and self-join on (band, value) — pigeonhole guarantees every pair
+    within distance 3 collides in ≥1 band, so recall is exact (not
+    probabilistic).  Verification: ``bit_count(a XOR b)`` on the two
+    hashes joined back by id.  All narrow rows; the band join is the
+    only candidate-sized shuffle.
+    """
+    sims = simhash_docs(docs, id_col, text_col)
+    bands = sims.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * SIMHASH_BAND_BITS).bitwiseAND(
+                        F.lit((1 << SIMHASH_BAND_BITS) - 1)
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sims.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    sb = sims.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iterations: int = 20
 ) -> DataFrame:

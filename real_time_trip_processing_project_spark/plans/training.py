@@ -153,6 +153,35 @@ def _simhash_oracle() -> str:
     """
 
 
+def _simhash_pairs_oracle() -> str:
+    sum_wrap = lambda bit_sql: f"sum({bit_sql})"  # noqa: E731
+    sim = TX.simhash_sql("md5(tok)", sum_wrap)
+    return f"""
+        WITH sims AS (
+            SELECT id, {sim} AS simhash
+            FROM (SELECT doc_id AS id,
+                         unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+                  FROM documents)
+            GROUP BY id
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sims a JOIN sims b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {DD.SIMHASH_MAX_HAMMING}
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    tags=["EXT", "dedup"],
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via 4-byte-band candidate
+    join — pigeonhole-exact recall; oracle does the O(N²) check."""
+    return DD.simhash_pairs(load_fixture(spark, sf_dir, "documents"))
+
+
 @register("dedup_simhash", oracle=_simhash_oracle(), tags=["EXT", "dedup"])
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (md5-nibble bit votes — oracle
