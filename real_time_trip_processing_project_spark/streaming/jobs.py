@@ -135,9 +135,19 @@ def start_trip_pipeline(
     starts a second query writing malformed source records (T5) as
     parquet rows instead of swallowing them.
 
+    ``state_ttl_ms`` is for CONTINUOUS triggers only: processing-time
+    timers make an ``available_now`` drain loop forever in state-cleanup
+    batches ('no new data but cleaning up state') instead of
+    terminating, so the combination is rejected.
+
     Returns the main StreamingQuery (and the quarantine query, if any,
     as ``query._quarantine_query``).
     """
+    if available_now and state_ttl_ms is not None:
+        raise ValueError(
+            "state_ttl_ms requires a continuous trigger; an availableNow "
+            "drain never terminates once processing-time timers are armed"
+        )
     tagged, quarantine = tagged_union_stream(spark, start_dir, end_dir)
     trips = C.correlate_stream(tagged, mode=mode, state_ttl_ms=state_ttl_ms)
     writer = (

@@ -127,6 +127,87 @@ def test_duplicate_events_idempotent(spark, tmp_path):
     assert row["s"] == pytest.approx(sum(20.0 + i for i in range(n)))
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving the correlator."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        if self._value is None:
+            raise ValueError("no state")
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_state_ttl_reclaims_abandoned_trips(spark):
+    """Engine addition over the reference (which leaks unmatched state
+    forever): on a state timeout the correlator reclaims the entry, so an
+    end arriving later finds no start and cannot complete the trip.
+
+    Unit-driven against the correlator function: processing-time timers
+    plus ``availableNow`` backfill drains loop forever at the Spark level
+    ('no new data but cleaning up state'), so TTL is reserved for
+    continuous triggers and its semantics are pinned here.
+    """
+    import json
+
+    import pandas as pd
+
+    from real_time_trip_processing_project_spark.streaming.correlator import (
+        make_correlator,
+    )
+
+    correlate = make_correlator(mode="buffer", state_ttl_ms=60_000)
+
+    def run(state, records):
+        pdf = pd.DataFrame(records) if records else pd.DataFrame()
+        return list(correlate(("t0001",), iter([pdf] if records else []), state))
+
+    # 1. start arrives → Started emitted, state holds the start, TTL armed
+    start_rec = dict(_start_event(1), event_type="trip_start")
+    st = _FakeState()
+    out = run(st, [start_rec])
+    assert out and list(out[0]["status"]) == ["Started"]
+    assert st.exists and st.timeout_set == 60_000
+
+    # 2. timeout fires before the end → state reclaimed, nothing emitted
+    st.hasTimedOut = True
+    out = run(st, [])
+    assert out == [] and st.removed and not st.exists
+
+    # 3. the late end now finds no start: buffered, no completion emitted
+    st = _FakeState()  # fresh (post-removal) state for the same key
+    end_rec = dict(_end_event(1), event_type="trip_end")
+    out = run(st, [end_rec])
+    assert out == []  # buffer mode holds it; no Completed row
+    held = json.loads(st.get[1])
+    assert held["fare_amount"] == end_rec["fare_amount"]
+
+    # 4. control: start + end within the TTL completes normally
+    st = _FakeState()
+    out = run(st, [start_rec, end_rec])
+    statuses = [s for df in out for s in df["status"]]
+    assert statuses == ["Started", "Completed"]
+
+
 def test_corrupt_records_quarantined(spark, tmp_path):
     """T5 per-record error isolation: malformed JSON lines and records
     missing the trip_id key are routed to the quarantine sink as data;

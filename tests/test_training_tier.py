@@ -74,6 +74,30 @@ def test_simhash_locality(spark):
     assert avg_near < avg_far / 2, (avg_near, avg_far)
 
 
+def test_approx_count_distinct_error_bound(spark):
+    """The HLL++ estimate (rows-only for the driver) must sit within a
+    generous multiple of its configured 2% relative standard deviation
+    of the exact distinct counts."""
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+
+    orders = load_fixture(spark, SF, "orders")
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["o_orderstatus"]: r["n_custs_approx"]
+        for r in REGISTRY["approx_count_distinct"].fn(spark, SF).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(5, 0.1 * n), (k, approx[k], n)
+
+
 def test_multimodal_real_codec_is_stubbed(spark):
     """The 'real' decode path is an explicit NotImplementedError seam."""
     docs = load_fixture(spark, SF, "documents").limit(4)
