@@ -219,6 +219,126 @@ def ann_topk(
     )
 
 
+#: IVF index shape: k-means cell count and probe width.
+IVF_CELLS = 16
+IVF_PROBES = 4
+IVF_ITERS = 3
+
+
+def _assign_udf(centroids: np.ndarray, n: int = 1):
+    """Arrow-batched assignment: index array of the ``n`` nearest
+    centroids (by cosine) per vector — one numpy matmul per batch."""
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T  # (batch, k)
+        order = np.argsort(-sims, axis=1)[:, :n]
+        return pd.Series([row.astype("int32") for row in order])
+
+    return assign
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> np.ndarray:
+    """Deterministic spherical k-means over the corpus (IVF coarse
+    quantizer).
+
+    Init: every (N/k)-th vector by id order (seedless, reproducible).
+    Each iteration: Arrow-batched nearest-centroid assignment, then the
+    new centroids via ``posexplode`` + per-(cell, dim) mean — both fully
+    distributed; only the k×dim centroid matrix ever reaches the driver
+    (metadata-scale, same class as broadcast join keys).
+    """
+    first = emb.select(vec_col).limit(k * 50).collect()
+    stride = max(len(first) // k, 1)
+    centroids = np.asarray(
+        [first[i * stride][0] for i in range(k)], dtype=np.float64
+    )
+    for _ in range(iters):
+        assign = _assign_udf(centroids, n=1)
+        assigned = emb.select(
+            F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+            F.col(vec_col).alias("v"),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        by_cell: dict[int, list[tuple[int, float]]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], []).append((r["pos"], r["m"]))
+        for cell, entries in by_cell.items():
+            vec = np.zeros(dim)
+            for pos, m in entries:
+                vec[pos] = m
+            new[cell] = vec
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF approximate top-k: k-means cells + multi-cell probe + exact
+    re-rank.
+
+    Corpus side: one cell id per vector (the inverted file — on disk
+    this is ``partitionBy(cell)``, so a probe reads n_probes/n_cells of
+    the data).  Query side: the ``n_probes`` nearest cells.  Join on
+    cell → exact cosine only within probed cells.  Unlike hyperplane
+    LSH, cell granularity adapts to the data distribution — the
+    standard IVF recall/cost trade (probe more cells → higher recall).
+    """
+    centroids = kmeans_fit(emb, k=n_cells, vec_col=vec_col)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn(
+        "cell", F.element_at(_assign_udf(centroids, 1)(F.col("cv")), 1)
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qp = qvecs.withColumn(
+        "cell", F.explode(_assign_udf(centroids, n_probes)(F.col("qv")))
+    )
+    scored = (
+        F.broadcast(qp)
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,

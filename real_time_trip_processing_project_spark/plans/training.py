@@ -248,6 +248,20 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_topk(emb, queries, TOPK, dim=64)
 
 
+@register(
+    "sim_ann_ivf",
+    oracle=None,  # approximate — rows-only; recall vs brute force in tests
+    tags=["EXT", "similarity"],
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: deterministic spherical k-means (16 cells, 3
+    iterations, stride init) as the coarse quantizer, 4-cell probe,
+    exact cosine re-rank inside probed cells."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.ivf_topk(emb, queries, TOPK)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

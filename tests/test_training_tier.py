@@ -46,6 +46,21 @@ def test_ann_recall_vs_brute_force(spark):
     assert len(bf & ann) / len(bf) >= 0.4
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF (16 cells, 4 probes = 25% of the corpus scanned): measured
+    recall@10 ≈ 0.72 on quasi-random vectors; assert a safe floor."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, SF).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_ann_ivf"].fn(spark, SF).collect()
+    }
+    assert bf
+    assert len(bf & ivf) / len(bf) >= 0.45
+
+
 def test_simhash_locality(spark):
     """Planted near-dup pairs must sit closer in Hamming space than the
     population median — the property SimHash bucketing exploits."""
