@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_trip_processing_project_spark.operators import temporal as TJ
 from real_time_trip_processing_project_spark.plans.catalog import register
 from real_time_trip_processing_project_spark.plans.core import _cents, _cents_sql
 from real_time_trip_processing_project_spark.sources.readers import load_fixture
@@ -474,6 +475,112 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("p.o_orderstatus").alias("status_rt"),
         F.col("p.o_totalprice").alias("price_rt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of / range) — batch generalization of the streaming
+# point-in-time lookup (trip_processor.py:59-78); see operators/temporal.py
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_events",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, ts, event_id AS click_id,
+                   CAST(NULL AS BIGINT) AS p_id,
+                   CAST(NULL AS DOUBLE) AS p_value,
+                   1 AS side
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id, ts, NULL, event_id, value, 0
+            FROM events WHERE event_type = 'purchase'
+        ),
+        m AS (
+            SELECT click_id, user_id, ts, side,
+                   last_value(p_id   IGNORE NULLS) OVER w AS purchase_id,
+                   last_value(p_value IGNORE NULLS) OVER w AS purchase_value
+            FROM u
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, p_id
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT click_id, user_id, ts AS click_ts, purchase_id, purchase_value
+        FROM m WHERE side = 1
+    """,
+    tags=["EXT", "J1", "T3"],
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the user's most recent purchase
+    at or before it (NULL when none).  No join operator in the plan — a
+    tagged union + one window shuffle on ``user_id`` (the sort-merge
+    as-of algorithm, linear per key; the inequality-join phrasing would
+    be a nested loop)."""
+    events = load_fixture(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return TJ.asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="click_ts",
+        right_ts="p_ts",
+        right_value_cols=["purchase_id", "purchase_value"],
+        out_prefix="",
+    )
+
+
+@register(
+    "range_join_errors_before_purchase",
+    oracle="""
+        SELECT p.event_id AS purchase_id, p.user_id,
+               count(e.ts) AS n_errors
+        FROM events p
+        LEFT JOIN events e
+          ON e.user_id = p.user_id
+         AND e.event_type = 'error'
+         AND e.ts >= p.ts - INTERVAL 1 HOUR
+         AND e.ts <  p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2
+    """,
+    tags=["EXT", "J1"],
+)
+def range_join_errors_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: errors by the same user in the hour before each
+    purchase.  Time-bucketed equi-join (bucket = window width ⇒ 2
+    candidate buckets per probe) + residual filter — a shuffle join,
+    never the nested loop Catalyst would plan for the raw inequality."""
+    events = load_fixture(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts")
+    )
+    pairs = TJ.range_join_binned(
+        purchases,
+        errors,
+        keys=["user_id"],
+        probe_ts="p_ts",
+        build_ts="e_ts",
+        window_sec=3600,
+    )
+    counts = pairs.groupBy("purchase_id").agg(F.count("*").alias("n"))
+    return purchases.join(counts, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_errors"),
     )
 
 
