@@ -35,11 +35,14 @@ HEADLINE = [
     "count_distinct",
     "percentiles",
     "topk_orders",
+    "asof_join_events",
+    "range_join_errors_before_purchase",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "text_fingerprint",
 ]
 
