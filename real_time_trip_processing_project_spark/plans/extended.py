@@ -10,6 +10,7 @@ plans/core.py (_cents integer-exact money sums, 6dp rounding).
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas_udf type-hint resolution
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -475,6 +476,108 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("p.o_orderstatus").alias("status_rt"),
         F.col("p.o_totalprice").alias("price_rt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex / map / registered-UDF surface (SURVEY.md §2.6 explicit absences)
+# ---------------------------------------------------------------------------
+
+@register(
+    "regex_ops",
+    oracle="""
+        SELECT o_orderkey,
+               regexp_extract(o_orderpriority, '^([0-9]+)-([A-Z ]+)$', 1)
+                   AS prio_num,
+               regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g')
+                   AS prio_masked,
+               CAST(regexp_matches(o_orderpriority, 'URGENT|HIGH') AS INTEGER)
+                   AS is_hot
+        FROM orders
+    """,
+    tags=["EXT"],
+)
+def regex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family (extract group / replace / match) — JVM-side codegen
+    expressions, no UDF; patterns restricted to the dialect-portable
+    subset so the same regex means the same thing in DuckDB."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)-([A-Z ]+)$", 1).alias(
+            "prio_num"
+        ),
+        F.regexp_replace("o_orderpriority", "[AEIOU]", "_").alias(
+            "prio_masked"
+        ),
+        F.col("o_orderpriority")
+        .rlike("URGENT|HIGH")
+        .cast("int")
+        .alias("is_hot"),
+    )
+
+
+@register(
+    "map_functions",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderstatus   AS status_val,
+               o_orderpriority AS prio_val,
+               2               AS n_keys
+        FROM orders
+    """,
+    tags=["EXT"],
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map column roundtrip: build with ``create_map``, read back via
+    element lookup + ``map_keys`` size.  The oracle states the ground
+    truth directly (map literals don't hash portably across engines) —
+    what's checked is that Spark's map construction/extraction is
+    lossless."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return orders.select(
+        "o_orderkey",
+        m.getItem("status").alias("status_val"),
+        m.getItem("priority").alias("prio_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "udf_registered",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_bucket
+        FROM orders
+    """,
+    tags=["EXT"],
+)
+def udf_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registration surface (absent from the reference — all its
+    Python logic runs driver-side, never registered into an engine):
+    an Arrow-vectorized pandas UDF registered by name and invoked from
+    SQL.  Semantics pinned by the plain-SQL oracle; the slow path is
+    still batch-columnar, never row-at-a-time Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def price_bucket(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.floor(v / 10000).astype("int64"))
+
+    spark.udf.register("price_bucket", price_bucket)
+    orders = load_fixture(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_udf")
+    return spark.sql(
+        """
+        SELECT o_orderkey, price_bucket(o_totalprice) AS price_bucket
+        FROM orders_udf
+        """
     )
 
 
