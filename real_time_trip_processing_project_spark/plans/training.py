@@ -11,7 +11,7 @@ twins in tests/test_training_tier.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_trip_processing_project_spark.functions import text as TX
@@ -383,6 +383,80 @@ def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("tf"),
             F.countDistinct("doc_id").alias("df"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: deterministic sampling / splitting
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_stratified",
+    oracle="""
+        SELECT lang, doc_id, rk
+        FROM (SELECT lang, doc_id,
+                     row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rk
+              FROM documents)
+        WHERE rk <= 20
+    """,
+    tags=["EXT", "curation"],
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sample: at most k docs per stratum (``lang``),
+    chosen by md5-of-key order so the selection is deterministic,
+    seedless, and engine-portable (hex md5 sorts identically in Spark
+    and DuckDB).  The per-source / per-language downsampling step of a
+    corpus-curation pipeline.
+
+    Scale note: one shuffle on the stratum key.  md5 order is uniform,
+    so at 100 TB the window sort is bounded by pre-thinning map-side —
+    filter ``hash < (k / count_g) * margin`` from broadcast per-stratum
+    counts before ranking; survivors per stratum are O(k), not O(n_g).
+    At fixture scale the direct window is already the right plan.
+    """
+    k = 20
+    docs = load_fixture(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+@register(
+    "split_train_eval",
+    oracle="""
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train' ELSE 'eval' END AS split,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    tags=["EXT", "curation"],
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/eval split by md5-prefix threshold —
+    no RNG, no seed, stable under re-runs and repartitioning, and any
+    engine that can md5 assigns every row the same split (hex digits
+    sort lexicographically the same everywhere).  Embarrassingly
+    parallel: a map-side expression, zero shuffles before the audit
+    aggregate; 'cccc' ≈ 0.8 of the 16-bit prefix space.
+    """
+    docs = load_fixture(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "cccc",
+        "train",
+    ).otherwise("eval")
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
     )
 
 
