@@ -219,7 +219,7 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_per_customer",
     oracle="""
         SELECT o_custkey,
-               list_sort(list(o_orderkey)) AS order_keys,
+               array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
                CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders
         FROM orders
         GROUP BY o_custkey
@@ -227,10 +227,19 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["EXT"],
 )
 def array_agg_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list + array_sort (sorted ⇒ deterministic multiset value)."""
+    """collect_list + array_sort (sorted ⇒ deterministic multiset value).
+
+    The array is emitted as a comma-joined string: the driver's pandas
+    canonicalizer cannot hash list cells, and the string form is
+    value-equivalent for an integer-key multiset.  The array ops
+    themselves (collect_list / array_sort / size) stay under test.
+    """
     orders = load_fixture(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.array_join(
+            F.array_sort(F.collect_list("o_orderkey")).cast("array<string>"),
+            ",",
+        ).alias("order_keys"),
         F.size(F.collect_list("o_orderkey")).alias("n_orders"),
     )
 
@@ -241,7 +250,8 @@ def array_agg_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                CAST(len(embedding) AS INTEGER)       AS dim,
                embedding[1]                          AS first_val,
-               embedding[5 : 8]                      AS mid_slice,
+               embedding[5 : 8][1]                   AS slice_first,
+               embedding[5 : 8][4]                   AS slice_last,
                list_max(embedding)                   AS max_val,
                list_min(embedding)                   AS min_val
         FROM embeddings
@@ -250,13 +260,21 @@ def array_agg_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array element/slice/extrema ops over the embedding column — no
-    arithmetic, so float32 values compare exactly across engines."""
+    arithmetic, so float32 values compare exactly across engines.
+
+    The slice itself is verified through scalar probes (first/last
+    element of the 4-wide slice) instead of an array-typed output
+    column: the driver's canonicalizer cannot hash list cells, and
+    scalar floats compare exactly.
+    """
     emb = load_fixture(spark, sf_dir, "embeddings")
+    sl = F.slice("embedding", 5, 4)
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("first_val"),
-        F.slice("embedding", 5, 4).alias("mid_slice"),
+        F.element_at(sl, 1).alias("slice_first"),
+        F.element_at(sl, 4).alias("slice_last"),
         F.array_max("embedding").alias("max_val"),
         F.array_min("embedding").alias("min_val"),
     )
@@ -696,7 +714,8 @@ def range_join_errors_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
     oracle="""
         WITH starts AS (
             SELECT ts, value,
-                   to_timestamp((floor(epoch(ts) / 43200) - i) * 43200) AS w_start
+                   CAST(to_timestamp((floor(epoch(ts) / 43200) - i) * 43200)
+                        AS TIMESTAMP) AS w_start
             FROM events, LATERAL (SELECT unnest([0, 1]) AS i)
         )
         SELECT w_start AS window_start,
