@@ -247,20 +247,33 @@ def kmeans_fit(
     iters: int = IVF_ITERS,
     vec_col: str = "embedding",
     dim: int = 64,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic spherical k-means over the corpus (IVF coarse
     quantizer).
 
-    Init: every (N/k)-th vector by id order (seedless, reproducible).
-    Each iteration: Arrow-batched nearest-centroid assignment, then the
-    new centroids via ``posexplode`` + per-(cell, dim) mean — both fully
-    distributed; only the k×dim centroid matrix ever reaches the driver
-    (metadata-scale, same class as broadcast join keys).
+    Init: every (N/k)-th of the first k·50 vectors **by id order**
+    (seedless, reproducible — ``orderBy`` before ``limit``, since a bare
+    ``limit`` is plan/partition-dependent under AQE or different file
+    splits).  ``k`` is clamped to the corpus size when the corpus is
+    smaller than ``k``.  Each iteration: Arrow-batched nearest-centroid
+    assignment, then the new centroids via ``posexplode`` + per-(cell,
+    dim) mean — both fully distributed; only the k×dim centroid matrix
+    ever reaches the driver (metadata-scale, same class as broadcast
+    join keys).
     """
-    first = emb.select(vec_col).limit(k * 50).collect()
+    first = (
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k * 50)
+        .collect()
+    )
+    if not first:
+        raise ValueError("kmeans_fit: empty corpus")
+    k = min(k, len(first))
     stride = max(len(first) // k, 1)
     centroids = np.asarray(
-        [first[i * stride][0] for i in range(k)], dtype=np.float64
+        [first[i * stride][1] for i in range(k)], dtype=np.float64
     )
     for _ in range(iters):
         assign = _assign_udf(centroids, n=1)
@@ -306,7 +319,7 @@ def ivf_topk(
     LSH, cell granularity adapts to the data distribution — the
     standard IVF recall/cost trade (probe more cells → higher recall).
     """
-    centroids = kmeans_fit(emb, k=n_cells, vec_col=vec_col)
+    centroids = kmeans_fit(emb, k=n_cells, vec_col=vec_col, id_col=id_col)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).withColumn(
@@ -345,12 +358,12 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
+    """Embedding near-dup pairs, brute force: all (a < b) with cosine ≥
+    threshold via the O(N²/2) inequality self-join.
 
-    Test-SF implementation is the exact O(N²/2) self-join (N=500 at
-    sf0.01); the 100 TB path replaces the cross join with the
-    :func:`ann_topk` bucket index (identical filter semantics, candidate
-    generation only).
+    Kept as the exactness *twin* for tests; the registered/scale path is
+    :func:`cosine_pairs_blocked`, which produces identical rows through
+    shuffle equi-joins instead of a nested loop.
     """
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a, b = e.alias("a"), e.alias("b")
@@ -361,6 +374,111 @@ def cosine_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+def _assign_cell_dist_udf(centroids: np.ndarray):
+    """Arrow-batched: nearest centroid (by cosine) plus the chordal
+    distance ‖v̂ − ĉ‖ to it — one numpy matmul per batch."""
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("struct<cell: int, dist: double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        cell = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(X)), cell]
+        dist = np.sqrt(np.maximum(2.0 - 2.0 * best, 0.0))
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "dist": dist}
+        )
+
+    return assign
+
+
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+) -> DataFrame:
+    """Embedding near-dup pairs: all (a < b) with cosine ≥ threshold —
+    **exact**, via metric blocking instead of an all-pairs nested loop.
+
+    cos(a,b) ≥ t ⇔ ‖â − b̂‖ ≤ √(2−2t) on the unit sphere, so with each
+    vector assigned to its nearest (deterministic k-means) centroid and
+    rᵢ = max chordal radius of cell i, the triangle inequality gives:
+    a qualifying pair with cells (i, j) forces ‖ĉᵢ − ĉⱼ‖ ≤ √(2−2t) + rᵢ
+    + rⱼ.  Only the k² centroid distances are evaluated on the driver
+    (metadata-scale); surviving cell pairs become a tiny broadcast
+    relation and the data-side work is two shuffle **equi-joins** keyed
+    on (cell) and (pair id) — no BroadcastNestedLoopJoin anywhere.
+    Pruning is lossless (triangle inequality + fp epsilon), so the
+    output is row-identical to :func:`cosine_pairs`.
+
+    Scale: comparisons drop from N²/2 to Σ|cᵢ||cⱼ| over surviving
+    pairs; shuffle volume is ≤ (surviving pairs per cell)×N rows.  At
+    production thresholds (0.8+) the survivor set collapses to
+    near-diagonal cell pairs; at the fixture's permissive t=0.4 it still
+    prunes the far-apart cells and — crucially — replaces the nested
+    loop with partition-parallel hash joins.  For approximate
+    speed-at-any-scale, :func:`ann_topk` remains the ANN path.
+    """
+    import math
+
+    d_max = math.sqrt(max(2.0 - 2.0 * threshold, 0.0))
+    centroids = kmeans_fit(emb, k=n_cells, vec_col=vec_col, id_col=id_col)
+    assign = _assign_cell_dist_udf(centroids)
+    tagged = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        assign(F.col(vec_col)).alias("a"),
+    ).select("id", "v", F.col("a.cell").alias("cell"), F.col("a.dist").alias("dist"))
+    tagged = tagged.localCheckpoint(eager=False)
+
+    # per-cell chordal radii: k rows — metadata-scale driver collect
+    radii = {
+        r["cell"]: r["r"]
+        for r in tagged.groupBy("cell").agg(F.max("dist").alias("r")).collect()
+    }
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    eps = 1e-9
+    pairs = []
+    cells = sorted(radii)
+    for ii, i in enumerate(cells):
+        for j in cells[ii:]:
+            if (
+                float(np.linalg.norm(C[i] - C[j]))
+                <= d_max + radii[i] + radii[j] + eps
+            ):
+                pairs.append((len(pairs), i, j))
+    spark = emb.sparkSession
+    pair_df = spark.createDataFrame(pairs, "pid INT, cell_a INT, cell_b INT")
+
+    left = tagged.select("id", "v", "cell").join(
+        F.broadcast(pair_df.select("pid", F.col("cell_a").alias("cell"))),
+        "cell",
+    ).select(F.col("id").alias("ida"), F.col("v").alias("va"), "pid", F.col("cell").alias("ca"))
+    right = tagged.select("id", "v", "cell").join(
+        F.broadcast(pair_df.select("pid", F.col("cell_b").alias("cell"))),
+        "cell",
+    ).select(F.col("id").alias("idb"), F.col("v").alias("vb"), "pid", F.col("cell").alias("cb"))
+    cand = left.join(right, "pid").filter(
+        # same cell: strict id order de-dups; cross cell: every unordered
+        # pair appears exactly once (cells are distinct), any id order
+        (F.col("ca") < F.col("cb"))
+        | ((F.col("ca") == F.col("cb")) & (F.col("ida") < F.col("idb")))
+    )
+    return (
+        cand.withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
             F.round("cos", 6).alias("cos_sim"),
         )
     )

@@ -201,8 +201,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["EXT", "dedup", "similarity"],
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact; ANN tier is the scale path)."""
-    return SIM.cosine_pairs(load_fixture(spark, sf_dir, "embeddings"), COSINE_T)
+    """Embedding-cosine near-dup pairs — exact, via lossless metric
+    blocking (k-means cells + triangle-inequality cell-pair pruning):
+    shuffle equi-joins only, no nested-loop all-pairs plan.  Row-identical
+    to the brute-force twin (`SIM.cosine_pairs`) and to the exact oracle."""
+    return SIM.cosine_pairs_blocked(
+        load_fixture(spark, sf_dir, "embeddings"), COSINE_T
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -84,10 +84,19 @@ def test_no_cartesian_products_in_catalogue(spark):
     product.  The exact-pair similarity ops use an inequality self-join by
     design (bounded fixture corpus; ANN is the scale path) — everything
     else must be key-joined."""
-    allowed = {"sim_cosine_topk", "dedup_embedding_cosine"}
+    allowed = {"sim_cosine_topk"}
     for name in REGISTRY:
         if name in allowed:
             continue
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_embedding_pairs_plan_is_equi_joined(spark):
+    """The registered near-dup pair query must run as shuffle/broadcast
+    equi-joins on (cell, pair id) keys — the metric-blocked design —
+    never the O(N²) nested loop it replaced."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

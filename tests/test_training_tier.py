@@ -61,6 +61,55 @@ def test_ivf_recall_vs_brute_force(spark):
     assert len(bf & ivf) / len(bf) >= 0.45
 
 
+def test_blocked_cosine_pairs_match_brute_force(spark):
+    """Metric blocking (k-means cells + triangle-inequality pruning) is
+    lossless: the registered query must be row-identical to the O(N²)
+    brute-force twin."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+    from real_time_trip_processing_project_spark.plans.training import COSINE_T
+
+    emb = load_fixture(spark, SF, "embeddings")
+    brute = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in SIM.cosine_pairs(emb, COSINE_T).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, SF).collect()
+    }
+    assert brute, "fixture should contain qualifying pairs"
+    assert blocked == brute
+
+
+def test_ivf_output_stable_across_partitioning(spark):
+    """kmeans init is ordered-by-id, so sim_ann_ivf must be byte-identical
+    under different file-split decisions (the failure mode of a bare
+    ``limit`` without ``orderBy``)."""
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(128 * 1024 * 1024))
+        a = sorted(map(tuple, REGISTRY["sim_ann_ivf"].fn(spark, SF).collect()))
+        spark.conf.set(key, str(64 * 1024))
+        b = sorted(map(tuple, REGISTRY["sim_ann_ivf"].fn(spark, SF).collect()))
+    finally:
+        spark.conf.set(key, old)
+    assert a == b
+
+
+def test_kmeans_small_corpus_clamps(spark):
+    """k larger than the corpus must clamp instead of raising."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_fixture(spark, SF, "embeddings").limit(5)
+    cents = SIM.kmeans_fit(emb, k=16, iters=1)
+    assert 1 <= len(cents) <= 5
+
+
 def test_simhash_locality(spark):
     """Planted near-dup pairs must sit closer in Hamming space than the
     population median — the property SimHash bucketing exploits."""
