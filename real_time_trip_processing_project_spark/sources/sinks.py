@@ -74,11 +74,30 @@ def current_trips(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
-def compact_trips(spark: SparkSession, store_dir: str, out_dir: str) -> None:
-    """Rewrite the store to one current row per trip (periodic maintenance)."""
-    current_trips(spark, store_dir).write.mode("overwrite").partitionBy(
-        "date"
-    ).parquet(out_dir)
+def compact_trips(
+    spark: SparkSession,
+    store_dir: str,
+    out_dir: str,
+    date: str | None = None,
+) -> None:
+    """Rewrite the store to one current row per trip (periodic maintenance,
+    bounding the append store's read amplification).
+
+    With ``date`` set, only that partition is rewritten (dynamic partition
+    overwrite — untouched dates in ``out_dir`` are preserved), which is the
+    post-KPI maintenance shape: each day's partition is compacted exactly
+    once, right after its daily aggregate is final.  Embarrassingly
+    parallel per date partition at 100 TB.
+    """
+    cur = current_trips(spark, store_dir)
+    if date is not None:
+        cur = cur.filter(F.col("date") == date)
+    (
+        cur.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(out_dir)
+    )
 
 
 def write_kpi_document(kpi_row_df: DataFrame, out_root: str) -> str | None:

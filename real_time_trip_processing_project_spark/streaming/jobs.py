@@ -8,6 +8,8 @@ partition-pruned batch over the store.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -16,6 +18,17 @@ from pyspark.sql.streaming import StreamingQuery
 from real_time_trip_processing_project_spark.operators import trip_batch
 from real_time_trip_processing_project_spark.sources import sinks
 from real_time_trip_processing_project_spark.streaming import correlator as C
+
+#: RocksDB-backed streaming state store (Spark built-in since 3.2).  The
+#: default HDFSBackedStateStoreProvider keeps every version of the keyed
+#: state on the executor heap; with an unbounded trip-id keyspace (the
+#: reference's DynamoDB table grows without limit — trip_processor.py:54,78)
+#: that heap is the first thing to fall over at 100 TB.  RocksDB spills
+#: state to local disk with incremental checkpointing, the standard
+#: production choice for large stateful pipelines.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
 #: JSON-on-the-wire schemas per stream (datetimes are strings on the wire,
 #: matching the reference's CSV→JSON events — send_to_kinesis.py:45-50).
@@ -114,6 +127,109 @@ def tagged_union_stream(
     return starts.unionByName(ends), bad_starts.unionByName(bad_ends)
 
 
+def decode_kafka_records(
+    records: DataFrame,
+    start_topic: str = "trip-start",
+    end_topic: str = "trip-end",
+) -> tuple[DataFrame, DataFrame]:
+    """Decode Kafka-framed records (key/value binary + topic) into the same
+    (tagged_valid, quarantine) pair :func:`tagged_union_stream` produces.
+
+    This is the production wire mapping SURVEY §1 names for the
+    reference's Kinesis consumer: PartitionKey=trip_id → Kafka message
+    key (send_to_kinesis.py:56 uses the trip id as the partition key, so
+    per-trip ordering is preserved per partition), JSON payload → message
+    value, one topic per stream.  Works identically on a streaming
+    ``format("kafka")`` frame or an injected batch frame with the same
+    columns — which is how it is unit-tested without a broker.
+
+    Per-record error isolation (T5): ``from_json`` in PERMISSIVE mode
+    captures malformed payloads in the corrupt-record column; those rows
+    (and null/missing trip ids) route to the quarantine side.
+    """
+
+    def _decode(schema: T.StructType, topic: str, tag: str):
+        raw = records.filter(F.col("topic") == topic).select(
+            F.col("value").cast("string").alias("raw")
+        )
+        parsed = raw.select(
+            "raw",
+            F.from_json(
+                "raw",
+                _with_corrupt(schema),
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("r"),
+        ).select("raw", "r.*")
+        # a null Kafka value (tombstone) parses to an all-null struct and
+        # lands in quarantine through the trip_id null check
+        bad = F.col(CORRUPT_COL).isNotNull() | F.col("trip_id").isNull()
+        quarantine = parsed.filter(bad).select(
+            F.lit(tag).alias("stream"), F.col("raw").alias("raw")
+        )
+        ok = parsed.filter(~bad).drop(CORRUPT_COL, "raw")
+        return _tag(ok, tag), quarantine
+
+    starts, bad_starts = _decode(START_WIRE, start_topic, "trip_start")
+    ends, bad_ends = _decode(END_WIRE, end_topic, "trip_end")
+    return starts.unionByName(ends), bad_starts.unionByName(bad_ends)
+
+
+def tagged_union_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    start_topic: str = "trip-start",
+    end_topic: str = "trip-end",
+    max_offsets_per_trigger: int | None = None,
+    starting_offsets: str = "earliest",
+) -> tuple[DataFrame, DataFrame]:
+    """Kafka-source variant of :func:`tagged_union_stream` (S3/S4 beyond
+    the local-dir stand-in): subscribe to both topics, decode via
+    :func:`decode_kafka_records`.
+
+    ``maxOffsetsPerTrigger`` is the micro-batch size analogue of the
+    reference's 100-record Kinesis trigger.  Requires the
+    ``spark-sql-kafka`` connector on the classpath at deploy time; the
+    decode path itself is connector-independent and covered by tests.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", f"{start_topic},{end_topic}")
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
+    return decode_kafka_records(reader.load(), start_topic, end_topic)
+
+
+@dataclass
+class PipelineQueries:
+    """Handles for the running pipeline: the main trips query plus the
+    optional quarantine query — explicit, instead of smuggled through a
+    private attribute on the main query."""
+
+    main: StreamingQuery
+    quarantine: StreamingQuery | None = None
+
+    def await_termination(self, timeout: float | None = None) -> None:
+        if timeout is not None:
+            self.main.awaitTermination(timeout)
+        else:
+            self.main.awaitTermination()
+        if self.quarantine is not None:
+            if timeout is not None:
+                self.quarantine.awaitTermination(timeout)
+            else:
+                self.quarantine.awaitTermination()
+
+    def stop(self) -> None:
+        for q in (self.main, self.quarantine):
+            if q is not None:
+                q.stop()
+
+
 def start_trip_pipeline(
     spark: SparkSession,
     start_dir: str,
@@ -126,7 +242,8 @@ def start_trip_pipeline(
     processing_time: str | None = None,
     available_now: bool = False,
     quarantine_dir: str | None = None,
-) -> StreamingQuery:
+    state_store: str = "hdfs",
+) -> PipelineQueries:
     """Wire the full pipeline and start it.
 
     ``available_now=True`` drains everything currently in the source dirs
@@ -135,18 +252,29 @@ def start_trip_pipeline(
     starts a second query writing malformed source records (T5) as
     parquet rows instead of swallowing them.
 
+    ``state_store="rocksdb"`` switches the correlator's keyed state to
+    the RocksDB provider (see :data:`ROCKSDB_PROVIDER`) — the 100 TB
+    configuration, where per-executor state no longer fits on the heap.
+
     ``state_ttl_ms`` is for CONTINUOUS triggers only: processing-time
     timers make an ``available_now`` drain loop forever in state-cleanup
     batches ('no new data but cleaning up state') instead of
     terminating, so the combination is rejected.
 
-    Returns the main StreamingQuery (and the quarantine query, if any,
-    as ``query._quarantine_query``).
+    Returns a :class:`PipelineQueries` with both query handles.  The
+    quarantine query starts first; if the main query fails to start, the
+    quarantine stream is stopped rather than leaked.
     """
     if available_now and state_ttl_ms is not None:
         raise ValueError(
             "state_ttl_ms requires a continuous trigger; an availableNow "
             "drain never terminates once processing-time timers are armed"
+        )
+    if state_store not in ("hdfs", "rocksdb"):
+        raise ValueError(f"state_store must be 'hdfs' or 'rocksdb', got {state_store!r}")
+    if state_store == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
         )
     tagged, quarantine = tagged_union_stream(spark, start_dir, end_dir)
     trips = C.correlate_stream(tagged, mode=mode, state_ttl_ms=state_ttl_ms)
@@ -175,9 +303,14 @@ def start_trip_pipeline(
         writer = writer.trigger(processingTime=processing_time)
         if qwriter is not None:
             qwriter = qwriter.trigger(processingTime=processing_time)
-    q = writer.start()
-    q._quarantine_query = qwriter.start() if qwriter is not None else None
-    return q
+    qq = qwriter.start() if qwriter is not None else None
+    try:
+        q = writer.start()
+    except Exception:
+        if qq is not None:
+            qq.stop()
+        raise
+    return PipelineQueries(main=q, quarantine=qq)
 
 
 def run_pipeline_to_completion(
@@ -189,9 +322,10 @@ def run_pipeline_to_completion(
     checkpoint_dir: str,
     mode: str = "buffer",
     quarantine_dir: str | None = None,
+    state_store: str = "hdfs",
 ) -> None:
     """Drain the stream dirs synchronously (test/backfill entry point)."""
-    q = start_trip_pipeline(
+    pq = start_trip_pipeline(
         spark,
         start_dir,
         end_dir,
@@ -201,14 +335,17 @@ def run_pipeline_to_completion(
         mode=mode,
         available_now=True,
         quarantine_dir=quarantine_dir,
+        state_store=state_store,
     )
-    q.awaitTermination()
-    if q._quarantine_query is not None:
-        q._quarantine_query.awaitTermination()
+    pq.await_termination()
 
 
 def daily_kpi_job(
-    spark: SparkSession, store_dir: str, target_date: str, out_root: str
+    spark: SparkSession,
+    store_dir: str,
+    target_date: str,
+    out_root: str,
+    compact_to: str | None = None,
 ) -> str | None:
     """T6: the scheduled daily aggregation as one partition-pruned batch.
 
@@ -216,6 +353,12 @@ def daily_kpi_job(
     paginated fetch + 5 separate agg actions + boto3 S3 put.  Engine
     shape: partition-pruned scan (`date=` directory pruning) → dedup to
     current state → completed-only filter → ONE aggregate → JSON document.
+
+    ``compact_to`` (when set) compacts the day's partition after the
+    aggregate is written — the natural point in the schedule, since each
+    date's appends stop once its KPI document is final.  Compaction
+    bounds the append store's read amplification; reading the compacted
+    copy through :func:`sinks.current_trips` yields identical rows.
     """
     current = sinks.current_trips(spark, store_dir)
     kpis = trip_batch.kpis_for_date(current, target_date)
@@ -233,4 +376,7 @@ def daily_kpi_job(
             "timestamp"
         ),
     ).filter(F.col("metrics.count_trips") > 0)
-    return sinks.write_kpi_document(doc, out_root)
+    path = sinks.write_kpi_document(doc, out_root)
+    if compact_to is not None:
+        sinks.compact_trips(spark, store_dir, compact_to, date=target_date)
+    return path
