@@ -14,7 +14,7 @@ Design rules:
 - **Each builder has a paired ``*_sql`` twin** generated from the same
   constant tables (marker-word lists, regex patterns, weights).  The
   DuckDB oracle is therefore parity-by-construction: both engines run
-  exact integer/string ops (replace-count trick, md5 hex, regexp counts),
+  exact integer/string ops (split-token counts, md5 hex, regexp counts),
   never float-order-sensitive math.
 """
 
@@ -58,28 +58,37 @@ FINGERPRINT_K = 8
 # Occurrence counting (exact, engine-portable)
 # ---------------------------------------------------------------------------
 
+#: Word-delimiter class for whole-word counting: explicit ASCII \w
+#: complement.  NOT `\b` — Java and RE2 disagree on word-boundary
+#: semantics around non-ASCII letters ("añejo": Java's \b is
+#: Unicode-aware, RE2's is ASCII), while an explicit class behaves
+#: identically in both engines.
+WORD_SPLIT_PATTERN = r"[^0-9A-Za-z_]+"
+
+
 def word_count_expr(text: str, word: str) -> Column:
     """# of whole-word occurrences of ``word`` in column ``text``.
 
-    Pads with spaces then applies the replace-length trick:
-    ``(len(s) - len(replace(s, w, ''))) / len(w)`` — exact integer
-    arithmetic, no regex engine differences.
+    Split on the explicit ASCII delimiter class, then count tokens equal
+    to the word — exact even for adjacent repeats (" the the the "
+    counts 3; the earlier replace-length trick counted 2, since
+    consecutive matches share the separating space and ``replace`` scans
+    non-overlapping).  Non-ASCII letters act as delimiters, consistent
+    with the ASCII marker-word heuristic this feeds.
     """
-    padded = F.concat(F.lit(" "), F.col(text), F.lit(" "))
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
-        / F.lit(len(needle) - 1)
+    return F.size(
+        F.filter(
+            F.split(F.col(text), WORD_SPLIT_PATTERN),
+            lambda t: t == F.lit(word),
+        )
     ).cast("long")
 
 
 def word_count_sql(text: str, word: str) -> str:
     """SQL twin of :func:`word_count_expr` (DuckDB)."""
-    padded = f"(' ' || {text} || ' ')"
-    needle = f" {word} "
     return (
-        f"CAST((length({padded}) - length(replace({padded}, '{needle}', ' ')))"
-        f" / {len(needle) - 1} AS BIGINT)"
+        f"CAST(len(list_filter(string_split_regex({text}, "
+        f"'{WORD_SPLIT_PATTERN}'), t -> t = '{word}')) AS BIGINT)"
     )
 
 

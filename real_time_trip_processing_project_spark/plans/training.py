@@ -283,7 +283,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["EXT", "text"],
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID (exact replace-count scores, deterministic
+    """Marker-word language ID (exact split-token counts, deterministic
     argmax) vs the declared lang column."""
     docs = load_fixture(spark, sf_dir, "documents")
     return docs.select(

@@ -125,6 +125,30 @@ def test_text_functions_cross_engine_parity(spark):
     assert not mismatches, mismatches[:8]
 
 
+def test_word_count_exact_on_adjacent_repeats(spark):
+    """The documented whole-word count semantics: adjacent repeats all
+    count (' the the the ' = 3 — the replace-length trick lost one per
+    run), punctuation and non-ASCII letters delimit words."""
+    cases = [
+        (" the the the ", "the", 3),
+        ("the the the the", "the", 4),
+        ("them theory the", "the", 1),
+        ("the, the. the", "the", 3),
+        ("añejo", "a", 1),  # ñ delimits in the ASCII heuristic
+        ("", "the", 0),
+    ]
+    con = duckdb.connect()
+    for t, w, want in cases:
+        sdf = spark.createDataFrame([(t,)], ["text"])
+        got = sdf.select(TX.word_count_expr("text", w).alias("n")).collect()[0]["n"]
+        assert got == want, ("spark", t, w, got, want)
+        sql_n = con.execute(
+            "SELECT " + TX.word_count_sql("t.x", w) + " FROM (SELECT ? AS x) t",
+            [t],
+        ).fetchone()[0]
+        assert sql_n == want, ("sql", t, w, sql_n, want)
+
+
 def test_shingle_parity_cross_engine(spark):
     """word_shingles (zip_with construction) must equal DuckDB's slice
     comprehension on every corpus string, including docs shorter than
