@@ -46,6 +46,17 @@ HEADLINE = [
     "text_fingerprint",
 ]
 
+#: Secondary guard list: paths whose plans were reworked after round 1
+#: (driver-canonicalizer fixes; the metric-blocked embedding pairs).
+#: Timed identically but reported under "secondary" so the headline
+#: total stays comparable across rounds.
+SECONDARY = [
+    "sliding_window_agg",
+    "array_agg_per_customer",
+    "array_functions",
+    "dedup_embedding_cosine",
+]
+
 #: Executions per query; the reported number is the minimum (steady-state
 #: engine time — first run also pays one-off codegen compilation, and the
 #: shared box shows ±40% load noise between runs).
@@ -71,18 +82,23 @@ def main() -> None:
     ).split():
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        qdef = REGISTRY.get(name)
-        if qdef is None:
-            continue
-        best = None
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            _run(qdef.fn(spark, SF_DIR))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+    def _time(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            qdef = REGISTRY.get(name)
+            if qdef is None:
+                continue
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                _run(qdef.fn(spark, SF_DIR))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        return timings
+
+    timings = _time(HEADLINE)
+    secondary = _time(SECONDARY)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -91,6 +107,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "secondary": secondary,
+        "secondary_total": round(sum(secondary.values()), 3),
         "sf": sf,
     }
     streaming = _stream_throughput(spark)
