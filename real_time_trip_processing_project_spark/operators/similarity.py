@@ -399,6 +399,14 @@ def _assign_cell_dist_udf(centroids: np.ndarray):
     return assign
 
 
+#: Safety band for the matmul prefilter: numpy's pairwise-summed dot and
+#: the sequential-order exact dot agree to ~1e-13 relative on unit
+#: vectors; 1e-6 over-fetches a sliver of candidates that the exact
+#: verify pass then re-filters.  Never affects output values — only how
+#: many rows reach the (cheap) exact pass.
+_PREFILTER_EPS = 1e-6
+
+
 def cosine_pairs_blocked(
     emb: DataFrame,
     threshold: float,
@@ -407,25 +415,36 @@ def cosine_pairs_blocked(
     n_cells: int = IVF_CELLS,
 ) -> DataFrame:
     """Embedding near-dup pairs: all (a < b) with cosine ≥ threshold —
-    **exact**, via metric blocking instead of an all-pairs nested loop.
+    **exact**, via metric blocking + blocked-matmul scoring instead of
+    an all-pairs nested loop.
 
-    cos(a,b) ≥ t ⇔ ‖â − b̂‖ ≤ √(2−2t) on the unit sphere, so with each
-    vector assigned to its nearest (deterministic k-means) centroid and
-    rᵢ = max chordal radius of cell i, the triangle inequality gives:
-    a qualifying pair with cells (i, j) forces ‖ĉᵢ − ĉⱼ‖ ≤ √(2−2t) + rᵢ
-    + rⱼ.  Only the k² centroid distances are evaluated on the driver
-    (metadata-scale); surviving cell pairs become a tiny broadcast
-    relation and the data-side work is two shuffle **equi-joins** keyed
-    on (cell) and (pair id) — no BroadcastNestedLoopJoin anywhere.
-    Pruning is lossless (triangle inequality + fp epsilon), so the
-    output is row-identical to :func:`cosine_pairs`.
+    Three stages, all lossless end-to-end:
 
-    Scale: comparisons drop from N²/2 to Σ|cᵢ||cⱼ| over surviving
-    pairs; shuffle volume is ≤ (surviving pairs per cell)×N rows.  At
-    production thresholds (0.8+) the survivor set collapses to
-    near-diagonal cell pairs; at the fixture's permissive t=0.4 it still
-    prunes the far-apart cells and — crucially — replaces the nested
-    loop with partition-parallel hash joins.  For approximate
+    1. **Block.** cos(a,b) ≥ t ⇔ ‖â − b̂‖ ≤ √(2−2t) on the unit sphere,
+       so with each vector assigned to its nearest (deterministic
+       k-means) centroid and rᵢ = max chordal radius of cell i, the
+       triangle inequality gives: a qualifying pair with cells (i, j)
+       forces ‖ĉᵢ − ĉⱼ‖ ≤ √(2−2t) + rᵢ + rⱼ.  Only the k² centroid
+       distances are evaluated on the driver (metadata-scale); surviving
+       cell pairs become a tiny broadcast relation.
+    2. **Score.** Candidate cell-pair blocks are scored by one numpy
+       matmul per block inside a cogrouped ``applyInPandas`` (Arrow
+       moves each cell's vectors once per block, not once per pair) and
+       thresholded at ``t − ε`` — the ε band (see
+       :data:`_PREFILTER_EPS`) covers summation-order noise, so no true
+       pair can be lost.
+    3. **Verify.** The tiny survivor set joins vectors back by id (two
+       shuffle equi-joins) and recomputes the cosine with the
+       sequential-order codegen expression — bit-identical to the
+       brute-force twin :func:`cosine_pairs` and to DuckDB's
+       ``list_cosine_similarity``, then applies the exact ≥ t filter.
+
+    Scale: comparisons drop from N²/2 HOF evaluations to Σ|cᵢ||cⱼ|
+    matmul flops over surviving blocks (SIMD, ~100× cheaper per pair),
+    and shuffle volume is one copy of each cell per surviving block.
+    At production thresholds (0.8+) the survivor blocks collapse to the
+    near-diagonal; even at a permissive t the nested loop is gone —
+    everything is hash joins + batched linear algebra.  For approximate
     speed-at-any-scale, :func:`ann_topk` remains the ANN path.
     """
     import math
@@ -459,26 +478,53 @@ def cosine_pairs_blocked(
     spark = emb.sparkSession
     pair_df = spark.createDataFrame(pairs, "pid INT, cell_a INT, cell_b INT")
 
-    left = tagged.select("id", "v", "cell").join(
-        F.broadcast(pair_df.select("pid", F.col("cell_a").alias("cell"))),
+    # distinct column names per side: the two cogroup inputs derive from
+    # the same plan, and identical names would trip the ambiguous-self-
+    # join analyzer check
+    left = tagged.join(
+        F.broadcast(
+            pair_df.select(F.col("pid").alias("lpid"), F.col("cell_a").alias("cell"))
+        ),
         "cell",
-    ).select(F.col("id").alias("ida"), F.col("v").alias("va"), "pid", F.col("cell").alias("ca"))
-    right = tagged.select("id", "v", "cell").join(
-        F.broadcast(pair_df.select("pid", F.col("cell_b").alias("cell"))),
+    ).select("lpid", F.col("id").alias("lid"), F.col("v").alias("lv"), F.col("cell").alias("lc"))
+    right = tagged.join(
+        F.broadcast(
+            pair_df.select(F.col("pid").alias("rpid"), F.col("cell_b").alias("cell"))
+        ),
         "cell",
-    ).select(F.col("id").alias("idb"), F.col("v").alias("vb"), "pid", F.col("cell").alias("cb"))
-    cand = left.join(right, "pid").filter(
-        # same cell: strict id order de-dups; cross cell: every unordered
-        # pair appears exactly once (cells are distinct), any id order
-        (F.col("ca") < F.col("cb"))
-        | ((F.col("ca") == F.col("cb")) & (F.col("ida") < F.col("idb")))
-    )
-    return (
-        cand.withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= threshold)
-        .select(
-            F.least("ida", "idb").alias("id_a"),
-            F.greatest("ida", "idb").alias("id_b"),
-            F.round("cos", 6).alias("cos_sim"),
+    ).select("rpid", F.col("id").alias("rid"), F.col("v").alias("rv"), F.col("cell").alias("rc"))
+
+    t_lo = threshold - _PREFILTER_EPS
+
+    def score_block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in lpdf["lv"]])
+        Y = np.asarray([np.asarray(v, dtype=np.float64) for v in rpdf["rv"]])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Y = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
+        li, ri = np.nonzero(X @ Y.T >= t_lo)
+        ida = lpdf["lid"].to_numpy()[li]
+        idb = rpdf["rid"].to_numpy()[ri]
+        if len(ida) and lpdf["lc"].iat[0] == rpdf["rc"].iat[0]:
+            keep = ida < idb  # same-cell block: strict order de-dups
+            ida, idb = ida[keep], idb[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ida, idb), "id_b": np.maximum(ida, idb)}
         )
+
+    survivors = (
+        left.groupBy("lpid")
+        .cogroup(right.groupBy("rpid"))
+        .applyInPandas(score_block, "id_a LONG, id_b LONG")
+    )
+    # exact verify: sequential-order cosine, oracle-bit-identical
+    va = tagged.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = tagged.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        survivors.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
     )
