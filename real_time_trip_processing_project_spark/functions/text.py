@@ -355,3 +355,50 @@ def simhash_sql(token_hash_sql: str, sum_wrap) -> str:
         s = sum_wrap(simhash_bit_sql(token_hash_sql, b))
         parts.append(f"(CASE WHEN {s} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)")
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (engine-portable regex subset)
+# ---------------------------------------------------------------------------
+
+#: PII patterns, applied in order.  Explicit ASCII classes and {m,n}
+#: quantifiers only — the regex subset where Java (Spark) and RE2
+#: (DuckDB) behave identically; no \d, \b, lookaround, or backrefs.
+#: SSN precedes card-number so the dashed form is consumed first.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("card", r"[0-9]{13,19}", "<NUM>"),
+]
+
+
+def pii_count_exprs(text: str) -> dict[str, Column]:
+    """Per-pattern match counts (JVM ``regexp_count``)."""
+    return {
+        name: F.regexp_count(F.col(text), F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_count_sqls(text: str) -> dict[str, str]:
+    """SQL twins (DuckDB has no regexp_count; length of extract_all)."""
+    return {
+        name: f"CAST(len(regexp_extract_all({text}, '{pat}')) AS BIGINT)"
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_redact_expr(text: str) -> Column:
+    """Redacted text: each pattern replaced by its token, in table order."""
+    out = F.col(text)
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_redact_sql(text: str) -> str:
+    """SQL twin — DuckDB needs the 'g' flag to replace every match."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out

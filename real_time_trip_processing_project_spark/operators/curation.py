@@ -1,0 +1,132 @@
+"""Corpus-curation operators a training-data pipeline runs between dedup
+and tokenization (SURVEY.md §2.7 tier; no reference counterpart — the
+reference's data is unique keyed telemetry, trip_processor.py:54).
+
+- **Train/eval contamination check** — the decontamination step: for
+  every eval document, the fraction of its word shingles that also occur
+  anywhere in the train split.  Candidate generation is an equi-join on
+  32-byte shingle hashes (never the shingle text), the same
+  inverted-index shape as operators/dedup.py — linear shuffle, no
+  all-pairs.
+- **Sequence packing** — the concat-and-chop batching step: documents
+  are laid out in a deterministic order per stratum, token offsets are
+  computed with one window cumsum, and each document is assigned to the
+  fixed-token-budget bin its start offset lands in (GPT-style contiguous
+  packing: a document may straddle a boundary; its bin is where it
+  starts).
+
+Both are pure DataFrame plans with exact-integer arithmetic, so the
+DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_project_spark.functions import text as TX
+from real_time_trip_processing_project_spark.operators import dedup as DD
+
+#: Token budget per packed bin (whitespace tokens at fixture scale).
+PACK_BUDGET = 512
+
+
+def split_expr(id_col="doc_id", frac_hex: str = "cccc"):
+    """Deterministic md5-prefix train/eval split (shared with the
+    ``split_train_eval`` query — seedless, engine-portable)."""
+    return F.when(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < frac_hex,
+        "train",
+    ).otherwise("eval")
+
+
+def contamination_check(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-eval-document train-set contamination: the fraction of the
+    doc's word-shingle occurrences that appear in ANY train document.
+
+    Plan shape (the 100 TB-safe inverted-index join):
+
+    1. shingle each doc once (codegen expression, see
+       :func:`operators.dedup.word_shingles`);
+    2. the train shingle *vocabulary* — explode → md5 → distinct — is
+       one shuffle with map-side partial dedup, keyed on the 32-byte
+       hash (the shingle text never shuffles);
+    3. eval postings left-semi-join the vocabulary on the hash, then two
+       per-doc counts.
+
+    At 100 TB the train vocabulary is the big side; the semi-join is a
+    plain shuffled hash join on a uniform 32 B key — and because the
+    probe is a semi-join, Spark builds a bloom/hash of the smaller side
+    per partition.  No step is quadratic in documents.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        split_expr(id_col).alias("split"),
+        DD.word_shingles(F.col(text_col)).alias("shingles"),
+    )
+    train_vocab = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("shingles").alias("s"))
+        .select(F.md5("s").alias("h"))
+        .distinct()
+    )
+    ev = sh.filter(F.col("split") == "eval").select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.md5("s").alias("h"))
+    hits = ev.join(train_vocab, "h", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_contaminated")
+    )
+    totals = ev.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)).cast("double")
+            / F.col("n_shingles"),
+            6,
+        ).alias("contamination"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chop sequence packing: per-stratum deterministic doc
+    order → token start offsets via window cumsum → bin = start ÷ budget.
+    Returns one row per (stratum, bin) with doc and token counts.
+
+    Scale: ONE window shuffle, partitioned by the stratum — packing is
+    embarrassingly parallel across strata (per-language shards here; a
+    production pipeline adds a shard key to bound partition size, which
+    changes nothing in the plan shape).  All arithmetic is exact
+    integers; the deterministic md5 order makes re-runs and the oracle
+    reproduce identical bins.
+    """
+    toks = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        TX.ws_token_count_expr(text_col).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / budget).cast(
+            "long"
+        ),
+    )
+    return placed.groupBy("stratum", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -793,3 +793,288 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Window family beyond running totals: RANGE frames, distribution ranks
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_frame_range",
+    oracle=f"""
+        SELECT o_orderkey, o_orderpriority,
+               count(*) OVER w AS n_in_range,
+               CAST(sum({_cents_sql('o_totalprice')}) OVER w AS DOUBLE) / 100.0
+                   AS sum_in_range
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=["EXT", "A6"],
+)
+def window_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): per order, the
+    count and exact-cents total of same-priority orders whose key lies
+    within the trailing 1000-key band.  One window shuffle; the frame is
+    evaluated with a sliding two-pointer pass per partition, not a
+    per-row rescan."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.count("*").over(w).alias("n_in_range"),
+        (F.sum(_cents("o_totalprice")).over(w).cast("double") / 100.0).alias(
+            "sum_in_range"
+        ),
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4)       OVER wo AS quartile,
+               round(percent_rank() OVER wo, 6) AS pct_rank,
+               round(cume_dist()    OVER wo, 6) AS cume,
+               first_value(o_orderkey) OVER wf AS cheapest_key,
+               last_value(o_orderkey)  OVER wf AS priciest_key,
+               nth_value(o_orderkey, 2) OVER wf AS second_key
+        FROM orders
+        WINDOW wo AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey),
+               wf AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=["EXT", "A6"],
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist, and first/last/nth value over the full-partition frame.
+    Tie-broken by (price, key) so every function is deterministic;
+    percent_rank/cume_dist are exact rationals of identical integers on
+    both engines, so even the doubles hash-match."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(wo).alias("quartile"),
+        F.round(F.percent_rank().over(wo), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wo), 6).alias("cume"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+        F.last("o_orderkey").over(wf).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bivariate statistics from exact integer moments
+# ---------------------------------------------------------------------------
+
+@register(
+    "stats_corr_covar",
+    oracle=f"""
+        WITH m AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   sum(CAST(round(l_quantity) AS BIGINT))  AS sx,
+                   sum({_cents_sql('l_extendedprice')})    AS sy,
+                   sum(CAST(CAST(round(l_quantity) AS BIGINT)
+                            * {_cents_sql('l_extendedprice')} AS DECIMAL(38,0)))
+                       AS sxy,
+                   sum(CAST(round(l_quantity) AS BIGINT)
+                       * CAST(round(l_quantity) AS BIGINT)) AS sx2,
+                   sum(CAST({_cents_sql('l_extendedprice')} AS DECIMAL(19,0))
+                       * CAST({_cents_sql('l_extendedprice')} AS DECIMAL(19,0)))
+                       AS sy2
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                     / n / 100.0, 6) AS covar_pop_qty_price,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   AS corr_qty_price
+        FROM m
+    """,
+    tags=["EXT", "A6"],
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate stats (covariance, Pearson correlation) per group from
+    exact integer moments — n, Σx, Σy, Σxy, Σx², Σy² in int64/decimal —
+    combined with the identical closed form on both engines, so the
+    doubles are bit-reproducible under any partitioning (the built-in
+    streaming corr/covar would diverge between engines).  One map-side-
+    partial aggregate; quantity is integral by TPC-H construction,
+    price uses the cents discipline."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    qx = F.round("l_quantity").cast("long")
+    cy = _cents("l_extendedprice")
+    cy_dec = cy.cast("decimal(19,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(cy).alias("sy"),
+        F.sum((qx * cy).cast("decimal(38,0)")).alias("sxy"),
+        F.sum(qx * qx).alias("sx2"),
+        F.sum(cy_dec * cy_dec).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sx2, sy2 = (
+        F.col("sxy").cast("double"),
+        F.col("sx2").cast("double"),
+        F.col("sy2").cast("double"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round((sxy - sx * sy / n) / n / 100.0, 6).alias(
+            "covar_pop_qty_price"
+        ),
+        F.round(
+            (n.cast("double") * sxy - sx * sy)
+            / F.sqrt(
+                (n.cast("double") * sx2 - sx * sx)
+                * (n.cast("double") * sy2 - sy * sy)
+            ),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String function family
+# ---------------------------------------------------------------------------
+
+@register(
+    "string_functions",
+    oracle="""
+        SELECT p_partkey,
+               levenshtein(p_brand, p_type)          AS lev_bt,
+               translate(p_name, 'aeiou', 'AEIOU')   AS name_caps_vowels,
+               lpad(p_brand, 12, '*')                AS brand_lpad,
+               rpad(p_brand, 12, '#')                AS brand_rpad,
+               reverse(p_type)                       AS type_rev,
+               repeat(substr(p_name, 1, 3), 2)       AS name3x2,
+               CAST(instr(p_name, 'an') AS BIGINT)   AS pos_an,
+               concat_ws('|', p_brand, p_type)       AS brand_type
+        FROM part
+    """,
+    tags=["EXT", "P8"],
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: edit distance, char translation,
+    padding, reverse, repeat, substring search, multi-arg concat — all
+    JVM codegen expressions with identical semantics in DuckDB (1-based
+    instr, pad-truncation, codepoint translate)."""
+    part = load_fixture(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("lev_bt"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_caps_vowels"),
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, "#").alias("brand_rpad"),
+        F.reverse("p_type").alias("type_rev"),
+        F.repeat(F.substring("p_name", 1, 3), 2).alias("name3x2"),
+        F.instr("p_name", "an").cast("long").alias("pos_an"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join surface completion: full outer; FILTER-clause aggregates
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_full_outer",
+    oracle=f"""
+        WITH oc AS (
+            SELECT o_custkey, count(*) AS n_orders,
+                   CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100.0
+                       AS total_spent
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT coalesce(c_custkey, o_custkey) AS custkey,
+               c_mktsegment,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(total_spent, 0.0) AS total_spent,
+               CASE WHEN c_custkey IS NULL THEN 'order_only'
+                    WHEN o_custkey IS NULL THEN 'no_orders'
+                    ELSE 'matched' END AS side
+        FROM customer FULL OUTER JOIN oc ON c_custkey = o_custkey
+    """,
+    tags=["EXT", "J2"],
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (both unmatched sides preserved): customers vs
+    per-customer order totals, tagged by which side matched.  Aggregate-
+    then-join keeps the shuffled payload to one row per customer."""
+    customer = load_fixture(spark, sf_dir, "customer")
+    orders = load_fixture(spark, sf_dir, "orders")
+    oc = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(_cents("o_totalprice")).cast("double") / 100.0).alias(
+            "total_spent"
+        ),
+    )
+    j = customer.join(oc, customer.c_custkey == oc.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "no_orders")
+        .otherwise("matched")
+        .alias("side"),
+    )
+
+
+@register(
+    "filtered_agg",
+    oracle=f"""
+        SELECT o_orderpriority,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               CAST(coalesce(sum({_cents_sql('o_totalprice')})
+                             FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE)
+                   / 100.0 AS total_finished,
+               round(CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+                     / count(*), 6) AS open_ratio
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=["EXT", "A6"],
+)
+def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (per-aggregate predicates in one pass —
+    one shuffle instead of one job per condition), via Spark SQL's
+    native FILTER syntax."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_fa")
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               CAST(coalesce(sum({cents})
+                             FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE)
+                   / 100.0 AS total_finished,
+               round(CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+                     / count(*), 6) AS open_ratio
+        FROM orders_fa GROUP BY o_orderpriority
+        """
+    )

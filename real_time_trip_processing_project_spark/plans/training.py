@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_trip_processing_project_spark.functions import text as TX
+from real_time_trip_processing_project_spark.operators import curation as CU
 from real_time_trip_processing_project_spark.operators import dedup as DD
 from real_time_trip_processing_project_spark.operators import multimodal as MM
 from real_time_trip_processing_project_spark.operators import similarity as SIM
@@ -462,6 +463,124 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", split.alias("split"))
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "curation_contamination",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                        THEN 'train' ELSE 'eval' END AS split,
+                   {_SHINGLES_SQL} AS shingles
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+                  FROM documents)
+        ),
+        tr AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE split = 'train'),
+        ev AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE split = 'eval')
+        SELECT ev.doc_id,
+               count(*)    AS n_shingles,
+               count(tr.s) AS n_contaminated,
+               round(count(tr.s)::DOUBLE / count(*), 6) AS contamination
+        FROM ev LEFT JOIN tr ON ev.s = tr.s
+        GROUP BY ev.doc_id
+    """,
+    tags=["EXT", "curation"],
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination audit: per-eval-doc fraction of word
+    shingles present anywhere in the train split (inverted-index
+    semi-join on 32 B shingle hashes — see operators/curation.py)."""
+    return CU.contamination_check(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang AS stratum, doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        placed AS (
+            SELECT stratum, doc_id, n_tok,
+                   CAST(floor(coalesce(sum(n_tok) OVER (
+                       PARTITION BY stratum
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {CU.PACK_BUDGET}) AS BIGINT) AS bin
+            FROM toks
+        )
+        SELECT stratum, bin,
+               count(*)                       AS n_docs,
+               CAST(sum(n_tok) AS BIGINT)     AS bin_tokens,
+               min(doc_id)                    AS min_doc_id
+        FROM placed GROUP BY 1, 2
+    """,
+    tags=["EXT", "curation"],
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing into fixed-token-budget bins,
+    deterministic md5 doc order, parallel per language stratum (one
+    window shuffle — see operators/curation.py)."""
+    return CU.pack_sequences(load_fixture(spark, sf_dir, "documents"))
+
+
+def _pii_injected_sql() -> str:
+    return """(text
+        || (CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN ' card 4111111111111111' ELSE '' END)
+        || (CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END))"""
+
+
+def _pii_injected_expr():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" card 4111111111111111")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    )
+
+
+def _pii_oracle() -> str:
+    c = TX.pii_count_sqls("t")
+    return f"""
+        WITH inj AS (SELECT doc_id, {_pii_injected_sql()} AS t FROM documents)
+        SELECT doc_id,
+               {c['email']} AS n_emails,
+               {c['ssn']}   AS n_ssns,
+               {c['card']}  AS n_cards,
+               md5({TX.pii_redact_sql('t')}) AS redacted_hash
+        FROM inj
+    """
+
+
+@register("text_pii_redact", oracle=_pii_oracle(), tags=["EXT", "text", "curation"])
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over text with deterministically injected PII (emails /
+    SSNs / card numbers keyed off doc_id, so the fixture exercises every
+    pattern): per-pattern match counts + md5 of the redacted text.  All
+    JVM regexp codegen in the engine-portable regex subset
+    (functions/text.py:PII_PATTERNS); zero Python UDFs.
+    """
+    docs = load_fixture(spark, sf_dir, "documents")
+    inj = docs.select("doc_id", _pii_injected_expr().alias("t"))
+    counts = TX.pii_count_exprs("t")
+    return inj.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ssn"].alias("n_ssns"),
+        counts["card"].alias("n_cards"),
+        F.md5(TX.pii_redact_expr("t")).alias("redacted_hash"),
     )
 
 

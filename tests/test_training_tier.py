@@ -189,3 +189,93 @@ def test_frame_sample_counts(spark):
     got = {r.media_id: r.n for r in sampled}
     want = {m: (fc + 9) // 10 for m, fc in feats.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Curation ops: controlled-input semantics (the oracle checks parity on
+# fixture data; these pin the *meaning* on hand-built corpora)
+# ---------------------------------------------------------------------------
+
+def _split_of(doc_id: int) -> str:
+    import hashlib
+
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+    return "train" if h < "cccc" else "eval"
+
+
+def test_contamination_semantics(spark):
+    """An eval doc copied verbatim from a train doc is 100% contaminated;
+    a disjoint-vocabulary eval doc is 0%."""
+    from real_time_trip_processing_project_spark.operators import curation as CU
+
+    train_id = next(i for i in range(1000) if _split_of(i) == "train")
+    eval_ids = [i for i in range(1000) if _split_of(i) == "eval"]
+    copy_id, fresh_id = eval_ids[0], eval_ids[1]
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (train_id, base),
+            (copy_id, base),
+            (fresh_id, "uno dos tres cuatro cinco seis siete ocho"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in CU.contamination_check(docs).collect()}
+    assert set(got) == {copy_id, fresh_id}  # train docs are not audited
+    assert got[copy_id]["contamination"] == 1.0
+    assert got[copy_id]["n_contaminated"] == got[copy_id]["n_shingles"]
+    assert got[fresh_id]["contamination"] == 0.0
+
+
+def test_pack_sequences_semantics(spark):
+    """Contiguous packing: bin = floor(start_offset / budget) in the
+    deterministic md5 order; totals and doc counts conserved."""
+    import hashlib
+
+    from real_time_trip_processing_project_spark.operators import curation as CU
+
+    ids = list(range(6))
+    docs = spark.createDataFrame(
+        [(i, "en", "tok " * 6) for i in ids],  # 6 ws-tokens each
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    rows = CU.pack_sequences(docs, budget=10).collect()
+    # expected: order by md5(str(id)); starts 0,6,12,18,24,30 → bins 0,0,1,1,2,3
+    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    exp_bins: dict[int, list[int]] = {}
+    for pos, i in enumerate(order):
+        exp_bins.setdefault((pos * 6) // 10, []).append(i)
+    got = {r["bin"]: r for r in rows}
+    assert set(got) == set(exp_bins)
+    for b, members in exp_bins.items():
+        assert got[b]["n_docs"] == len(members)
+        assert got[b]["bin_tokens"] == 6 * len(members)
+        assert got[b]["min_doc_id"] == min(members)
+
+
+def test_pii_redact_semantics(spark):
+    """Every pattern family detected and replaced; clean text untouched."""
+    from real_time_trip_processing_project_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to a.user+x@ex-1.org or 123-45-6789 or 4111111111111111 ok"),
+            (2, "no pii here, just 42 and v1.2"),
+        ],
+        "id LONG, text STRING",
+    )
+    counts = TX.pii_count_exprs("text")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            counts["email"].alias("e"),
+            counts["ssn"].alias("s"),
+            counts["card"].alias("c"),
+            TX.pii_redact_expr("text").alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["s"], out[1]["c"]) == (1, 1, 1)
+    assert out[1]["red"] == "write to <EMAIL> or <SSN> or <NUM> ok"
+    assert (out[2]["e"], out[2]["s"], out[2]["c"]) == (0, 0, 0)
+    assert out[2]["red"] == "no pii here, just 42 and v1.2"
