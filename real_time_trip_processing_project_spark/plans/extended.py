@@ -1078,3 +1078,233 @@ def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_fa GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Generators / unpivot / window navigation / robust aggregates / HOFs
+# ---------------------------------------------------------------------------
+
+@register(
+    "explode_posexplode",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(generate_subscripts(words, 1) - 1 AS INTEGER) AS pos,
+               unnest(words) AS word
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents)
+    """,
+    tags=["EXT"],
+)
+def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator function: posexplode a tokenized text column into
+    (doc_id, pos, word) rows — the flatten step before any token-level
+    aggregation.  Generate is pipelined inside the scan stage (no
+    shuffle); output is |tokens| rows but each row is tiny."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+        UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                        l_discount, l_tax
+                 FROM lineitem WHERE l_linenumber = 1)
+        ON l_quantity, l_extendedprice, l_discount, l_tax
+        INTO NAME measure VALUE val
+    """,
+    tags=["EXT"],
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of the four lineitem measures (the inverse of
+    pivot_status_counts).  Expand is a per-row map — ×4 rows, no
+    shuffle; measure name becomes a dictionary-friendly low-cardinality
+    column at any scale."""
+    li = load_fixture(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               first_value(o_orderkey) OVER w AS first_ok,
+               last_value(o_orderkey)  OVER w AS last_ok,
+               nth_value(o_orderkey, 2) OVER w AS second_ok
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=["EXT"],
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation: first/last/nth order per customer with an
+    explicit full frame (last_value under the default frame is the
+    classic wrong answer — the frame is pinned on both engines).
+    One shuffle on o_custkey shared by all three functions."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+@register(
+    "median_mode",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag, median(l_quantity) AS med FROM lineitem GROUP BY 1
+        ),
+        c AS (
+            SELECT l_returnflag, l_quantity, count(*) AS n
+            FROM lineitem GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT l_returnflag, l_quantity AS mode_qty,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY n DESC, l_quantity) AS rn
+            FROM c
+        )
+        SELECT m.l_returnflag, round(m.med, 6) AS med_qty, r.mode_qty
+        FROM m JOIN r ON m.l_returnflag = r.l_returnflag AND r.rn = 1
+    """,
+    tags=["EXT"],
+)
+def median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + mode per return flag.  Median uses the exact built-in;
+    mode is computed as count + row_number with a (count DESC, value)
+    tiebreak because native mode() breaks ties nondeterministically on
+    BOTH engines — determinism is part of the contract here.
+    Two shuffles (value-level count, flag-level reduce), both tiny."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty")
+    )
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity")
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return med.join(mode, "l_returnflag")
+
+
+@register(
+    "hof_array_pipeline",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(list_filter(words, w -> len(w) > 4)) AS INTEGER) AS n_long,
+               array_to_string(
+                   list_sort(list_transform(list_filter(words, w -> len(w) > 4),
+                                            w -> upper(w))), ',') AS long_csv,
+               CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS total_len
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents)
+    """,
+    tags=["EXT"],
+)
+def hof_array_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-facing higher-order-function chain — filter → transform →
+    array_sort → array_join plus an aggregate fold — entirely JVM
+    codegen, zero Python; the array pipeline idiom for nested data.
+    `words` enters each HOF as the bound argument (never a recomputed
+    free variable — see the HOF re-evaluation note in operators/dedup.py)."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    base = docs.select("doc_id", words.alias("words"))
+    longw = F.filter("words", lambda w: F.length(w) > 4)
+    return base.select(
+        "doc_id",
+        F.size(longw).alias("n_long"),
+        F.array_join(
+            F.array_sort(F.transform(longw, lambda w: F.upper(w))), ","
+        ).alias("long_csv"),
+        F.aggregate(
+            "words", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("total_len"),
+    )
+
+
+@register(
+    "exists_subquery",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 50000)
+    """,
+    tags=["EXT"],
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS predicates, declared in SQL so Catalyst
+    decorrelates them into the left-semi + left-anti joins the plan
+    should be (J2's SQL spelling)."""
+    load_fixture(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    load_fixture(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders_ex o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 50000)
+        """
+    )
+
+
+@register(
+    "interval_arithmetic",
+    oracle="""
+        SELECT event_id,
+               date_trunc('hour', ts)                    AS hour_ts,
+               ts + INTERVAL 90 MINUTE                   AS plus90,
+               CAST(floor(epoch(ts)) AS BIGINT)          AS epoch_s,
+               CAST(dayofweek(ts) AS INTEGER) + 1        AS dow,
+               CAST(extract(hour FROM ts) * 60
+                    + extract(minute FROM ts) AS INTEGER) AS min_of_day
+        FROM events
+    """,
+    tags=["EXT", "P7"],
+)
+def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-level interval arithmetic (P7's timestamp face):
+    truncation, interval shift, epoch seconds, day-of-week, minute-of-day
+    — all codegen projections under the pinned UTC session (dayofweek is
+    1=Sunday on Spark vs 0=Sunday on DuckDB; the oracle normalizes)."""
+    events = load_fixture(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("plus90"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.dayofweek("ts").alias("dow"),
+        (F.hour("ts") * 60 + F.minute("ts")).alias("min_of_day"),
+    )

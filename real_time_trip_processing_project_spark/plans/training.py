@@ -585,6 +585,190 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus analytics: domains, mixtures, length distribution, quantization
+# ---------------------------------------------------------------------------
+
+#: Synthetic per-doc URL (both engines build the identical string): the
+#: fixture has no URL column, so one is derived deterministically from
+#: (source, lang, doc_id) to exercise real URL parsing + domain rollup.
+_URL_SQL = """((CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+    || '://' || source || '.example.com/' || lang || '/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '?ref=rss' ELSE '' END))"""
+
+
+def _url_expr():
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 2 == 0, "https").otherwise("http"),
+        F.lit("://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        did.cast("string"),
+        F.when(did % 3 == 0, "?ref=rss").otherwise(""),
+    )
+
+
+@register(
+    "doc_domain_stats",
+    oracle=f"""
+        WITH u AS (
+            SELECT {_URL_SQL} AS url, lang, n_chars,
+                   {TX.ws_token_count_sql('text')} AS n_tok
+            FROM documents
+        )
+        SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS domain,
+               count(*)                                       AS n_docs,
+               count(DISTINCT lang)                           AS n_langs,
+               CAST(sum(CASE WHEN url LIKE 'https%' THEN 1 ELSE 0 END) AS BIGINT) AS n_https,
+               CAST(sum(CASE WHEN contains(url, '?') THEN 1 ELSE 0 END) AS BIGINT) AS n_query,
+               CAST(sum(n_chars) AS BIGINT)                   AS total_chars,
+               round(avg(n_tok), 6)                           AS avg_toks
+        FROM u GROUP BY 1
+    """,
+    tags=["EXT", "curation"],
+)
+def doc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus rollup — the provenance audit step of a crawl
+    pipeline: parse each doc's URL (``parse_url`` HOST/PROTOCOL/QUERY,
+    JVM codegen) and aggregate doc/lang/scheme/size stats per domain.
+
+    Scale: one hash-aggregate keyed on domain with map-side partials;
+    `count(DISTINCT lang)` expands to the standard two-phase distinct
+    aggregate.  Domains are ~Zipfian at crawl scale — AQE skew handling
+    or a salted two-level rollup is the documented mitigation."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    u = docs.select(
+        _url_expr().alias("url"),
+        "lang",
+        "n_chars",
+        TX.ws_token_count_expr("text").alias("n_tok"),
+    )
+    return u.groupBy(
+        F.parse_url("url", F.lit("HOST")).alias("domain")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(
+            (F.parse_url("url", F.lit("PROTOCOL")) == "https").cast("long")
+        ).alias("n_https"),
+        F.sum(F.parse_url("url", F.lit("QUERY")).isNotNull().cast("long")).alias(
+            "n_query"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_tok"), 6).alias("avg_toks"),
+    )
+
+
+#: Per-language sampling rates for the mixture query, as md5-prefix hex
+#: thresholds (rate = thr/0x10000): en .5, de .75, es .25, zh .125, keep-all
+#: otherwise ('zzzz' sorts above every hex digit).
+MIXTURE_THRESHOLDS = {"en": "8000", "de": "c000", "es": "4000", "zh": "2000"}
+
+
+@register(
+    "mixture_weighted_sample",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+              (CASE lang
+                 {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in MIXTURE_THRESHOLDS.items())}
+                 ELSE 'zzzz' END)
+    """,
+    tags=["EXT", "curation"],
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum weighted sampling — the data-mixture
+    step that re-weights a corpus toward target language proportions.
+    Seedless: keep iff the md5(doc_id) 16-bit prefix falls under the
+    stratum's rate threshold, so re-runs, retries, and the oracle select
+    the identical rows (the [[md5-cross-engine-determinism]] pattern).
+
+    Scale: a pure map-side filter — no shuffle, no RNG state, and the
+    filter is sargable after a trivial per-row hash; at 100 TB this runs
+    at scan speed and composes with partition pruning."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    thr = F.lit("zzzz")
+    for k, v in reversed(MIXTURE_THRESHOLDS.items()):
+        thr = F.when(F.col("lang") == k, v).otherwise(thr)
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thr
+    ).select("doc_id", "lang")
+
+
+@register(
+    "seq_length_histogram",
+    oracle=f"""
+        WITH t AS (SELECT {TX.ws_token_count_sql('text')} AS n_tok FROM documents)
+        SELECT (1::BIGINT << (length(bin(n_tok)) - 1)) AS bucket_lo,
+               count(*)                                AS n_docs,
+               CAST(sum(n_tok) AS BIGINT)              AS total_tokens,
+               CAST(max(n_tok) AS BIGINT)              AS max_tok
+        FROM t GROUP BY 1
+    """,
+    tags=["EXT", "curation"],
+)
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in power-of-two buckets — the
+    context-length planning histogram.  The bucket floor is computed
+    with exact integer ops (``1 << (len(bin(n)) − 1)``, no float log2,
+    so engines can't disagree at bucket boundaries).
+
+    Scale: map-side token count + one tiny hash-aggregate (≤ ~40
+    buckets); output size is O(log max_len), independent of corpus."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    n_tok = TX.ws_token_count_expr("text")
+    # shiftleft's bit-count must be a Column here; the python wrapper
+    # only takes an int, so the bucket floor goes through expr().
+    bucket = F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(n_tok)) - 1)")
+    return (
+        docs.select(n_tok.alias("n_tok"))
+        .withColumn("bucket_lo", bucket)
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.max("n_tok").alias("max_tok"),
+        )
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, e,
+                   CASE WHEN coalesce(list_max(list_transform(e, x -> abs(x))), 0) = 0
+                        THEN 1.0
+                        ELSE list_max(list_transform(e, x -> abs(x))) / 127.0
+                   END AS scale
+            FROM e
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale_r,
+               md5(array_to_string(
+                   list_transform(e, x -> CAST(round(x / scale, 0) AS INT)), ',')) AS q_hash,
+               round(list_sum(list_transform(e,
+                   x -> (x - round(x / scale, 0) * scale)
+                      * (x - round(x / scale, 0) * scale))), 6) AS sq_err
+        FROM s
+    """,
+    tags=["EXT", "similarity"],
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization + reconstruction error
+    (see operators/similarity.py:quantize_int8 for the scale notes)."""
+    return SIM.quantize_int8(load_fixture(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
 

@@ -100,3 +100,38 @@ def test_embedding_pairs_plan_is_equi_joined(spark):
     plan = _plan(spark, "dedup_embedding_cosine")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_map_only_queries_have_no_shuffle(spark):
+    """Pure per-row transforms must stay shuffle-free: deterministic
+    mixture sampling, int8 quantization, interval arithmetic, unpivot,
+    and the generator query are all scan→map pipelines."""
+    for name in (
+        "mixture_weighted_sample",
+        "embedding_quantize_int8",
+        "interval_arithmetic",
+        "unpivot_measures",
+        "explode_posexplode",
+    ):
+        simple = _plan(spark, name, "simple")
+        assert "Exchange" not in simple, name
+
+
+def test_generator_and_expand_nodes(spark):
+    """posexplode runs as a pipelined Generate; unpivot as an Expand —
+    both inside the scan stage, not via a join."""
+    assert "Generate" in _plan(spark, "explode_posexplode", "simple")
+    assert "Expand" in _plan(spark, "unpivot_measures", "simple")
+
+
+def test_contamination_is_semi_joined(spark):
+    """The contamination audit must probe the train vocabulary with a
+    semi join on the 32 B hash key — never materialize eval×train."""
+    plan = _plan(spark, "curation_contamination", "simple")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_rollup_has_mapside_partial(spark):
+    plan = _plan(spark, "doc_domain_stats")
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -279,3 +279,62 @@ def test_pii_redact_semantics(spark):
     assert out[1]["red"] == "write to <EMAIL> or <SSN> or <NUM> ok"
     assert (out[2]["e"], out[2]["s"], out[2]["c"]) == (0, 0, 0)
     assert out[2]["red"] == "no pii here, just 42 and v1.2"
+
+
+def test_quantize_int8_codes_in_range_and_error_bound(spark):
+    """Quantization semantics the oracle can't state: every code fits in
+    int8, and per-element reconstruction error ≤ (scale/2)² ⇒ total
+    ≤ d·(scale/2)²."""
+    from real_time_trip_processing_project_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    emb = load_fixture(spark, SF, "embeddings")
+    q = quantize_int8(emb)
+    joined = q.join(emb.select("vec_id", F.size("embedding").alias("d")), "vec_id")
+    bad = joined.filter(
+        (F.col("sq_err") > F.col("d") * (F.col("scale_r") / 2) ** 2 + 1e-6)
+    ).count()
+    assert bad == 0
+    # codes in [-127, 127]: reconstruct code range from the hash inputs
+    codes = (
+        quantize_int8(emb)
+        .select("vec_id")
+        .join(emb, "vec_id")
+        .select(
+            F.aggregate(
+                F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda a, x: F.greatest(a, x),
+            ).alias("amax")
+        )
+    )
+    # |x|/scale ≤ 127 by construction of scale = amax/127 — spot-check engine-side
+    assert codes.filter(F.col("amax") < 0).count() == 0
+
+
+def test_mixture_sample_rates(spark):
+    """Per-stratum keep rates track the md5-prefix thresholds (16-bit
+    uniform hash ⇒ binomial; assert within ±0.15 absolute at n≥50)."""
+    from real_time_trip_processing_project_spark.plans.training import (
+        MIXTURE_THRESHOLDS,
+    )
+
+    docs = load_fixture(spark, SF, "documents")
+    kept = REGISTRY["mixture_weighted_sample"].fn(spark, SF)
+    tot = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    k = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, thr in MIXTURE_THRESHOLDS.items():
+        want = int(thr, 16) / 65536
+        got = k.get(lang, 0) / tot[lang]
+        assert abs(got - want) < 0.15, (lang, want, got)
+
+
+def test_seq_length_histogram_partitions_corpus(spark):
+    """Buckets are powers of two and together cover every document."""
+    docs_n = load_fixture(spark, SF, "documents").count()
+    h = REGISTRY["seq_length_histogram"].fn(spark, SF).collect()
+    assert sum(r.n_docs for r in h) == docs_n
+    for r in h:
+        assert r.bucket_lo & (r.bucket_lo - 1) == 0  # power of two
+        assert r.max_tok < 2 * r.bucket_lo
