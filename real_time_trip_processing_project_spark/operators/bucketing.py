@@ -33,15 +33,22 @@ def write_bucketed(
     key: str,
     n_buckets: int,
     mode: str = "overwrite",
+    path: str | None = None,
+    align: bool = True,
 ) -> None:
-    """Persist ``df`` as a managed table bucketed+sorted by ``key``."""
-    (
-        df.write.mode(mode)
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    """Persist ``df`` as a table bucketed+sorted by ``key``.
+
+    ``path`` makes it an external table (data at ``path``, metadata in
+    the catalog) — managed otherwise.  ``align`` pre-repartitions by the
+    bucket key so each write task owns whole buckets: without it the
+    layout is (tasks × non-empty buckets) files — the small-files
+    problem that dominates list/open cost at warehouse scale."""
+    if align:
+        df = df.repartition(n_buckets, key)
+    writer = df.write.mode(mode).bucketBy(n_buckets, key).sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
