@@ -313,6 +313,89 @@ def start_trip_pipeline(
     return PipelineQueries(main=q, quarantine=qq)
 
 
+def with_event_time(tagged: DataFrame, col_name: str = "event_ts") -> DataFrame:
+    """Attach the per-record event time to a WIRE_SCHEMA stream: pickup
+    time for starts, dropoff time for ends (wire datetimes are strings —
+    send_to_kinesis.py:45-50 — parsed once here)."""
+    return tagged.withColumn(
+        col_name,
+        F.coalesce(
+            F.to_timestamp("pickup_datetime"), F.to_timestamp("dropoff_datetime")
+        ),
+    )
+
+
+def dedup_stream(
+    tagged: DataFrame,
+    keys: tuple[str, ...] = ("trip_id", "event_type"),
+    ts_col: str = "event_ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop redelivered wire records.
+
+    The reference's Kinesis→Lambda hop is at-least-once (retries /
+    re-polls redeliver), which it papers over with DynamoDB upsert
+    idempotency (trip_processor.py:54).  The engine-level answer is
+    ``dropDuplicatesWithinWatermark``: keyed state holds one entry per
+    (trip_id, event_type) only until the watermark passes, so state is
+    bounded by the delay window — not by the unbounded key history an
+    un-watermarked dropDuplicates would hoard at 100 TB.
+    """
+    if ts_col not in tagged.columns:
+        tagged = with_event_time(tagged, ts_col)
+    return tagged.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def interval_join_streams(
+    tagged: DataFrame,
+    max_trip: str = "4 hours",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Append-only alternative to the stateful correlator: a watermarked
+    stream-stream interval join — ends match their start on trip_id
+    within ``(start_ts, start_ts + max_trip]``.
+
+    Where the applyInPandasWithState correlator (T2) owns arbitrary
+    transitions (end-before-start buffering, TTL), the built-in join
+    covers the common completed-trip case with zero custom state code;
+    both watermarks bound the join buffers, so state is O(in-flight
+    trips) — the condition every production stream-stream join must
+    meet to not grow without limit.
+    """
+    starts = (
+        tagged.filter(F.col("event_type") == "trip_start")
+        .select(
+            "trip_id",
+            "pickup_location_id",
+            "dropoff_location_id",
+            "vendor_id",
+            F.to_timestamp("pickup_datetime").alias("pickup_ts"),
+            "estimated_fare_amount",
+        )
+        .withWatermark("pickup_ts", delay)
+    )
+    ends = (
+        tagged.filter(F.col("event_type") == "trip_end")
+        .select(
+            F.col("trip_id").alias("trip_id_end"),
+            F.to_timestamp("dropoff_datetime").alias("dropoff_ts"),
+            "fare_amount",
+            "tip_amount",
+            "trip_distance",
+            "passenger_count",
+        )
+        .withWatermark("dropoff_ts", delay)
+    )
+    cond = (
+        (starts.trip_id == ends.trip_id_end)
+        & (ends.dropoff_ts > starts.pickup_ts)
+        & (ends.dropoff_ts <= starts.pickup_ts + F.expr(f"INTERVAL {max_trip}"))
+    )
+    return starts.join(ends, cond, "inner").drop("trip_id_end")
+
+
 def run_pipeline_to_completion(
     spark: SparkSession,
     start_dir: str,
