@@ -47,14 +47,22 @@ HEADLINE = [
 ]
 
 #: Secondary guard list: paths whose plans were reworked after round 1
-#: (driver-canonicalizer fixes; the metric-blocked embedding pairs).
-#: Timed identically but reported under "secondary" so the headline
-#: total stays comparable across rounds.
+#: (driver-canonicalizer fixes; the metric-blocked embedding pairs) plus
+#: the round-2 curation/corpus-analytics heavies.  Timed identically but
+#: reported under "secondary" so the headline total stays comparable
+#: across rounds.
 SECONDARY = [
     "sliding_window_agg",
     "array_agg_per_customer",
     "array_functions",
     "dedup_embedding_cosine",
+    "curation_contamination",
+    "curation_pack_sequences",
+    "text_pii_redact",
+    "text_repetition",
+    "text_lm_score",
+    "embedding_quantize_int8",
+    "doc_domain_stats",
 ]
 
 #: Executions per query; the reported number is the minimum (steady-state

@@ -69,6 +69,19 @@ def word_shingles(text_col, w: int = SHINGLE_W):
     return F.array_distinct(F.slice(sh, 1, F.greatest(n - (w - 1), F.lit(1))))
 
 
+def word_bigrams(text_col):
+    """ALL word 2-grams (non-distinct, no truncated tail) — the raw
+    material for repetition statistics, where multiplicity is the
+    signal.  Same zip_with binding as :func:`word_shingles` (free
+    variables in HOF lambdas re-evaluate per element), one shifted copy,
+    exact n−1 grams (empty array for single-word docs)."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    n = F.size(toks)
+    shifted = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    grams = F.zip_with(toks, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    return F.slice(grams, 1, F.greatest(n - 1, F.lit(0)))
+
+
 def shingled_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shingles, n_shingles) per document."""
     return docs.select(

