@@ -1308,3 +1308,117 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").alias("dow"),
         (F.hour("ts") * 60 + F.minute("ts")).alias("min_of_day"),
     )
+
+
+@register(
+    "tpch_q3_topk",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                   / 10000.0 AS revenue,
+               o_orderdate
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-07-01'
+          AND l_shipdate  > TIMESTAMP '1998-07-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=["EXT", "J3", "A6"],
+)
+def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-k): dim-filtered 3-way join
+    → grouped revenue → top 10.  Revenue is exact integer arithmetic —
+    cents × (100 − discount%) — so the cross-engine hash can't wobble,
+    and the DESC order ties break on l_orderkey.
+
+    Scale: customer is broadcast after its segment filter; the
+    orders⋈lineitem join shuffles on orderkey with both date filters
+    pushed to the scans; the top-10 runs as TakeOrderedAndProject (no
+    global sort)."""
+    cutoff = "1998-07-01"
+    customer = load_fixture(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    lineitem = load_fixture(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    rev = _cents("l_extendedprice") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "safe_arithmetic",
+    oracle="""
+        SELECT o_orderkey,
+               o_totalprice / nullif(o_orderkey % 3, 0) AS div_or_null,
+               try_cast(string_split(o_orderpriority, '-')[1] AS INTEGER)
+                   AS prio_num,
+               try_cast(o_orderstatus AS INTEGER) AS not_a_number,
+               coalesce(try_cast(o_orderstatus AS INTEGER), -1) AS defaulted
+        FROM orders
+    """,
+    tags=["EXT"],
+)
+def safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-on-failure arithmetic (the ELT posture: never fail the job on
+    a bad row — produce NULL and let downstream quarantine decide):
+    try_divide for the /0 lanes, try_cast for unparseable strings, with
+    an explicit coalesce default.  All codegen; the same semantics ANSI
+    mode would turn into runtime errors."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.try_divide("o_totalprice", F.col("o_orderkey") % 3).alias("div_or_null"),
+        F.expr(
+            "try_cast(split(o_orderpriority, '-')[0] AS INT)"
+        ).alias("prio_num"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("not_a_number"),
+        F.coalesce(
+            F.expr("try_cast(o_orderstatus AS INT)"), F.lit(-1)
+        ).alias("defaulted"),
+    )
+
+
+@register(
+    "approx_quantiles",
+    oracle=None,  # approximate (GK sketch) — rows-only; error bound in tests
+    tags=["EXT", "A6"],
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (Greenwald–Khanna sketch behind
+    percentile_approx): the single-pass, bounded-memory path for
+    percentile dashboards at 100 TB, where the exact bucket-refinement
+    query (`percentiles`) needs its extra passes.  Rank error ≤ 1/acc;
+    tests/test_training_tier.py pins |approx − exact| against the exact
+    twin."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    qs = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.75, 0.95], 1000
+        ).alias("qs")
+    )
+    labels = F.array(*[F.lit(x) for x in ("p25", "p50", "p75", "p95")])
+    return qs.select(
+        "o_orderstatus",
+        F.explode(F.arrays_zip(labels.alias("q"), F.col("qs").alias("v"))).alias(
+            "z"
+        ),
+    ).select("o_orderstatus", F.col("z.q").alias("q"), F.col("z.v").alias("v"))

@@ -139,3 +139,12 @@ def test_contamination_is_semi_joined(spark):
 def test_domain_rollup_has_mapside_partial(spark):
     plan = _plan(spark, "doc_domain_stats")
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q3_broadcasts_dim_and_takes_ordered(spark):
+    """TPC-H Q3 shape: segment-filtered customer broadcasts, the top-10
+    runs as TakeOrderedAndProject, and both date filters reach the scans."""
+    plan = _plan(spark, "tpch_q3_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "LessThan(o_orderdate" in plan

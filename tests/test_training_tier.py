@@ -374,3 +374,29 @@ def test_lm_score_orders_common_above_rare(spark):
     # most docs share the fixture's small vocab; compare extremes
     assert max(scored.values()) > min(scored.values())
     assert all(v < 0 for v in scored.values())  # log probs are negative
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """GK sketch with accuracy=1000 ⇒ rank error ≤ N/1000.  Compare each
+    approximate quantile against the exact value at the allowed rank
+    displacement on the same data."""
+    orders = load_fixture(spark, SF, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    approx = {
+        (r.o_orderstatus, r.q): r.v
+        for r in REGISTRY["approx_quantiles"].fn(spark, SF).collect()
+    }
+    rows = orders.collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.o_orderstatus, []).append(r.o_totalprice)
+    for (status, q), v in approx.items():
+        vals = sorted(by_status[status])
+        n = len(vals)
+        p = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}[q]
+        target = int(p * (n - 1))
+        slack = max(2, n // 1000 + 1)
+        lo = vals[max(0, target - slack)]
+        hi = vals[min(n - 1, target + slack)]
+        assert lo <= v <= hi, (status, q, v, lo, hi)
