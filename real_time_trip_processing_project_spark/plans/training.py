@@ -866,6 +866,92 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "tokenizer_pair_counts",
+    oracle=r"""
+        WITH w AS (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents
+        ),
+        p AS (
+            SELECT unnest([substr(w, i, 2) FOR i IN range(1, length(w))]) AS pair
+            FROM w WHERE length(w) >= 2
+        )
+        SELECT pair, count(*) AS n
+        FROM p GROUP BY 1
+        ORDER BY n DESC, pair
+        LIMIT 20
+    """,
+    tags=["EXT", "text", "curation"],
+)
+def tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step of tokenizer vocabulary induction:
+    corpus-wide adjacent character-pair frequencies, top 20 with a
+    deterministic (count DESC, pair) tiebreak.
+
+    Scale: two pipelined Generates (words, then in-word pairs) feeding
+    one hash-aggregate on a ≤ tens-of-thousands key space, then
+    TakeOrderedAndProject — the iterative BPE loop re-runs this plan on
+    progressively merged symbols, so its shape (explode → count → top-k,
+    no sort of the full pair table) is the per-iteration cost."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id AS media_id, text AS t,
+                   CAST(length(text) AS BIGINT) AS n
+            FROM documents
+        ),
+        w AS (
+            SELECT media_id, t, n,
+                   unnest(range(0, (n - 1) // {MM.AUDIO_HOP} + 1)) AS win
+            FROM s
+        )
+        SELECT media_id, win,
+               least({MM.AUDIO_FRAME}, n - win * {MM.AUDIO_HOP}) AS n_samples,
+               CAST(list_sum(list_transform(
+                   range(1, least({MM.AUDIO_FRAME}, n - win * {MM.AUDIO_HOP}) + 1),
+                   i -> (ascii(substr(t, CAST(win * {MM.AUDIO_HOP} + i AS INT), 1)) - 128)
+                      * (ascii(substr(t, CAST(win * {MM.AUDIO_HOP} + i AS INT), 1)) - 128)
+               )) AS BIGINT) AS sum_sq,
+               CAST(list_max(list_transform(
+                   range(1, least({MM.AUDIO_FRAME}, n - win * {MM.AUDIO_HOP}) + 1),
+                   i -> abs(ascii(substr(t, CAST(win * {MM.AUDIO_HOP} + i AS INT), 1)) - 128)
+               )) AS BIGINT) AS peak
+        FROM w
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy/peak over binary payloads (uint8-PCM
+    interpretation; see operators/multimodal.py:audio_window_features).
+    Oracle reconstructs byte values as ASCII codes of the all-ASCII
+    fixture text — exact-integer parity, no float in sight."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    return MM.audio_window_features(MM.media_from_documents(docs))
+
+
+
+@register(
     "multimodal_features",
     oracle="""
         SELECT doc_id AS media_id,
