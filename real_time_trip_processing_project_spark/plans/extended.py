@@ -1422,3 +1422,91 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z"
         ),
     ).select("o_orderstatus", F.col("z.q").alias("q"), F.col("z.v").alias("v"))
+
+
+@register(
+    "lateral_topn_per_group",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+    """,
+    tags=["EXT"],
+)
+def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 orders per customer, spelled
+    the way an analyst writes it.  Catalyst decorrelates the per-row
+    LIMIT into a WindowGroupLimit (partial rank-based pruning BEFORE the
+    shuffle, then the pair join) — the per-group limit never becomes a
+    per-customer query loop, which is what makes the spelling safe at
+    100 TB."""
+    load_fixture(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    load_fixture(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders_lat o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        """
+    )
+
+
+@register(
+    "dq_report",
+    oracle="""
+        SELECT 'null_orderkey' AS rule, count(*) FILTER (WHERE o_orderkey IS NULL) AS n_violations FROM orders
+        UNION ALL
+        SELECT 'dup_orderkey', count(*) - count(DISTINCT o_orderkey) FROM orders
+        UNION ALL
+        SELECT 'price_out_of_range', count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000) FROM orders
+        UNION ALL
+        SELECT 'bad_status', count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) FROM orders
+        UNION ALL
+        SELECT 'future_date', count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2002-01-01') FROM orders
+    """,
+    tags=["EXT", "curation"],
+)
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report — the expectation-suite shape
+    (null / uniqueness / range / domain / freshness) as ONE aggregate
+    pass producing (rule, n_violations) rows.
+
+    Scale: every rule is a conditional count fused into a single scan +
+    global aggregate (plus the two-phase distinct for uniqueness); the
+    report stays 5 rows whatever the table size.  The oracle spells the
+    same checks as UNION ALL scalar aggregates."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("null_orderkey"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+        F.sum(
+            ((F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1000000))
+            .cast("long")
+        ).alias("price_out_of_range"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("bad_status"),
+        F.sum(
+            (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp"))
+            .cast("long")
+        ).alias("future_date"),
+    )
+    return agg.selectExpr(
+        """stack(5,
+            'null_orderkey', null_orderkey,
+            'dup_orderkey', dup_orderkey,
+            'price_out_of_range', price_out_of_range,
+            'bad_status', bad_status,
+            'future_date', future_date
+        ) AS (rule, n_violations)"""
+    )

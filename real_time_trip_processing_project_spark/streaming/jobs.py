@@ -396,6 +396,40 @@ def interval_join_streams(
     return starts.join(ends, cond, "inner").drop("trip_id_end")
 
 
+def joined_daily_kpis_stream(
+    tagged: DataFrame,
+    max_trip: str = "4 hours",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming-native daily KPIs: the stream-stream interval join
+    chained into a watermarked 1-day tumbling aggregate — two stateful
+    operators in one continuous query (supported since the
+    multiple-stateful-operator work in Spark 3.5).
+
+    The batch `daily_kpi_job` stays the system of record (reference
+    parity, exact cents); this is the low-latency sibling that emits a
+    day's KPIs as soon as the watermark closes the day instead of at the
+    next scheduled batch.  Fare sums go through integer cents here too,
+    so the two paths agree bit-for-bit on completed data.
+    """
+    joined = interval_join_streams(tagged, max_trip=max_trip, delay=delay)
+    cents = F.round(F.col("fare_amount") * 100).cast("long")
+    return (
+        joined.groupBy(F.window("dropoff_ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.sum(cents).alias("fare_cents"),
+            F.max("fare_amount").alias("max_fare"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("date"),
+            "n_trips",
+            (F.col("fare_cents").cast("double") / 100.0).alias("total_fare"),
+            "max_fare",
+        )
+    )
+
+
 def run_pipeline_to_completion(
     spark: SparkSession,
     start_dir: str,

@@ -111,3 +111,41 @@ def test_interval_join_matches_ends_within_bound(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     assert [r.trip_id for r in rows] == ["t1"]
     assert rows[0].fare_amount == 13.0 and rows[0].pickup_location_id == 7
+
+
+def test_joined_daily_kpis_stream(spark, tmp_path):
+    """Chained stateful operators (interval join → daily tumbling agg):
+    two completed trips on day 1 aggregate into one finalized window row
+    once the watermark passes the day boundary."""
+    t2s = dict(
+        START, trip_id="t2", pickup_datetime="2024-05-25 11:00:00"
+    )
+    t2e = dict(
+        END, trip_id="t2", dropoff_datetime="2024-05-25 11:40:00",
+        fare_amount=7.0,
+    )
+    _write(tmp_path / "start", "b1.json", [START, t2s])
+    _write(tmp_path / "end", "b1.json", [END, t2e])
+    tagged, _ = jobs.tagged_union_stream(
+        spark, str(tmp_path / "start"), str(tmp_path / "end")
+    )
+    kpis = jobs.joined_daily_kpis_stream(tagged)
+    _drain(kpis, tmp_path / "ckpt", tmp_path / "out")
+    # advance both watermarks past day-1 end (+31 min delay margin)
+    probe_s = dict(
+        START, trip_id="t9", pickup_datetime="2024-05-27 12:00:00"
+    )
+    probe_e = dict(
+        END, trip_id="t9", dropoff_datetime="2024-05-27 12:10:00"
+    )
+    _write(tmp_path / "start", "b2.json", [probe_s])
+    _write(tmp_path / "end", "b2.json", [probe_e])
+    _drain(kpis, tmp_path / "ckpt", tmp_path / "out")
+    rows = {
+        str(r.date): r for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert "2024-05-25" in rows
+    day = rows["2024-05-25"]
+    assert day.n_trips == 2
+    assert day.total_fare == 20.0  # 13.00 + 7.00, exact through cents
+    assert day.max_fare == 13.0
