@@ -67,3 +67,29 @@ def load_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     schema = schemas.FIXTURE_TABLES[table]
     return spark.read.schema(schema).parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_table(spark: SparkSession, path: str, schema, fmt: str = "parquet"):
+    """Typed batch read of any supported format (parquet/orc/json/csv).
+
+    Always schema-first: an explicit schema keeps column pruning and
+    filter pushdown intact (parquet/ORC), skips the double-scan schema
+    inference pass (JSON/CSV), and pins types across scale factors —
+    the same discipline `load_fixture` applies to the driver tables.
+    """
+    return spark.read.schema(schema).format(fmt).load(path)
+
+
+def write_table(
+    df, path: str, fmt: str = "parquet", mode: str = "overwrite",
+    partition_by: str | None = None,
+) -> None:
+    """Batch write in any supported format; partitioned when asked.
+
+    Format guidance at 100 TB: parquet/ORC for analytics (columnar,
+    predicate pushdown, compression); JSON-lines only at the edges
+    (wire interchange — it costs ~5-10× scan time and loses pushdown)."""
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.save(path)

@@ -148,3 +148,25 @@ def test_q3_broadcasts_dim_and_takes_ordered(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "PushedFilters" in plan and "LessThan(o_orderdate" in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Strategy control for the 100 TB tuning loop: broadcast / merge /
+    shuffle_hash hints each select their physical join."""
+    from real_time_trip_processing_project_spark.sources.readers import load_fixture
+    from pyspark.sql import functions as F
+    import contextlib, io
+
+    o = load_fixture(spark, SF, "orders")
+    c = load_fixture(spark, SF, "customer")
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        return buf.getvalue()
+
+    cond = o.o_custkey == c.c_custkey
+    assert "BroadcastHashJoin" in plan_of(o.join(F.broadcast(c), cond))
+    assert "SortMergeJoin" in plan_of(o.join(c.hint("merge"), cond))
+    assert "ShuffledHashJoin" in plan_of(o.join(c.hint("shuffle_hash"), cond))
