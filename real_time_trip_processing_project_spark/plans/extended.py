@@ -1510,3 +1510,71 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             'future_date', future_date
         ) AS (rule, n_violations)"""
     )
+
+
+def _zorder_oracle() -> str:
+    from real_time_trip_processing_project_spark.operators.layout import (
+        zorder_key_sql,
+    )
+
+    zkey = zorder_key_sql("x", "y", 10)
+    return f"""
+        WITH q AS (
+            SELECT o_orderkey,
+                   o_custkey % 1024 AS x,
+                   least(CAST(round(o_totalprice * 100) AS BIGINT) // 60000, 1023) AS y
+            FROM orders
+        ),
+        k AS (
+            SELECT o_orderkey, x, y, {zkey} AS zkey FROM q
+        ),
+        b AS (
+            SELECT x, y,
+                   (row_number() OVER (ORDER BY zkey, o_orderkey) - 1) // 256
+                       AS bucket
+            FROM k
+        )
+        SELECT bucket,
+               count(*)          AS n,
+               max(x) - min(x)   AS x_span,
+               max(y) - min(y)   AS y_span
+        FROM b GROUP BY 1
+    """
+
+
+@register("zorder_locality", oracle=_zorder_oracle(), tags=["EXT", "curation"])
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering, with the locality claim MEASURED:
+    quantize (customer, price) to 10-bit dims, interleave into a Morton
+    key (exact shift/mask codegen — operators/layout.py), sort, cut into
+    256-row "files", and report each file's min/max span per dimension.
+
+    This is the layout step that makes two-dimensional file skipping
+    work at 100 TB: both spans stay narrow per bucket (vs a 1-D sort,
+    where the second dimension's span is the full domain — asserted in
+    tests/test_layout.py).  The global sort here is the one-off write
+    path, not a query path; production writes range-partition by zkey
+    instead of a total sort."""
+    from real_time_trip_processing_project_spark.operators.layout import zorder_key
+
+    orders = load_fixture(spark, sf_dir, "orders")
+    q = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("x"),
+        F.least(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 60000"),
+            F.lit(1023),
+        ).alias("y"),
+    )
+    k = q.select(
+        "o_orderkey", "x", "y", zorder_key(F.col("x"), F.col("y"), 10).alias("zkey")
+    )
+    w = Window.orderBy("zkey", "o_orderkey")
+    b = k.select(
+        "x", "y", ((F.row_number().over(w) - 1) / 256).cast("long").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        (F.max("x") - F.min("x")).alias("x_span"),
+        (F.max("y") - F.min("y")).alias("y_span"),
+    )
