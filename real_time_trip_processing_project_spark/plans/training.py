@@ -865,6 +865,88 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal
 # ---------------------------------------------------------------------------
 
+#: Fixed query terms for the BM25 search query (present in the fixture
+#: vocabulary at every scale factor).
+BM25_TERMS = ("spark", "table", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        df AS (
+            SELECT w, count(DISTINCT doc_id) AS df FROM t
+            WHERE w IN ({terms}) GROUP BY 1
+        ),
+        tf AS (
+            SELECT doc_id, w, count(*) AS tf FROM t
+            WHERE w IN ({terms}) GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               round(sum(
+                   ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({BM25_K1} + 1)
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / g.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN df USING (w)
+        JOIN dl USING (doc_id)
+        CROSS JOIN g
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """
+
+
+@register("text_bm25_search", oracle=_bm25_oracle(), tags=["EXT", "text"])
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 3-term query — the corpus-side
+    scorer of a distributed search/relevance pipeline (k1=1.2, b=0.75).
+
+    Scale shape: term stats (df) and the corpus scalars (N, avgdl) are
+    tiny aggregates attached by broadcast; per-doc term frequencies are
+    one filtered hash-aggregate (the IN-list filter prunes the exploded
+    token stream before any shuffle); top-20 is TakeOrderedAndProject.
+    The only data-scale shuffles are keyed on doc_id."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.ws_tokens("text")).alias("w")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    g = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtoks = toks.filter(F.col("w").isin(*BM25_TERMS))
+    df_ = qtoks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    tf = qtoks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), 6).alias(
+                "score"
+            )
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 @register(
     "tokenizer_pair_counts",
     oracle=r"""

@@ -85,10 +85,11 @@ def test_no_cartesian_products_in_catalogue(spark):
     design (bounded fixture corpus; ANN is the scale path) — everything
     else must be key-joined."""
     # sim_cosine_topk: bounded query-set × corpus scan by design;
-    # text_lm_score: single-ROW broadcast of the corpus token total
-    # (the no-driver-collect way to attach a global scalar) — the BNLJ
-    # build side is one row at any corpus size.
-    allowed = {"sim_cosine_topk", "text_lm_score"}
+    # text_lm_score / text_bm25_search: single-ROW broadcast of corpus
+    # scalars (token total; N + avgdl) — the no-driver-collect way to
+    # attach a global scalar; the BNLJ build side is one row at any
+    # corpus size.
+    allowed = {"sim_cosine_topk", "text_lm_score", "text_bm25_search"}
     for name in REGISTRY:
         if name in allowed:
             continue
