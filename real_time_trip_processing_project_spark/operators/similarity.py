@@ -568,3 +568,84 @@ def quantize_int8(
         F.md5(F.array_join(q, ",")).alias("q_hash"),
         F.round(F.aggregate(dq, F.lit(0.0), lambda a, x: a + x), 6).alias("sq_err"),
     )
+
+
+#: Sentinel indices for the covariance partial rows: (i, -1) carries the
+#: column sum of dimension i; (-1, -1) carries the row count.
+_COV_COLSUM = -1
+
+
+def covariance_upper(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Population covariance of the embedding matrix, upper triangle —
+    the PCA/whitening prep step of an embedding pipeline.
+
+    Scale design (the reason this isn't a self-join): each partition
+    reduces its rows to ONE d×d partial — ``XᵀX``, column sums, and a
+    count — inside Arrow batches with a single numpy matmul; only
+    d(d+1)/2 + d + 1 tiny rows per partition ever shuffle (for d=64
+    that's ~2 k rows, vs exploding N·d element rows into a join).  The
+    final combine is a hash-aggregate over (i, j) plus two broadcast
+    joins of the d-row mean table.  At any N this shuffles O(parts·d²),
+    never O(N).
+    """
+    import numpy as np
+
+    def part(batches):
+        S = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if S is None:
+                S = X.T @ X
+                s = X.sum(axis=0)
+            else:
+                S += X.T @ X
+                s += X.sum(axis=0)
+            n += len(X)
+        if S is None:
+            return
+        d = S.shape[0]
+        iu, ju = np.triu_indices(d)
+        out = pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(d), [-1]]),
+                "j": np.concatenate([ju, np.full(d, _COV_COLSUM), [-1]]),
+                "val": np.concatenate([S[iu, ju], s, [float(n)]]),
+            }
+        )
+        out["i"] = out["i"].astype("int32")
+        out["j"] = out["j"].astype("int32")
+        yield out
+
+    partials = emb.select(vec_col).mapInPandas(part, "i int, j int, val double")
+    tot = partials.groupBy("i", "j").agg(F.sum("val").alias("val"))
+    n_row = tot.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("val").alias("n")
+    )
+    means = tot.filter((F.col("j") == _COV_COLSUM) & (F.col("i") >= 0)).select(
+        F.col("i").alias("mi"), F.col("val").alias("si")
+    )
+    pairs = tot.filter((F.col("i") >= 0) & (F.col("j") >= 0))
+    return (
+        pairs.join(F.broadcast(means).withColumnRenamed("mi", "ii"), F.col("i") == F.col("ii"))
+        .withColumnRenamed("si", "s_i")
+        .join(
+            F.broadcast(means.withColumnRenamed("mi", "jj").withColumnRenamed("si", "s_j")),
+            F.col("j") == F.col("jj"),
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("val") / F.col("n")
+                - (F.col("s_i") / F.col("n")) * (F.col("s_j") / F.col("n")),
+                6,
+            ).alias("cov"),
+        )
+    )

@@ -829,6 +829,40 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_covariance",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        x AS (
+            SELECT vec_id,
+                   unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i
+            FROM e
+        ),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        m AS (SELECT i, sum(v) AS s FROM x GROUP BY 1),
+        p AS (
+            SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sij
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
+        )
+        SELECT p.i, p.j,
+               round(p.sij / n.n - (ma.s / n.n) * (mb.s / n.n), 6) AS cov
+        FROM p
+        JOIN m ma ON ma.i = p.i
+        JOIN m mb ON mb.i = p.j
+        CROSS JOIN n
+    """,
+    tags=["EXT", "similarity"],
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the embedding corpus (upper triangle) via
+    per-partition XᵀX partial sums — O(parts·d²) shuffle, never O(N)
+    (operators/similarity.py:covariance_upper).  The oracle does the
+    element-pair self-join the distributed plan deliberately avoids."""
+    return SIM.covariance_upper(load_fixture(spark, sf_dir, "embeddings"))
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
         WITH e AS (

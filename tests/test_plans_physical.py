@@ -89,7 +89,12 @@ def test_no_cartesian_products_in_catalogue(spark):
     # scalars (token total; N + avgdl) — the no-driver-collect way to
     # attach a global scalar; the BNLJ build side is one row at any
     # corpus size.
-    allowed = {"sim_cosine_topk", "text_lm_score", "text_bm25_search"}
+    allowed = {
+        "sim_cosine_topk",
+        "text_lm_score",
+        "text_bm25_search",
+        "embedding_covariance",  # 1-row broadcast of the corpus count
+    }
     for name in REGISTRY:
         if name in allowed:
             continue
