@@ -735,6 +735,58 @@ def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _calibration_oracle() -> str:
+    return f"""
+        WITH q AS (
+            SELECT doc_id, lang,
+                   {TX.quality_score_sql('text')} AS quality_score
+            FROM documents
+        )
+        SELECT doc_id, lang, quality_score,
+               round(percent_rank() OVER (
+                   PARTITION BY lang
+                   ORDER BY quality_score, doc_id
+               ), 6) AS lang_pct,
+               CASE WHEN percent_rank() OVER (
+                   PARTITION BY lang
+                   ORDER BY quality_score, doc_id
+               ) >= 0.2 THEN 1 ELSE 0 END AS keep_at_p20
+        FROM q
+    """
+
+
+@register(
+    "quality_calibration",
+    oracle=_calibration_oracle(),
+    tags=["EXT", "text", "curation"],
+)
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quality-score calibration: raw scores are not
+    comparable across languages (stopword lists, script length bias),
+    so thresholds must be percentile ranks WITHIN each language — the
+    step that keeps a global "drop bottom 20%" filter from silently
+    deleting whole low-resource languages.
+
+    Scale: one window shuffle partitioned by stratum; the (score,
+    doc_id) order is fully deterministic so the same doc always gets the
+    same rank.  A 100 TB corpus adds a shard key inside each language to
+    bound partition size and runs the same plan per shard with a
+    per-shard sample-quantile correction."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "lang", TX.quality_score_expr("text").alias("quality_score")
+    )
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    pct = F.percent_rank().over(w)
+    return q.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.round(pct, 6).alias("lang_pct"),
+        F.when(pct >= 0.2, 1).otherwise(0).alias("keep_at_p20"),
+    )
+
+
 @register(
     "text_repetition",
     oracle=r"""
