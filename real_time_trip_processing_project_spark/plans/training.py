@@ -467,6 +467,85 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_leakage_safe",
+    oracle="""
+        WITH canon AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+            FROM documents
+        )
+        SELECT doc_id, canonical,
+               CASE WHEN substr(md5(CAST(canonical AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM canon
+    """,
+    tags=["EXT", "curation"],
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: hash the duplicate-group CANONICAL
+    id, not the doc id, so exact copies can never straddle the split
+    (the eval-contamination hole a naive per-doc split leaves open).
+    Near-dup-safety composes the same way — substitute the connected-
+    component canonical from `dedup_clusters` for the md5(text) group.
+
+    Scale: one window (or groupBy+join) keyed on the 32 B text hash,
+    then the same map-side md5-threshold split as `split_train_eval` —
+    deterministic, seedless, re-runnable."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    canon = docs.select("doc_id", F.min("doc_id").over(w).alias("canonical"))
+    return canon.select(
+        "doc_id",
+        "canonical",
+        F.when(
+            F.substring(F.md5(F.col("canonical").cast("string")), 1, 4) < "cccc",
+            "train",
+        )
+        .otherwise("eval")
+        .alias("split"),
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+        WITH existing AS (
+            SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400
+        ),
+        incoming AS (
+            SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400
+        )
+        SELECT i.doc_id,
+               CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END AS is_dup_of_corpus
+        FROM incoming i LEFT JOIN existing e ON i.h = e.h
+    """,
+    tags=["EXT", "dedup"],
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: flag which INCOMING documents already
+    exist in the standing corpus — the daily-batch shape, where the
+    corpus hash index is long-lived and only the delta is hashed fresh.
+
+    Scale: the corpus side is a 32 B hash index (bucketable by hash
+    prefix, or a bloom-filter pre-pass at 100 TB so most novel docs
+    never shuffle); the probe is one equi-join keyed on the hash.  The
+    fixture models the cut as doc_id < 400."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("doc_id") < 400)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    incoming = docs.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    return incoming.join(existing, "h", "left").select(
+        "doc_id", F.coalesce("hit", F.lit(0)).alias("is_dup_of_corpus")
+    )
+
+
+@register(
     "curation_contamination",
     oracle=f"""
         WITH sh AS (

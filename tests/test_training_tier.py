@@ -400,3 +400,39 @@ def test_approx_quantiles_within_rank_error(spark):
         lo = vals[max(0, target - slack)]
         hi = vals[min(n - 1, target + slack)]
         assert lo <= v <= hi, (status, q, v, lo, hi)
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    """Every duplicate group must land entirely in one split — the
+    property the per-doc split violates and this query exists for.  The
+    fixture has no EXACT copies (its planted near-dups are ~0.99
+    Jaccard), so plant copies on a hand-built corpus: ids are chosen so
+    a naive per-doc md5 split WOULD separate the copies (md5('1')
+    prefix c4ca < cccc = train, md5('3') prefix eccb = eval), while the
+    canonical-keyed split cannot."""
+    from pyspark.sql import Window
+    from real_time_trip_processing_project_spark.operators.curation import (
+        split_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (3, "alpha beta"), (4, "gamma delta"), (6, "unique")],
+        "doc_id long, text string",
+    )
+    w = Window.partitionBy(F.md5("text"))
+    canon = df.select(
+        "doc_id", F.min("doc_id").over(w).alias("canonical")
+    ).withColumn("split", split_expr("canonical"))
+    rows = canon.collect()
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canonical, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_canon.values())
+    # copies really share one canonical (non-vacuous)
+    assert [r.canonical for r in rows if r.doc_id in (1, 3)] == [1, 1]
+    # and the naive per-doc split would have separated them
+    naive = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", split_expr("doc_id").alias("s")).collect()
+    }
+    assert naive[1] != naive[3]
