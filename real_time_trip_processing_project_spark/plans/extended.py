@@ -1578,3 +1578,45 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("x") - F.min("x")).alias("x_span"),
         (F.max("y") - F.min("y")).alias("y_span"),
     )
+
+
+@register(
+    "udtf_tokenize",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(generate_subscripts(words, 1) - 1 AS INTEGER) AS pos,
+               unnest(words) AS word,
+               CAST(length(unnest(words)) AS INTEGER) AS wlen
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents)
+    """,
+    tags=["EXT"],
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 3.5+ UDTF) invoked via
+    LATERAL — the row→rows extension point for logic that genuinely
+    needs Python (here a tokenizer stand-in so the oracle can check it
+    exactly).
+
+    Like `udf_registered`, this exists to prove the API edge, not as a
+    hot path: the equivalent builtin (`explode_posexplode`) stays
+    JVM-side and is the production spelling.  The UDTF runs one Python
+    worker round-trip per partition with batched rows — acceptable at
+    the edges, never inside a 100 TB per-row pipeline when a builtin
+    exists."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, word: string, wlen: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").strip().split()):
+                yield i, w, len(w)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load_fixture(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word, t.wlen
+        FROM docs_udtf d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
