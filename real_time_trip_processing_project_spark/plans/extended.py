@@ -1620,3 +1620,31 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf d, LATERAL tokenize_udtf(d.text) t
         """
     )
+
+
+@register(
+    "rollup_grouping_id",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus)  AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+               CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+                   AS gid,
+               count(*) AS n
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    tags=["EXT", "A6"],
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id() over a rollup — the only way a consumer
+    can tell a subtotal row's NULL from a NULL that was in the data,
+    which every BI layer on top of rollup output needs.  Same one-pass
+    grouping-id expansion as the plain rollup."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n"),
+    )
