@@ -249,54 +249,44 @@ def kmeans_fit(
     dim: int = 64,
     id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Deterministic spherical k-means over the corpus (IVF coarse
-    quantizer).
+    """Deterministic spherical k-means (IVF coarse quantizer).
 
-    Init: every (N/k)-th of the first k·50 vectors **by id order**
-    (seedless, reproducible — ``orderBy`` before ``limit``, since a bare
-    ``limit`` is plan/partition-dependent under AQE or different file
-    splits).  ``k`` is clamped to the corpus size when the corpus is
-    smaller than ``k``.  Each iteration: Arrow-batched nearest-centroid
-    assignment, then the new centroids via ``posexplode`` + per-(cell,
-    dim) mean — both fully distributed; only the k×dim centroid matrix
-    ever reaches the driver (metadata-scale, same class as broadcast
-    join keys).
+    Init: every (sample/k)-th sample vector in id order; ``k`` is
+    clamped to the corpus size when the corpus is smaller than ``k``.
+
+    Training runs on a **bounded sample**, the standard IVF-quantizer
+    practice (FAISS trains its coarse quantizer on ~O(k·10²) points, not
+    the corpus): the sample is the first ``max(k·50, 2048)`` rows by
+    ``md5(id)`` order — a seedless pseudo-random draw that is
+    deterministic and invariant to file splits / AQE (a total order
+    over unique ids), unlike ``TABLESAMPLE`` or a bare ``limit``.  All
+    Lloyd iterations then run driver-side in numpy over that sample
+    (id-sorted, so float summation order is fixed), which removes every
+    per-iteration corpus scan: the full corpus is touched exactly once
+    — by the consuming operator's distributed assignment UDF.  The
+    sample collect is capped at ~260k×dim doubles (k ≤ 4096), the same
+    metadata class as a broadcast join side.
     """
+    sample_n = min(max(k * 50, 2048), 262144)
     first = (
-        emb.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(k * 50)
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(sample_n)
         .collect()
     )
     if not first:
         raise ValueError("kmeans_fit: empty corpus")
     k = min(k, len(first))
+    first.sort(key=lambda r: r["id"])
+    X = np.asarray([r["v"] for r in first], dtype=np.float64)
     stride = max(len(first) // k, 1)
-    centroids = np.asarray(
-        [first[i * stride][1] for i in range(k)], dtype=np.float64
-    )
+    centroids = X[[i * stride for i in range(k)]].copy()
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     for _ in range(iters):
-        assign = _assign_udf(centroids, n=1)
-        assigned = emb.select(
-            F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
-            F.col(vec_col).alias("v"),
-        )
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new = centroids.copy()
-        by_cell: dict[int, list[tuple[int, float]]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], []).append((r["pos"], r["m"]))
-        for cell, entries in by_cell.items():
-            vec = np.zeros(dim)
-            for pos, m in entries:
-                vec[pos] = m
-            new[cell] = vec
-        centroids = new
+        C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        cells = np.argmax(Xn @ C.T, axis=1)
+        for cell in np.unique(cells):
+            centroids[cell] = X[cells == cell].mean(axis=0)
     return centroids
 
 
@@ -406,13 +396,105 @@ def _assign_cell_dist_udf(centroids: np.ndarray):
 #: many rows reach the (cheap) exact pass.
 _PREFILTER_EPS = 1e-6
 
+#: Rows per side of one in-task score matmul.  A tile is at most
+#: _SCORE_TILE² doubles (~32 MB at 2048) regardless of how many vectors
+#: a cell-pair block holds, so a single dense cell cannot OOM the
+#: scoring task through the similarity matrix.
+_SCORE_TILE = 2048
+
+#: Above this cell count the candidate cell-pair generation moves off
+#: the driver (Python k² loop) onto a broadcast centroid self-join.
+_CELL_PAIR_JOIN_MIN_K = 257
+
+
+#: Target vectors per metric-blocking cell: 64k × 64-dim doubles ≈
+#: 33 MB of cell payload, so one cell-pair block task holds ~66 MB of
+#: vectors plus a tiled score matrix — bounded whatever the corpus size.
+_TARGET_CELL_ROWS = 65536
+
+
+def _auto_n_cells(n: int) -> int:
+    """Cells sized ~_TARGET_CELL_ROWS (so block tasks stay
+    memory-bounded as the corpus grows), clamped to [16, 4096].  4096
+    keeps the quantizer training sample and the k×dim broadcast
+    metadata-scale.  Deliberately NOT √N: on weakly-clustered corpora
+    the cell radii approach √2 and triangle-inequality pruning keeps
+    most of the k² cell pairs, so surviving-block shuffle volume grows
+    ~k·N — cell count should rise only as fast as task-memory bounds
+    require."""
+    return max(16, min(4096, -(-n // _TARGET_CELL_ROWS)))
+
+
+def _candidate_cell_pairs(
+    spark, C: np.ndarray, radii: dict[int, float], d_max: float
+) -> DataFrame:
+    """Cell pairs (i ≤ j) that can hold a qualifying pair:
+    ‖ĉᵢ − ĉⱼ‖ ≤ d_max + rᵢ + rⱼ (triangle inequality — lossless).
+
+    ``pid = i·k + j`` keys the cogroup blocks deterministically in both
+    paths.  Small k: driver double loop over the k×k metadata (no Spark
+    job).  Large k (> _CELL_PAIR_JOIN_MIN_K, reachable once n_cells
+    scales with √N): a broadcast centroid self-join evaluates the k²
+    distance predicate distributed, codegen-side.
+    """
+    eps = 1e-9
+    k = len(C)
+    cells = sorted(radii)
+    if k <= _CELL_PAIR_JOIN_MIN_K:
+        pairs = []
+        for ii, i in enumerate(cells):
+            for j in cells[ii:]:
+                if (
+                    float(np.linalg.norm(C[i] - C[j]))
+                    <= d_max + radii[i] + radii[j] + eps
+                ):
+                    pairs.append((i * k + j, i, j))
+        return spark.createDataFrame(
+            pairs, "pid LONG, cell_a INT, cell_b INT"
+        )
+    cent = spark.createDataFrame(
+        [(i, radii[i], [float(x) for x in C[i]]) for i in cells],
+        "cell INT, r DOUBLE, c ARRAY<DOUBLE>",
+    )
+    a = cent.select(
+        F.col("cell").alias("cell_a"),
+        F.col("r").alias("ra"),
+        F.col("c").alias("ca"),
+    )
+    b = cent.select(
+        F.col("cell").alias("cell_b"),
+        F.col("r").alias("rb"),
+        F.col("c").alias("cb"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("ca"), F.col("cb"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.join(F.broadcast(b), F.col("cell_a") <= F.col("cell_b"))
+        .filter(dist <= F.lit(d_max + eps) + F.col("ra") + F.col("rb"))
+        .select(
+            (
+                F.col("cell_a").cast("long") * F.lit(k)
+                + F.col("cell_b")
+            ).alias("pid"),
+            "cell_a",
+            "cell_b",
+        )
+    )
+
 
 def cosine_pairs_blocked(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = IVF_CELLS,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: all (a < b) with cosine ≥ threshold —
     **exact**, via metric blocking + blocked-matmul scoring instead of
@@ -424,9 +506,13 @@ def cosine_pairs_blocked(
        so with each vector assigned to its nearest (deterministic
        k-means) centroid and rᵢ = max chordal radius of cell i, the
        triangle inequality gives: a qualifying pair with cells (i, j)
-       forces ‖ĉᵢ − ĉⱼ‖ ≤ √(2−2t) + rᵢ + rⱼ.  Only the k² centroid
-       distances are evaluated on the driver (metadata-scale); surviving
-       cell pairs become a tiny broadcast relation.
+       forces ‖ĉᵢ − ĉⱼ‖ ≤ √(2−2t) + rᵢ + rⱼ.  ``n_cells`` defaults to
+       √N (clamped 16..4096) so cells stay ~√N rows as the corpus
+       grows; the k² distance predicate runs on the driver for small k
+       and as a broadcast centroid self-join past
+       :data:`_CELL_PAIR_JOIN_MIN_K` (see
+       :func:`_candidate_cell_pairs`).  Surviving cell pairs are a tiny
+       relation keyed by ``pid``.
     2. **Score.** Candidate cell-pair blocks are scored by one numpy
        matmul per block inside a cogrouped ``applyInPandas`` (Arrow
        moves each cell's vectors once per block, not once per pair) and
@@ -442,6 +528,9 @@ def cosine_pairs_blocked(
     Scale: comparisons drop from N²/2 HOF evaluations to Σ|cᵢ||cⱼ|
     matmul flops over surviving blocks (SIMD, ~100× cheaper per pair),
     and shuffle volume is one copy of each cell per surviving block.
+    Inside a block the similarity matrix is evaluated in
+    :data:`_SCORE_TILE`² tiles, so one dense cell pair costs bounded
+    task memory no matter how big the cells get.
     At production thresholds (0.8+) the survivor blocks collapse to the
     near-diagonal; even at a permissive t the nested loop is gone —
     everything is hash joins + batched linear algebra.  For approximate
@@ -450,6 +539,8 @@ def cosine_pairs_blocked(
     import math
 
     d_max = math.sqrt(max(2.0 - 2.0 * threshold, 0.0))
+    if n_cells is None:
+        n_cells = _auto_n_cells(emb.count())
     centroids = kmeans_fit(emb, k=n_cells, vec_col=vec_col, id_col=id_col)
     assign = _assign_cell_dist_udf(centroids)
     tagged = emb.select(
@@ -465,18 +556,8 @@ def cosine_pairs_blocked(
         for r in tagged.groupBy("cell").agg(F.max("dist").alias("r")).collect()
     }
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    eps = 1e-9
-    pairs = []
-    cells = sorted(radii)
-    for ii, i in enumerate(cells):
-        for j in cells[ii:]:
-            if (
-                float(np.linalg.norm(C[i] - C[j]))
-                <= d_max + radii[i] + radii[j] + eps
-            ):
-                pairs.append((len(pairs), i, j))
     spark = emb.sparkSession
-    pair_df = spark.createDataFrame(pairs, "pid INT, cell_a INT, cell_b INT")
+    pair_df = _candidate_cell_pairs(spark, C, radii, d_max)
 
     # distinct column names per side: the two cogroup inputs derive from
     # the same plan, and identical names would trip the ambiguous-self-
@@ -496,6 +577,8 @@ def cosine_pairs_blocked(
 
     t_lo = threshold - _PREFILTER_EPS
 
+    tile = _SCORE_TILE
+
     def score_block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty or rpdf.empty:
             return pd.DataFrame({"id_a": [], "id_b": []})
@@ -503,7 +586,17 @@ def cosine_pairs_blocked(
         Y = np.asarray([np.asarray(v, dtype=np.float64) for v in rpdf["rv"]])
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         Y = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
-        li, ri = np.nonzero(X @ Y.T >= t_lo)
+        # tile the similarity matrix: peak temp is tile² doubles, not
+        # |X|·|Y| — a dense cell pair cannot OOM this task
+        li_parts, ri_parts = [], []
+        for x0 in range(0, len(X), tile):
+            Xt = X[x0 : x0 + tile]
+            for y0 in range(0, len(Y), tile):
+                tl, tr = np.nonzero(Xt @ Y[y0 : y0 + tile].T >= t_lo)
+                li_parts.append(tl + x0)
+                ri_parts.append(tr + y0)
+        li = np.concatenate(li_parts)
+        ri = np.concatenate(ri_parts)
         ida = lpdf["lid"].to_numpy()[li]
         idb = rpdf["rid"].to_numpy()[ri]
         if len(ida) and lpdf["lc"].iat[0] == rpdf["rc"].iat[0]:

@@ -83,6 +83,58 @@ def test_blocked_cosine_pairs_match_brute_force(spark):
     assert blocked == brute
 
 
+def test_blocked_cosine_invariant_to_cell_count_and_tile(spark, monkeypatch):
+    """The blocking is lossless by construction, so the output must not
+    depend on tuning knobs: same rows at n_cells=64 as the registered
+    auto-√N plan, same rows again with the score matmul forced through
+    many tiny tiles (_SCORE_TILE=7 → multi-tile on every block)."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+    from real_time_trip_processing_project_spark.plans.training import COSINE_T
+
+    emb = load_fixture(spark, SF, "embeddings")
+    base = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, SF).collect()
+    }
+    assert base, "fixture should contain qualifying pairs"
+    cells64 = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in SIM.cosine_pairs_blocked(emb, COSINE_T, n_cells=64).collect()
+    }
+    assert cells64 == base
+    monkeypatch.setattr(SIM, "_SCORE_TILE", 7)
+    tiled = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in SIM.cosine_pairs_blocked(emb, COSINE_T, n_cells=64).collect()
+    }
+    assert tiled == base
+
+
+def test_cell_pair_join_path_matches_driver_loop(spark, monkeypatch):
+    """Past _CELL_PAIR_JOIN_MIN_K the candidate cell pairs come from a
+    broadcast centroid self-join instead of the driver k² loop; forcing
+    the join path at fixture scale must leave the output unchanged."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+    from real_time_trip_processing_project_spark.plans.training import COSINE_T
+
+    emb = load_fixture(spark, SF, "embeddings")
+    loop = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in SIM.cosine_pairs_blocked(emb, COSINE_T, n_cells=24).collect()
+    }
+    monkeypatch.setattr(SIM, "_CELL_PAIR_JOIN_MIN_K", 0)
+    joined = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in SIM.cosine_pairs_blocked(emb, COSINE_T, n_cells=24).collect()
+    }
+    assert loop, "fixture should contain qualifying pairs"
+    assert joined == loop
+
+
 def test_ivf_output_stable_across_partitioning(spark):
     """kmeans init is ordered-by-id, so sim_ann_ivf must be byte-identical
     under different file-split decisions (the failure mode of a bare
