@@ -168,10 +168,51 @@ def _stream_throughput(spark) -> dict | None:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         n = n_start + n_end
+        # cost split: (a) source+decode alone — the file-source scan and
+        # JSON parse with no stateful operator; (b) the state machine
+        # alone — the full event set replayed as ONE in-memory batch
+        # through the same correlator (no per-micro-batch source/commit
+        # latency).  pipeline ≈ source latency + state machine + sink.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            from real_time_trip_processing_project_spark.streaming import (
+                correlator as C,
+            )
+
+            t0 = time.perf_counter()
+            tagged, _quar = jobs.tagged_union_stream(
+                spark, dirs["start"], dirs["end"]
+            )
+            (
+                tagged.writeStream.format("noop")
+                .option(
+                    "checkpointLocation", os.path.join(root, "ckpt-src")
+                )
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+            source_sec = time.perf_counter() - t0
+
+            static_tagged = jobs.tagged_union_batch(
+                spark, dirs["start"], dirs["end"]
+            )
+            t0 = time.perf_counter()
+            C.correlate_batch(static_tagged).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            state_sec = time.perf_counter() - t0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
         return {
             "events": n,
             "pipeline_sec": round(dt, 3),
             "events_per_sec": round(n / dt, 1),
+            "source_only_sec": round(source_sec, 3),
+            "source_events_per_sec": round(n / source_sec, 1),
+            "correlator_batch_sec": round(state_sec, 3),
+            "correlator_events_per_sec": round(n / state_sec, 1),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

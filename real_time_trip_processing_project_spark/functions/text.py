@@ -85,7 +85,17 @@ def word_count_expr(text: str, word: str) -> Column:
 
 
 def word_count_sql(text: str, word: str) -> str:
-    """SQL twin of :func:`word_count_expr` (DuckDB)."""
+    """SQL twin of :func:`word_count_expr` (DuckDB).
+
+    ``word`` is interpolated into a single-quoted SQL literal; restrict
+    it to the same ASCII word class the splitter produces so a quote or
+    metacharacter can never break (or silently change) the oracle.
+    """
+    import re
+
+    assert re.fullmatch(r"[0-9A-Za-z_]+", word), (
+        f"word_count_sql: word must match [0-9A-Za-z_]+, got {word!r}"
+    )
     return (
         f"CAST(len(list_filter(string_split_regex({text}, "
         f"'{WORD_SPLIT_PATTERN}'), t -> t = '{word}')) AS BIGINT)"
@@ -380,10 +390,20 @@ def pii_count_exprs(text: str) -> dict[str, Column]:
     }
 
 
+def _sql_quotable(s: str) -> str:
+    """Guard for strings interpolated into single-quoted SQL literals:
+    a quote would terminate the literal and corrupt the oracle."""
+    assert "'" not in s and "\\'" not in s, f"unquotable SQL fragment: {s!r}"
+    return s
+
+
 def pii_count_sqls(text: str) -> dict[str, str]:
     """SQL twins (DuckDB has no regexp_count; length of extract_all)."""
     return {
-        name: f"CAST(len(regexp_extract_all({text}, '{pat}')) AS BIGINT)"
+        name: (
+            f"CAST(len(regexp_extract_all({text}, "
+            f"'{_sql_quotable(pat)}')) AS BIGINT)"
+        )
         for name, pat, _ in PII_PATTERNS
     }
 
@@ -400,5 +420,8 @@ def pii_redact_sql(text: str) -> str:
     """SQL twin — DuckDB needs the 'g' flag to replace every match."""
     out = text
     for _, pat, token in PII_PATTERNS:
-        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+        out = (
+            f"regexp_replace({out}, '{_sql_quotable(pat)}', "
+            f"'{_sql_quotable(token)}', 'g')"
+        )
     return out

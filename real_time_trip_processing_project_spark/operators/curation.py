@@ -97,25 +97,36 @@ def pack_sequences(
     stratum_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    shard_hex_chars: int = 1,
 ) -> DataFrame:
-    """Concat-and-chop sequence packing: per-stratum deterministic doc
-    order → token start offsets via window cumsum → bin = start ÷ budget.
-    Returns one row per (stratum, bin) with doc and token counts.
+    """Concat-and-chop sequence packing: per-(stratum, shard)
+    deterministic doc order → token start offsets via window cumsum →
+    bin = start ÷ budget.  Returns one row per (stratum, shard, bin)
+    with doc and token counts.
 
-    Scale: ONE window shuffle, partitioned by the stratum — packing is
-    embarrassingly parallel across strata (per-language shards here; a
-    production pipeline adds a shard key to bound partition size, which
-    changes nothing in the plan shape).  All arithmetic is exact
-    integers; the deterministic md5 order makes re-runs and the oracle
-    reproduce identical bins.
+    The shard key is the first ``shard_hex_chars`` of ``md5(doc_id)`` —
+    16ᶜ uniform shards per stratum, so a 90%-one-language corpus no
+    longer serializes through a single window partition: partition size
+    is bounded at ~|stratum|/16ᶜ regardless of language skew (raise to
+    2-3 chars → 256/4096 shards at cluster scale).  md5 keeps the shard
+    assignment engine-portable (DuckDB computes the identical key), and
+    it is also the window's order prefix, so shard membership and
+    intra-shard order come from one hash evaluation.
+
+    Scale: ONE window shuffle, partitioned by (stratum, shard) —
+    packing is embarrassingly parallel across shards.  All arithmetic is
+    exact integers; the deterministic md5 order makes re-runs and the
+    oracle reproduce identical bins.
     """
+    md5 = F.md5(F.col(id_col).cast("string"))
     toks = docs.select(
         F.col(stratum_col).alias("stratum"),
+        F.substring(md5, 1, shard_hex_chars).alias("shard"),
         F.col(id_col).alias("doc_id"),
         TX.ws_token_count_expr(text_col).alias("n_tok"),
     )
     w = (
-        Window.partitionBy("stratum")
+        Window.partitionBy("stratum", "shard")
         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -125,7 +136,7 @@ def pack_sequences(
             "long"
         ),
     )
-    return placed.groupBy("stratum", "bin").agg(
+    return placed.groupBy("stratum", "shard", "bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("bin_tokens"),
         F.min("doc_id").alias("min_doc_id"),

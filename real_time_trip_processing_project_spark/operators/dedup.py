@@ -6,12 +6,12 @@ training-data pipeline needs, each as a declarative DataFrame plan:
 
 - **exact** — hash-groupBy on (normalized) content; one shuffle on the
   content hash, map-side partial aggregation shrinks it first.
-- **n-gram Jaccard** (exact near-dup) — inverted-index self-join on word
-  shingles: only pairs sharing ≥1 shingle are ever materialized, so the
-  complexity is Σ(posting-list²) not N².  This is the standard
-  set-similarity-join shape; at 100 TB add prefix filtering (drop the
-  most frequent shingles from the index — they can't push a pair over
-  the threshold alone) which is noted but not applied at test SF.
+- **n-gram Jaccard** (exact near-dup) — PPJoin-style set-similarity
+  join: rarest-first prefix-filtered inverted index (only each doc's
+  ``(1−t)·|A|+1`` globally-rarest shingles are indexed) + length filter
+  + exact-Jaccard verification of candidates.  Candidate volume is
+  Σ(prefix-posting²), immune to Zipf-heavy boilerplate shingles whose
+  full posting lists would go quadratic.
 - **MinHash + LSH** — per-doc signature (k permutations via seeded
   xxhash64), banded into buckets; candidate pairs come from bucket
   collisions only (linear shuffle), then exact-Jaccard verification.
@@ -105,43 +105,35 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _verify_pairs(
-    cand: DataFrame,
-    docs: DataFrame,
-    threshold: float,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    cand: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact-Jaccard verification of narrow (id_a, id_b) candidate pairs.
+    """Exact-Jaccard verification of narrow (id_a, id_b) candidate pairs
+    against pre-shingled (id, shingles, n_sh) rows.
 
-    Joins the raw documents back by id and computes shingle sets only on
-    candidate rows — candidates are orders of magnitude fewer than the
-    corpus, so this avoids a second (and third) full-corpus shingle
-    pass, and wide array payloads never travel through the candidate
-    shuffle (they're computed after it).
+    Two equi-joins by id pull each side's (already computed) shingle set
+    onto the candidate row; wide array payloads are joined only for
+    candidates — orders of magnitude fewer than the corpus — and never
+    travel through the candidate-generation shuffle.
     """
-    d_a = docs.select(
-        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")
+    sh_a = sh.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
     )
-    d_b = docs.select(
-        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")
+    sh_b = sh.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
     )
-    sh_a = word_shingles(F.col("text_a"))
-    sh_b = word_shingles(F.col("text_b"))
     paired = (
-        cand.join(d_a, "id_a")
-        .join(d_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            sh_a.alias("sh_a"),
-            sh_b.alias("sh_b"),
-        )
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .select(
             "id_a",
             "id_b",
             F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("common"),
-            F.size("sh_a").cast("long").alias("n_a"),
-            F.size("sh_b").cast("long").alias("n_b"),
+            "n_a",
+            "n_b",
         )
     )
     jac = F.col("common").cast("double") / (
@@ -154,36 +146,54 @@ def _verify_pairs(
     )
 
 
-def jaccard_pairs(
+def jaccard_prefix_candidates(
     docs: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via inverted-index self-join
-    with length filtering.
+    """PPJoin candidate pairs (id_a < id_b): every pair that can reach
+    Jaccard ≥ t, generated from a **prefix-filtered** inverted index.
 
-    Plan: one shingle pass → explode to (shingle, id, n) postings →
-    self-equi-join on shingle (only co-occurring pairs appear, with a
-    length filter t·|A| ≤ |B| ≤ |A|/t in the join condition) → groupBy
-    pair counting shared shingles → Jaccard = common/(|A|+|B|−common).
+    Shingles are ranked per doc by global document frequency ascending
+    (ties broken by shingle text — one deterministic total order for the
+    whole corpus); only the first ``|A| − ⌈t·|A|⌉ + 1`` shingles of each
+    doc are indexed.  Soundness (the classic prefix-filter lemma): the
+    candidate join also applies the length filter ``t·|B| ≤ |A| ≤
+    |B|/t``, under which a qualifying pair has overlap
+    c ≥ t(|A|+|B|)/(1+t) ≥ ⌈t·|X|⌉ for BOTH sides, and two sets whose
+    overlap is ≥ that must intersect within those prefixes.
 
-    Every shuffled row is ~24 bytes — no shingle arrays ever enter a
-    shuffle, and the shared-shingle count falls out of the join itself
-    (no per-pair set intersection).  Pair-row volume is Σ_s df(s)² over
-    shingle document frequencies; for natural text the tail is tame and
-    AQE skew-join splits the hot shingles.  At 100 TB add prefix
-    filtering (index only each doc's first |A|−⌈t·|A|⌉+1 shingles in a
-    global frequency order, then verify candidates — the PPJoin shape)
-    to bound df(s); at fixture scale the direct join is strictly faster
-    (prefix+verify re-materializes shingle sets per candidate, measured
-    10× slower at sf0.1).
+    This is what bounds the join at 100 TB: a boilerplate shingle shared
+    by millions of docs has df so high it lands in almost no doc's
+    rarest-first prefix, so its posting list never goes quadratic —
+    candidate volume is Σ df_prefix(s)², not Σ df(s)².  Costs one extra
+    narrow groupBy (the df table) and a per-doc window rank over
+    postings, both linear.
     """
     sh = shingled_docs(docs, id_col, text_col)
+    return _prefix_candidates(sh, threshold)
+
+
+def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate join over pre-shingled (id, shingles, n_sh) rows."""
     posting = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
-    a = posting.alias("a")
-    b = posting.alias("b")
-    common = (
+    dfreq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    prefix = (
+        posting.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+        )
+        .select("id", "n_sh", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -192,22 +202,43 @@ def jaccard_pairs(
             & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
             & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh")),
         )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count("*").alias("common"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    jac = F.col("common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("common")
-    ).cast("double")
-    return (
-        common.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs: PPJoin prefix-filtered
+    candidate generation + exact verification.
+
+    Plan: one shingle pass → global shingle-df table → rarest-first
+    per-doc prefixes (:func:`jaccard_prefix_candidates`) → prefix
+    self-join with length filtering → exact Jaccard on the surviving
+    candidates only (:func:`_verify_pairs`).  Every shuffled candidate
+    row is two ids; shingle arrays are re-derived just for candidate
+    docs in the verify step.
+
+    Scale: the prefix filter is the Zipf guard — without it one
+    boilerplate sentence shared corpus-wide makes a posting list whose
+    self-join is quadratic; with it, high-df shingles drop out of the
+    index entirely (they can never be among a doc's ``(1−t)·|A|+1``
+    rarest), so candidate volume tracks genuinely-similar pairs.
+
+    The shingled corpus is localCheckpointed so the (CPU-dominant)
+    shingle pass runs once and feeds candidate generation AND both
+    verify sides — on a cluster this is the usual
+    persist(MEMORY_AND_DISK) of a set-similarity join's tokenized
+    relation; recomputing instead is also correct, just 3× the string
+    work.
+    """
+    sh = shingled_docs(docs, id_col, text_col).localCheckpoint(eager=False)
+    cand = _prefix_candidates(sh, threshold)
+    return _verify_pairs(cand, sh, threshold)
 
 
 #: Universal-hash permutation constants (h_i = (a_i·h + b_i) mod P over a
@@ -242,6 +273,11 @@ def minhash_signatures(
     modular arithmetic is exact.
     """
     sh = shingled_docs(docs, id_col, text_col)
+    return _minhash_from_sh(sh)
+
+
+def _minhash_from_sh(sh: DataFrame) -> DataFrame:
+    """Signatures from pre-shingled (id, shingles, n_sh) rows."""
     hashed = sh.select(
         "id", "n_sh", F.explode("shingles").alias("s")
     ).select(
@@ -281,12 +317,14 @@ def minhash_lsh_pairs(
        sets and filter ≥ threshold.
 
     Scale: candidates ≪ N²; the bucket join shuffles only colliding ids.
-    Verification re-computes intersection via array ops on the two
-    carried shingle arrays — no second pass over the corpus.  Recall for
-    Jaccard=0.9 with 16×4 banding: 1-(1-0.9⁴)¹⁶ ≈ 1.0000 (tested against
-    the exact operator in tests/test_training_tier.py).
+    The shingled corpus is localCheckpointed once and feeds both the
+    signature pass and the exact verification joins — no second shingle
+    pass over the corpus.  Recall for Jaccard=0.9 with 16×4 banding:
+    1-(1-0.9⁴)¹⁶ ≈ 1.0000 (tested against the exact operator in
+    tests/test_training_tier.py).
     """
-    sigs = minhash_signatures(docs, id_col, text_col)
+    sh = shingled_docs(docs, id_col, text_col).localCheckpoint(eager=False)
+    sigs = _minhash_from_sh(sh)
     # narrow band index: (id, band, bucket) — signatures and shingle
     # arrays stay out of the candidate shuffle
     bands = sigs.select(
@@ -320,7 +358,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verify_pairs(cand, docs, threshold, id_col, text_col)
+    return _verify_pairs(cand, sh, threshold)
 
 
 #: SimHash banding: 32 bits → 4 bands of 8.  By pigeonhole, any pair with
@@ -384,61 +422,103 @@ def simhash_pairs(
     )
 
 
-def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
-) -> DataFrame:
-    """Duplicate clusters from near-dup pairs: (doc_id, canonical_id) where
-    canonical is the min id reachable through the pair graph.
+def cc_star_contraction(
+    pairs: DataFrame, max_iterations: int = 25
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star connected components (the MapReduce CC of
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) over undirected (id_a, id_b) pairs.
 
-    Iterative label propagation: every node starts labeled with itself;
-    each round joins labels across edges (both directions) and keeps the
-    min.  Convergence is checked with an ``isEmpty`` on the changed set,
-    so rounds = graph diameter (near-dup clusters are shallow — 2-4
-    rounds in practice).  This is the DataFrame form of the classic
-    MapReduce min-label CC; at 100 TB swap in large-star/small-star to
-    cut the round count to O(log n) on high-diameter graphs.
+    Each round:
+
+    - **large-star**: every node u points its *larger* neighbors at
+      ``m(u) = min(Γ(u) ∪ {u})`` — computed as a window min over the
+      bidirectional edge list, no adjacency collect.
+    - **small-star**: every node u points its smaller neighbors (and
+      itself) at its minimum neighbor.
+
+    Both are one shuffle (window by node) + distinct; edges strictly
+    shrink toward star graphs rooted at each component's minimum, and
+    the round count is O(log n) even on path graphs — unlike min-label
+    propagation, whose rounds equal the graph *diameter* (a long
+    duplicate chain at crawl scale stalls it).  Convergence = the
+    small-star output equals its input (count + exceptAll probe on
+    locally-checkpointed, lineage-truncated edge sets).
+
+    Returns (star edges ``(root, node)`` with root < node, rounds used).
+    """
+    edges = (
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql.window import Window
+
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # large-star over the bidirectional view: m = min(Γ(u) ∪ {u});
+        # larger neighbors v > u re-attach to m (m ≤ u < v keeps the
+        # (lo, hi) orientation canonical with no self-loops)
+        bi = edges.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).unionByName(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        wu = Window.partitionBy("u")
+        ls = (
+            bi.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .distinct()
+        )
+        # small-star over (hi → its smaller neighbors): m = min neighbor;
+        # each smaller neighbor and hi itself attach to m
+        wh = Window.partitionBy("hi")
+        sm = ls.withColumn("m", F.min("lo").over(wh))
+        ss = (
+            sm.select(F.col("m").alias("lo"), F.col("hi"))
+            .unionByName(
+                sm.filter(F.col("lo") != F.col("m")).select(
+                    F.col("m").alias("lo"), F.col("lo").alias("hi")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if ss.count() == edges.count() and ss.exceptAll(edges).isEmpty():
+            edges = ss
+            break
+        edges = ss
+    return edges, rounds
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (doc_id, canonical_id)
+    where canonical is the min id reachable through the pair graph —
+    via :func:`cc_star_contraction` (O(log n) rounds; a min-label
+    propagation needs diameter rounds and stalls on long chains).
 
     Only nodes that appear in a pair are returned (singletons are their
     own cluster trivially and would dominate the output).
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    stars, _ = cc_star_contraction(pairs, max_iterations)
+    return (
+        stars.select(
+            F.col("hi").alias("doc_id"), F.col("lo").alias("canonical_id")
+        )
         .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .distinct()
-    )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    )
-    for _ in range(max_iterations):
-        # candidate labels flowing across edges
-        prop = (
-            edges.join(labels, edges.dst == labels.id)
-            .select(F.col("src").alias("id"), F.col("label"))
-            .groupBy("id")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        updated = (
-            labels.join(prop, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("new_label"),
-                "label",
+            stars.select(
+                F.col("lo").alias("doc_id"), F.col("lo").alias("canonical_id")
             )
         )
-        changed = updated.filter(F.col("new_label") < F.col("label"))
-        labels = updated.select("id", F.col("new_label").alias("label"))
-        # local checkpoint truncates the growing lineage each round AND
-        # materializes `labels` so the convergence probe below doesn't
-        # recompute the whole chain
-        labels = labels.localCheckpoint(eager=True)
-        if changed.isEmpty():
-            break
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+        .distinct()
     )
 
 

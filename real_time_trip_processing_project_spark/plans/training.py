@@ -137,8 +137,9 @@ _PAIRS_CTE = f"""
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the exact
-    near-dup pair graph, canonical = min doc_id per component (iterative
-    min-label propagation; recursive-CTE oracle)."""
+    near-dup pair graph, canonical = min doc_id per component
+    (large-star/small-star contraction, O(log n) rounds; recursive-CTE
+    oracle)."""
     pairs = DD.jaccard_pairs(load_fixture(spark, sf_dir, "documents"), JACCARD_T)
     return DD.connected_components(pairs)
 
@@ -578,31 +579,34 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_pack_sequences",
     oracle=f"""
         WITH toks AS (
-            SELECT lang AS stratum, doc_id,
+            SELECT lang AS stratum,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   doc_id,
                    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
             FROM documents
         ),
         placed AS (
-            SELECT stratum, doc_id, n_tok,
+            SELECT stratum, shard, doc_id, n_tok,
                    CAST(floor(coalesce(sum(n_tok) OVER (
-                       PARTITION BY stratum
+                       PARTITION BY stratum, shard
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) / {CU.PACK_BUDGET}) AS BIGINT) AS bin
             FROM toks
         )
-        SELECT stratum, bin,
+        SELECT stratum, shard, bin,
                count(*)                       AS n_docs,
                CAST(sum(n_tok) AS BIGINT)     AS bin_tokens,
                min(doc_id)                    AS min_doc_id
-        FROM placed GROUP BY 1, 2
+        FROM placed GROUP BY 1, 2, 3
     """,
     tags=["EXT", "curation"],
 )
 def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chop sequence packing into fixed-token-budget bins,
-    deterministic md5 doc order, parallel per language stratum (one
-    window shuffle — see operators/curation.py)."""
+    deterministic md5 doc order, parallel per (language stratum ×
+    md5 shard) — language skew cannot serialize the window (one window
+    shuffle — see operators/curation.py)."""
     return CU.pack_sequences(load_fixture(spark, sf_dir, "documents"))
 
 
@@ -1167,6 +1171,10 @@ def tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id AS media_id, text AS t,
                    CAST(length(text) AS BIGINT) AS n
             FROM documents
+            -- byte==char-code only holds for ASCII; both engines apply
+            -- the same guard so a non-ASCII fixture doc cannot
+            -- silently misalign bytes vs chars
+            WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
         ),
         w AS (
             SELECT media_id, t, n,
@@ -1191,9 +1199,13 @@ def tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio energy/peak over binary payloads (uint8-PCM
     interpretation; see operators/multimodal.py:audio_window_features).
-    Oracle reconstructs byte values as ASCII codes of the all-ASCII
-    fixture text — exact-integer parity, no float in sight."""
-    docs = load_fixture(spark, sf_dir, "documents")
+    Oracle reconstructs byte values as ASCII codes of the fixture text;
+    both sides filter to ASCII-only docs so the byte↔char equivalence
+    the oracle relies on is guarded, not assumed — exact-integer
+    parity, no float in sight."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(r"^[\x00-\x7F]*$")
+    )
     return MM.audio_window_features(MM.media_from_documents(docs))
 
 

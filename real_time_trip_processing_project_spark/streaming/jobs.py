@@ -30,6 +30,13 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
+#: Spark's default (heap-backed) state store — set explicitly when
+#: ``state_store="hdfs"`` so pipelines alternating providers in one
+#: session each get what they asked for (the conf is session-global).
+HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
 #: JSON-on-the-wire schemas per stream (datetimes are strings on the wire,
 #: matching the reference's CSV→JSON events — send_to_kinesis.py:45-50).
 START_WIRE = T.StructType(
@@ -127,6 +134,30 @@ def tagged_union_stream(
     return starts.unionByName(ends), bad_starts.unionByName(bad_ends)
 
 
+def tagged_union_batch(
+    spark: SparkSession, start_dir: str, end_dir: str
+) -> DataFrame:
+    """Static twin of :func:`tagged_union_stream` (backfill / bench
+    replay): same schema, PERMISSIVE decode, validity filter, tag and
+    union — via ``spark.read`` instead of ``readStream`` (malformed rows
+    are dropped here rather than quarantined; the streaming path owns
+    T5 isolation)."""
+
+    def _read(schema: T.StructType, path: str, tag: str) -> DataFrame:
+        df = (
+            spark.read.schema(_with_corrupt(schema))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+        bad = F.col(CORRUPT_COL).isNotNull() | F.col("trip_id").isNull()
+        return _tag(df.filter(~bad).drop(CORRUPT_COL), tag)
+
+    return _read(START_WIRE, start_dir, "trip_start").unionByName(
+        _read(END_WIRE, end_dir, "trip_end")
+    )
+
+
 def decode_kafka_records(
     records: DataFrame,
     start_topic: str = "trip-start",
@@ -213,16 +244,25 @@ class PipelineQueries:
     main: StreamingQuery
     quarantine: StreamingQuery | None = None
 
-    def await_termination(self, timeout: float | None = None) -> None:
-        if timeout is not None:
-            self.main.awaitTermination(timeout)
-        else:
+    def await_termination(self, timeout: float | None = None) -> bool:
+        """Wait for both queries.  ``timeout`` (seconds) is a combined
+        budget — the quarantine wait gets whatever the main wait left —
+        and the return value says whether every query actually
+        terminated (False = the budget ran out first).  With no timeout,
+        blocks until both terminate and returns True."""
+        import time
+
+        if timeout is None:
             self.main.awaitTermination()
-        if self.quarantine is not None:
-            if timeout is not None:
-                self.quarantine.awaitTermination(timeout)
-            else:
+            if self.quarantine is not None:
                 self.quarantine.awaitTermination()
+            return True
+        deadline = time.monotonic() + timeout
+        done = bool(self.main.awaitTermination(timeout))
+        if self.quarantine is not None:
+            remaining = max(0.0, deadline - time.monotonic())
+            done = bool(self.quarantine.awaitTermination(remaining)) and done
+        return done
 
     def stop(self) -> None:
         for q in (self.main, self.quarantine):
@@ -272,10 +312,10 @@ def start_trip_pipeline(
         )
     if state_store not in ("hdfs", "rocksdb"):
         raise ValueError(f"state_store must be 'hdfs' or 'rocksdb', got {state_store!r}")
-    if state_store == "rocksdb":
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
-        )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        ROCKSDB_PROVIDER if state_store == "rocksdb" else HDFS_PROVIDER,
+    )
     tagged, quarantine = tagged_union_stream(spark, start_dir, end_dir)
     trips = C.correlate_stream(tagged, mode=mode, state_ttl_ms=state_ttl_ms)
     writer = (

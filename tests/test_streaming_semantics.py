@@ -364,3 +364,34 @@ def test_permutation_invariance(spark, tmp_path):
             for r in cur.filter(F.col("status") == "Completed").collect()
         }
         assert got == want_fares, f"seed {seed}"
+
+
+def test_correlate_batch_matches_stream_completed_set(spark, tmp_path):
+    """The batch twin (one in-memory 'micro-batch' through the same state
+    machine — the bench probe that isolates correlator cost) must
+    complete exactly the trips the streaming drain completes, with the
+    same merged fields."""
+    from real_time_trip_processing_project_spark.streaming import (
+        correlator as C,
+    )
+
+    n = 10
+    dirs = _dirs(tmp_path)
+    start_dir, end_dir, store, _, _ = dirs
+    producer.write_stream_files(
+        [_start_event(i) for i in range(n)], start_dir
+    )
+    producer.write_stream_files([_end_event(i) for i in range(n)], end_dir)
+    _drain(spark, dirs)
+    cur = sinks.current_trips(spark, store)
+    want = {
+        (r["trip_id"], r["fare_amount"], str(r["date"]))
+        for r in cur.filter(F.col("status") == "Completed").collect()
+    }
+    tagged = jobs.tagged_union_batch(spark, start_dir, end_dir)
+    out = C.correlate_batch(tagged)
+    got = {
+        (r["trip_id"], r["fare_amount"], str(r["date"]))
+        for r in out.filter(F.col("status") == "Completed").collect()
+    }
+    assert got == want and len(got) == n

@@ -30,6 +30,75 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
     assert lsh == exact
 
 
+def test_cc_star_contraction_logarithmic_on_path_graph(spark):
+    """A planted 50-node path (worst case for min-label propagation:
+    diameter 49 rounds) must converge in O(log n) star-contraction
+    rounds with every node labeled by the path's minimum id."""
+    from real_time_trip_processing_project_spark.operators import dedup as DD
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 50)], "id_a LONG, id_b LONG"
+    )
+    stars, rounds = DD.cc_star_contraction(pairs)
+    assert rounds <= 10, f"expected O(log n) rounds, used {rounds}"
+    labels = {r.doc_id: r.canonical_id
+              for r in DD.connected_components(pairs).collect()}
+    assert labels == {i: 1 for i in range(1, 51)}
+
+
+def test_cc_multiple_components_and_cycles(spark):
+    """Two components (one with a cycle + chord) resolve to their min
+    ids; no cross-contamination."""
+    from real_time_trip_processing_project_spark.operators import dedup as DD
+
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 5), (5, 3), (7, 9), (20, 21), (21, 22)],
+        "id_a LONG, id_b LONG",
+    )
+    labels = {r.doc_id: r.canonical_id
+              for r in DD.connected_components(pairs).collect()}
+    assert labels == {3: 3, 5: 3, 7: 3, 9: 3, 20: 20, 21: 20, 22: 20}
+
+
+def test_jaccard_prefix_filter_prunes_candidates(spark):
+    """The PPJoin prefix filter must (a) lose no qualifying pair — the
+    registered query equals the unfiltered full-index join — and (b)
+    measurably shrink the candidate set (the Zipf guard it exists for)."""
+    from real_time_trip_processing_project_spark.operators import dedup as DD
+    from real_time_trip_processing_project_spark.plans.training import JACCARD_T
+
+    docs = load_fixture(spark, SF, "documents")
+    sh = DD.shingled_docs(docs)
+    posting = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    a, b = posting.alias("a"), posting.alias("b")
+    t = JACCARD_T
+    full_cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n_sh") * F.lit(t) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(t) <= F.col("b.n_sh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    full_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD._verify_pairs(full_cand, sh, t).collect()
+    }
+    pp_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, SF).collect()
+    }
+    assert pp_pairs == full_pairs and pp_pairs
+    n_full = full_cand.count()
+    n_prefix = DD.jaccard_prefix_candidates(docs, t).count()
+    print(f"\nPPJoin candidates: {n_prefix} vs full-index {n_full} "
+          f"({n_full / max(n_prefix, 1):.1f}x reduction)")
+    assert n_prefix < n_full
+
+
 def test_ann_recall_vs_brute_force(spark):
     """8 tables × 8 bits + 1-bit multi-probe on quasi-random 64-d vectors:
     recall@10 ≈ 0.68 measured; assert a safe floor well above chance
@@ -281,7 +350,8 @@ def test_contamination_semantics(spark):
 
 def test_pack_sequences_semantics(spark):
     """Contiguous packing: bin = floor(start_offset / budget) in the
-    deterministic md5 order; totals and doc counts conserved."""
+    deterministic md5 order, independently per md5 shard; totals and
+    doc counts conserved."""
     import hashlib
 
     from real_time_trip_processing_project_spark.operators import curation as CU
@@ -292,17 +362,43 @@ def test_pack_sequences_semantics(spark):
         "doc_id LONG, lang STRING, text STRING",
     )
     rows = CU.pack_sequences(docs, budget=10).collect()
-    # expected: order by md5(str(id)); starts 0,6,12,18,24,30 → bins 0,0,1,1,2,3
-    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
-    exp_bins: dict[int, list[int]] = {}
-    for pos, i in enumerate(order):
-        exp_bins.setdefault((pos * 6) // 10, []).append(i)
-    got = {r["bin"]: r for r in rows}
+    by_shard: dict[str, list[int]] = {}
+    for i in ids:
+        by_shard.setdefault(
+            hashlib.md5(str(i).encode()).hexdigest()[0], []
+        ).append(i)
+    exp_bins: dict[tuple[str, int], list[int]] = {}
+    for shard, members in by_shard.items():
+        order = sorted(
+            members,
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        for pos, i in enumerate(order):
+            exp_bins.setdefault((shard, (pos * 6) // 10), []).append(i)
+    got = {(r["shard"], r["bin"]): r for r in rows}
     assert set(got) == set(exp_bins)
-    for b, members in exp_bins.items():
-        assert got[b]["n_docs"] == len(members)
-        assert got[b]["bin_tokens"] == 6 * len(members)
-        assert got[b]["min_doc_id"] == min(members)
+    for key, members in exp_bins.items():
+        assert got[key]["n_docs"] == len(members)
+        assert got[key]["bin_tokens"] == 6 * len(members)
+        assert got[key]["min_doc_id"] == min(members)
+
+
+def test_pack_sequences_shards_bound_language_skew(spark):
+    """A 95%-one-language corpus must spread its window work across the
+    md5 shards (not one partition per lang): the dominant stratum shows
+    ≥ 8 distinct shards, each conserving its doc/token totals."""
+    from real_time_trip_processing_project_spark.operators import curation as CU
+
+    rows = [(i, "en" if i % 20 else "fr", "w " * 5) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    out = CU.pack_sequences(docs, budget=50).collect()
+    en_shards = {r["shard"] for r in out if r["stratum"] == "en"}
+    assert len(en_shards) >= 8, en_shards
+    assert sum(r["n_docs"] for r in out) == 400
+    assert sum(r["bin_tokens"] for r in out) == 400 * 5
+    # the window spec itself must carry the shard key
+    plan = CU.pack_sequences(docs, budget=50)._jdf.queryExecution().toString()
+    assert "shard" in plan
 
 
 def test_pii_redact_semantics(spark):
