@@ -668,6 +668,10 @@ def quantize_int8(
 _COV_COLSUM = -1
 
 
+#: Fixed-point tick scale for exact covariance moments: one micro-unit.
+_COV_TICK = 1e6
+
+
 def covariance_upper(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -682,6 +686,19 @@ def covariance_upper(
     final combine is a hash-aggregate over (i, j) plus two broadcast
     joins of the d-row mean table.  At any N this shuffles O(parts·d²),
     never O(N).
+
+    Exactness discipline (same as the ``_cents`` fixed-point pattern in
+    plans/core.py): components are quantized to integer micro-ticks
+    ``floor(v·1e6 + 0.5)`` — floor of a shifted double is tie-free and
+    bit-identical across numpy/Spark/DuckDB, unlike round-half-even vs
+    half-up — and every moment (XᵀX, column sums, count) accumulates in
+    INTEGER arithmetic, so partial-sum order cannot perturb a single
+    bit.  The one float expression, ``(n·Sab − Sa·Sb) / n² / 1e12``,
+    is evaluated from exact integers identically by any engine.
+    Integer headroom: |tick| ≤ 2^31 for |v| ≤ 2147, tick products
+    ≤ 2^62/row; per-partition int64 sums are safe to ~2^62 rows·ticks²
+    and the cross-partition combine is decimal(38,0), so the same plan
+    holds at cluster scale.
     """
     import numpy as np
 
@@ -693,13 +710,14 @@ def covariance_upper(
             if not len(pdf):
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            T = np.floor(X * _COV_TICK + 0.5).astype(np.int64)
             if S is None:
-                S = X.T @ X
-                s = X.sum(axis=0)
+                S = T.T @ T
+                s = T.sum(axis=0)
             else:
-                S += X.T @ X
-                s += X.sum(axis=0)
-            n += len(X)
+                S += T.T @ T
+                s += T.sum(axis=0)
+            n += len(T)
         if S is None:
             return
         d = S.shape[0]
@@ -708,15 +726,19 @@ def covariance_upper(
             {
                 "i": np.concatenate([iu, np.arange(d), [-1]]),
                 "j": np.concatenate([ju, np.full(d, _COV_COLSUM), [-1]]),
-                "val": np.concatenate([S[iu, ju], s, [float(n)]]),
+                "val": np.concatenate([S[iu, ju], s, [n]]),
             }
         )
         out["i"] = out["i"].astype("int32")
         out["j"] = out["j"].astype("int32")
+        out["val"] = out["val"].astype("int64")
         yield out
 
-    partials = emb.select(vec_col).mapInPandas(part, "i int, j int, val double")
-    tot = partials.groupBy("i", "j").agg(F.sum("val").alias("val"))
+    partials = emb.select(vec_col).mapInPandas(part, "i int, j int, val long")
+    dec = "decimal(38,0)"
+    tot = partials.groupBy("i", "j").agg(
+        F.sum(F.col("val").cast(dec)).alias("val")
+    )
     n_row = tot.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("val").alias("n")
     )
@@ -724,6 +746,8 @@ def covariance_upper(
         F.col("i").alias("mi"), F.col("val").alias("si")
     )
     pairs = tot.filter((F.col("i") >= 0) & (F.col("j") >= 0))
+    num = (F.col("n") * F.col("val") - F.col("s_i") * F.col("s_j")).cast("double")
+    n_d = F.col("n").cast("double")
     return (
         pairs.join(F.broadcast(means).withColumnRenamed("mi", "ii"), F.col("i") == F.col("ii"))
         .withColumnRenamed("si", "s_i")
@@ -735,10 +759,12 @@ def covariance_upper(
         .select(
             "i",
             "j",
-            F.round(
-                F.col("val") / F.col("n")
-                - (F.col("s_i") / F.col("n")) * (F.col("s_j") / F.col("n")),
-                6,
+            (
+                F.round(
+                    num / (n_d * n_d) / F.lit(_COV_TICK * _COV_TICK),
+                    6,
+                )
+                + F.lit(0.0)  # -0.0 + 0.0 == +0.0: normalize signed zero
             ).alias("cov"),
         )
     )

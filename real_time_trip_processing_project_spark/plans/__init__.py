@@ -11,83 +11,6 @@ from real_time_trip_processing_project_spark.plans import core  # noqa: F401
 from real_time_trip_processing_project_spark.plans import extended  # noqa: F401
 from real_time_trip_processing_project_spark.plans import training  # noqa: F401
 
-# The external verifier oracles the FIRST 50 registry entries each round.
-# Rotate verification coverage: queries without a hash-checked row in any
-# CORRECTNESS_r*.json go first, then queries whose implementing module was
-# reworked after its last check (dedup family: similarity/dedup rewrites),
-# then the twice-verified core/extended tier.
-_VERIFY_FIRST = [
-    # extended.py tier, registered r2, never inside the check window
-    "explode_posexplode",
-    "unpivot_measures",
-    "window_first_last_nth",
-    "median_mode",
-    "hof_array_pipeline",
-    "exists_subquery",
-    "interval_arithmetic",
-    "tpch_q3_topk",
-    "safe_arithmetic",
-    "approx_quantiles",
-    "lateral_topn_per_group",
-    "dq_report",
-    "zorder_locality",
-    "udtf_tokenize",
-    "rollup_grouping_id",
-    # training tier (plans/training.py), never driver-checked
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "text_fingerprint",
-    "text_term_freq",
-    "sample_stratified",
-    "split_train_eval",
-    "split_leakage_safe",
-    "dedup_incremental",
-    "curation_contamination",
-    "curation_pack_sequences",
-    "text_pii_redact",
-    "doc_domain_stats",
-    "mixture_weighted_sample",
-    "seq_length_histogram",
-    "quality_calibration",
-    "text_repetition",
-    "text_lm_score",
-    "embedding_covariance",
-    "embedding_quantize_int8",
-    "text_bm25_search",
-    "tokenizer_pair_counts",
-    "multimodal_audio_windows",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # r1-checked but implementing modules reworked since (operators/dedup.py,
-    # operators/similarity.py, plans/training.py cluster plan)
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "dedup_exact",
-]
-
-
-def _reorder() -> None:
-    missing = [n for n in _VERIFY_FIRST if n not in catalog.REGISTRY]
-    if missing:
-        raise ValueError(f"_VERIFY_FIRST names not registered: {missing}")
-    ordered = {n: catalog.REGISTRY[n] for n in _VERIFY_FIRST}
-    ordered.update(
-        (n, q) for n, q in catalog.REGISTRY.items() if n not in ordered
-    )
-    catalog.REGISTRY.clear()
-    catalog.REGISTRY.update(ordered)
-
-
-_reorder()
-
 REGISTRY = catalog.REGISTRY
 
 __all__ = ["REGISTRY", "catalog"]

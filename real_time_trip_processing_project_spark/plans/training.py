@@ -969,19 +969,22 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
         x AS (
             SELECT vec_id,
-                   unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v,
+                   CAST(floor(unnest(list_transform(embedding,
+                        v -> CAST(v AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS t,
                    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i
             FROM e
         ),
-        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
-        m AS (SELECT i, sum(v) AS s FROM x GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM e),
+        m AS (SELECT i, sum(t) AS s FROM x GROUP BY 1),
         p AS (
-            SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sij
+            SELECT a.i AS i, b.i AS j, sum(a.t * b.t) AS sij
             FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY 1, 2
         )
         SELECT p.i, p.j,
-               round(p.sij / n.n - (ma.s / n.n) * (mb.s / n.n), 6) AS cov
+               round(CAST(n.n * p.sij - ma.s * mb.s AS DOUBLE)
+                     / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE))
+                     / 1e12, 6) + 0.0 AS cov  -- normalize -0.0
         FROM p
         JOIN m ma ON ma.i = p.i
         JOIN m mb ON mb.i = p.j
@@ -993,7 +996,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covariance matrix of the embedding corpus (upper triangle) via
     per-partition XᵀX partial sums — O(parts·d²) shuffle, never O(N)
     (operators/similarity.py:covariance_upper).  The oracle does the
-    element-pair self-join the distributed plan deliberately avoids."""
+    element-pair self-join the distributed plan deliberately avoids.
+    Both sides quantize components to integer micro-ticks and keep all
+    moments in exact integer arithmetic, so summation order cannot move
+    the 6th decimal (the r3 hash-mismatch cause)."""
     return SIM.covariance_upper(load_fixture(spark, sf_dir, "embeddings"))
 
 

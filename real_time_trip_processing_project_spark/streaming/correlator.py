@@ -249,46 +249,166 @@ class _BatchGroupState:
         pass
 
 
+_DBL_FIELDS = {
+    "estimated_fare_amount",
+    "rate_code",
+    "passenger_count",
+    "trip_distance",
+    "fare_amount",
+    "tip_amount",
+    "payment_type",
+    "trip_type",
+}
+
+
+def _assemble(
+    sub: pd.DataFrame, use_start: bool, use_end: bool, status: str
+) -> pd.DataFrame:
+    """Columnar OUT_SCHEMA frame from merged start⋈end rows — the typed
+    per-row work of :func:`_emit_row` done once per column instead of
+    once per value."""
+    out = pd.DataFrame(index=pd.RangeIndex(len(sub)))
+    out["trip_id"] = sub["trip_id"].to_numpy()
+    for f, used in [(f, use_start) for f in START_FIELDS[1:]] + [
+        (f, use_end) for f in END_FIELDS
+    ]:
+        if used:
+            col = pd.Series(sub[f].to_numpy())
+        else:
+            col = pd.Series([None] * len(sub), dtype="object")
+        if f in _TS_FIELDS:
+            col = pd.to_datetime(col)
+        elif f in _INT_FIELDS:
+            col = col.astype("Int32")
+        elif f in _DBL_FIELDS:
+            col = col.astype("Float64")
+        out[f] = col
+    dates = out["pickup_datetime"].dt.date
+    out["date"] = dates.where(out["pickup_datetime"].notna(), None)
+    out["status"] = status
+    out["__trig"] = sub["__trig"].to_numpy()
+    return out
+
+
+def _batch_vectorized(rows: pd.DataFrame, mode: str) -> pd.DataFrame:
+    """Vectorized state machine for trips with ≤1 start and ≤1 end in the
+    batch (the overwhelmingly common replay shape): one merge + boolean
+    masks reproduce exactly what the per-row loop would emit, including
+    the order-dependent Started/Completed/Orphaned interleavings."""
+    pos = pd.Series(range(len(rows)), index=rows.index, dtype="int64")
+    is_start = rows["event_type"] == "trip_start"
+    s = rows.loc[is_start, START_FIELDS].copy()
+    s["__spos"] = pos[is_start]
+    e = rows.loc[~is_start, ["trip_id", *END_FIELDS]].copy()
+    e["__epos"] = pos[~is_start]
+    m = s.merge(e, on="trip_id", how="outer", sort=False)
+    has_s = m["__spos"].notna()
+    has_e = m["__epos"].notna()
+    end_first = has_s & has_e & (m["__epos"] < m["__spos"])
+    if mode == "buffer":
+        started = has_s & ~end_first  # buffered end completes at start
+        completed = has_s & has_e
+        orphaned = pd.Series(False, index=m.index)
+    else:  # drop: an early end is surfaced as an orphan, never stored
+        started = has_s
+        completed = has_s & has_e & ~end_first
+        orphaned = has_e & (end_first | ~has_s)
+    # __trig = position of the event whose arrival caused the emission,
+    # so a global sort reproduces the loop's row-order emission
+    frames = []
+    sub = m[started].copy()
+    sub["__trig"] = sub["__spos"]
+    frames.append(_assemble(sub, True, False, "Started"))
+    sub = m[completed].copy()
+    sub["__trig"] = sub[["__spos", "__epos"]].max(axis=1)
+    frames.append(_assemble(sub, True, True, "Completed"))
+    if mode == "drop":
+        sub = m[orphaned].copy()
+        sub["__trig"] = sub["__epos"]
+        frames.append(_assemble(sub, False, True, "Orphaned"))
+    return (
+        pd.concat(frames, ignore_index=True)
+        .sort_values("__trig", kind="stable")
+        .drop(columns="__trig")
+        .reset_index(drop=True)
+    )
+
+
 def correlate_batch(
-    tagged: DataFrame, mode: str = "buffer", n_buckets: int = 64
+    tagged: DataFrame, mode: str = "buffer", n_partitions: int | None = None
 ) -> DataFrame:
     """Batch twin of :func:`correlate_stream`: the same per-trip state
     machine applied to a static tagged union, as if every event arrived
     in one micro-batch.
 
     Used for backfill replay and for the bench probe that isolates
-    state-machine cost from streaming-source latency.  The shuffle key
-    is ``hash(trip_id) % n_buckets`` rather than the raw trip id: one
-    Arrow exchange + Python invocation per *bucket* of trips instead of
-    per trip (per-group overhead at millions of 2-row groups would
-    dominate the state machine itself); per-trip isolation is preserved
-    by a pandas groupby inside the bucket.  Intra-key event order
-    follows batch row order — the buffer-mode guarantee that a pair
-    eventually completes holds either way, but Started/Completed
-    interleavings are order-dependent, so streaming *semantics* stay
-    tested on :func:`correlate_stream`.
+    state-machine cost from streaming-source latency.  The plan is a
+    single hash ``repartition`` on ``trip_id`` (co-locating each trip's
+    events, exactly what the stream's groupBy shuffle does) followed by
+    ``mapInPandas`` over whole partitions: ONE Python invocation per
+    partition, not per trip or per bucket — per-group Arrow/invocation
+    overhead at millions of 2-row groups would otherwise dominate the
+    state machine itself.  Per-trip isolation is preserved by per-trip
+    masks inside the partition.  Partition memory = that partition's
+    events in pandas; size ``n_partitions`` (default: session
+    ``spark.sql.shuffle.partitions``) so partitions fit, same rule as
+    any shuffle.  Intra-key event order follows batch row order — the
+    buffer-mode guarantee that a pair eventually completes holds either
+    way, but Started/Completed interleavings are order-dependent, so
+    streaming *semantics* stay tested on :func:`correlate_stream`.
+
+    Trips whose batch slice is the clean shape — at most one start and
+    one end — run through :func:`_batch_vectorized` (merge + columnar
+    assembly; no per-row Python).  Only trips with multi-event
+    interleavings fall back to the per-row loop, preserving exact
+    emission semantics for both.
     """
     fn = make_correlator(mode=mode)
     cols = [f.name for f in OUT_SCHEMA.fields]
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop(columns=["__bucket"])
-        frames = [
-            frame
-            for tid, sub in pdf.groupby("trip_id", sort=False)
-            for frame in fn((tid,), iter([sub]), _BatchGroupState())
-        ]
-        if not frames:
-            return pd.DataFrame({c: [] for c in cols})
-        return pd.concat(frames, ignore_index=True)[cols]
-
-    return (
-        tagged.withColumn(
-            "__bucket", F.pmod(F.hash("trip_id"), F.lit(n_buckets))
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one pandas frame per partition: a trip's events may span Arrow
+        # batches, and the vectorized path amortizes best over the
+        # whole partition anyway
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
         )
-        .groupBy("__bucket")
-        .applyInPandas(run, schema=OUT_SCHEMA)
+        frames: list[pd.DataFrame] = []
+        known = pdf[pdf["event_type"].isin(("trip_start", "trip_end"))]
+        if len(known):
+            counts = (
+                (known["event_type"] == "trip_start")
+                .groupby(known["trip_id"], sort=False)
+                .agg(["sum", "count"])
+            )
+            slow_ids = counts.index[
+                (counts["sum"] > 1) | (counts["count"] - counts["sum"] > 1)
+            ]
+            fast = known[~known["trip_id"].isin(slow_ids)]
+            if len(fast):
+                frames.append(_batch_vectorized(fast, mode))
+            if len(slow_ids):
+                # unknown event types stay in the slow slice: the row
+                # loop skips them, preserving T5 isolation semantics
+                slow = pdf[pdf["trip_id"].isin(slow_ids)]
+                frames.extend(
+                    frame
+                    for tid, sub in slow.groupby("trip_id", sort=False)
+                    for frame in fn((tid,), iter([sub]), _BatchGroupState())
+                )
+        if not frames:
+            return
+        yield pd.concat(frames, ignore_index=True)[cols]
+
+    rep = (
+        tagged.repartition(n_partitions, "trip_id")
+        if n_partitions is not None
+        else tagged.repartition("trip_id")
     )
+    return rep.mapInPandas(run, schema=OUT_SCHEMA)
 
 
 def correlate_stream(
