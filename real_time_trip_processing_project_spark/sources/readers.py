@@ -53,16 +53,23 @@ def load_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     An explicit ``.schema(...)`` keeps column pruning/pushdown intact and
     guards against footer-type drift across scale factors.  ``events.ts``
-    is parquet TIMESTAMP(NANOS): read as long nanos, converted here to a
-    microsecond TimestampType (same truncation DuckDB applies casting
-    TIMESTAMP_NS → TIMESTAMP).
+    has drifted between fixture generations (TIMESTAMP(NANOS) vs
+    TIMESTAMP(MICROS)), so its unit is read from the parquet footer —
+    one metadata fetch, no data scan — and nanos fixtures are read as
+    long nanos then truncated to a microsecond TimestampType (same
+    truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP).
+    Spark cannot read TIMESTAMP(NANOS) columns natively, hence the
+    raw-long detour on that branch.
     """
     if table == "events":
+        import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
-        raw = spark.read.schema(schemas.EVENTS_RAW).parquet(
-            f"{sf_dir}/{table}.parquet"
-        )
+        path = f"{sf_dir}/{table}.parquet"
+        unit = pq.read_schema(path).field("ts").type.unit
+        if unit != "ns":
+            return spark.read.schema(schemas.EVENTS).parquet(path)
+        raw = spark.read.schema(schemas.EVENTS_RAW).parquet(path)
         # integer `div` — float division would lose precision on ~1e18 ns
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     schema = schemas.FIXTURE_TABLES[table]
