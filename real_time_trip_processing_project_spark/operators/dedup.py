@@ -185,9 +185,17 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     prefix = (
         posting.join(dfreq, "shingle")
         .withColumn("pos", F.row_number().over(w))
+        # ⌈t·n⌉ computed with a 1e-9 slack: t is a binary double, so the
+        # product can land marginally ABOVE the exact rational ⌈t·n⌉
+        # boundary (e.g. 0.7·10 → 7.000000000000001) and an unslacked
+        # ceil would overshoot, shrinking the prefix by one shingle and
+        # silently dropping a qualifying pair.  The slack can only widen
+        # the prefix (more candidates, never fewer) — lossless.
         .filter(
             F.col("pos")
-            <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+            <= F.col("n_sh")
+            - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
+            + 1
         )
         .select("id", "n_sh", "shingle")
     )
@@ -442,10 +450,16 @@ def cc_star_contraction(
     the round count is O(log n) even on path graphs — unlike min-label
     propagation, whose rounds equal the graph *diameter* (a long
     duplicate chain at crawl scale stalls it).  Convergence = the
-    small-star output equals its input (count + exceptAll probe on
-    locally-checkpointed, lineage-truncated edge sets).
+    small-star output equals its input — probed with each round's edge
+    count carried to the next round (one count job per round, not two)
+    plus a short-circuited subset check (both sets are distinct, so
+    equal counts + ss ⊆ edges ⇔ equality) on locally-checkpointed,
+    lineage-truncated edge sets.
 
-    Returns (star edges ``(root, node)`` with root < node, rounds used).
+    Returns (star edges ``(root, node)`` with root < node, rounds used,
+    converged flag).  When ``converged`` is False the edges are NOT yet
+    stars — callers needing the one-root-per-node contract must
+    collapse (see :func:`connected_components`).
     """
     edges = (
         pairs.filter(F.col("id_a") != F.col("id_b"))
@@ -459,6 +473,8 @@ def cc_star_contraction(
     from pyspark.sql.window import Window
 
     rounds = 0
+    converged = False
+    n_edges = edges.count()
     for _ in range(max_iterations):
         rounds += 1
         # large-star over the bidirectional view: m = min(Γ(u) ∪ {u});
@@ -490,11 +506,13 @@ def cc_star_contraction(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if ss.count() == edges.count() and ss.exceptAll(edges).isEmpty():
+        n_ss = ss.count()
+        if n_ss == n_edges and ss.exceptAll(edges).isEmpty():
             edges = ss
+            converged = True
             break
-        edges = ss
-    return edges, rounds
+        edges, n_edges = ss, n_ss
+    return edges, rounds, converged
 
 
 def connected_components(
@@ -507,9 +525,16 @@ def connected_components(
 
     Only nodes that appear in a pair are returned (singletons are their
     own cluster trivially and would dominate the output).
+
+    Output contract — one canonical_id per doc_id — holds
+    unconditionally: if the contraction hits ``max_iterations`` without
+    converging, the edges are not yet stars and a node may still carry
+    several labels, so the non-converged path collapses to the minimum
+    label per node (one extra groupBy; correct-but-possibly-non-minimal
+    canonicals, same as a truncated min-label propagation) and warns.
     """
-    stars, _ = cc_star_contraction(pairs, max_iterations)
-    return (
+    stars, rounds, converged = cc_star_contraction(pairs, max_iterations)
+    out = (
         stars.select(
             F.col("hi").alias("doc_id"), F.col("lo").alias("canonical_id")
         )
@@ -520,6 +545,17 @@ def connected_components(
         )
         .distinct()
     )
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: star contraction not converged after "
+            f"{rounds} rounds; collapsing to min label per node"
+        )
+        out = out.groupBy("doc_id").agg(
+            F.min("canonical_id").alias("canonical_id")
+        )
+    return out
 
 
 def simhash_docs(

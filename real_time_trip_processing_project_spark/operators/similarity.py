@@ -507,8 +507,12 @@ def cosine_pairs_blocked(
        k-means) centroid and rᵢ = max chordal radius of cell i, the
        triangle inequality gives: a qualifying pair with cells (i, j)
        forces ‖ĉᵢ − ĉⱼ‖ ≤ √(2−2t) + rᵢ + rⱼ.  ``n_cells`` defaults to
-       √N (clamped 16..4096) so cells stay ~√N rows as the corpus
-       grows; the k² distance predicate runs on the driver for small k
+       ⌈N/65536⌉ (clamped 16..4096) so cells hold ~65k rows each —
+       sized so one cell-pair's score block fits executor memory (see
+       :func:`_auto_n_cells`), deliberately NOT √N, which would make
+       millions of tiny cells at corpus scale and blow up the k²
+       cell-pair predicate; the k² distance predicate runs on the
+       driver for small k
        and as a broadcast centroid self-join past
        :data:`_CELL_PAIR_JOIN_MIN_K` (see
        :func:`_candidate_cell_pairs`).  Surviving cell pairs are a tiny

@@ -1210,7 +1210,11 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle relies on is guarded, not assumed — exact-integer
     parity, no float in sight."""
     docs = load_fixture(spark, sf_dir, "documents").filter(
-        F.col("text").rlike(r"^[\x00-\x7F]*$")
+        # \A..\z, not ^..$: Java's $ also matches before a final line
+        # terminator (U+2028/U+2029/U+0085), DuckDB's RE2 $ does not —
+        # a doc ending in one would pass here but fail the oracle's
+        # guard.  \A/\z anchor both engines at true string ends.
+        F.col("text").rlike(r"\A[\x00-\x7F]*\z")
     )
     return MM.audio_window_features(MM.media_from_documents(docs))
 

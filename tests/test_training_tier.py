@@ -39,11 +39,36 @@ def test_cc_star_contraction_logarithmic_on_path_graph(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 50)], "id_a LONG, id_b LONG"
     )
-    stars, rounds = DD.cc_star_contraction(pairs)
+    stars, rounds, converged = DD.cc_star_contraction(pairs)
+    assert converged
     assert rounds <= 10, f"expected O(log n) rounds, used {rounds}"
     labels = {r.doc_id: r.canonical_id
               for r in DD.connected_components(pairs).collect()}
     assert labels == {i: 1 for i in range(1, 51)}
+
+
+def test_cc_nonconverged_still_one_label_per_node(spark):
+    """Truncated contraction (max_iterations=1 on a 50-path) must still
+    honor the one-canonical-per-doc contract via the min-label collapse,
+    with labels consistent (every label is a node ≤ its doc)."""
+    import warnings
+
+    from real_time_trip_processing_project_spark.operators import dedup as DD
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 50)], "id_a LONG, id_b LONG"
+    )
+    _, _, converged = DD.cc_star_contraction(pairs, max_iterations=1)
+    assert not converged
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rows = DD.connected_components(pairs, max_iterations=1).collect()
+    labels = {}
+    for r in rows:
+        assert r.doc_id not in labels, f"duplicate label for {r.doc_id}"
+        labels[r.doc_id] = r.canonical_id
+    assert set(labels) == set(range(1, 51))
+    assert all(c <= d for d, c in labels.items())
 
 
 def test_cc_multiple_components_and_cycles(spark):
