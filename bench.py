@@ -119,11 +119,116 @@ def main() -> None:
         "secondary_total": round(sum(secondary.values()), 3),
         "sf": sf,
     }
+    out["quality"] = _quality(spark)
     streaming = _stream_throughput(spark)
     if streaming:
         out["streaming"] = streaming
     print(json.dumps(out))
     spark.stop()
+
+
+def _quality(spark) -> dict:
+    """Measured quality of the approximate (rows-only) queries, so the
+    five permanent no-oracle rows stay auditable round-over-round:
+    recall vs the exact twin for the ANN/LSH paths, observed error vs
+    the exact answer for the sketches.  Floors are asserted — a bench
+    run with a silently-degraded approximate path fails loudly."""
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_project_spark.plans import REGISTRY
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+
+    q: dict[str, float] = {}
+
+    # ANN recall@k vs the exact brute-force top-k (pair sets are
+    # queries×k ≈ hundreds of rows — driver-safe at any corpus size)
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, SF_DIR).collect()
+    }
+    for name, floor in (("sim_ann_lsh", 0.4), ("sim_ann_ivf", 0.45)):
+        ann = {
+            (r.query_id, r.neighbor_id)
+            for r in REGISTRY[name].fn(spark, SF_DIR).collect()
+        }
+        rec = round(len(bf & ann) / max(len(bf), 1), 4)
+        assert rec >= floor, f"{name} recall {rec} < floor {floor}"
+        q[f"{name}_recall_at_10"] = rec
+
+    # MinHash-LSH recall vs the exact PPJoin pair set (planted ~0.99-
+    # Jaccard dups collide with prob ≈ 1-1e-22, so this should be ≈ 1)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR).collect()
+    }
+    rec = round(len(exact & lsh) / max(len(exact), 1), 4)
+    assert rec >= 0.95, f"dedup_minhash_lsh recall {rec} < floor 0.95"
+    q["dedup_minhash_lsh_recall"] = rec
+
+    # HLL++ observed relative error vs exact distinct counts (configured
+    # rsd 2%; assert a generous 10% ceiling)
+    orders = load_fixture(spark, SF_DIR, "orders")
+    exact_n = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx_n = {
+        r["o_orderstatus"]: r["n_custs_approx"]
+        for r in REGISTRY["approx_count_distinct"].fn(spark, SF_DIR).collect()
+    }
+    err = max(
+        abs(approx_n[k] - n) / max(n, 1) for k, n in exact_n.items()
+    )
+    assert err <= 0.10, f"approx_count_distinct rel err {err} > 0.10"
+    q["approx_count_distinct_max_rel_err"] = round(err, 4)
+
+    # GK sketch observed RANK error (the sketch's actual guarantee:
+    # ≤ n/accuracy = 0.1% of n) — rank of each approximate value
+    # computed distributed (one broadcast join + agg, no collect of the
+    # value column)
+    appr = (
+        REGISTRY["approx_quantiles"]
+        .fn(spark, SF_DIR)
+        .withColumnRenamed("o_orderstatus", "status")
+    )
+    p_map = F.create_map(
+        *[
+            x
+            for tag, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95))
+            for x in (F.lit(tag), F.lit(p))
+        ]
+    )
+    ranks = (
+        orders.join(
+            F.broadcast(appr), orders["o_orderstatus"] == appr["status"]
+        )
+        .groupBy("status", "q", "v")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice") <= F.col("v")).cast("long")
+            ).alias("rank"),
+            F.count("*").alias("n"),
+        )
+        .withColumn("target", p_map[F.col("q")] * (F.col("n") - 1))
+        .select(
+            (F.abs(F.col("rank") - 1 - F.col("target")) / F.col("n")).alias(
+                "rank_err"
+            )
+        )
+        .agg(F.max("rank_err").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert ranks <= 0.01, f"approx_quantiles rank err {ranks} > 0.01"
+    q["approx_quantiles_max_rank_err"] = round(float(ranks), 5)
+    return q
 
 
 def _stream_throughput(spark) -> dict | None:
