@@ -24,12 +24,77 @@ Layout conventions that matter at scale:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: Default sample rate for generated WAV fixtures (plain 16 kHz mono).
+WAV_SAMPLE_RATE = 16_000
+
+
+def encode_wav_pcm16(samples, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Serialize int16 mono samples as a canonical RIFF/WAVE byte string
+    (PCM format 1, 16-bit little-endian, 44-byte header) — pure Python,
+    no audio libraries.  The real codec for the multimodal seam."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(pcm),  # container size after this field
+        b"WAVE",
+        b"fmt ",
+        16,  # PCM fmt chunk is 16 bytes
+        1,  # audio format: PCM
+        1,  # channels
+        sample_rate,
+        sample_rate * 2,  # byte rate (16-bit mono)
+        2,  # block align
+        16,  # bits per sample
+        b"data",
+        len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_wav_pcm16(payload: bytes):
+    """Parse a RIFF/WAVE payload into (int16 numpy samples, sample_rate,
+    n_channels) by walking the chunk list (odd-sized chunks carry a pad
+    byte, per spec).  Only uncompressed PCM16 is supported — anything
+    else raises ``ValueError`` with the offending field."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= end:
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV encoding: format={audio_format}, bits={bits}"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    if n_channels > 1:
+        samples = samples[: len(samples) - len(samples) % n_channels]
+        samples = samples.reshape(-1, n_channels)
+    return samples, sample_rate, n_channels
 
 #: Schema of the synthetic media table derived from ``documents``.
 MEDIA = T.StructType(
@@ -98,6 +163,31 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+def _real_decode(payload: bytes) -> dict:
+    """Real codec for the seam: WAV (RIFF/PCM16) payloads decode fully
+    via :func:`decode_wav_pcm16` (frame_count = sample frames; the
+    image-only width/height stay NULL for audio).  Other media types
+    (JPEG/PNG/MP4 …) still need PIL/av, absent from this container, so
+    they remain the explicit ``NotImplementedError`` seam."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, _rate, n_channels = decode_wav_pcm16(bytes(payload))
+        n_frames = len(samples) if n_channels == 1 else samples.shape[0]
+        return {
+            "n_bytes": len(payload),
+            "content_hash": hashlib.md5(payload).hexdigest(),
+            "frame_count": n_frames,
+            "width": None,
+            "height": None,
+        }
+    # STUB: container has no image/video libraries (PIL / pyav).  The
+    # Arrow plumbing and schema are production-real; only the non-WAV
+    # codec call is missing.
+    raise NotImplementedError(
+        "real decode supports WAV (RIFF/PCM16) only; image/video needs "
+        "PIL/av — use codec='fake'"
+    )
+
+
 def extract_media_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Feature-extract every media row via Arrow-batched ``mapInPandas``.
 
@@ -105,6 +195,9 @@ def extract_media_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     is the real production shape: per-batch processing, no per-row Python
     overhead, bounded memory (one Arrow batch resident at a time).
     Partitioning is inherited — no shuffle is introduced.
+
+    ``codec="real"`` decodes WAV payloads for real (see
+    :func:`_real_decode`); other mimes raise the documented seam error.
     """
     if codec not in ("fake", "real"):
         raise ValueError(f"unknown codec: {codec}")
@@ -112,14 +205,9 @@ def extract_media_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if codec == "real":
-                # STUB: container has no image/audio libraries
-                # (PIL / pyav / soundfile).  The Arrow plumbing above and
-                # the schema below are production-real; only this codec
-                # call is missing.
-                raise NotImplementedError(
-                    "real media decode requires PIL/av; use codec='fake'"
-                )
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+                feats = [_real_decode(p) for p in pdf["payload"]]
+            else:
+                feats = [_fake_decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
@@ -160,28 +248,87 @@ AUDIO_FRAME = 256
 AUDIO_HOP = 128
 
 
+def media_wav_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL RIFF/WAVE bytes: each doc's
+    text bytes become int16 samples (``byte − 128``, the same amplitude
+    mapping as the uint8-PCM interpretation) serialized through
+    :func:`encode_wav_pcm16`.  Downstream consumers must decode the
+    container to get at the signal — this is the fixture generator for
+    the real-codec path, shaped like any other ``mapInPandas`` encode
+    stage (binary in, binary out, no shuffle)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav_pcm16(
+                    np.frombuffer(
+                        t.encode("utf-8"), dtype=np.uint8
+                    ).astype(np.int16)
+                    - 128
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    out_schema = "media_id long, payload binary"
+    wav = docs.select("doc_id", "text").mapInPandas(run, out_schema)
+    return wav.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit("wav-encoder").alias("source"),
+        ).alias("meta"),
+    )
+
+
 def audio_window_features(
-    media: DataFrame, frame: int = AUDIO_FRAME, hop: int = AUDIO_HOP
+    media: DataFrame,
+    frame: int = AUDIO_FRAME,
+    hop: int = AUDIO_HOP,
+    codec: str = "pcm8",
 ) -> DataFrame:
-    """Windowed signal statistics over a binary audio payload: treat the
-    payload as unsigned 8-bit PCM, slide ``frame``-byte windows at
-    ``hop`` spacing, and emit per-window energy (Σ(b−128)², exact int)
-    and peak amplitude — the front half of a VAD/loudness filter.
+    """Windowed signal statistics over a binary audio payload: slide
+    ``frame``-sample windows at ``hop`` spacing and emit per-window
+    energy (Σ amp², exact int) and peak amplitude — the front half of a
+    VAD/loudness filter.
+
+    ``codec`` selects the payload interpretation:
+
+    - ``"pcm8"`` — raw unsigned 8-bit PCM; amplitude = byte − 128.
+    - ``"wav"`` — a real RIFF/PCM16 container, decoded per payload via
+      :func:`decode_wav_pcm16` (channel 0 when multi-channel).
 
     Scale shape: ``mapInPandas`` over Arrow batches, one numpy
     vectorized pass per batch; output is (windows × 5 ints) — the binary
     column never leaves the stage, and the expansion factor is
-    len/hop rows of 40 bytes each.  A real pipeline swaps the uint8
-    interpretation for the decoded waveform behind the same seam as
-    :func:`extract_media_features`.
+    len/hop rows of 40 bytes each.
     """
     import numpy as np
+
+    if codec not in ("pcm8", "wav"):
+        raise ValueError(f"unknown audio codec: {codec}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mids, wins, lens, sums, peaks = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128
+                if codec == "wav":
+                    s, _rate, n_ch = decode_wav_pcm16(bytes(payload))
+                    if n_ch > 1:
+                        s = s[:, 0]
+                    b = s.astype(np.int64)
+                else:
+                    b = (
+                        np.frombuffer(payload, dtype=np.uint8).astype(
+                            np.int64
+                        )
+                        - 128
+                    )
                 n = len(b)
                 off = 0
                 w = 0

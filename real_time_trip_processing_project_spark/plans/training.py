@@ -1170,9 +1170,12 @@ def tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_audio_windows",
-    oracle=f"""
+#: Shared oracle for the audio-window queries: reconstructs amplitudes
+#: as ``ascii(char) - 128`` — exactly the uint8-PCM interpretation AND
+#: the int16 samples :func:`operators.multimodal.media_wav_from_documents`
+#: encodes, so one SQL string pins both the raw-PCM and the
+#: encode->RIFF->decode paths.
+_AUDIO_WINDOWS_ORACLE = f"""
         WITH s AS (
             SELECT doc_id AS media_id, text AS t,
                    CAST(length(text) AS BIGINT) AS n
@@ -1199,7 +1202,12 @@ def tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> abs(ascii(substr(t, CAST(win * {MM.AUDIO_HOP} + i AS INT), 1)) - 128)
                )) AS BIGINT) AS peak
         FROM w
-    """,
+"""
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=_AUDIO_WINDOWS_ORACLE,
     tags=["EXT", "multimodal"],
 )
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1217,6 +1225,33 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike(r"\A[\x00-\x7F]*\z")
     )
     return MM.audio_window_features(MM.media_from_documents(docs))
+
+
+#: ASCII-only doc filter shared by the audio-window queries (keeps the
+#: Spark side and the oracle's byte==char-code assumption in lockstep).
+_ASCII_ONLY = r"\A[\x00-\x7F]*\z"
+
+
+@register(
+    "multimodal_wav_windows",
+    oracle=_AUDIO_WINDOWS_ORACLE,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec audio windows, end to end: each doc's text bytes are
+    encoded as int16 samples into an actual RIFF/PCM16 WAV container
+    (operators/multimodal.py:media_wav_from_documents), then the window
+    featurizer DECODES the container (decode_wav_pcm16) and computes
+    energy/peak over the recovered samples.  Amplitudes are byte-128 on
+    both paths, so this shares multimodal_audio_windows' exact-integer
+    oracle — a full encode->bytes->decode round trip hash-verified by
+    DuckDB."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.audio_window_features(
+        MM.media_wav_from_documents(docs), codec="wav"
+    )
 
 
 

@@ -309,7 +309,8 @@ def test_approx_count_distinct_error_bound(spark):
 
 
 def test_multimodal_real_codec_is_stubbed(spark):
-    """The 'real' decode path is an explicit NotImplementedError seam."""
+    """The 'real' decode path on NON-WAV payloads is an explicit
+    NotImplementedError seam (text bytes are not a RIFF container)."""
     docs = load_fixture(spark, SF, "documents").limit(4)
     media = MM.media_from_documents(docs)
     with pytest.raises(Exception) as ei:
@@ -319,6 +320,78 @@ def test_multimodal_real_codec_is_stubbed(spark):
     )
     with pytest.raises(ValueError):
         MM.extract_media_features(media, codec="nope")
+
+
+def test_wav_codec_roundtrip():
+    """encode_wav_pcm16 → decode_wav_pcm16 recovers samples and rate
+    bit-exactly, including negative amplitudes and an odd-length data
+    chunk's pad byte handling on a trailing chunk."""
+    import numpy as np
+
+    s = np.array([0, 1, -1, 32767, -32768, 128, -200], dtype=np.int16)
+    payload = MM.encode_wav_pcm16(s, sample_rate=8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert len(payload) == 44 + 2 * len(s)
+    got, rate, n_ch = MM.decode_wav_pcm16(payload)
+    assert rate == 8000 and n_ch == 1
+    assert np.array_equal(got, s)
+    # chunk walker: an unknown odd-sized chunk before fmt/data, with its
+    # spec-mandated pad byte, must be skipped cleanly
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"abcde" + b"\x00"
+    patched = payload[:12] + extra + payload[12:]
+    patched = (
+        patched[:4]
+        + (len(patched) - 8).to_bytes(4, "little")
+        + patched[8:]
+    )
+    got2, _, _ = MM.decode_wav_pcm16(patched)
+    assert np.array_equal(got2, s)
+    with pytest.raises(ValueError):
+        MM.decode_wav_pcm16(b"\x89PNG not audio")
+
+
+def test_wav_windows_match_pcm8_path(spark):
+    """The real-codec path (text → int16 samples → RIFF bytes → decode →
+    windows) must emit row-identical features to the synthetic uint8-PCM
+    interpretation of the same text — the parity the shared DuckDB
+    oracle asserts, checked here engine-side only."""
+    docs = load_fixture(spark, SF, "documents").limit(40).filter(
+        F.col("text").rlike(r"\A[\x00-\x7F]*\z")
+    )
+    pcm8 = {
+        (r.media_id, r.win): (r.n_samples, r.sum_sq, r.peak)
+        for r in MM.audio_window_features(
+            MM.media_from_documents(docs)
+        ).collect()
+    }
+    wav = {
+        (r.media_id, r.win): (r.n_samples, r.sum_sq, r.peak)
+        for r in MM.audio_window_features(
+            MM.media_wav_from_documents(docs), codec="wav"
+        ).collect()
+    }
+    assert pcm8 and wav == pcm8
+
+
+def test_wav_real_codec_features(spark):
+    """codec='real' feature extraction on genuine WAV payloads: correct
+    byte count, md5 of the container, and frame_count = sample count."""
+    import hashlib
+
+    docs = load_fixture(spark, SF, "documents").limit(8)
+    media = MM.media_wav_from_documents(docs)
+    raw = {r.media_id: bytes(r.payload) for r in media.collect()}
+    feats = {
+        r.media_id: r
+        for r in MM.extract_media_features(media, codec="real").collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(feats) == set(raw)
+    for mid, r in feats.items():
+        assert r.n_bytes == len(raw[mid])
+        assert r.content_hash == hashlib.md5(raw[mid]).hexdigest()
+        assert r.frame_count == len(texts[mid].encode("utf-8"))
+        assert r.width is None and r.height is None
 
 
 def test_frame_sample_counts(spark):
