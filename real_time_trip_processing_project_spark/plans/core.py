@@ -409,33 +409,64 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXTENSION: exact interpolated (type-7) percentiles per group
-    (reference has none — §2.6), via **bucket-refinement selection** —
-    the shape that stays distributed at 100 TB, where both the built-in
-    ``percentile`` UDAF (one buffer holding every group value) and a
-    value-level window (one task per group) hit memory/parallelism
-    cliffs:
+    (reference has none — §2.6), via **bucket-refinement selection**
+    (:func:`bucket_refine_percentiles`) — the shape that stays
+    distributed at 100 TB, where both the built-in ``percentile`` UDAF
+    (one buffer holding every group value) and a value-level window
+    (one task per group) hit memory/parallelism cliffs.
 
-    1. histogram pass: count rows per (group, $100-wide value bucket) —
-       fully parallel, output ≤ groups × ~1100 buckets (tiny).
-    2. cumulative counts over the *bucket* histogram locate which bucket
-       holds each needed order statistic (the two ranks each quantile
-       interpolates between).
-    3. refinement pass: re-scan only rows in the needed buckets (a
-       broadcast semi-join — a few hundred rows per group), rank them
-       within their bucket, pick the exact order statistics, interpolate.
-
-    Two scans, all shuffles are either histogram-sized or candidate-
-    sized.  Values are integer cents, so the quarter-point interpolation
-    is exact binary arithmetic — bit-identical to DuckDB's
+    Values are integer cents, so the quarter-point interpolation is
+    exact binary arithmetic — bit-identical to DuckDB's
     ``quantile_cont``."""
-    QS = (("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
-    BUCKET_W = 10_000  # cents per bucket ($100)
-
     li = load_fixture(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         _cents("l_extendedprice").alias("cents"),
     )
-    vals = li.withColumn("bucket", F.floor(F.col("cents") / BUCKET_W))
+    return bucket_refine_percentiles(
+        li, (("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
+    ).select(
+        F.col("flag").alias("l_returnflag"), "p25", "p50", "p75"
+    )
+
+
+def _auto_bucket_width(vals: DataFrame) -> int:
+    """Bucket width from a GK quantile sketch of the value column: the
+    p1–p99 spread divided into ~1000 buckets (min 1).  A fixed width
+    assumes the value domain; a long-tailed or rescaled column would
+    put everything in one bucket (refinement candidates = the whole
+    group) or one row per bucket (histogram as big as the data).  The
+    sketch pass is one extra scan; any width is CORRECT — width only
+    bounds the candidate volume — so the sketch's 1% rank error is
+    irrelevant to exactness."""
+    lo, hi = vals.stat.approxQuantile("cents", [0.01, 0.99], 0.01)
+    return max(1, int((hi - lo) / 1000))
+
+
+def bucket_refine_percentiles(
+    vals: DataFrame,
+    qs: tuple[tuple[str, float], ...],
+    bucket_w: int | None = None,
+) -> DataFrame:
+    """Exact type-7 percentiles of ``cents`` per ``flag`` group over a
+    DataFrame with columns (flag, cents):
+
+    1. histogram pass: count rows per (group, value bucket) — fully
+       parallel; bucket width defaults to ~1/1000 of the sketched
+       p1–p99 spread (:func:`_auto_bucket_width`), so the histogram
+       stays ~groups × 1000 rows whatever the value domain.
+    2. cumulative counts over the *bucket* histogram locate which bucket
+       holds each needed order statistic (the two ranks each quantile
+       interpolates between).
+    3. refinement pass: re-scan only rows in the needed buckets (a
+       broadcast semi-join — ~n/1000 rows per group), rank them within
+       their bucket, pick the exact order statistics, interpolate.
+
+    Three scans (sketch + histogram + refinement), all shuffles either
+    histogram-sized or candidate-sized."""
+    QS = qs
+    BUCKET_W = bucket_w if bucket_w is not None else _auto_bucket_width(vals)
+
+    vals = vals.withColumn("bucket", F.floor(F.col("cents") / BUCKET_W))
 
     hist = vals.groupBy("flag", "bucket").agg(F.count("*").alias("cnt"))
     w_cum = (
@@ -493,7 +524,7 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 100.0
             ).alias(tag)
         )
-    return picked.groupBy(F.col("flag").alias("l_returnflag")).agg(*aggs)
+    return picked.groupBy("flag").agg(*aggs)
 
 
 @register(
