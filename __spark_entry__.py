@@ -27,10 +27,19 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: verified near the front of the window.  Maintained per round, names only
 #: advisory (unknown names warn, never break the package).
 _RECHECK_FIRST = [
+    # r4 in-round edits: events.ts unit sniffing (every events consumer),
+    # PPJoin prefix bound, CC collapse contract, ASCII anchors, WAV
+    # codec, auto bucket width
+    "embedding_covariance",
+    "asof_join_events",
+    "range_join_errors_before_purchase",
+    "latest_event_per_user",
+    "windowed_event_agg",
     "percentiles",
     "dedup_clusters",
     "dedup_ngram_jaccard",
     "multimodal_audio_windows",
+    "multimodal_wav_windows",
     "tokenizer_pair_counts",
     "text_pii_redact",
 ]

@@ -1648,3 +1648,129 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("long").alias("gid"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics staples (EXTENSION §2.6): funnel + retention —
+# the two queries every event-analytics engine ships and the reference's
+# KPI job cannot express (daily_kpi_aggregation.py computes only
+# same-day scalar aggregates).
+# ---------------------------------------------------------------------------
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click
+            FROM events
+            GROUP BY user_id
+        ),
+        conv AS (
+            SELECT f.user_id, f.t_click,
+                   min(CASE WHEN e.event_type = 'purchase'
+                             AND e.ts >= f.t_click THEN e.ts END) AS t_buy
+            FROM firsts f JOIN events e ON e.user_id = f.user_id
+            WHERE f.t_click IS NOT NULL
+            GROUP BY f.user_id, f.t_click
+        )
+        SELECT CAST(t_click AS DATE) AS click_date,
+               count(*) AS n_clickers,
+               sum(CASE WHEN t_buy <= t_click + INTERVAL 1 HOUR
+                        THEN 1 ELSE 0 END) AS n_converted,
+               round(sum(CASE WHEN t_buy <= t_click + INTERVAL 1 HOUR
+                              THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                   AS conversion_rate
+        FROM conv
+        GROUP BY 1
+    """,
+    tags=["EXT", "A6", "J1"],
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered two-step funnel: per user, first click → first purchase
+    at-or-after it; converted when the purchase lands within 1 h.
+    Daily conversion rates over click dates.
+
+    Plan shape: ONE shuffle on ``user_id`` — the per-user first-click is
+    a window min, the first-qualifying-purchase a conditional agg over
+    the same partitioning (Spark reuses the exchange), then a
+    histogram-sized groupBy on the date.  The naive phrasing is a
+    self-join of events×events on user plus an inequality — a per-user
+    cross product this plan never materializes."""
+    events = load_fixture(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    t_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w_user)
+    per_user = (
+        events.withColumn("t_click", t_click)
+        .filter(F.col("t_click").isNotNull())
+        .groupBy("user_id", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_buy")
+        )
+    )
+    converted = (
+        F.col("t_buy")
+        <= F.col("t_click") + F.expr("INTERVAL 1 HOUR")
+    ).cast("long")
+    return (
+        per_user.groupBy(F.to_date("t_click").alias("click_date"))
+        .agg(
+            F.count("*").alias("n_clickers"),
+            F.coalesce(F.sum(converted), F.lit(0)).alias("n_converted"),
+            F.round(
+                F.coalesce(F.sum(converted), F.lit(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("conversion_rate"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+        WITH cohorts AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT c.cohort_date,
+               datediff('day', c.cohort_date, CAST(e.ts AS DATE))
+                   AS day_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM events e JOIN cohorts c ON e.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+    tags=["EXT", "A6", "J1"],
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen date,
+    activity counted per day offset — the standard growth-analytics
+    matrix.
+
+    Plan shape: window min over ``user_id`` (one shuffle) replaces the
+    cohort self-join, then an exact distinct-count per (cohort, offset)
+    — Spark's two-phase distinct aggregate dedups map-side, so the
+    second shuffle carries (cohort, offset, user) triples already
+    deduplicated within each task, not raw events."""
+    events = load_fixture(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    return (
+        events.withColumn(
+            "cohort_date", F.to_date(F.min("ts").over(w_user))
+        )
+        .withColumn(
+            "day_offset",
+            F.datediff(F.to_date("ts"), F.col("cohort_date")),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
