@@ -63,6 +63,10 @@ SECONDARY = [
     "text_lm_score",
     "embedding_quantize_int8",
     "doc_domain_stats",
+    # round-4 additions
+    "multimodal_wav_windows",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 #: Executions per query; the reported number is the minimum (steady-state
