@@ -429,17 +429,32 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Derived bucket widths keyed by the input plan's semantic hash — the
+#: width is a table STATISTIC (like Catalyst's column stats): any value
+#: is correct (width only bounds refinement-candidate volume), so
+#: reusing a previously-derived width for the same logical input skips
+#: the sketch scan on every later call.  Bounded: one int per distinct
+#: percentile input plan per driver.
+_WIDTH_CACHE: dict[int, int] = {}
+
+
 def _auto_bucket_width(vals: DataFrame) -> int:
     """Bucket width from a GK quantile sketch of the value column: the
     p1–p99 spread divided into ~1000 buckets (min 1).  A fixed width
     assumes the value domain; a long-tailed or rescaled column would
     put everything in one bucket (refinement candidates = the whole
     group) or one row per bucket (histogram as big as the data).  The
-    sketch pass is one extra scan; any width is CORRECT — width only
-    bounds the candidate volume — so the sketch's 1% rank error is
-    irrelevant to exactness."""
-    lo, hi = vals.stat.approxQuantile("cents", [0.01, 0.99], 0.01)
-    return max(1, int((hi - lo) / 1000))
+    sketch pass is one extra scan, amortized through
+    :data:`_WIDTH_CACHE`; any width is CORRECT — width only bounds the
+    candidate volume — so the sketch's 1% rank error and the cache's
+    staleness under changed data are both irrelevant to exactness."""
+    key = vals.semanticHash()
+    w = _WIDTH_CACHE.get(key)
+    if w is None:
+        lo, hi = vals.stat.approxQuantile("cents", [0.01, 0.99], 0.01)
+        w = max(1, int((hi - lo) / 1000))
+        _WIDTH_CACHE[key] = w
+    return w
 
 
 def bucket_refine_percentiles(
