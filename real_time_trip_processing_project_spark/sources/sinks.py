@@ -46,13 +46,24 @@ def append_trip_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
             + F.when(F.col("status") == "Completed", 1).otherwise(0)
         ),
     )
-    orphans = stamped.filter(F.col("status") == ORPHAN_STATUS)
-    trips = stamped.filter(F.col("status") != ORPHAN_STATUS)
-    trips.write.mode("append").partitionBy("date").parquet(store_dir)
-    if orphan_dir is not None:
-        # orphan ends have no pickup date — quarantined unpartitioned
-        # (reference logs-and-drops these; trip_processor.py:60-62)
-        orphans.drop("date").write.mode("append").parquet(orphan_dir)
+    # two sinks = two actions on the same micro-batch plan; without a
+    # persist the second action RE-EXECUTES the upstream stateful
+    # operator (the correlator ran 2x per batch — measured as ~half the
+    # pipeline's wall time before this cache)
+    two_sinks = orphan_dir is not None
+    if two_sinks:
+        stamped = stamped.persist()
+    try:
+        orphans = stamped.filter(F.col("status") == ORPHAN_STATUS)
+        trips = stamped.filter(F.col("status") != ORPHAN_STATUS)
+        trips.write.mode("append").partitionBy("date").parquet(store_dir)
+        if orphan_dir is not None:
+            # orphan ends have no pickup date — quarantined unpartitioned
+            # (reference logs-and-drops these; trip_processor.py:60-62)
+            orphans.drop("date").write.mode("append").parquet(orphan_dir)
+    finally:
+        if two_sinks:
+            stamped.unpersist()
 
 
 def current_trips(spark: SparkSession, store_dir: str) -> DataFrame:

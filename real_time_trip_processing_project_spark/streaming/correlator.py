@@ -154,6 +154,27 @@ def _emit_row(
     return row
 
 
+_OUT_FIELD_NAMES = [f.name for f in OUT_SCHEMA.fields]
+
+
+def _frame_from_rows(out: list[dict]) -> pd.DataFrame:
+    """OUT_SCHEMA frame from emitted row dicts via pre-built object
+    ndarrays.  ``pd.DataFrame(list_of_dicts)`` runs per-column type
+    inference (datetime sniffing, object conversion) on every per-key
+    emission — the stream correlator's hottest line in profiles; object
+    arrays skip the inference entirely (~2× cheaper per key) and the
+    Arrow serializer coerces them to OUT_SCHEMA types just the same
+    (values are already pd.Timestamp/int/float/None from
+    :func:`_emit_row`)."""
+    import numpy as np
+
+    data = {
+        name: np.array([r[name] for r in out], dtype=object)
+        for name in _OUT_FIELD_NAMES
+    }
+    return pd.DataFrame(data, copy=False)
+
+
 def make_correlator(mode: str = "buffer", state_ttl_ms: int | None = None):
     """Build the applyInPandasWithState function for the trip state machine."""
     if mode not in ("buffer", "drop"):
@@ -217,7 +238,7 @@ def make_correlator(mode: str = "buffer", state_ttl_ms: int | None = None):
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
         if out:
-            yield pd.DataFrame(out)
+            yield _frame_from_rows(out)
 
     return correlate
 
