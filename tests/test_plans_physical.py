@@ -220,3 +220,25 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
             "spark.sql.autoBroadcastJoinThreshold",
             saved["spark.sql.autoBroadcastJoinThreshold"],
         )
+
+
+def test_funnel_shuffles_once_per_key_level(spark):
+    """funnel_conversion: exactly two exchanges — the user_id window
+    shuffle (reused by the per-user aggregate, whose grouping key starts
+    with user_id) and the final date histogram.  A third exchange would
+    mean Catalyst stopped reusing the window partitioning and the
+    per-user aggregate re-shuffles all events."""
+    import re
+
+    plan = _plan(spark, "funnel_conversion")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "Window" in plan
+
+
+def test_retention_distinct_agg_is_two_phase(spark):
+    """retention_cohorts: the countDistinct must expand to a two-phase
+    aggregate (partial_count + map-side dedup), never a single-node
+    collect-style distinct."""
+    plan = _plan(spark, "retention_cohorts")
+    assert "partial_count" in plan
+    assert "Window" in plan
