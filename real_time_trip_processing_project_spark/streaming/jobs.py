@@ -436,6 +436,50 @@ def interval_join_streams(
     return starts.join(ends, cond, "inner").drop("trip_id_end")
 
 
+def session_activity_stream(
+    tagged: DataFrame,
+    gap: str = "30 minutes",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """T11 (engine addition): per-vendor activity sessions via the
+    native ``session_window`` — consecutive trip-start events merge into
+    one session while the quiet period between them stays under ``gap``.
+
+    This is the third built-in stateful windowing shape after tumbling
+    (T6) and sliding: state per (vendor, open session), merged as events
+    arrive, emitted in append mode once the watermark passes a session's
+    close — so state is bounded by open sessions, and a vendor's session
+    never sits in memory longer than ``gap`` past its last event plus
+    the lateness allowance.  The batch twin is the same expression over
+    ``tagged_union_batch`` (session_window works identically in both
+    engines' group-by), which is what the parity test replays.
+    """
+    starts = with_event_time(
+        tagged.filter(F.col("event_type") == "trip_start")
+    )
+    return (
+        starts.withWatermark("event_ts", delay)
+        .groupBy(
+            "vendor_id", F.session_window("event_ts", gap).alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.sum(
+                F.round(F.col("estimated_fare_amount") * 100).cast("long")
+            ).alias("est_fare_cents"),
+        )
+        .select(
+            "vendor_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_trips",
+            (F.col("est_fare_cents").cast("double") / 100.0).alias(
+                "est_fare_total"
+            ),
+        )
+    )
+
+
 def joined_daily_kpis_stream(
     tagged: DataFrame,
     max_trip: str = "4 hours",
