@@ -1,0 +1,141 @@
+"""Distributed BPE tokenizer training (SURVEY.md §2.7 north-star tier).
+
+``tokenizer_pair_counts`` (plans/training.py) is ONE merge step of
+byte-pair-encoding vocabulary induction; this module runs the actual
+training loop — the canonical *iterative* corpus algorithm of an LLM
+data pipeline (reference has no counterpart; its Python is driver-side
+glue only).
+
+Algorithm (Sennrich-style BPE over the word-frequency table):
+
+1. collapse the corpus to ``(word, count)`` once — all later passes run
+   over the distinct-word table, which is vocabulary-sized, not
+   corpus-sized (the standard trick that makes BPE training tractable:
+   a 100 TB corpus has billions of tokens but a few million distinct
+   words).
+2. represent each word as an array of symbols (initially characters).
+3. per merge step: explode adjacent symbol pairs weighted by word
+   count → hash-aggregate → global argmax (count DESC, pair ASC — one
+   1-row ``collect``, the per-iteration driver scalar every iterative
+   distributed algorithm needs) → greedy left-to-right merge of that
+   pair inside every word's symbol array (a codegen ``aggregate`` fold,
+   no Python) → localCheckpoint to truncate the growing lineage.
+
+Scale: each iteration is one explode + one aggregate over the
+vocabulary table plus a map-only fold — linear in vocabulary size with
+a pair-vocabulary-sized shuffle.  The merged-symbol table is the
+model; words never leave the executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _merge_adjacent(symbols: Column, a: str, b: str, merged: str) -> Column:
+    """Greedy left-to-right replacement of adjacent (a, b) with merged —
+    the BPE merge rule — as a codegen ``aggregate`` fold over the symbol
+    array.  Greediness falls out of the fold: once a merge consumes the
+    left symbol, the merged token (≠ a) cannot chain into the next pair,
+    exactly like the sequential reference implementation."""
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def word_freq_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt) over whitespace tokens — the one corpus-sized pass."""
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
+    table (rank, left, right, merged, n) — deterministic: ties on pair
+    frequency break lexicographically, so the learned vocabulary is a
+    pure function of the corpus.
+
+    The returned DataFrame is driver-built (n_merges rows — model-sized,
+    not data-sized; the S8 caveat doesn't apply to a 10-row model)."""
+    spark = docs.sparkSession
+    vocab = word_freq_table(docs, text_col).select(
+        F.split("w", "").alias("symbols"), "cnt"
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        # single-symbol words carry no pairs — and sequence(1, 0) would
+        # DESCEND ([1, 0]), not produce an empty array
+        pairs = vocab.filter(F.size("symbols") >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("symbols") - 1),
+                    lambda i: F.struct(
+                        F.element_at("symbols", i).alias("a"),
+                        F.element_at("symbols", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0].a, best[0].b, best[0].n
+        merged = a + b
+        merges.append((rank, a, b, merged, n))
+        vocab = vocab.select(
+            _merge_adjacent(F.col("symbols"), a, b, merged).alias("symbols"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, n long"
+    )
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merge_rows: list,
+    text_col: str = "text",
+    out_col: str = "symbols",
+) -> DataFrame:
+    """Tokenize with a trained merge table: chars, then each merge in
+    rank order — map-only (the model is ``n_merges`` literals baked into
+    the fold chain, the distributed analogue of broadcasting a
+    tokenizer)."""
+    col = F.split(F.trim(F.col(text_col)), r"\s+")
+    sym = F.flatten(
+        F.transform(col, lambda w: F.concat(F.split(w, ""), F.array(F.lit(" "))))
+    )
+    for r in sorted(merge_rows, key=lambda r: r["rank"]):
+        sym = _merge_adjacent(sym, r["left"], r["right"], r["merged"])
+    return docs.withColumn(out_col, sym)

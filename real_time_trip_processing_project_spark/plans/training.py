@@ -1170,6 +1170,26 @@ def tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tokenizer_train_bpe",
+    oracle=None,  # iterative (argmax -> merge -> repeat): not SQL-expressible;
+    # exactness vs a sequential reference BPE asserted in
+    # tests/test_training_tier.py
+    tags=["EXT", "text", "curation"],
+)
+def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training (operators/tokenizer.py:train_bpe):
+    8 merge rounds over the corpus word-frequency table — the iterative
+    loop whose single step ``tokenizer_pair_counts`` profiles.  Each
+    round is explode + hash-aggregate + 1-row argmax collect + codegen
+    fold merge over the vocabulary-sized (not corpus-sized) table."""
+    from real_time_trip_processing_project_spark.operators import (
+        tokenizer as TK,
+    )
+
+    return TK.train_bpe(load_fixture(spark, sf_dir, "documents"), n_merges=8)
+
+
 #: Shared oracle for the audio-window queries: reconstructs amplitudes
 #: as ``ascii(char) - 128`` — exactly the uint8-PCM interpretation AND
 #: the int16 samples :func:`operators.multimodal.media_wav_from_documents`

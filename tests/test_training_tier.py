@@ -682,3 +682,85 @@ def test_leakage_safe_split_keeps_duplicates_together(spark):
         for r in df.select("doc_id", split_expr("doc_id").alias("s")).collect()
     }
     assert naive[1] != naive[3]
+
+
+def _py_bpe(texts: list[str], n_merges: int):
+    """Sequential reference BPE (Sennrich word-frequency variant)."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w] += 1
+    vocab: dict[tuple, int] = {}
+    for w, c in words.items():
+        vocab[tuple(w)] = vocab.get(tuple(w), 0) + c
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, a, b, a + b, n))
+        nv: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def test_train_bpe_matches_sequential_reference(spark):
+    """The distributed merge loop must learn the identical merge table
+    (same pairs, same order, same counts) as a sequential BPE over the
+    same corpus — including greedy left-to-right merge semantics on
+    runs like 'aaa' and deterministic tie-breaks."""
+    from real_time_trip_processing_project_spark.operators import (
+        tokenizer as TK,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaa aaaa banana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in TK.train_bpe(docs, n_merges=10).collect()]
+    assert got == _py_bpe(texts, 10)
+
+
+def test_train_bpe_on_fixture_is_deterministic(spark):
+    """Registry entry: runs on the documents fixture, produces exactly
+    n_merges ranked rows, stable across invocations (pure function of
+    the corpus — the rows-only driver contract leans on this)."""
+    a = [tuple(r) for r in REGISTRY["tokenizer_train_bpe"].fn(spark, SF).collect()]
+    b = [tuple(r) for r in REGISTRY["tokenizer_train_bpe"].fn(spark, SF).collect()]
+    assert a == b
+    assert len(a) == 8
+    assert [r[0] for r in a] == list(range(8))
+    assert all(r[3] == r[1] + r[2] for r in a)
+
+
+def test_apply_bpe_respects_word_boundaries(spark):
+    """apply_bpe merges inside words only: the learned 'lo'/'low' tokens
+    appear, and no token spans the word-separator sentinel."""
+    from real_time_trip_processing_project_spark.operators import (
+        tokenizer as TK,
+    )
+
+    texts = ["low low lower"]
+    docs = spark.createDataFrame([(1, texts[0])], "doc_id long, text string")
+    merges = TK.train_bpe(docs, n_merges=3).collect()
+    toks = TK.apply_bpe(docs, merges).collect()[0]["symbols"]
+    assert "low" in toks
+    assert all(" " not in t or t == " " for t in toks)
