@@ -1171,6 +1171,102 @@ def tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_zipf_fit",
+    oracle="""
+        WITH tf AS (
+            SELECT tok, count(*) AS tf
+            FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                  FROM documents)
+            GROUP BY tok
+        ),
+        top AS (
+            SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 1000
+        ),
+        ranked AS (
+            SELECT tf, row_number() OVER (ORDER BY tf DESC, tok) AS rank
+            FROM top
+        ),
+        t AS (
+            SELECT CAST(floor(ln(rank) * 1e6 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(ln(tf)   * 1e6 + 0.5) AS BIGINT) AS y
+            FROM ranked
+        ),
+        m AS (
+            SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+                   CAST(sum(x)     AS DECIMAL(38,0)) AS sx,
+                   CAST(sum(y)     AS DECIMAL(38,0)) AS sy,
+                   CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+                   CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+            FROM t
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
+        FROM m
+    """,
+    tags=["EXT", "text"],
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: OLS slope/intercept of log(tf)
+    vs log(rank) across the top 1000 terms — the standard corpus-health
+    diagnostic (natural text ≈ −1; synthetic or template-heavy corpora
+    drift toward 0).
+
+    Scale shape: term frequencies aggregate corpus-wide, the top-1000
+    comes from TakeOrderedAndProject (no global sort), and only those
+    1000 rows pass through the single-partition ranking window — the
+    window is bounded by a constant, never by the data.  Exactness
+    discipline: both engines quantize the logs to integer micro-ticks
+    and accumulate all OLS moments in DECIMAL(38,0), so summation order
+    cannot move the 6th decimal (the embedding_covariance lesson)."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    top = tf.orderBy(F.col("tf").desc(), "tok").limit(1000)
+    w = Window.orderBy(F.col("tf").desc(), "tok")
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    dec = "decimal(38,0)"
+    t = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1e6 + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("tf").cast("double")) * 1e6 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    m = t.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("intercept"),
+    )
+
+
+@register(
     "tokenizer_train_bpe",
     oracle=None,  # iterative (argmax -> merge -> repeat): not SQL-expressible;
     # exactness vs a sequential reference BPE asserted in
