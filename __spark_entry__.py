@@ -35,6 +35,10 @@ _RECHECK_FIRST = [
     "range_join_errors_before_purchase",
     "latest_event_per_user",
     "windowed_event_agg",
+    "event_correlation",
+    "session_window_agg",
+    "sliding_window_agg",
+    "union_tagged",
     "percentiles",
     "dedup_clusters",
     "dedup_ngram_jaccard",

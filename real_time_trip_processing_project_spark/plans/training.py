@@ -1171,6 +1171,93 @@ def tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_outlier_mad",
+    oracle="""
+        WITH med AS (
+            SELECT lang,
+                   CAST(2 * quantile_cont(n_chars, 0.5) AS BIGINT) AS med2
+            FROM documents GROUP BY lang
+        ),
+        dev AS (
+            SELECT d.doc_id, d.lang, d.n_chars, m.med2,
+                   abs(2 * d.n_chars - m.med2) AS dev2
+            FROM documents d JOIN med m USING (lang)
+        ),
+        mad AS (
+            SELECT lang,
+                   CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+            FROM dev GROUP BY lang
+        )
+        SELECT v.doc_id, v.lang, v.n_chars,
+               CAST(v.med2 AS DOUBLE) / 2.0  AS med,
+               CAST(a.mad4 AS DOUBLE) / 4.0  AS mad,
+               (2 * v.dev2 > 3 * a.mad4)     AS is_outlier
+        FROM dev v JOIN mad a USING (lang)
+    """,
+    tags=["EXT", "text", "curation"],
+)
+def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier detection per language: median/MAD instead
+    of mean/stddev (one 10 MB boilerplate doc moves a mean; it cannot
+    move a median), flagging docs with |len − median| > 3·MAD — the
+    curation filter that survives the heavy-tailed length distributions
+    real crawls have.
+
+    Built from TWO passes of the same scalable selection the
+    ``percentiles`` query uses (plans/core.py:bucket_refine_percentiles)
+    — exact medians without any per-group value buffer.  Exactness
+    discipline: medians are carried in doubled units (2·median of ints
+    is always integral; 4·MAD likewise), so the outlier comparison
+    ``2·dev2 > 3·mad4`` is pure integer arithmetic and the emitted
+    med/mad doubles (x.5 / x.25) are binary-exact on both engines."""
+    from real_time_trip_processing_project_spark.plans.core import (
+        bucket_refine_percentiles,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    qs = (("p50", 0.50),)
+    med2 = (
+        bucket_refine_percentiles(
+            docs.select(
+                F.col("lang").alias("flag"),
+                (F.col("n_chars") * 200).alias("cents"),
+            ),
+            qs,
+        )
+        .select(
+            F.col("flag").alias("lang"),
+            F.col("p50").cast("long").alias("med2"),
+        )
+    )
+    dev = docs.join(F.broadcast(med2), "lang").withColumn(
+        "dev2", F.abs(2 * F.col("n_chars") - F.col("med2"))
+    )
+    mad4 = (
+        bucket_refine_percentiles(
+            dev.select(
+                F.col("lang").alias("flag"),
+                (F.col("dev2") * 200).alias("cents"),
+            ),
+            qs,
+        )
+        .select(
+            F.col("flag").alias("lang"),
+            F.col("p50").cast("long").alias("mad4"),
+        )
+    )
+    return dev.join(F.broadcast(mad4), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("med2").cast("double") / 2.0).alias("med"),
+        (F.col("mad4").cast("double") / 4.0).alias("mad"),
+        (2 * F.col("dev2") > 3 * F.col("mad4")).alias("is_outlier"),
+    )
+
+
+@register(
     "corpus_zipf_fit",
     oracle="""
         WITH tf AS (
