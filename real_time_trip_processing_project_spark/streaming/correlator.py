@@ -194,39 +194,10 @@ def make_correlator(mode: str = "buffer", state_ttl_ms: int | None = None):
         )
         start = json.loads(start_json) if start_json else None
         end = json.loads(end_json) if end_json else None
-        out: list[dict] = []
 
-        for pdf in pdfs:
-            # row extraction via to_numpy + zip: ~14× cheaper than
-            # to_dict("records") on the tiny per-key frames this
-            # receives, and with thousands of keys per micro-batch the
-            # extraction is the correlator's hottest line (measured in
-            # the bench's correlator-isolated probe)
-            cols = list(pdf.columns)
-            for values in pdf.to_numpy():
-                rec = dict(zip(cols, values))
-                etype = rec.pop("event_type")
-                ev = {k: _py(v) for k, v in rec.items()}
-                if etype == "trip_start":
-                    start = {k: ev.get(k) for k in START_FIELDS}
-                    if end is not None:
-                        completed = True
-                        out.append(_emit_row(trip_id, start, end, "Completed"))
-                    else:
-                        out.append(_emit_row(trip_id, start, None, "Started"))
-                elif etype == "trip_end":
-                    ev_end = {k: ev.get(k) for k in END_FIELDS}
-                    if start is not None:
-                        end = ev_end
-                        completed = True
-                        out.append(_emit_row(trip_id, start, end, "Completed"))
-                    elif mode == "buffer":
-                        end = ev_end  # hold the early end until its start
-                    else:  # reference-compat: surface as orphan, don't store
-                        out.append(
-                            _emit_row(trip_id, None, ev_end, "Orphaned")
-                        )
-                # unknown event_type: per-record isolation (T5) — skip
+        out, start, end, completed = _apply_events(
+            trip_id, pdfs, start, end, completed, mode
+        )
 
         state.update(
             (
@@ -241,6 +212,50 @@ def make_correlator(mode: str = "buffer", state_ttl_ms: int | None = None):
             yield _frame_from_rows(out)
 
     return correlate
+
+
+def _apply_events(
+    trip_id: str,
+    pdfs: Iterator[pd.DataFrame],
+    start: dict | None,
+    end: dict | None,
+    completed: bool,
+    mode: str,
+):
+    """The trip state machine proper, shared by every host API (v1
+    ``applyInPandasWithState``, v2 ``transformWithStateInPandas``, batch
+    replay): fold a key's event frames into (emitted rows, new state)."""
+    out: list[dict] = []
+    for pdf in pdfs:
+        # row extraction via to_numpy + zip: ~14× cheaper than
+        # to_dict("records") on the tiny per-key frames this
+        # receives, and with thousands of keys per micro-batch the
+        # extraction is the correlator's hottest line (measured in
+        # the bench's correlator-isolated probe)
+        cols = list(pdf.columns)
+        for values in pdf.to_numpy():
+            rec = dict(zip(cols, values))
+            etype = rec.pop("event_type")
+            ev = {k: _py(v) for k, v in rec.items()}
+            if etype == "trip_start":
+                start = {k: ev.get(k) for k in START_FIELDS}
+                if end is not None:
+                    completed = True
+                    out.append(_emit_row(trip_id, start, end, "Completed"))
+                else:
+                    out.append(_emit_row(trip_id, start, None, "Started"))
+            elif etype == "trip_end":
+                ev_end = {k: ev.get(k) for k in END_FIELDS}
+                if start is not None:
+                    end = ev_end
+                    completed = True
+                    out.append(_emit_row(trip_id, start, end, "Completed"))
+                elif mode == "buffer":
+                    end = ev_end  # hold the early end until its start
+                else:  # reference-compat: surface as orphan, don't store
+                    out.append(_emit_row(trip_id, None, ev_end, "Orphaned"))
+            # unknown event_type: per-record isolation (T5) — skip
+    return out, start, end, completed
 
 
 class _BatchGroupState:
@@ -452,4 +467,89 @@ def correlate_stream(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+def make_stateful_processor(mode: str = "buffer", state_ttl_ms: int | None = None):
+    """Build the v2 ``StatefulProcessor`` for :func:`correlate_stream_v2`
+    (defined inside the factory so importing this module never touches
+    the stateful-processor machinery)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if mode not in ("buffer", "drop"):
+        raise ValueError(f"mode must be 'buffer' or 'drop', got {mode!r}")
+
+    #: v2 state rows are typed structs — starts/ends stored as JSON
+    #: strings for exact parity with the v1 store layout (STATE_SCHEMA).
+    class _TripProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "trip", STATE_SCHEMA, ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            trip_id = key[0]
+            existing = self._state.get() if self._state.exists() else None
+            start_json, end_json, completed = existing or (None, None, False)
+            start = json.loads(start_json) if start_json else None
+            end = json.loads(end_json) if end_json else None
+            out, start, end, completed = _apply_events(
+                trip_id, rows, start, end, completed, mode
+            )
+            self._state.update(
+                (
+                    json.dumps(start) if start else None,
+                    json.dumps(end) if end else None,
+                    completed,
+                )
+            )
+            if out:
+                yield _frame_from_rows(out)
+
+        def close(self) -> None:
+            pass
+
+    return _TripProcessor()
+
+
+def correlate_stream_v2(
+    tagged: DataFrame, mode: str = "buffer", state_ttl_ms: int | None = None
+) -> DataFrame:
+    """T2 on the v2 arbitrary-state API: identical event semantics to
+    :func:`correlate_stream`, hosted by ``transformWithStateInPandas``.
+
+    Why it exists alongside v1: the v2 API is where stateful Python
+    streaming is headed — typed state variables (value/list/map) instead
+    of one opaque tuple, native TTL per state (no processing-time timer
+    dance), and a RocksDB-only store contract that matches the 100 TB
+    deployment posture anyway.  The state machine itself is the shared
+    :func:`_apply_events`; a parity test replays the same files through
+    both hosts and asserts identical emissions.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDB (the v2 API rejects the HDFS-backed store) and the
+    ``protobuf`` package (the v2 state protocol is protobuf-framed;
+    checked eagerly here because its absence otherwise surfaces as an
+    opaque driver-worker crash at query start).
+    """
+    import importlib.util
+
+    try:
+        has_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has_pb = False
+    if not has_pb:
+        raise RuntimeError(
+            "correlate_stream_v2 needs the 'protobuf' package "
+            "(transformWithStateInPandas state protocol); this "
+            "environment lacks it — use correlate_stream (v1) instead"
+        )
+    return tagged.groupBy("trip_id").transformWithStateInPandas(
+        make_stateful_processor(mode=mode, state_ttl_ms=state_ttl_ms),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
     )
