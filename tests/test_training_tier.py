@@ -764,3 +764,39 @@ def test_apply_bpe_respects_word_boundaries(spark):
     toks = TK.apply_bpe(docs, merges).collect()[0]["symbols"]
     assert "low" in toks
     assert all(" " not in t or t == " " for t in toks)
+
+
+def test_ivf_persistent_index_matches_adhoc(spark, tmp_path):
+    """build_ivf_index + ivf_topk_indexed must return exactly what the
+    ad-hoc ivf_topk returns (same deterministic quantizer, same probes,
+    same re-rank), and the index read must prune to the probed cell
+    partitions (PartitionFilters on `cell`, not a full scan)."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_fixture(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).limit(10)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, path)
+    adhoc = {
+        tuple(r)
+        for r in SIM.ivf_topk(emb, queries, k=10).collect()
+    }
+    indexed_df = SIM.ivf_topk_indexed(spark, path, queries, k=10)
+    indexed = {tuple(r) for r in indexed_df.collect()}
+    assert adhoc
+    assert indexed == adhoc
+    # partition pruning: the cells scan must carry a partition filter
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln for ln in pf), pf
