@@ -1171,6 +1171,42 @@ def tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_script_profile",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(length(regexp_replace(text, '[^0-9]',    '', 'g')) AS BIGINT) AS n_digit,
+               CAST(length(regexp_replace(text, '[^ ]',      '', 'g')) AS BIGINT) AS n_space,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_other,
+               CAST(length(text) AS BIGINT) AS n_chars_total
+        FROM documents
+    """,
+    tags=["EXT", "text", "curation"],
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile per document (alpha/digit/space/other) —
+    the curation signal that catches binary-in-text, mojibake, and
+    markup-heavy docs that a word-level language model scores normally.
+    Map-only codegen regexp counts, integer-exact parity (explicit
+    ASCII classes on both engines, so no unicode-category drift)."""
+    docs = load_fixture(spark, sf_dir, "documents")
+
+    def n(pat):
+        return F.length(
+            F.regexp_replace(F.col("text"), pat, "")
+        ).cast("long")
+
+    return docs.select(
+        "doc_id",
+        n(r"[^a-zA-Z]").alias("n_alpha"),
+        n(r"[^0-9]").alias("n_digit"),
+        n(r"[^ ]").alias("n_space"),
+        n(r"[a-zA-Z0-9 ]").alias("n_other"),
+        F.length("text").cast("long").alias("n_chars_total"),
+    )
+
+
+@register(
     "quality_outlier_mad",
     oracle="""
         WITH med AS (
