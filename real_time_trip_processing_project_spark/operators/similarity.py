@@ -864,3 +864,110 @@ def ivf_topk_indexed(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def build_lsh_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the hyperplane-LSH index :func:`ann_topk` builds ad hoc:
+    (table, bucket, neighbor_id, cv) parquet PARTITIONED BY (table,
+    bucket) — the "bucketable on disk" layout the ad-hoc docstring
+    promises, made real.  Index size is ANN_TABLES× the corpus (the
+    classic LSH space-for-recall trade); the planes are deterministic
+    (seeded) so they are not stored — :func:`ann_topk_indexed`
+    regenerates them from ``dim``.
+    """
+    planes = _planes(dim)
+    sig_udf = _signatures_udf(planes)
+    index = (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        .withColumn("sigs", sig_udf("cv"))
+        .select(
+            "neighbor_id", "cv", F.posexplode("sigs").alias("table", "bucket")
+        )
+    )
+    index.write.mode("overwrite").partitionBy("table", "bucket").parquet(
+        f"{path}/buckets"
+    )
+
+
+def ann_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a persisted LSH index — same semantics
+    as :func:`ann_topk` over the corpus the index was built from.
+
+    The probed (table, bucket) pairs (queries × tables × (1 + bits)
+    multi-probes, a few thousand ints) are collected driver-side and
+    pushed into the scan as partition filters, so a probe reads only
+    matching bucket directories instead of re-signing the corpus."""
+    planes = _planes(dim)
+    sig_udf = _signatures_udf(planes)
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    q = qvecs.withColumn("sigs", sig_udf("qv")).select(
+        "query_id", "qv", F.posexplode("sigs").alias("table", "sig")
+    )
+    probes = F.array(
+        F.col("sig"),
+        *[F.expr(f"cast(sig as int) ^ {1 << i}") for i in range(ANN_BITS)],
+    )
+    qp = q.withColumn("bucket", F.explode(probes)).drop("sig")
+    probe_pairs = {
+        (r.table, r.bucket)
+        for r in qp.select("table", "bucket").distinct().collect()
+    }
+    tables = sorted({t for t, _ in probe_pairs})
+    buckets = sorted({b for _, b in probe_pairs})
+    index = (
+        spark.read.parquet(f"{path}/buckets")
+        # rectangular pre-prune feeds partition pruning; the exact pair
+        # filter below removes the rectangle's false corners
+        .filter(F.col("table").isin(tables) & F.col("bucket").isin(buckets))
+        .filter(
+            F.struct("table", "bucket").isin(
+                [F.struct(F.lit(t), F.lit(b)) for t, b in sorted(probe_pairs)]
+            )
+        )
+    )
+    cand = (
+        F.broadcast(qp.select("query_id", "table", "bucket"))
+        .join(index, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    corpus = spark.read.parquet(f"{path}/buckets").filter(
+        F.col("table") == F.lit(0)
+    ).select("neighbor_id", "cv")
+    scored = (
+        cand.join(F.broadcast(qvecs), "query_id")
+        .join(corpus, "neighbor_id")
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

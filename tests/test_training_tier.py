@@ -800,3 +800,33 @@ def test_ivf_persistent_index_matches_adhoc(spark, tmp_path):
 
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("cell" in ln for ln in pf), pf
+
+
+def test_lsh_persistent_index_matches_adhoc(spark, tmp_path):
+    """build_lsh_index + ann_topk_indexed must reproduce ann_topk exactly
+    (same deterministic planes, probes, re-rank) with partition filters
+    on the bucket scan."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_fixture(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).limit(10)
+    path = str(tmp_path / "lsh")
+    SIM.build_lsh_index(emb, path, dim=64)
+    adhoc = {
+        tuple(r) for r in SIM.ann_topk(emb, queries, k=10, dim=64).collect()
+    }
+    indexed_df = SIM.ann_topk_indexed(spark, path, queries, k=10, dim=64)
+    indexed = {tuple(r) for r in indexed_df.collect()}
+    assert adhoc
+    assert indexed == adhoc
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed_df.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket" in ln or "table" in ln for ln in pf), pf
