@@ -1294,6 +1294,54 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_class_centroids",
+    oracle="""
+        WITH x AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+                   CAST(floor(unnest(list_transform(embedding,
+                        v -> CAST(v AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS t
+            FROM embeddings
+        )
+        SELECT label, i,
+               round(CAST(sum(t) AS DOUBLE) / count(*) / 1e6, 6)
+                   AS centroid_mean,
+               count(*) AS n
+        FROM x GROUP BY 1, 2
+    """,
+    tags=["EXT", "similarity"],
+)
+def embedding_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus, long format (label,
+    component, mean, n) — the class-separability diagnostic a training
+    pipeline runs before trusting labels (collapsed centroids = labels
+    carry no geometry), and the nearest-class-centroid baseline
+    classifier's model.
+
+    One explode + one hash-aggregate: (labels × dims) output rows, the
+    shuffle carries integer partial sums.  Component values quantize to
+    integer micro-ticks before summation (the fixed-point discipline),
+    so the mean is a single float division of exact integers — parity
+    cannot drift with partial-sum order."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("i", "v")
+    ).select(
+        "label",
+        F.col("i").cast("int").alias("i"),
+        F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("t"),
+    )
+    return x.groupBy("label", "i").agg(
+        F.round(
+            F.sum("t").cast("double") / F.count("*") / F.lit(1e6), 6
+        ).alias("centroid_mean"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "corpus_zipf_fit",
     oracle="""
         WITH tf AS (
