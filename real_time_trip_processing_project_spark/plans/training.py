@@ -1294,6 +1294,103 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_lm_score",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+            FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        ),
+        uni AS (
+            SELECT w, count(*) AS c1
+            FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                  FROM documents)
+            GROUP BY w
+        ),
+        tot AS (SELECT sum(c1) AS n_corpus FROM uni),
+        bi AS (
+            SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   CAST(floor(ln(
+                       0.75 * (CAST(b.c2 AS DOUBLE) / u1.c1)
+                     + 0.25 * (CAST(u2.c1 AS DOUBLE) / tot.n_corpus)
+                   ) * 1e6 + 0.5) AS BIGINT) AS tick
+            FROM pairs p
+            JOIN bi b  ON b.w1 = p.w1 AND b.w2 = p.w2
+            JOIN uni u1 ON u1.w = p.w1
+            JOIN uni u2 ON u2.w = p.w2
+            CROSS JOIN tot
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(CAST(sum(tick) AS DOUBLE) / count(*) / 1e6, 6)
+                   AS avg_logp
+        FROM scored
+        GROUP BY doc_id
+    """,
+    tags=["EXT", "text", "curation"],
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model score with Jelinek-Mercer interpolation:
+    per doc, mean log of 0.75·P(w2|w1) + 0.25·P(w2) under the corpus's
+    own counts — the step past the unigram filter (`text_lm_score`)
+    that catches word-salad whose unigrams are individually common.
+
+    Scale: one corpus-sized bigram aggregate + three word-keyed joins
+    on the exploded pairs (Zipf-skewed keys — AQE skew-join territory,
+    same as the unigram scorer).  Probabilities are exact rationals of
+    corpus counts, so both engines compute identical doubles; the log
+    is quantized to integer micro-ticks before the per-doc sum, so
+    accumulation order cannot move the rounded mean (fixed-point
+    discipline)."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    from real_time_trip_processing_project_spark.operators import dedup as DD
+
+    pairs = docs.select(
+        "doc_id", F.explode(DD.word_bigrams(F.col("text"))).alias("g")
+    ).select(
+        "doc_id",
+        F.split("g", " ", 2).getItem(0).alias("w1"),
+        F.split("g", " ", 2).getItem(1).alias("w2"),
+    )
+    toks = docs.select(F.explode(TX.ws_tokens("text")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    tot = uni.agg(F.sum("c1").alias("n_corpus"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    p_interp = (
+        F.lit(0.75) * (F.col("c2").cast("double") / F.col("c1"))
+        + F.lit(0.25) * (F.col("u2c").cast("double") / F.col("n_corpus"))
+    )
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("w"))
+        .drop("w")
+        .join(
+            uni.select(F.col("w").alias("_w2"), F.col("c1").alias("u2c")),
+            F.col("w2") == F.col("_w2"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(F.log(p_interp) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("tick"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum("tick").cast("double") / F.count("*") / F.lit(1e6), 6
+        ).alias("avg_logp"),
+    )
+
+
+@register(
     "embedding_class_centroids",
     oracle="""
         WITH x AS (
