@@ -92,6 +92,7 @@ def test_no_cartesian_products_in_catalogue(spark):
     allowed = {
         "sim_cosine_topk",
         "text_lm_score",
+        "text_bigram_lm_score",  # same 1-row corpus-total broadcast
         "text_bm25_search",
         "embedding_covariance",  # 1-row broadcast of the corpus count
     }
