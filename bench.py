@@ -67,6 +67,12 @@ SECONDARY = [
     "multimodal_wav_windows",
     "funnel_conversion",
     "retention_cohorts",
+    "corpus_zipf_fit",
+    "quality_outlier_mad",
+    "text_script_profile",
+    "text_bigram_lm_score",
+    "embedding_class_centroids",
+    "tokenizer_train_bpe",
 ]
 
 #: Executions per query; the reported number is the minimum (steady-state
