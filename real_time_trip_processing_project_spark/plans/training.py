@@ -1293,6 +1293,94 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-min sketch shape: 4 md5-derived hash rows x 1024 buckets.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(hash_col):
+    """Bucket 0..1023 from the first three hex nibbles of an md5 column
+    (engine-portable: the DuckDB oracle computes the identical strpos
+    arithmetic, so sketch counters match cell for cell)."""
+    hexd = "0123456789abcdef"
+
+    def nib(pos):
+        return F.instr(F.lit(hexd), F.substring(hash_col, pos, 1)) - 1
+
+    return (nib(1) * 256 + nib(2) * 16 + nib(3)) % CMS_WIDTH
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents
+        ),
+        hashed AS (
+            SELECT w, i, md5(CAST(i AS VARCHAR) || ':' || w) AS h
+            FROM toks, LATERAL (SELECT unnest(range(0, 4)) AS i)
+        ),
+        rows_b AS (
+            SELECT w, i, (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) % 1024) AS bucket FROM hashed
+        ),
+        sketch AS (
+            SELECT i, bucket, count(*) AS cnt FROM rows_b GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT w, count(*) AS tf_exact FROM toks GROUP BY 1
+            ORDER BY tf_exact DESC, w LIMIT 50
+        ),
+        cand AS (
+            SELECT e.w, e.tf_exact, r.i, r.bucket
+            FROM exact e JOIN (SELECT DISTINCT w, i, bucket FROM rows_b) r
+              ON r.w = e.w
+        )
+        SELECT c.w AS tok, c.tf_exact, min(s.cnt) AS tf_cms
+        FROM cand c JOIN sketch s ON s.i = c.i AND s.bucket = c.bucket
+        GROUP BY 1, 2
+    """,
+    tags=["EXT", "text", "curation"],
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch: estimated vs exact
+    counts for the corpus's top-50 tokens.  The sketch (4 x 1024
+    integer counters, ~32 KB) is the bounded-memory structure a
+    streaming or merge-tree deployment keeps per partition and merges
+    by cell-wise addition; CMS guarantees est >= exact with overcount
+    <= 2N/width at 1/16 failure odds — asserted in tests.
+
+    Everything is md5-derived and integer, so the DuckDB oracle
+    reproduces the sketch EXACTLY (same buckets, same counters, same
+    estimates) — an approximate data structure under a full hash-parity
+    gate, unlike the rows-only HLL/GK built-ins."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.ws_tokens("text")).alias("w"))
+    hashed = toks.select(
+        "w", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i")
+    ).withColumn(
+        "bucket",
+        _cms_bucket(
+            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w")))
+        ),
+    )
+    sketch = hashed.groupBy("i", "bucket").agg(F.count("*").alias("cnt"))
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("tf_exact"))
+        .orderBy(F.col("tf_exact").desc(), "w")
+        .limit(50)
+    )
+    cand = exact.join(
+        hashed.select("w", "i", "bucket").dropDuplicates(), "w"
+    )
+    return (
+        cand.join(sketch, ["i", "bucket"])
+        .groupBy(F.col("w").alias("tok"), "tf_exact")
+        .agg(F.min("cnt").alias("tf_cms"))
+    )
+
+
 @register(
     "text_bigram_lm_score",
     oracle=r"""

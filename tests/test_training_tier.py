@@ -830,3 +830,25 @@ def test_lsh_persistent_index_matches_adhoc(spark, tmp_path):
     plan = buf.getvalue()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("bucket" in ln or "table" in ln for ln in pf), pf
+
+
+def test_cms_estimates_bounded_overcounts(spark):
+    """CMS guarantees: est >= exact always; overcount <= 2N/width for
+    all but ~(1/2)^depth of tokens — with depth 4 and the fixture's N,
+    assert every top-50 estimate sits within the bound (collisions at
+    this N/width are rare enough that the strict check is stable)."""
+    rows = REGISTRY["heavy_hitters_cms"].fn(spark, SF).collect()
+    # top-50, or the whole vocabulary when it is smaller (sf0.001 has
+    # a ~31-token synthetic vocab)
+    assert 0 < len(rows) <= 50
+    from real_time_trip_processing_project_spark.functions import text as TX
+    from real_time_trip_processing_project_spark.plans.training import CMS_WIDTH
+
+    docs = load_fixture(spark, SF, "documents")
+    n_total = docs.select(
+        F.explode(TX.ws_tokens("text")).alias("w")
+    ).count()
+    bound = 2 * n_total / CMS_WIDTH
+    for r in rows:
+        assert r.tf_cms >= r.tf_exact, (r.tok, r.tf_cms, r.tf_exact)
+        assert r.tf_cms - r.tf_exact <= bound, (r.tok, r.tf_cms, r.tf_exact)
