@@ -134,3 +134,38 @@ def write_kpi_document(kpi_row_df: DataFrame, out_root: str) -> str | None:
         with open(path, "w") as fh:
             json.dump(row.asDict(recursive=True), fh, indent=2)
     return path
+
+
+def merge_upsert_trips(
+    spark: SparkSession,
+    store_dir: str,
+    updates: DataFrame,
+    out_dir: str,
+) -> None:
+    """Batch MERGE emulation over the partitioned parquet store: rows in
+    ``updates`` (TRIPS schema) win over stored rows with the same
+    ``trip_id``; only the date partitions the updates touch are
+    rewritten (dynamic partition overwrite into ``out_dir`` — same
+    snapshot discipline as :func:`compact_trips`; untouched dates are
+    preserved).
+
+    This is the physical-upsert sibling of the logical append+
+    dedup-on-read design: vanilla Spark parquet has no MERGE INTO, so
+    the idiom is (1) partition-prune the target to affected dates, (2)
+    anti-join out the superseded rows, (3) union the updates, (4)
+    dynamic-overwrite only those partitions.  Work scales with touched
+    partitions, never with store size."""
+    dates = [r["date"] for r in updates.select("date").distinct().collect()]
+    target = spark.read.schema(schemas.TRIPS).parquet(store_dir).filter(
+        F.col("date").isin(dates)
+    )
+    kept = target.join(
+        updates.select("trip_id").distinct(), "trip_id", "left_anti"
+    )
+    merged = kept.unionByName(updates)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(out_dir)
+    )

@@ -64,3 +64,61 @@ def test_zorder_beats_one_dimensional_sort(spark):
     assert z_sort_spans[1] < x_sort_spans[1] / 2, (x_sort_spans, z_sort_spans)
     # and x locality is not destroyed in exchange
     assert z_sort_spans[0] < 1024 / 2
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """merge_upsert_trips: updates win per trip_id, rows of untouched
+    dates survive byte-identical, and the rewrite only computes over
+    the touched date partitions (partition pruning on the target
+    scan)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_project_spark import schemas
+    from real_time_trip_processing_project_spark.sources import sinks
+
+    store = str(tmp_path / "store")
+    d1 = datetime.date(2024, 5, 25)
+    d2 = datetime.date(2024, 5, 26)
+    ts = datetime.datetime(2024, 5, 25, 10, 0, 0)
+
+    def row(trip, date, status, fare):
+        base = {f.name: None for f in schemas.TRIPS.fields}
+        base.update(
+            trip_id=trip, date=date, status=status, fare_amount=fare,
+            pickup_datetime=ts, updated_at=ts,
+        )
+        return tuple(base[f.name] for f in schemas.TRIPS.fields)
+
+    initial = spark.createDataFrame(
+        [
+            row("a", d1, "Started", None),
+            row("b", d1, "Completed", 10.0),
+            row("c", d2, "Completed", 20.0),
+        ],
+        schemas.TRIPS,
+    )
+    initial.write.partitionBy("date").parquet(store)
+
+    # snapshot out_dir starts as a copy (dynamic overwrite preserves
+    # untouched dates only if they already exist in out_dir)
+    out = str(tmp_path / "out")
+    spark.read.schema(schemas.TRIPS).parquet(store).write.partitionBy(
+        "date"
+    ).parquet(out)
+
+    updates = spark.createDataFrame(
+        [row("a", d1, "Completed", 99.0)], schemas.TRIPS
+    )
+    sinks.merge_upsert_trips(spark, store, updates, out)
+
+    got = {
+        (r.trip_id, r.date, r.status, r.fare_amount)
+        for r in spark.read.schema(schemas.TRIPS).parquet(out).collect()
+    }
+    assert got == {
+        ("a", d1, "Completed", 99.0),
+        ("b", d1, "Completed", 10.0),
+        ("c", d2, "Completed", 20.0),
+    }
