@@ -852,3 +852,33 @@ def test_cms_estimates_bounded_overcounts(spark):
     for r in rows:
         assert r.tf_cms >= r.tf_exact, (r.tok, r.tf_cms, r.tf_exact)
         assert r.tf_cms - r.tf_exact <= bound, (r.tok, r.tf_cms, r.tf_exact)
+
+
+def test_train_bpe_stops_early_on_exhausted_corpus(spark):
+    """A corpus of single-character words has no pairs: the loop must
+    break on the first empty argmax and return zero merges, not loop
+    n_merges times or crash on sequence(1, 0)."""
+    from real_time_trip_processing_project_spark.operators import (
+        tokenizer as TK,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b c")], "doc_id long, text string"
+    )
+    assert TK.train_bpe(docs, n_merges=5).count() == 0
+
+
+def test_bucket_refine_percentiles_constant_column(spark):
+    """All-equal values degenerate the sketch range to zero: width
+    clamps to 1 and the quantiles still come out exact."""
+    from real_time_trip_processing_project_spark.plans.core import (
+        bucket_refine_percentiles,
+    )
+
+    vals = spark.range(100).select(
+        F.lit("g").alias("flag"), F.lit(777).cast("long").alias("cents")
+    )
+    rows = bucket_refine_percentiles(
+        vals, (("p50", 0.50),)
+    ).collect()
+    assert len(rows) == 1 and rows[0].p50 == 7.77
