@@ -113,3 +113,75 @@ def test_range_join_plan_is_equi_join(spark):
     plan = _plan(spark, "range_join_errors_before_purchase")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_fuzz_vs_pandas_merge_asof(spark):
+    """Seeded random event sets: the union+window as-of join must agree
+    with pandas ``merge_asof`` (the de-facto sequential reference for
+    backward as-of semantics) for BOTH inclusive and strict modes.
+    Right-side timestamps are unique per key so tie-resolution
+    conventions (which differ between the two) never enter."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 5, 25, 0, 0, 0)
+    lefts, rights = [], []
+    rid = 0
+    for user in range(12):
+        r_ts = rng.sample(range(0, 5000), rng.randint(0, 12))
+        for t in r_ts:
+            rid += 1
+            rights.append(
+                (user, base + dt.timedelta(seconds=t), rid, float(rid))
+            )
+        for _ in range(rng.randint(0, 15)):
+            t = rng.randrange(0, 5000)
+            # force exact-tie left timestamps sometimes
+            if r_ts and rng.random() < 0.3:
+                t = rng.choice(r_ts)
+            lefts.append((user, base + dt.timedelta(seconds=t)))
+    left = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(lefts)],
+        "click_id long, user_id long, click_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        rights, "user_id long, p_ts timestamp, purchase_id long, pv double"
+    )
+    lpdf = pd.DataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(lefts)],
+        columns=["click_id", "user_id", "click_ts"],
+    ).sort_values(["click_ts", "click_id"])
+    rpdf = pd.DataFrame(
+        rights, columns=["user_id", "p_ts", "purchase_id", "pv"]
+    ).sort_values("p_ts")
+    for inclusive in (True, False):
+        got = {
+            (r.click_id, r.purchase_id)
+            for r in TJ.asof_join(
+                left,
+                right,
+                keys=["user_id"],
+                left_ts="click_ts",
+                right_ts="p_ts",
+                right_value_cols=["purchase_id", "pv"],
+                out_prefix="",
+                inclusive=inclusive,
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lpdf,
+            rpdf,
+            left_on="click_ts",
+            right_on="p_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=inclusive,
+        )
+        want = {
+            (int(r.click_id),
+             None if pd.isna(r.purchase_id) else int(r.purchase_id))
+            for r in want_df.itertuples()
+        }
+        assert got == want, f"inclusive={inclusive}"

@@ -882,3 +882,22 @@ def test_bucket_refine_percentiles_constant_column(spark):
         vals, (("p50", 0.50),)
     ).collect()
     assert len(rows) == 1 and rows[0].p50 == 7.77
+
+
+def test_wav_codec_fuzz_roundtrip():
+    """Seeded random int16 signals of assorted lengths (including empty
+    and length-1) must round-trip bit-exactly through the RIFF codec."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(13)
+    for _ in range(25):
+        n = rng.choice([0, 1, 2, 7, 128, 1023])
+        s = np.array(
+            [rng.randint(-32768, 32767) for _ in range(n)], dtype=np.int16
+        )
+        rate = rng.choice([8000, 16000, 44100])
+        got, got_rate, ch = MM.decode_wav_pcm16(MM.encode_wav_pcm16(s, rate))
+        assert got_rate == rate and ch == 1
+        assert np.array_equal(got, s)
