@@ -1371,8 +1371,18 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf_exact").desc(), "w")
         .limit(50)
     )
-    cand = exact.join(
-        hashed.select("w", "i", "bucket").dropDuplicates(), "w"
+    # candidate buckets are recomputed from the 50 winners (md5 is
+    # deterministic), not deduped out of the corpus-sized index — that
+    # dedup would shuffle every token instance for 200 needed rows
+    cand = exact.select(
+        "w",
+        "tf_exact",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i"),
+    ).withColumn(
+        "bucket",
+        _cms_bucket(
+            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w")))
+        ),
     )
     return (
         cand.join(sketch, ["i", "bucket"])
