@@ -543,6 +543,83 @@ def bucket_refine_percentiles(
 
 
 @register(
+    "distinct_kmv",
+    oracle="""
+        WITH h AS (
+            SELECT DISTINCT o_orderstatus,
+                   CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
+                        AS BIGINT) AS hv
+            FROM orders
+        ),
+        ranked AS (
+            SELECT o_orderstatus, hv,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY hv) AS rk,
+                   count(*)   OVER (PARTITION BY o_orderstatus) AS nd
+            FROM h
+        )
+        SELECT o_orderstatus,
+               CAST(max(nd) AS BIGINT) AS n_exact,
+               CAST(CASE WHEN max(nd) < 256 THEN max(nd)
+                    ELSE CAST(round(255.0 /
+                         (CAST(max(CASE WHEN rk = 256 THEN hv END) AS DOUBLE)
+                          / 281474976710656.0)) AS BIGINT)
+               END AS BIGINT) AS n_kmv_est
+        FROM ranked
+        GROUP BY o_orderstatus
+    """,
+    tags=["EXT"],
+)
+def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per status via a KMV (k-minimum-values,
+    k=256) sketch — the MERGEABLE distinct sketch production OLAP
+    engines union across partitions/shards (two KMV sketches merge by
+    keeping the union's k smallest hashes), estimate = (k−1)/u_k where
+    u_k is the k-th smallest hash fraction; groups with fewer than k
+    distinct keys are counted exactly, per the standard KMV rule.
+
+    Unlike the built-in HLL (`approx_count_distinct`, rows-only for the
+    driver), every number here derives from md5 arithmetic both engines
+    compute identically — an approximate estimator under the FULL
+    hash-parity gate, alongside exact n for auditability.  Plan: one
+    distinct aggregate + one per-group window over the distinct hashes
+    (the shuffle carries 8-byte hash values, map-side-deduped)."""
+    K = 256
+    DENOM = float(16**12)
+    orders = load_fixture(spark, sf_dir, "orders")
+    h = orders.select(
+        "o_orderstatus",
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("o_orderstatus").orderBy("hv")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = h.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nd", F.count("*").over(wn)
+    )
+    est = (
+        F.round(
+            F.lit(float(K - 1))
+            / (
+                F.max(F.when(F.col("rk") == K, F.col("hv"))).cast("double")
+                / F.lit(DENOM)
+            )
+        )
+    ).cast("long")
+    return ranked.groupBy("o_orderstatus").agg(
+        F.max("nd").cast("long").alias("n_exact"),
+        F.when(F.max("nd") < K, F.max("nd").cast("long"))
+        .otherwise(est)
+        .alias("n_kmv_est"),
+    )
+
+
+@register(
     "approx_count_distinct",
     oracle=None,  # approximate — no deterministic SQL oracle; rows-only check
     tags=["EXT"],
