@@ -73,6 +73,8 @@ SECONDARY = [
     "text_bigram_lm_score",
     "embedding_class_centroids",
     "tokenizer_train_bpe",
+    "heavy_hitters_cms",
+    "distinct_kmv",
 ]
 
 #: Executions per query; the reported number is the minimum (steady-state

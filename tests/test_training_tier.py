@@ -901,3 +901,32 @@ def test_wav_codec_fuzz_roundtrip():
         got, got_rate, ch = MM.decode_wav_pcm16(MM.encode_wav_pcm16(s, rate))
         assert got_rate == rate and ch == 1
         assert np.array_equal(got, s)
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """The property KMV exists for: the union of two shard sketches
+    (keep the k smallest of the merged hash sets) must equal the
+    whole-corpus sketch — so per-partition sketches combine without
+    rescanning.  Verified on the orders fixture split odd/even."""
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+
+    K = 256
+    orders = load_fixture(spark, "/root/testdata/sf0.01", "orders")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+    def k_smallest(df):
+        h = df.select(hv.alias("hv")).distinct()
+        return [
+            r.hv
+            for r in h.orderBy("hv").limit(K).collect()
+        ]
+
+    whole = k_smallest(orders)
+    a = k_smallest(orders.filter(F.col("o_orderkey") % 2 == 0))
+    b = k_smallest(orders.filter(F.col("o_orderkey") % 2 == 1))
+    merged = sorted(set(a) | set(b))[:K]
+    assert merged == whole
