@@ -154,7 +154,14 @@ def merge_upsert_trips(
     the idiom is (1) partition-prune the target to affected dates, (2)
     anti-join out the superseded rows, (3) union the updates, (4)
     dynamic-overwrite only those partitions.  Work scales with touched
-    partitions, never with store size."""
+    partitions, never with store size.
+
+    Precondition (the fine print every partition-pruned MERGE carries):
+    a key's partition value must be immutable — here ``date`` derives
+    from ``pickup_datetime``, fixed at trip start.  If an update could
+    MOVE a trip to a different date, the superseded row in the old
+    partition would sit outside the pruned target and survive; such a
+    migration needs the old date included in the rewrite set."""
     dates = [r["date"] for r in updates.select("date").distinct().collect()]
     target = spark.read.schema(schemas.TRIPS).parquet(store_dir).filter(
         F.col("date").isin(dates)
