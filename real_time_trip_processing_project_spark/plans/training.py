@@ -1311,6 +1311,45 @@ def _cms_bucket(hash_col):
 
 
 @register(
+    "term_freq_incremental_merge",
+    oracle="""
+        SELECT tok, count(*) AS tf
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents)
+        GROUP BY tok
+    """,
+    tags=["EXT", "text", "curation"],
+)
+def term_freq_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the corpus term-frequency view: the
+    corpus splits into a base (source != 'src0') and a delta
+    (source = 'src0'); each side aggregates independently and the views
+    merge by ADDING counts — never rescanning the base.  The oracle is
+    the whole-corpus aggregate, so the driver hash-verifies that
+    merge(tf(base), tf(delta)) == tf(base ∪ delta) — the additive-merge
+    property every incremental ingest pipeline leans on (same algebra
+    as `dedup_incremental`'s index union and the CMS/KMV sketch
+    merges).  Cost: the merge shuffles vocabulary-sized count rows,
+    not corpus-sized token instances."""
+    docs = load_fixture(spark, sf_dir, "documents")
+
+    def tf(df):
+        return (
+            df.select(F.explode(TX.ws_tokens("text")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("tf"))
+        )
+
+    base = tf(docs.filter(F.col("source") != "src0"))
+    delta = tf(docs.filter(F.col("source") == "src0"))
+    return (
+        base.unionByName(delta)
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("tf"))
+    )
+
+
+@register(
     "heavy_hitters_cms",
     oracle="""
         WITH toks AS (

@@ -44,9 +44,10 @@ def get_spark(
         # parquet writer defaults for the trips store
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # the driver fixture `events.ts` is parquet TIMESTAMP(NANOS), which
-        # Spark cannot read natively — surface it as a long (nanos) and the
-        # events reader converts to TimestampType (micros) explicitly
+        # fixture generations have shipped `events.ts` as TIMESTAMP(NANOS),
+        # which Spark cannot read natively — surface it as a long (nanos);
+        # readers.load_fixture sniffs the footer and converts when needed
+        # (harmless for micros-typed generations)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # keep driver logs quiet in tests
         .config("spark.ui.enabled", "false")
