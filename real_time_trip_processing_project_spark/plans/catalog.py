@@ -15,12 +15,58 @@ across the two engines:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --- ns-robust events oracles -------------------------------------------
+#
+# The driver fixture's ``events.ts`` has drifted between parquet
+# TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across generations.  The Spark
+# loader truncates ns -> us at read time (sources/readers.py), but DuckDB
+# reads the parquet natively, so on an ns fixture its timestamp
+# inequality predicates (``ts >= t_click`` etc.) would compare at ns
+# precision and diverge on boundary rows.  Every oracle reference to the
+# ``events`` view is therefore rewritten at registration time into an
+# inline subquery that casts ``ts`` to microsecond TIMESTAMP — DuckDB's
+# TIMESTAMP_NS -> TIMESTAMP cast truncates, matching the Spark loader
+# exactly, and is a no-op on a us-unit fixture.  (A shadowing CTE named
+# ``events`` would be cleaner but DuckDB rejects self-named CTEs.)
+
+_EVENTS_US = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+#: tokens after ``FROM events`` that are NOT an alias
+_NOT_ALIAS = frozenset(
+    """where group order window left right inner outer full cross join on
+    union lateral limit having qualify using natural semi anti positional
+    asof intersect except select with""".split()
+)
+
+
+def _ns_robust(oracle: str | None) -> str | None:
+    """Rewrite ``FROM/JOIN events [AS] [alias]`` to scan a us-normalized
+    inline subquery.  Preserves any alias; supplies ``AS events`` when
+    the reference is unaliased so downstream qualified names still bind."""
+    if oracle is None or not re.search(r"\b(?:FROM|JOIN)\s+events\b", oracle, re.I):
+        return oracle
+
+    def repl(m: re.Match) -> str:
+        kw, nxt = m.group(1), m.group(2)
+        if nxt and nxt.lower() not in _NOT_ALIAS:
+            return f"{kw} {_EVENTS_US} AS {nxt}"
+        tail = f" {nxt}" if nxt else ""
+        return f"{kw} {_EVENTS_US} AS events{tail}"
+
+    return re.sub(
+        r"\b(FROM|JOIN)\s+events\b(?:\s+(?:AS\s+)?(\w+))?",
+        repl,
+        oracle,
+        flags=re.IGNORECASE,
+    )
 
 
 @dataclass
@@ -44,7 +90,11 @@ def register(
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = QueryDef(
-            name=name, fn=fn, oracle=oracle, tags=tags or [], doc=doc or (fn.__doc__ or "")
+            name=name,
+            fn=fn,
+            oracle=_ns_robust(oracle),
+            tags=tags or [],
+            doc=doc or (fn.__doc__ or ""),
         )
         return fn
 

@@ -33,6 +33,68 @@ def test_query_matches_oracle(spark, sf_oracle, duck, qname):
     assert res.ok, f"{qname}: {res.detail}"
 
 
+def test_events_oracles_ns_robust(spark, tmp_path):
+    """An ns-unit events fixture with sub-microsecond residues sitting
+    exactly on predicate boundaries must hash-match through the SAME
+    pipeline the driver uses: Spark's footer-sniffing loader truncates
+    ns→us, and the registration-time oracle rewrite
+    (plans/catalog._ns_robust) makes DuckDB truncate identically —
+    without it, ``ts >= t_click`` / ``t_buy <= t_click + 1h`` flip on
+    these rows (the r4 funnel_conversion red row)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    H = 3_600_000_000_000  # 1 hour in ns
+    T0 = 1_704_067_200_000_000_000  # 2024-01-01 00:00:00 UTC in ns
+    rows = [
+        # user 1: purchase lands 700ns AFTER click+1h — converted only
+        # after us-truncation (residues 300ns vs 700ns drop together)
+        (1, T0 + 300, 1, "click", 1.0, "{}"),
+        (2, T0 + H + 700, 1, "purchase", 9.0, "{}"),
+        # user 2: purchase 500ns BEFORE its click (same microsecond) —
+        # `ts >= t_click` is false at ns, true after truncation
+        (3, T0 + 10_000_500, 2, "click", 1.0, "{}"),
+        (4, T0 + 10_000_000, 2, "purchase", 5.0, "{}"),
+        # user 3: plainly converted; user 4: click only; user 5: no click
+        (5, T0, 3, "click", 1.0, "{}"),
+        (6, T0 + H // 2, 3, "purchase", 7.0, "{}"),
+        (7, T0 + 5 * H, 4, "click", 1.0, "{}"),
+        (8, T0 + 6 * H, 5, "purchase", 3.0, "{}"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"), store_schema=True)
+    assert pq.read_schema(str(tmp_path / "events.parquet")).field("ts").type.unit == "ns"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    for qname in ("funnel_conversion", "asof_join_events"):
+        qdef = REGISTRY[qname]
+        df = qdef.fn(spark, str(tmp_path))
+        res = testing.compare_query(qname, df, qdef.oracle, con)
+        assert res.ok, f"{qname} on ns fixture: {res.detail}"
+    # and the interesting rows actually exercised the boundary: user 1
+    # and 2 count as converted under us semantics
+    got = {
+        r.click_date.isoformat(): (r.n_clickers, r.n_converted)
+        for r in REGISTRY["funnel_conversion"].fn(spark, str(tmp_path)).collect()
+    }
+    # users 1-4 clicked on 2024-01-01; 1,2,3 converted post-truncation
+    # (1 and 2 ONLY because both engines truncated the ns residues)
+    assert got["2024-01-01"] == (4, 3)
+
+
 def test_bucket_refine_percentiles_long_tail(spark):
     """Auto-derived bucket width must keep the refinement exact on a
     long-tailed value domain (7 decades of magnitude — a fixed $100
