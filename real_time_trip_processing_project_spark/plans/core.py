@@ -422,8 +422,14 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         _cents("l_extendedprice").alias("cents"),
     )
+    # Width pinned: l_extendedprice is a bounded TPC-H domain
+    # (~$900–$105k at every SF), so $100 buckets keep the histogram at
+    # ~1000 rows/group without paying the auto-width sketch scan — a
+    # fresh driver process would pay it on the first (min-of-2) bench
+    # rep since _WIDTH_CACHE starts empty.  Auto-derivation remains the
+    # default for unknown domains (test_bucket_refine_percentiles_long_tail).
     return bucket_refine_percentiles(
-        li, (("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
+        li, (("p25", 0.25), ("p50", 0.50), ("p75", 0.75)), bucket_w=10_000
     ).select(
         F.col("flag").alias("l_returnflag"), "p25", "p50", "p75"
     )
