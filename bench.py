@@ -310,8 +310,12 @@ def _stream_throughput(spark) -> dict | None:
                 orph = os.path.join(root, f"orphans-{rep}")
                 ckpt = os.path.join(root, f"ckpt-{rep}")
                 t0 = time.perf_counter()
+                # key-group state: the throughput configuration (per-trip
+                # keying pays ~0.8 ms of invocation overhead per trip per
+                # batch; see correlator.py key-group design note)
                 jobs.run_pipeline_to_completion(
                     spark, dirs["start"], dirs["end"], store, orph, ckpt,
+                    key_groups=64,
                 )
                 rep_dt = time.perf_counter() - t0
                 dt = rep_dt if dt is None else min(dt, rep_dt)
@@ -357,6 +361,7 @@ def _stream_throughput(spark) -> dict | None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         return {
             "events": n,
+            "key_groups": 64,
             "pipeline_sec": round(dt, 3),
             "events_per_sec": round(n / dt, 1),
             "source_only_sec": round(source_sec, 3),

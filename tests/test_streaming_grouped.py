@@ -1,0 +1,157 @@
+"""Key-group correlator tests: the throughput host for the trip state
+machine (correlator.correlate_stream_grouped) must reproduce the
+per-trip path's semantics exactly — same late/out-of-order behavior,
+same idempotency, same final store — while keeping state per hash group
+instead of per trip.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_project_spark.sources import producer, sinks
+from real_time_trip_processing_project_spark.streaming import jobs
+
+from tests.test_streaming_semantics import _dirs, _end_event, _start_event
+
+#: Few groups + many trips forces multi-trip groups (the interesting case).
+GROUPS = 8
+
+
+def _drain(spark, dirs, mode="buffer"):
+    start_dir, end_dir, store, orphans, ckpt = dirs
+    jobs.run_pipeline_to_completion(
+        spark, start_dir, end_dir, store, orphans, ckpt,
+        mode=mode, key_groups=GROUPS,
+    )
+
+
+def test_grouped_end_before_start_buffer(spark, tmp_path):
+    """An end arriving a micro-batch early is held in GROUP state and
+    completes when the start lands — including the cross-batch case
+    where the trip already has state (the per-trip fold inside the
+    group)."""
+    dirs = _dirs(tmp_path)
+    start_dir, end_dir, store, _, _ = dirs
+    n = 6
+    producer.write_stream_files([_end_event(i) for i in range(n)], end_dir)
+    producer.write_stream_files([], start_dir)
+    _drain(spark, dirs)
+    producer.write_stream_files(
+        [_start_event(i) for i in range(n)], start_dir, prefix="late"
+    )
+    _drain(spark, dirs)
+
+    cur = sinks.current_trips(spark, store)
+    by_status = {
+        r["status"]: r["count"] for r in cur.groupBy("status").count().collect()
+    }
+    assert by_status == {"Completed": n}
+    assert cur.filter(F.col("fare_amount").isNull()).count() == 0
+
+
+def test_grouped_end_before_start_drop(spark, tmp_path):
+    """Drop mode parity: early ends become Orphaned rows, trips stay
+    Started, orphaned ends are not resurrected from group state."""
+    dirs = _dirs(tmp_path)
+    start_dir, end_dir, store, orphans, _ = dirs
+    n = 4
+    producer.write_stream_files([_end_event(i) for i in range(n)], end_dir)
+    producer.write_stream_files([], start_dir)
+    _drain(spark, dirs, mode="drop")
+    producer.write_stream_files(
+        [_start_event(i) for i in range(n)], start_dir, prefix="late"
+    )
+    _drain(spark, dirs, mode="drop")
+
+    cur = sinks.current_trips(spark, store)
+    by_status = {
+        r["status"]: r["count"] for r in cur.groupBy("status").count().collect()
+    }
+    assert by_status == {"Started": n}
+    orphan_df = spark.read.parquet(orphans)
+    assert orphan_df.filter(F.col("status") == "Orphaned").count() == n
+
+
+def test_grouped_permutation_invariance(spark, tmp_path):
+    """Any interleaving across micro-batch waves converges to the same
+    completed set (seeded shuffles; mixes the vectorized fast path with
+    the stateful per-trip fold)."""
+    n = 12
+    want_fares = {f"t{i:04d}": 20.0 + i for i in range(n)}
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        events = [("s", _start_event(i)) for i in range(n)] + [
+            ("e", _end_event(i)) for i in range(n)
+        ]
+        rng.shuffle(events)
+        base = tmp_path / f"gperm{seed}"
+        base.mkdir()
+        dirs = _dirs(base)
+        start_dir, end_dir, store, _, _ = dirs
+        k = len(events) // 3
+        for wave, chunk in enumerate(
+            (events[:k], events[k : 2 * k], events[2 * k :])
+        ):
+            producer.write_stream_files(
+                [e for t, e in chunk if t == "s"], start_dir, prefix=f"w{wave}"
+            )
+            producer.write_stream_files(
+                [e for t, e in chunk if t == "e"], end_dir, prefix=f"w{wave}"
+            )
+            _drain(spark, dirs)
+        cur = sinks.current_trips(spark, store)
+        got = {
+            r["trip_id"]: r["fare_amount"]
+            for r in cur.filter(F.col("status") == "Completed").collect()
+        }
+        assert got == want_fares, f"seed {seed}"
+
+
+def test_grouped_matches_per_trip_store(spark, tmp_path):
+    """Same event tape through both hosts ⇒ identical current-trips view
+    (every column except the version stamp)."""
+    n = 40
+    stores = {}
+    for tag, groups in (("per-trip", None), ("grouped", GROUPS)):
+        base = tmp_path / tag
+        base.mkdir()
+        dirs = _dirs(base)
+        start_dir, end_dir, store, orphans, ckpt = dirs
+        # a mix: plain pairs, start-only, duplicate ends
+        producer.write_stream_files(
+            [_start_event(i) for i in range(n)], start_dir
+        )
+        producer.write_stream_files(
+            [_end_event(i) for i in range(0, n, 2)]
+            + [_end_event(0)],  # duplicate end for t0000
+            end_dir,
+        )
+        jobs.run_pipeline_to_completion(
+            spark, start_dir, end_dir, store, orphans, ckpt,
+            key_groups=groups,
+        )
+        stores[tag] = store
+    a = sinks.current_trips(spark, stores["per-trip"])
+    b = sinks.current_trips(spark, stores["grouped"])
+    cols = [c for c in a.columns if c != "updated_at"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+    assert a.count() == n
+
+
+def test_grouped_rejects_ttl(spark, tmp_path):
+    """Per-trip TTL timers are not expressible on group keys — the
+    combination must fail loudly, not silently mis-expire."""
+    dirs = _dirs(tmp_path)
+    start_dir, end_dir, store, orphans, ckpt = dirs
+    producer.write_stream_files([_start_event(0)], start_dir)
+    producer.write_stream_files([], end_dir)
+    with pytest.raises(ValueError, match="per-trip"):
+        jobs.start_trip_pipeline(
+            spark, start_dir, end_dir, store, orphans, ckpt,
+            key_groups=GROUPS, state_ttl_ms=1000,
+        )
