@@ -186,7 +186,7 @@ def _quality(spark) -> dict:
         (r.query_id, r.neighbor_id)
         for r in REGISTRY["sim_cosine_topk"].fn(spark, SF_DIR).collect()
     }
-    for name, floor in (("sim_ann_lsh", 0.4), ("sim_ann_ivf", 0.45)):
+    for name, floor in (("sim_ann_lsh", 0.85), ("sim_ann_ivf", 0.75)):
         ann = {
             (r.query_id, r.neighbor_id)
             for r in REGISTRY[name].fn(spark, SF_DIR).collect()

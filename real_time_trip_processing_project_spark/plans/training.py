@@ -248,8 +248,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["EXT", "similarity"],
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN top-10 for the same query subset (16-bit
-    signatures + 1-bit multi-probe, exact re-rank inside buckets)."""
+    """Hyperplane-LSH ANN top-10 for the same query subset (8 tables ×
+    8-bit signatures, radius-2 multi-probe, exact re-rank inside
+    buckets)."""
     emb = load_fixture(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return SIM.ann_topk(emb, queries, TOPK, dim=64)
@@ -261,8 +262,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["EXT", "similarity"],
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10: deterministic spherical k-means (16 cells, 3
-    iterations, stride init) as the coarse quantizer, 4-cell probe,
+    """IVF ANN top-10: deterministic spherical k-means (16 cells, 10
+    iterations, stride init) as the coarse quantizer, 10-cell probe
+    (the fixture corpus is nearly unclustered — see IVF_PROBES note),
     exact cosine re-rank inside probed cells."""
     emb = load_fixture(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)

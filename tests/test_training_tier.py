@@ -125,9 +125,9 @@ def test_jaccard_prefix_filter_prunes_candidates(spark):
 
 
 def test_ann_recall_vs_brute_force(spark):
-    """8 tables × 8 bits + 1-bit multi-probe on quasi-random 64-d vectors:
-    recall@10 ≈ 0.68 measured; assert a safe floor well above chance
-    (chance ≈ k/N = 10/499 ≈ 0.02)."""
+    """8 tables × 8 bits + radius-2 multi-probe on quasi-random 64-d
+    vectors: recall@10 ≈ 0.97 measured at sf0.1; assert a floor with
+    margin for fixture drift (chance ≈ k/N ≈ 0.02)."""
     bf = {
         (r.query_id, r.neighbor_id)
         for r in REGISTRY["sim_cosine_topk"].fn(spark, SF).collect()
@@ -137,12 +137,13 @@ def test_ann_recall_vs_brute_force(spark):
         for r in REGISTRY["sim_ann_lsh"].fn(spark, SF).collect()
     }
     assert bf
-    assert len(bf & ann) / len(bf) >= 0.4
+    assert len(bf & ann) / len(bf) >= 0.85
 
 
 def test_ivf_recall_vs_brute_force(spark):
-    """IVF (16 cells, 4 probes = 25% of the corpus scanned): measured
-    recall@10 ≈ 0.72 on quasi-random vectors; assert a safe floor."""
+    """IVF (16 cells, 10 probes — the fixture vectors are nearly
+    unclustered, so credible recall needs a wide probe): recall@10
+    ≈ 0.89 measured at sf0.1; assert a floor with drift margin."""
     bf = {
         (r.query_id, r.neighbor_id)
         for r in REGISTRY["sim_cosine_topk"].fn(spark, SF).collect()
@@ -152,7 +153,7 @@ def test_ivf_recall_vs_brute_force(spark):
         for r in REGISTRY["sim_ann_ivf"].fn(spark, SF).collect()
     }
     assert bf
-    assert len(bf & ivf) / len(bf) >= 0.45
+    assert len(bf & ivf) / len(bf) >= 0.75
 
 
 def test_blocked_cosine_pairs_match_brute_force(spark):
