@@ -27,10 +27,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: verified near the front of the window.  Maintained per round, names only
 #: advisory (unknown names warn, never break the package).
 _RECHECK_FIRST = [
-    # r4 in-round edits: events.ts unit sniffing (every events consumer),
-    # PPJoin prefix bound, CC collapse contract, ASCII anchors, WAV
-    # codec, auto bucket width
-    "embedding_covariance",
+    # r5 in-round edits: ns-robust rewrite of every events oracle
+    # (plans/catalog._ns_robust), pinned percentile bucket width
+    "funnel_conversion",
+    "percentiles",
     "asof_join_events",
     "range_join_errors_before_purchase",
     "latest_event_per_user",
@@ -38,14 +38,10 @@ _RECHECK_FIRST = [
     "event_correlation",
     "session_window_agg",
     "sliding_window_agg",
-    "union_tagged",
-    "percentiles",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "multimodal_audio_windows",
-    "multimodal_wav_windows",
-    "tokenizer_pair_counts",
-    "text_pii_redact",
+    "string_json_ops",
+    "from_json_typed",
+    "interval_arithmetic",
+    "retention_cohorts",
 ]
 
 
@@ -79,18 +75,17 @@ def _last_check(results_dir: str) -> tuple[dict[str, int], set[str]]:
     return last, failed
 
 
-def _ordered(registry: dict) -> dict:
-    """Order the catalogue so the verifier's fixed-size check window keeps
-    every query's most-recent-green fresh: failures first, then entries
-    whose module changed since their last check, then never-checked, then
-    stalest-check-first.  Purely an ordering concern of this driver-facing
-    shim — the library registry keeps natural registration order."""
-    last, failed = _last_check(os.path.dirname(os.path.abspath(__file__)))
-    unknown = [n for n in _RECHECK_FIRST if n not in registry]
-    if unknown:
-        warnings.warn(f"_RECHECK_FIRST names not registered: {unknown}")
-    recheck = {n: i for i, n in enumerate(_RECHECK_FIRST)}
-    names = list(registry)
+def _order_names(
+    names: list[str],
+    last: dict[str, int],
+    failed: set[str],
+    recheck: dict[str, int],
+) -> list[str]:
+    """Pure ordering core (unit-tested for the max-staleness bound):
+    failures first, then changed-module rechecks, then never-checked,
+    then stalest-check-first — so a fixed-size verification window of W
+    slots re-checks every one of N queries at least once every ⌈N/W⌉
+    rounds and a red row always leads the very next window."""
 
     def key(item: tuple[int, str]) -> tuple:
         idx, n = item
@@ -102,9 +97,22 @@ def _ordered(registry: dict) -> dict:
             return (2, idx)
         return (3, last[n], idx)
 
+    return [n for _, n in sorted(enumerate(names), key=key)]
+
+
+def _ordered(registry: dict) -> dict:
+    """Order the catalogue so the verifier's fixed-size check window keeps
+    every query's most-recent-green fresh (see :func:`_order_names`).
+    Purely an ordering concern of this driver-facing shim — the library
+    registry keeps natural registration order."""
+    last, failed = _last_check(os.path.dirname(os.path.abspath(__file__)))
+    unknown = [n for n in _RECHECK_FIRST if n not in registry]
+    if unknown:
+        warnings.warn(f"_RECHECK_FIRST names not registered: {unknown}")
+    recheck = {n: i for i, n in enumerate(_RECHECK_FIRST)}
     return {
         n: registry[n]
-        for _, n in sorted(enumerate(names), key=lambda t: key(t))
+        for n in _order_names(list(registry), last, failed, recheck)
     }
 
 

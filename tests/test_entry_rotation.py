@@ -1,0 +1,73 @@
+"""Verification-window rotation invariants of the driver-facing shim
+(__spark_entry__._order_names): a fixed-size check window must re-check
+every registered query within a bounded number of rounds (no
+starvation), and a red row must lead the very next window.
+"""
+
+from __future__ import annotations
+
+import importlib
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+entry_mod = importlib.import_module("__spark_entry__")
+
+WINDOW = 50  # the driver's observed check-window size
+
+
+def _simulate(names, rounds, window=WINDOW, recheck=None, failed=None):
+    """Run the rotation for `rounds` rounds; every checked query passes.
+    Returns {name: [rounds in which it was checked]}."""
+    last: dict[str, int] = {}
+    fail = set(failed or ())
+    checked: dict[str, list[int]] = {n: [] for n in names}
+    for rnd in range(rounds):
+        ordered = entry_mod._order_names(names, last, fail, recheck or {})
+        for n in ordered[:window]:
+            checked[n].append(rnd)
+            last[n] = rnd
+            fail.discard(n)
+    return checked
+
+
+def test_max_staleness_bound():
+    """With pure rotation (no pins, no failures) every query is checked
+    at least once every ⌈N/W⌉ rounds, from any starting state."""
+    n_queries = len(entry_mod.queries())
+    names = [f"q{i:03d}" for i in range(n_queries)]
+    bound = math.ceil(n_queries / WINDOW)
+    rounds = 4 * bound
+    checked = _simulate(names, rounds)
+    for n, rs in checked.items():
+        assert rs, f"{n} never checked"
+        assert rs[0] < bound, f"{n} first checked at round {rs[0]} >= {bound}"
+        gaps = [b - a for a, b in zip(rs, rs[1:])]
+        assert max(gaps, default=0) <= bound, f"{n} starved: gaps {gaps}"
+
+
+def test_failures_always_first():
+    """A query whose last check failed leads the next window regardless
+    of how recently it was checked."""
+    names = [f"q{i:03d}" for i in range(100)]
+    last = {n: 5 for n in names}
+    last["q099"] = 9  # most recently checked of all
+    ordered = entry_mod._order_names(names, last, {"q099"}, {})
+    assert ordered[0] == "q099"
+
+
+def test_recheck_pins_follow_failures():
+    """Changed-module pins come right after failures, in pin order."""
+    names = [f"q{i:03d}" for i in range(20)]
+    ordered = entry_mod._order_names(
+        names, {n: 1 for n in names}, {"q007"}, {"q010": 0, "q003": 1}
+    )
+    assert ordered[:3] == ["q007", "q010", "q003"]
+
+
+def test_registry_names_resolve():
+    """Every _RECHECK_FIRST pin names a registered query (typos warn at
+    runtime; this keeps them from lingering)."""
+    qs = entry_mod.queries()
+    missing = [n for n in entry_mod._RECHECK_FIRST if n not in qs]
+    assert not missing, f"_RECHECK_FIRST names not registered: {missing}"
