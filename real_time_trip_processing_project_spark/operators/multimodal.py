@@ -77,8 +77,18 @@ def decode_wav_pcm16(payload: bytes):
         cid, size = payload[pos : pos + 4], struct.unpack(
             "<I", payload[pos + 4 : pos + 8]
         )[0]
+        if pos + 8 + size > end:
+            # size fields are untrusted input: a truncated/corrupt
+            # payload must fail as ValueError, not silently shorten the
+            # sample stream or escape as struct.error downstream
+            raise ValueError(
+                f"truncated chunk {cid!r}: declares {size} bytes, "
+                f"{end - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk too short: {len(body)} < 16")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

@@ -1342,8 +1342,12 @@ def term_freq_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("tf"))
         )
 
-    base = tf(docs.filter(F.col("source") != "src0"))
-    delta = tf(docs.filter(F.col("source") == "src0"))
+    # null-safe split: source != 'src0' drops NULL-source rows from BOTH
+    # sides (they fail both predicates), silently breaking the
+    # merge ≡ full-rescan invariant if a fixture ever carries nulls
+    is_delta = F.col("source").eqNullSafe("src0")
+    base = tf(docs.filter(~is_delta))
+    delta = tf(docs.filter(is_delta))
     return (
         base.unionByName(delta)
         .groupBy("tok")

@@ -145,9 +145,11 @@ def merge_upsert_trips(
     """Batch MERGE emulation over the partitioned parquet store: rows in
     ``updates`` (TRIPS schema) win over stored rows with the same
     ``trip_id``; only the date partitions the updates touch are
-    rewritten (dynamic partition overwrite into ``out_dir`` — same
-    snapshot discipline as :func:`compact_trips`; untouched dates are
-    preserved).
+    rewritten (dynamic partition overwrite into ``out_dir``).  The
+    result is a COMPLETE snapshot whatever ``out_dir`` started as:
+    untouched date partitions are hard-linked in from the store
+    (metadata-only; see :func:`_link_untouched_partitions`), so a fresh
+    ``out_dir`` works and an existing snapshot copy is left as-is.
 
     This is the physical-upsert sibling of the logical append+
     dedup-on-read design: vanilla Spark parquet has no MERGE INTO, so
@@ -176,3 +178,38 @@ def merge_upsert_trips(
         .partitionBy("date")
         .parquet(out_dir)
     )
+    _link_untouched_partitions(store_dir, out_dir, {str(d) for d in dates})
+
+
+def _link_untouched_partitions(
+    store_dir: str, out_dir: str, touched: set[str]
+) -> None:
+    """Complete the merge snapshot: date partitions the MERGE did not
+    rewrite are hard-linked from the store into ``out_dir`` (falling
+    back to copy across filesystems).  Without this, a fresh ``out_dir``
+    would silently contain ONLY the touched dates — dynamic partition
+    overwrite preserves untouched partitions only if they already exist
+    at the destination.  Linking is metadata-only per file — the local-
+    filesystem analogue of a table format reusing unchanged data files
+    in a new snapshot manifest (no data bytes move), so the merge still
+    scales with touched partitions, not store size."""
+    import os
+    import shutil
+
+    for entry in os.listdir(store_dir):
+        if not entry.startswith("date="):
+            continue
+        if entry[len("date="):] in touched:
+            continue
+        src = os.path.join(store_dir, entry)
+        dst = os.path.join(out_dir, entry)
+        if not os.path.isdir(src):
+            continue
+        os.makedirs(dst, exist_ok=True)
+        for fn in os.listdir(src):
+            s, d = os.path.join(src, fn), os.path.join(dst, fn)
+            if os.path.isfile(s) and not os.path.exists(d):
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)

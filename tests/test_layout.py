@@ -113,12 +113,23 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     )
     sinks.merge_upsert_trips(spark, store, updates, out)
 
-    got = {
-        (r.trip_id, r.date, r.status, r.fare_amount)
-        for r in spark.read.schema(schemas.TRIPS).parquet(out).collect()
-    }
-    assert got == {
+    want = {
         ("a", d1, "Completed", 99.0),
         ("b", d1, "Completed", 10.0),
         ("c", d2, "Completed", 20.0),
     }
+    got = {
+        (r.trip_id, r.date, r.status, r.fare_amount)
+        for r in spark.read.schema(schemas.TRIPS).parquet(out).collect()
+    }
+    assert got == want
+
+    # and a FRESH out_dir yields the same complete snapshot: untouched
+    # partitions are linked in, not silently dropped
+    out2 = str(tmp_path / "out-fresh")
+    sinks.merge_upsert_trips(spark, store, updates, out2)
+    got2 = {
+        (r.trip_id, r.date, r.status, r.fare_amount)
+        for r in spark.read.schema(schemas.TRIPS).parquet(out2).collect()
+    }
+    assert got2 == want

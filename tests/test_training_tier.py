@@ -349,6 +349,19 @@ def test_wav_codec_roundtrip():
     assert np.array_equal(got2, s)
     with pytest.raises(ValueError):
         MM.decode_wav_pcm16(b"\x89PNG not audio")
+    # untrusted size fields: a data chunk declaring more bytes than the
+    # payload holds must raise ValueError, not silently truncate samples
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_wav_pcm16(payload[:-4])
+    # a fmt chunk shorter than its 16 mandatory bytes → ValueError, not
+    # struct.error
+    short_fmt = (
+        b"RIFF" + (30).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (8).to_bytes(4, "little") + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+        + b"data" + (0).to_bytes(4, "little")
+    )
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        MM.decode_wav_pcm16(short_fmt)
 
 
 def test_wav_windows_match_pcm8_path(spark):
