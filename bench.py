@@ -75,6 +75,8 @@ SECONDARY = [
     "tokenizer_train_bpe",
     "heavy_hitters_cms",
     "distinct_kmv",
+    # round-5 additions
+    "multimodal_image_features",
 ]
 
 #: Executions per query; the reported number is the minimum (steady-state

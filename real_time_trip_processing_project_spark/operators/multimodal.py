@@ -106,6 +106,74 @@ def decode_wav_pcm16(payload: bytes):
         samples = samples.reshape(-1, n_channels)
     return samples, sample_rate, n_channels
 
+def encode_bmp_rgb24(pixels, top_down: bool = False) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a real 24-bit
+    uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BGR byte
+    order, rows padded to 4 bytes, bottom-up unless ``top_down``) —
+    pure Python, no image libraries.  The image codec for the
+    multimodal seam, exercising the format's actual gotchas (channel
+    flip, row padding, row order)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {px.shape}")
+    h, w, _ = px.shape
+    bgr = px[:, :, ::-1]
+    if not top_down:
+        bgr = bgr[::-1, :, :]  # bottom-up row order
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = b"".join(
+        bgr[r].tobytes() + b"\x00" * pad for r in range(h)
+    )
+    bi_height = -h if top_down else h
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, bi_height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return file_hdr + info + body
+
+
+def decode_bmp_rgb24(payload: bytes):
+    """Parse a 24-bit uncompressed BMP back into an (h, w, 3) uint8 RGB
+    array, handling bottom-up and top-down (negative height) row order
+    and row padding.  Size fields are untrusted: truncation raises
+    ``ValueError``, as do compressed or non-24-bit images."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size, w, bi_h, _planes, bits, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    if bits != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP encoding: bits={bits}, compression={compression}"
+        )
+    if w <= 0 or bi_h == 0:
+        raise ValueError(f"bad dimensions: {w}x{bi_h}")
+    top_down = bi_h < 0
+    h = -bi_h if top_down else bi_h
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = data_offset + stride * h
+    if need > len(payload):
+        raise ValueError(
+            f"truncated BMP: needs {need} bytes, has {len(payload)}"
+        )
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)
+    bgr = raw[:, :row_bytes].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1, :, :]
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
 #: Schema of the synthetic media table derived from ``documents``.
 MEDIA = T.StructType(
     [
@@ -189,12 +257,21 @@ def _real_decode(payload: bytes) -> dict:
             "width": None,
             "height": None,
         }
-    # STUB: container has no image/video libraries (PIL / pyav).  The
-    # Arrow plumbing and schema are production-real; only the non-WAV
-    # codec call is missing.
+    if payload[:2] == b"BM":
+        px = decode_bmp_rgb24(bytes(payload))
+        return {
+            "n_bytes": len(payload),
+            "content_hash": hashlib.md5(payload).hexdigest(),
+            "frame_count": 1,
+            "width": px.shape[1],
+            "height": px.shape[0],
+        }
+    # STUB: container has no video libraries (pyav).  The Arrow plumbing
+    # and schema are production-real; only the video codec call is
+    # missing — audio (WAV) and image (BMP) decode for real above.
     raise NotImplementedError(
-        "real decode supports WAV (RIFF/PCM16) only; image/video needs "
-        "PIL/av — use codec='fake'"
+        "real decode supports WAV (RIFF/PCM16) and BMP (24-bit BI_RGB) "
+        "only; video needs av — use codec='fake'"
     )
 
 
@@ -362,3 +439,90 @@ def audio_window_features(
             )
 
     return media.select("media_id", "payload").mapInPandas(run, AUDIO_WINDOWS)
+
+
+#: Fixed width of generated BMP fixtures; height derives from text size.
+IMG_W = 8
+
+#: Output schema of the image featurizer — exact integers only, so the
+#: DuckDB oracle (character codes of the ASCII fixture text) matches
+#: bit-for-bit.
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_max", T.LongType(), True),
+    ]
+)
+
+
+def media_bmp_from_documents(docs: DataFrame, width: int = IMG_W) -> DataFrame:
+    """Media table whose payloads are REAL 24-bit BMP bytes: each doc's
+    text bytes fill an RGB pixel grid of ``width`` columns (zero-padded
+    to the last row), serialized through :func:`encode_bmp_rgb24` —
+    bottom-up rows, BGR channels, padded strides and all.  Consumers
+    must decode the container to get the pixels back; the fixture
+    generator for the real image-codec path."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                h = max(-(-len(b) // (3 * width)), 1)
+                px = np.zeros(h * width * 3, dtype=np.uint8)
+                px[: len(b)] = b
+                payloads.append(
+                    encode_bmp_rgb24(px.reshape(h, width, 3))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    out_schema = "media_id long, payload binary"
+    bmp = docs.select("doc_id", "text").mapInPandas(run, out_schema)
+    return bmp.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("image/bmp").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit("bmp-encoder").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode each BMP payload (:func:`decode_bmp_rgb24`) and emit exact
+    integer pixel statistics: dimensions, channel-value sum, and peak
+    channel value.  Same scale shape as the other featurizers —
+    ``mapInPandas`` over Arrow batches, binary column dropped at this
+    stage, small fixed-width output."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, ws, hs, sums, maxs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp_rgb24(bytes(payload))
+                mids.append(mid)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sums.append(int(px.astype(np.int64).sum()))
+                maxs.append(int(px.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "width": ws,
+                    "height": hs,
+                    "px_sum": sums,
+                    "px_max": maxs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, IMAGE_FEATURES
+    )

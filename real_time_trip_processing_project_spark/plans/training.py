@@ -1821,3 +1821,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode/filter shape of video frame extraction."""
     docs = load_fixture(spark, sf_dir, "documents")
     return MM.sample_frames(MM.media_from_documents(docs), every_nth=10)
+
+
+@register(
+    "multimodal_image_features",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST({MM.IMG_W} AS BIGINT) AS width,
+               CAST(greatest((octet_length(encode(text)) + {3 * MM.IMG_W - 1})
+                             // {3 * MM.IMG_W}, 1) AS BIGINT) AS height,
+               CAST(coalesce(list_sum(list_transform(
+                   range(1, length(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))
+               )), 0) AS BIGINT) AS px_sum,
+               CAST(coalesce(list_max(list_transform(
+                   range(1, length(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))
+               )), 0) AS BIGINT) AS px_max
+        FROM documents
+        WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec image features, end to end: each doc's text bytes fill
+    an RGB pixel grid serialized as an actual 24-bit BMP container
+    (operators/multimodal.py:media_bmp_from_documents — BGR channels,
+    bottom-up rows, padded strides), then the featurizer DECODES the
+    container (decode_bmp_rgb24) and computes exact integer pixel stats
+    over the recovered array.  Zero-padding contributes nothing to
+    px_sum/px_max, so the oracle recomputes both from the source text's
+    character codes — both sides ASCII-guarded like the audio twin."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.image_features(MM.media_bmp_from_documents(docs))

@@ -364,6 +364,43 @@ def test_wav_codec_roundtrip():
         MM.decode_wav_pcm16(short_fmt)
 
 
+def test_bmp_codec_roundtrip():
+    """encode_bmp_rgb24 → decode_bmp_rgb24 recovers the RGB array
+    bit-exactly across odd widths (row padding), bottom-up and top-down
+    row order; untrusted size fields fail as ValueError."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for h, w in ((1, 1), (3, 5), (7, 8), (4, 3)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for td in (False, True):
+            back = MM.decode_bmp_rgb24(MM.encode_bmp_rgb24(px, top_down=td))
+            assert np.array_equal(back, px), (h, w, td)
+    payload = MM.encode_bmp_rgb24(
+        rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_bmp_rgb24(payload[:-3])
+    with pytest.raises(ValueError, match="not a BMP"):
+        MM.decode_bmp_rgb24(b"\x89PNG not an image")
+    # 24-bit BI_RGB only: a declared 8-bit image must be rejected
+    bad_bits = bytearray(payload)
+    bad_bits[28] = 8
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        MM.decode_bmp_rgb24(bytes(bad_bits))
+
+
+def test_real_decode_bmp_dimensions():
+    """The real-codec seam reports true decoded dimensions for BMP
+    payloads (frame_count 1), unlike the fake codec's derived fakes."""
+    import numpy as np
+
+    px = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(5, 3, 3)
+    feats = MM._real_decode(MM.encode_bmp_rgb24(px))
+    assert (feats["width"], feats["height"]) == (3, 5)
+    assert feats["frame_count"] == 1
+
+
 def test_wav_windows_match_pcm8_path(spark):
     """The real-codec path (text → int16 samples → RIFF bytes → decode →
     windows) must emit row-identical features to the synthetic uint8-PCM
