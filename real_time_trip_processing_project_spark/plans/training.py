@@ -1677,11 +1677,78 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Separator for the BPE oracle's wrapped-symbol string encoding (a
+#: control char never present in fixture text; both engines filter docs
+#: containing it so the encoding is collision-free by construction).
+_BPE_SEP = "\x1f"
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """DuckDB oracle for the full iterative BPE training loop, unrolled
+    as ``n_merges`` chained CTE levels (the merge count is fixed, so the
+    'iterative ⇒ not SQL-expressible' caveat does not actually apply).
+
+    Each word's symbol list is encoded as individually wrapped tokens
+    (``␟a␟␟b␟`` …): with every token carrying its own delimiters,
+    a plain left-to-right non-overlapping ``replace()`` of
+    ``␟a␟␟b␟`` → ``␟ab␟`` consumes no character of the following
+    pair, which makes it EXACTLY the greedy BPE merge rule —
+    including runs like ``bbbb`` → ``bb bb`` where a shared-separator
+    encoding would skip alternate matches.  (Merging never creates a
+    new (a,b) adjacency — the merged token is strictly longer than
+    either side — so one pass per level is the fixpoint.)  Every CTE is
+    MATERIALIZED: each level references its predecessor ~4×, and
+    default CTE inlining would otherwise expand the base scan 4^8
+    times."""
+    sep = _BPE_SEP
+    p = [f"""
+        WITH wf AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+                  FROM documents WHERE text NOT LIKE '%{sep}%')
+            WHERE length(w) > 0
+            GROUP BY w
+        ),
+        vocab0 AS MATERIALIZED (
+            SELECT '{sep}' || array_to_string(
+                       string_split_regex(w, ''), '{sep}{sep}'
+                   ) || '{sep}' AS s, cnt
+            FROM wf
+        )"""]
+    for k in range(n_merges):
+        p.append(f""",
+        pairs{k} AS MATERIALIZED (
+            SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b,
+                   sum(cnt) AS n
+            FROM (SELECT string_split(trim(s, '{sep}'), '{sep}{sep}') AS l,
+                         cnt
+                  FROM vocab{k}),
+                 LATERAL (SELECT unnest(range(1, len(l))) AS i)
+            GROUP BY 1, 2
+        ),
+        best{k} AS MATERIALIZED (
+            SELECT a, b, CAST(n AS BIGINT) AS n FROM pairs{k}
+            ORDER BY n DESC, a, b LIMIT 1
+        ),
+        vocab{k + 1} AS MATERIALIZED (
+            SELECT replace(s,
+                       '{sep}' || (SELECT a FROM best{k}) || '{sep}{sep}'
+                               || (SELECT b FROM best{k}) || '{sep}',
+                       '{sep}' || (SELECT a || b FROM best{k}) || '{sep}'
+                   ) AS s, cnt
+            FROM vocab{k}
+        )""")
+    sel = "\n        UNION ALL ".join(
+        f'SELECT CAST({k} AS INTEGER) AS rank, a AS "left", b AS "right", '
+        f"a || b AS merged, n FROM best{k}"
+        for k in range(n_merges)
+    )
+    return "".join(p) + "\n        " + sel
+
+
 @register(
     "tokenizer_train_bpe",
-    oracle=None,  # iterative (argmax -> merge -> repeat): not SQL-expressible;
-    # exactness vs a sequential reference BPE asserted in
-    # tests/test_training_tier.py
+    oracle=_bpe_oracle(8),
     tags=["EXT", "text", "curation"],
 )
 def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,12 +1756,17 @@ def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 merge rounds over the corpus word-frequency table — the iterative
     loop whose single step ``tokenizer_pair_counts`` profiles.  Each
     round is explode + hash-aggregate + 1-row argmax collect + codegen
-    fold merge over the vocabulary-sized (not corpus-sized) table."""
+    fold merge over the vocabulary-sized (not corpus-sized) table.
+    Hash-verified against :func:`_bpe_oracle`'s unrolled CTE chain;
+    both sides exclude docs containing the oracle's separator char."""
     from real_time_trip_processing_project_spark.operators import (
         tokenizer as TK,
     )
 
-    return TK.train_bpe(load_fixture(spark, sf_dir, "documents"), n_merges=8)
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        ~F.col("text").contains(_BPE_SEP)
+    )
+    return TK.train_bpe(docs, n_merges=8)
 
 
 #: Shared oracle for the audio-window queries: reconstructs amplitudes
