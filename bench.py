@@ -77,6 +77,7 @@ SECONDARY = [
     "distinct_kmv",
     # round-5 additions
     "multimodal_image_features",
+    "dedup_common_spans",
 ]
 
 #: Executions per query; the reported number is the minimum (steady-state

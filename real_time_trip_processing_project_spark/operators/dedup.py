@@ -586,3 +586,93 @@ def simhash_docs(
             [F.col(f"b{i}") for i in range(len(bit_votes))]
         ).alias("simhash"),
     )
+
+
+#: Winnowing parameters (Schleimer et al., MOSS): k-gram size and
+#: minimizer window.  Density ≈ 2/(W+1); any shared character run of
+#: length ≥ WINNOW_W + WINNOW_K − 1 is GUARANTEED to share at least one
+#: fingerprint — the detection floor is a parameter, not luck.
+WINNOW_K = 24
+WINNOW_W = 16
+
+#: Boilerplate cap: a fingerprint appearing in more than this many docs
+#: (licence headers, navigation chrome) is dropped before the pair join
+#: — the posting-list cap that keeps Zipf-heavy spans from going
+#: quadratic, standard in every crawl-scale span-dedup deployment.
+WINNOW_MAX_POSTINGS = 50
+
+
+def winnow_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = WINNOW_K, w: int = WINNOW_W,
+) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints: md5 of every k-char gram,
+    then the minimum hash of each w-gram window (the minimizer scheme) —
+    all JVM codegen (``transform``/``slice``/``array_min``), no Python.
+    Docs shorter than ``k + w − 1`` chars yield no fingerprints (they
+    cannot contain a guaranteed-detectable span).  Expressions are SQL
+    ``expr`` strings: ``substring`` takes a lambda variable as its start
+    position, which the Python column API cannot express."""
+    # sequence(1, 0) DESCENDS in Spark ([1, 0]), so short inputs guard
+    # with CASE → empty array, mirroring the oracle's empty range()
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(
+                f"CASE WHEN length({text_col}) >= {k} THEN "
+                f"transform(sequence(1, length({text_col}) - {k - 1}), "
+                f"i -> md5(substring({text_col}, i, {k}))) "
+                f"ELSE array() END"
+            ).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"CASE WHEN size(hs) >= {w} THEN "
+                        f"transform(sequence(1, size(hs) - {w - 1}), "
+                        f"j -> array_min(slice(hs, j, {w}))) "
+                        f"ELSE array() END"
+                    )
+                )
+            ).alias("fp"),
+        )
+    )
+
+
+def common_span_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = WINNOW_K, w: int = WINNOW_W,
+    max_postings: int = WINNOW_MAX_POSTINGS,
+) -> DataFrame:
+    """Cross-document exact-span dedup: pairs of docs sharing at least
+    one winnowing fingerprint — i.e. a verbatim character run of length
+    ≥ k (guaranteed for runs ≥ w+k−1).  The span-level complement of
+    whole-document similarity (Jaccard/MinHash): a doc that embeds one
+    copied paragraph in otherwise fresh text is invisible to global
+    similarity but lights up here.
+
+    Plan: fingerprint scan (map-only) → posting-list groupBy with the
+    boilerplate cap → fp-keyed self-join of capped postings → pair
+    aggregation.  Shuffle volume is Σ postings² per surviving fp,
+    bounded by the cap; no all-pairs shape anywhere."""
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    capped = (
+        fps.groupBy("fp")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") <= max_postings)
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = capped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, a -> "
+                "transform(filter(ids, b -> b > a), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared_fps"))
+    )

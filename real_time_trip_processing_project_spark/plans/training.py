@@ -212,6 +212,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_common_spans",
+    oracle=f"""
+        WITH hs AS MATERIALIZED (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(length(text) - {DD.WINNOW_K - 2}, 1)),
+                       i -> md5(substr(text, CAST(i AS INT), {DD.WINNOW_K}))
+                   ) AS h
+            FROM documents
+        ),
+        fps AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(h) - {DD.WINNOW_W - 2}, 1)),
+                       j -> list_min(h[CAST(j AS INT):
+                                       CAST(j + {DD.WINNOW_W - 1} AS INT)])
+                   ))) AS fp
+            FROM hs
+        ),
+        capped AS MATERIALIZED (
+            SELECT fp, list(DISTINCT doc_id) AS ids
+            FROM fps GROUP BY fp
+            HAVING len(list(DISTINCT doc_id))
+                   BETWEEN 2 AND {DD.WINNOW_MAX_POSTINGS}
+        )
+        SELECT u1 AS id_a, u2 AS id_b, CAST(count(*) AS BIGINT) AS n_shared_fps
+        FROM capped,
+             LATERAL (SELECT unnest(ids) AS u1),
+             LATERAL (SELECT unnest(ids) AS u2)
+        WHERE u2 > u1
+        GROUP BY 1, 2
+    """,
+    tags=["EXT", "dedup", "text"],
+)
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-SPAN dedup via winnowing fingerprints
+    (operators/dedup.py:common_span_pairs — Schleimer et al.'s MOSS
+    minimizer scheme): doc pairs sharing a verbatim character run, with
+    a guaranteed detection floor of WINNOW_W + WINNOW_K − 1 chars.  The
+    span-level complement of the whole-document Jaccard/MinHash tier —
+    one copied paragraph inside otherwise fresh text lights up here and
+    nowhere else.  Boilerplate fingerprints (> WINNOW_MAX_POSTINGS docs)
+    are capped out on both sides before the pair join."""
+    return DD.common_span_pairs(load_fixture(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

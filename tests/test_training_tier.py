@@ -364,6 +364,45 @@ def test_wav_codec_roundtrip():
         MM.decode_wav_pcm16(short_fmt)
 
 
+def test_common_span_pairs_semantics(spark):
+    """Winnowing span dedup: a verbatim run ≥ w+k−1 chars shared by two
+    docs is GUARANTEED detected; disjoint docs and sub-k overlaps are
+    not; a fingerprint in > max_postings docs is capped out."""
+    import random
+
+    from real_time_trip_processing_project_spark.operators import dedup as DD
+
+    rng = random.Random(5)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    shared = rand_text(DD.WINNOW_W + DD.WINNOW_K - 1)  # detection floor
+    boiler = rand_text(DD.WINNOW_W + DD.WINNOW_K - 1)
+    rows = [
+        (1, rand_text(80) + shared + rand_text(80)),
+        (2, rand_text(90) + shared + rand_text(70)),
+        (3, rand_text(200)),                  # fresh text — no pair
+        (4, rand_text(30)),                   # too short for the floor
+    ]
+    # boilerplate: identical text in MANY docs → every fingerprint hits
+    # the postings cap, no pairs (mixed-content docs can still pair via
+    # window minimizers straddling the boilerplate boundary, which only
+    # a subset shares — by design)
+    rows += [(100 + i, boiler) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in DD.common_span_pairs(docs, max_postings=4).collect()
+    }
+    assert (1, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)
+    assert not any(a >= 100 and b >= 100 for a, b in got), (
+        "boilerplate span must be capped out"
+    )
+
+
 def test_bmp_codec_roundtrip():
     """encode_bmp_rgb24 → decode_bmp_rgb24 recovers the RGB array
     bit-exactly across odd widths (row padding), bottom-up and top-down
