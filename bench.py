@@ -78,6 +78,10 @@ SECONDARY = [
     # round-5 additions
     "multimodal_image_features",
     "dedup_common_spans",
+    # tokenizer_apply_bpe_counts is oracle-gated per round but kept out
+    # of the timing list: its cost is ~90% fixed plan compilation
+    # (training jobs + an 8-deep nested fold chain), which would drown
+    # the data-scaling signal this list exists to track.
 ]
 
 #: Executions per query; the reported number is the minimum (steady-state

@@ -1729,10 +1729,11 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_SEP = "\x1f"
 
 
-def _bpe_oracle(n_merges: int = 8) -> str:
-    """DuckDB oracle for the full iterative BPE training loop, unrolled
-    as ``n_merges`` chained CTE levels (the merge count is fixed, so the
-    'iterative ⇒ not SQL-expressible' caveat does not actually apply).
+def _bpe_chain(n_merges: int) -> str:
+    """Shared WITH-chain for the BPE oracles: the full iterative
+    training loop unrolled as ``n_merges`` chained CTE levels (the
+    merge count is fixed, so the 'iterative ⇒ not SQL-expressible'
+    caveat does not actually apply).
 
     Each word's symbol list is encoded as individually wrapped tokens
     (``␟a␟␟b␟`` …): with every token carrying its own delimiters,
@@ -1745,7 +1746,8 @@ def _bpe_oracle(n_merges: int = 8) -> str:
     either side — so one pass per level is the fixpoint.)  Every CTE is
     MATERIALIZED: each level references its predecessor ~4×, and
     default CTE inlining would otherwise expand the base scan 4^8
-    times."""
+    times.  ``vocab{k}`` carries the source word ``w`` so consumers can
+    map words to their final segmentation (the apply oracle)."""
     sep = _BPE_SEP
     p = [f"""
         WITH wf AS MATERIALIZED (
@@ -1756,7 +1758,7 @@ def _bpe_oracle(n_merges: int = 8) -> str:
             GROUP BY w
         ),
         vocab0 AS MATERIALIZED (
-            SELECT '{sep}' || array_to_string(
+            SELECT w, '{sep}' || array_to_string(
                        string_split_regex(w, ''), '{sep}{sep}'
                    ) || '{sep}' AS s, cnt
             FROM wf
@@ -1777,19 +1779,48 @@ def _bpe_oracle(n_merges: int = 8) -> str:
             ORDER BY n DESC, a, b LIMIT 1
         ),
         vocab{k + 1} AS MATERIALIZED (
-            SELECT replace(s,
+            SELECT w, replace(s,
                        '{sep}' || (SELECT a FROM best{k}) || '{sep}{sep}'
                                || (SELECT b FROM best{k}) || '{sep}',
                        '{sep}' || (SELECT a || b FROM best{k}) || '{sep}'
                    ) AS s, cnt
             FROM vocab{k}
         )""")
+    return "".join(p)
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Merge-table oracle: the union of each level's argmax row."""
     sel = "\n        UNION ALL ".join(
         f'SELECT CAST({k} AS INTEGER) AS rank, a AS "left", b AS "right", '
         f"a || b AS merged, n FROM best{k}"
         for k in range(n_merges)
     )
-    return "".join(p) + "\n        " + sel
+    return _bpe_chain(n_merges) + "\n        " + sel
+
+
+def _bpe_apply_oracle(n_merges: int = 8) -> str:
+    """Tokenize-with-the-trained-model oracle: per doc, the token count
+    after applying all ``n_merges`` merges — each word's final segment
+    count from the last vocab level plus one end-of-word sentinel
+    (``apply_bpe`` appends one per word; the empty word of a blank doc
+    contributes just its sentinel via the LEFT JOIN's coalesce)."""
+    sep = _BPE_SEP
+    return _bpe_chain(n_merges) + f""",
+        wordtoks AS MATERIALIZED (
+            SELECT w, len(string_split(trim(s, '{sep}'), '{sep}{sep}'))
+                      AS ntok
+            FROM vocab{n_merges}
+        ),
+        docwords AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents WHERE text NOT LIKE '%{sep}%'
+        )
+        SELECT doc_id,
+               CAST(sum(coalesce(wt.ntok, 0) + 1) AS BIGINT) AS n_tokens
+        FROM docwords dw LEFT JOIN wordtoks wt USING (w)
+        GROUP BY doc_id"""
 
 
 @register(
@@ -1813,6 +1844,33 @@ def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~F.col("text").contains(_BPE_SEP)
     )
     return TK.train_bpe(docs, n_merges=8)
+
+
+@register(
+    "tokenizer_apply_bpe_counts",
+    oracle=_bpe_apply_oracle(8),
+    tags=["EXT", "text", "curation"],
+)
+def tokenizer_apply_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained BPE model: train 8 merges,
+    bake them into the map-only fold chain
+    (operators/tokenizer.py:apply_bpe — the model is 8 collected rows,
+    strictly model-sized), and emit each doc's resulting token count —
+    the number every packing/budgeting stage downstream consumes.
+    Hash-verified by extending the unrolled training oracle with a
+    word → final-segment-count map joined back to the corpus words."""
+    from real_time_trip_processing_project_spark.operators import (
+        tokenizer as TK,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        ~F.col("text").contains(_BPE_SEP)
+    )
+    merges = TK.train_bpe(docs, n_merges=8).collect()
+    toks = TK.apply_bpe(docs, merges)
+    return toks.select(
+        "doc_id", F.size("symbols").cast("long").alias("n_tokens")
+    )
 
 
 #: Shared oracle for the audio-window queries: reconstructs amplitudes
