@@ -78,6 +78,7 @@ SECONDARY = [
     # round-5 additions
     "multimodal_image_features",
     "dedup_common_spans",
+    "events_resample_1h_ffill",
     # tokenizer_apply_bpe_counts is oracle-gated per round but kept out
     # of the timing list: its cost is ~90% fixed plan compilation
     # (training jobs + an 8-deep nested fold chain), which would drown

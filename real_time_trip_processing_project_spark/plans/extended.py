@@ -795,6 +795,81 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_resample_1h_ffill",
+    oracle=f"""
+        WITH b AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   sum({_cents_sql('value')}) AS v_cents
+            FROM events
+            GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT user_id,
+                   unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR))
+                       AS h
+            FROM b
+            GROUP BY user_id
+        )
+        SELECT g.user_id, g.h AS hour,
+               coalesce(b.n_events, 0) AS n_events,
+               CAST(last_value(b.v_cents IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS v_ffill_cents
+        FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
+    """,
+    tags=["EXT", "T6"],
+)
+def events_resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per user, a dense hourly grid
+    from first to last observed hour, hourly event count (0 on silent
+    hours) and the hourly value sum FORWARD-FILLED across gaps — the
+    densification every time-series store (resample/asof/locf) ships
+    and sparse event data needs before windowed models.
+
+    Plan shape: hourly pre-aggregate (one shuffle), per-user span
+    (reuses the same partitioning), grid explode via ``sequence()`` —
+    rows ∝ users × span-hours, generated distributed, never on the
+    driver — left join back on (user, hour), then one ordered window
+    for the fill (``last(..., ignorenulls=True)``).  Value sums ride
+    the exact-cents integer discipline so the filled values hash-match
+    bit-for-bit."""
+    ev = load_fixture(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        _cents("value").alias("cents"),
+    )
+    b = ev.groupBy("user_id", "h").agg(
+        F.count("*").alias("n_events"), F.sum("cents").alias("v_cents")
+    )
+    g = (
+        b.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g.join(b, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("v_cents", ignorenulls=True).over(w).alias("v_ffill_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window family beyond running totals: RANGE frames, distribution ranks
 # ---------------------------------------------------------------------------
