@@ -57,9 +57,13 @@ def append_trip_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         orphans = stamped.filter(F.col("status") == ORPHAN_STATUS)
         trips = stamped.filter(F.col("status") != ORPHAN_STATUS)
         trips.write.mode("append").partitionBy("date").parquet(store_dir)
-        if orphan_dir is not None:
-            # orphan ends have no pickup date — quarantined unpartitioned
-            # (reference logs-and-drops these; trip_processor.py:60-62)
+        # orphan ends have no pickup date — quarantined unpartitioned
+        # (reference logs-and-drops these; trip_processor.py:60-62).
+        # The emptiness probe on the persisted frame is one limit-1 job,
+        # far cheaper than the parquet commit protocol an empty write
+        # still pays — and in buffer mode orphans are ALWAYS empty, so
+        # the probe saves a write job every micro-batch.
+        if orphan_dir is not None and not orphans.isEmpty():
             orphans.drop("date").write.mode("append").parquet(orphan_dir)
     finally:
         if two_sinks:
