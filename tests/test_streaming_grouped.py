@@ -143,6 +143,66 @@ def test_grouped_matches_per_trip_store(spark, tmp_path):
     assert a.count() == n
 
 
+def test_grouped_matches_per_trip_random_tapes(spark, tmp_path):
+    """Seeded random-tape equivalence: arbitrary interleavings of
+    starts/ends with duplicates and missing halves, split across
+    micro-batch waves, must leave BOTH hosts' stores identical (every
+    column except the version stamp).  Exercises the group path's
+    fast/slow split (stateless-clean vs stateful/multi-event trips)
+    against the per-trip reference on tapes neither was written for."""
+    for seed in (13, 99):
+        rng = random.Random(seed)
+        n = 24
+        events = []
+        for i in range(n):
+            r = rng.random()
+            if r < 0.70:  # normal pair
+                events += [("s", _start_event(i)), ("e", _end_event(i))]
+            elif r < 0.80:  # start only
+                events.append(("s", _start_event(i)))
+            elif r < 0.90:  # end only (early/orphan)
+                events.append(("e", _end_event(i)))
+            else:  # duplicated deliveries
+                events += [
+                    ("s", _start_event(i)),
+                    ("e", _end_event(i)),
+                    ("e", _end_event(i)),
+                    ("s", _start_event(i)),
+                ]
+        rng.shuffle(events)
+        waves = 3
+        k = len(events) // waves
+        stores = {}
+        for tag, groups in (("v1", None), ("grp", GROUPS)):
+            base = tmp_path / f"tape{seed}-{tag}"
+            base.mkdir()
+            dirs = _dirs(base)
+            start_dir, end_dir, store, orphans, ckpt = dirs
+            for wv in range(waves):
+                chunk = events[wv * k :] if wv == waves - 1 else (
+                    events[wv * k : (wv + 1) * k]
+                )
+                producer.write_stream_files(
+                    [e for t, e in chunk if t == "s"], start_dir,
+                    prefix=f"w{wv}",
+                )
+                producer.write_stream_files(
+                    [e for t, e in chunk if t == "e"], end_dir,
+                    prefix=f"w{wv}",
+                )
+                jobs.run_pipeline_to_completion(
+                    spark, start_dir, end_dir, store, orphans, ckpt,
+                    key_groups=groups,
+                )
+            stores[tag] = store
+        a = sinks.current_trips(spark, stores["v1"])
+        b = sinks.current_trips(spark, stores["grp"])
+        cols = [c for c in a.columns if c != "updated_at"]
+        d1 = a.select(cols).exceptAll(b.select(cols)).count()
+        d2 = b.select(cols).exceptAll(a.select(cols)).count()
+        assert d1 == 0 and d2 == 0, f"seed {seed}: {d1}/{d2} rows differ"
+
+
 def test_grouped_rejects_ttl(spark, tmp_path):
     """Per-trip TTL timers are not expressible on group keys — the
     combination must fail loudly, not silently mis-expire."""
