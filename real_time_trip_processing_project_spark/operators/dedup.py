@@ -592,6 +592,10 @@ def simhash_docs(
 #: minimizer window.  Density ≈ 2/(W+1); any shared character run of
 #: length ≥ WINNOW_W + WINNOW_K − 1 is GUARANTEED to share at least one
 #: fingerprint — the detection floor is a parameter, not luck.
+#: Production note: md5-per-position costs O(n·k) hash bytes and is
+#: chosen here for cross-engine oracle parity; a 100 TB deployment
+#: swaps in a rolling polynomial (Rabin-Karp) hash — O(n), same
+#: minimizer guarantee — at the cost of the DuckDB-checkable oracle.
 WINNOW_K = 24
 WINNOW_W = 16
 
