@@ -42,6 +42,8 @@ _RECHECK_FIRST = [
     "from_json_typed",
     "interval_arithmetic",
     "retention_cohorts",
+    # r5: upgraded from rows-only to a full hash oracle this round
+    "tokenizer_train_bpe",
 ]
 
 

@@ -203,6 +203,22 @@ def test_grouped_matches_per_trip_random_tapes(spark, tmp_path):
         assert d1 == 0 and d2 == 0, f"seed {seed}: {d1}/{d2} rows differ"
 
 
+def test_grouped_with_rocksdb_store(spark, tmp_path):
+    """The 100 TB configuration — key-group state on the RocksDB
+    provider — completes the same trips as the default store."""
+    dirs = _dirs(tmp_path)
+    start_dir, end_dir, store, orphans, ckpt = dirs
+    n = 8
+    producer.write_stream_files([_start_event(i) for i in range(n)], start_dir)
+    producer.write_stream_files([_end_event(i) for i in range(n)], end_dir)
+    jobs.run_pipeline_to_completion(
+        spark, start_dir, end_dir, store, orphans, ckpt,
+        key_groups=GROUPS, state_store="rocksdb",
+    )
+    cur = sinks.current_trips(spark, store)
+    assert cur.filter(F.col("status") == "Completed").count() == n
+
+
 def test_grouped_rejects_ttl(spark, tmp_path):
     """Per-trip TTL timers are not expressible on group keys — the
     combination must fail loudly, not silently mis-expire."""
