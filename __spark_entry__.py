@@ -27,23 +27,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: verified near the front of the window.  Maintained per round, names only
 #: advisory (unknown names warn, never break the package).
 _RECHECK_FIRST = [
-    # r5 in-round edits: ns-robust rewrite of every events oracle
-    # (plans/catalog._ns_robust), pinned percentile bucket width
+    # r6 in-round edits only (kept short per VERDICT r5 #5 so the window
+    # drains the r3-stale cohort): funnel rate integerized to ppm;
+    # winnowing/fingerprint shingle hash swapped md5 -> Karp-Rabin.
     "funnel_conversion",
-    "percentiles",
-    "asof_join_events",
-    "range_join_errors_before_purchase",
-    "latest_event_per_user",
-    "windowed_event_agg",
-    "event_correlation",
-    "session_window_agg",
-    "sliding_window_agg",
-    "string_json_ops",
-    "from_json_typed",
-    "interval_arithmetic",
-    "retention_cohorts",
-    # r5: upgraded from rows-only to a full hash oracle this round
-    "tokenizer_train_bpe",
+    "dedup_common_spans",
+    "text_fingerprint",
 ]
 
 

@@ -33,6 +33,22 @@ def test_query_matches_oracle(spark, sf_oracle, duck, qname):
     assert res.ok, f"{qname}: {res.detail}"
 
 
+def test_every_oracle_parses_in_duckdb(duck):
+    """Every registered oracle — including the output of the
+    registration-time ``_ns_robust`` regex rewrite — must still be a
+    statement DuckDB can plan.  Guards against a future oracle whose
+    token after ``FROM events`` the rewrite mis-classifies as an alias
+    (e.g. TABLESAMPLE / PIVOT): a mis-rewrite fails loudly here at test
+    time instead of surfacing as a confusing driver oracle error."""
+    for qname, qdef in REGISTRY.items():
+        if qdef.oracle is None:
+            continue
+        try:
+            duck.execute("EXPLAIN " + qdef.oracle)
+        except Exception as e:  # pragma: no cover - failure reporting
+            raise AssertionError(f"{qname}: oracle does not parse: {e}") from e
+
+
 def test_events_oracles_ns_robust(spark, tmp_path):
     """An ns-unit events fixture with sub-microsecond residues sitting
     exactly on predicate boundaries must hash-match through the SAME
