@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from real_time_trip_processing_project_spark.functions import rolling as _rolling
+
 # ---------------------------------------------------------------------------
 # Constant tables shared by the Spark and SQL builders
 # ---------------------------------------------------------------------------
@@ -273,43 +275,61 @@ def quality_score_sql(text: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Document fingerprinting (char-shingle rolling window, md5 min-hash)
+# Document fingerprinting (char-shingle window, Karp–Rabin min-hash)
 # ---------------------------------------------------------------------------
+#
+# Shingle hashing is the Karp–Rabin polynomial (functions/rolling.py):
+# integer MACs over a codepoint array instead of r5's md5-per-position
+# (a digest + 32-hex allocation per character of the corpus — the bench's
+# second-worst constant factor, VERDICT r5).  The codepoint array is
+# zero-PADDED to k so a doc shorter than one gram still yields exactly
+# one (truncated-text) fingerprint — the r5 semantics, preserved.
+#
+# These builders take the NAME OF A BOUND CODEPOINT-ARRAY COLUMN, not the
+# text column: Spark HOF lambdas re-evaluate free-variable expressions
+# per element, so the caller materializes codes once via
+# ``fingerprint_codes_expr`` / ``fingerprint_codes_sql`` in a prior
+# projection (see plans/training.py:text_fingerprint).
 
-def char_shingles_expr(text: str, k: int = FINGERPRINT_K) -> Column:
-    """All k-char shingles of ``text`` as array<string> (rolling window).
 
-    Pure SQL expression — sequence + transform + substring run inside
-    codegen; no explode needed until a consumer wants one row per shingle.
-    """
+def fingerprint_codes_expr(text: str, k: int = FINGERPRINT_K) -> Column:
+    """BIGINT codepoint array of ``text``, zero-padded to length ≥ k."""
+    cs = _rolling.codes_spark(text)
     return F.expr(
-        f"transform(sequence(1, greatest(length({text}) - {k - 1}, 1)),"
-        f" i -> substring({text}, i, {k}))"
+        f"concat({cs}, array_repeat(0L, "
+        f"greatest({k} - length({text}), 0)))"
     )
 
 
-def fingerprint_exprs(text: str, k: int = FINGERPRINT_K) -> dict[str, Column]:
+def fingerprint_codes_sql(text: str, k: int = FINGERPRINT_K) -> str:
+    cs = _rolling.codes_duckdb(text)
+    return (
+        f"list_concat({cs}, [CAST(0 AS BIGINT) FOR x IN "
+        f"range(greatest({k} - length({text}), 0))])"
+    )
+
+
+def fingerprint_exprs(cs: str, k: int = FINGERPRINT_K) -> dict[str, Column]:
     """Min-hash style document fingerprint over char shingles.
 
-    ``fp`` = lexicographic min of md5(shingle) — a 1-permutation MinHash
-    with md5 as the random order (identical hex in every engine);
-    ``n_shingles`` = distinct shingle count (document "novelty" size).
+    ``fp`` = min Karp–Rabin hash over all k-char grams (a 1-permutation
+    MinHash with the polynomial as the random order — identical integer
+    in every engine); ``n_shingles`` = distinct gram-hash count
+    (document "novelty" size).  ``cs`` names a column produced by
+    :func:`fingerprint_codes_expr`.
     """
-    sh = char_shingles_expr(text, k)
+    hs = _rolling.gram_hashes_spark(cs, k)
     return {
-        "fp": F.array_min(F.transform(sh, lambda s: F.md5(s))),
-        "n_shingles": F.size(F.array_distinct(sh)).cast("long"),
+        "fp": F.array_min(F.expr(hs)),
+        "n_shingles": F.size(F.array_distinct(F.expr(hs))).cast("long"),
     }
 
 
-def fingerprint_sqls(text: str, k: int = FINGERPRINT_K) -> dict[str, str]:
-    shingles = (
-        f"[ substr({text}, i, {k}) FOR i IN "
-        f"range(1, greatest(length({text}) - {k - 1}, 1) + 1) ]"
-    )
+def fingerprint_sqls(cs: str, k: int = FINGERPRINT_K) -> dict[str, str]:
+    hs = _rolling.gram_hashes_duckdb(cs, k)
     return {
-        "fp": f"list_min(list_transform({shingles}, s -> md5(s)))",
-        "n_shingles": f"CAST(len(list_distinct({shingles})) AS BIGINT)",
+        "fp": f"CAST(list_min({hs}) AS BIGINT)",
+        "n_shingles": f"CAST(len(list_distinct({hs})) AS BIGINT)",
     }
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_trip_processing_project_spark.functions import rolling as RK
 from real_time_trip_processing_project_spark.functions import text as TX
 from real_time_trip_processing_project_spark.operators import curation as CU
 from real_time_trip_processing_project_spark.operators import dedup as DD
@@ -215,13 +216,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_common_spans",
     oracle=f"""
-        WITH hs AS MATERIALIZED (
-            SELECT doc_id,
-                   list_transform(
-                       range(1, greatest(length(text) - {DD.WINNOW_K - 2}, 1)),
-                       i -> md5(substr(text, CAST(i AS INT), {DD.WINNOW_K}))
-                   ) AS h
+        WITH cs AS MATERIALIZED (
+            SELECT doc_id, {RK.codes_duckdb('text')} AS c
             FROM documents
+        ),
+        hs AS MATERIALIZED (
+            SELECT doc_id, {RK.gram_hashes_duckdb('c', DD.WINNOW_K)} AS h
+            FROM cs
         ),
         fps AS MATERIALIZED (
             SELECT doc_id, unnest(list_distinct(list_transform(
@@ -396,20 +397,26 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fingerprint_oracle() -> str:
-    s = TX.fingerprint_sqls("text")
+    s = TX.fingerprint_sqls("c")
     return f"""
         SELECT doc_id, {s['fp']} AS fp, {s['n_shingles']} AS n_shingles
-        FROM documents
+        FROM (SELECT doc_id, {TX.fingerprint_codes_sql('text')} AS c
+              FROM documents)
     """
 
 
 @register("text_fingerprint", oracle=_fingerprint_oracle(), tags=["EXT", "text"])
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 8-char-shingle fingerprint: min-md5 (1-perm MinHash) +
-    distinct-shingle count; all codegen array expressions."""
+    """Rolling 8-char-shingle fingerprint: min Karp–Rabin gram hash
+    (1-perm MinHash, functions/rolling.py) + distinct-shingle count; all
+    codegen integer array expressions — no digests (the r5 md5 variant
+    was the bench's #2 cost).  Codes are materialized in a first
+    projection so the gram-hash lambdas reference a bound column."""
     docs = load_fixture(spark, sf_dir, "documents")
-    fp = TX.fingerprint_exprs("text")
+    fp = TX.fingerprint_exprs("c")
     return docs.select(
+        "doc_id", TX.fingerprint_codes_expr("text").alias("c")
+    ).select(
         "doc_id", fp["fp"].alias("fp"), fp["n_shingles"].alias("n_shingles")
     )
 

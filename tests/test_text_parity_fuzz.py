@@ -59,10 +59,11 @@ def test_text_functions_cross_engine_parity(spark):
         [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
     )
     q = TX.quality_exprs("text")
-    fp = TX.fingerprint_exprs("text")
+    fp = TX.fingerprint_exprs("c")
     got = {
         r["doc_id"]: r
-        for r in sdf.select(
+        for r in sdf.withColumn("c", TX.fingerprint_codes_expr("text"))
+        .select(
             "doc_id",
             TX.lang_id_expr("text").alias("lang_pred"),
             TX.ws_token_count_expr("text").alias("n_ws"),
@@ -83,7 +84,7 @@ def test_text_functions_cross_engine_parity(spark):
         docs,
     )
     qs = TX.quality_sqls("text")
-    fps = TX.fingerprint_sqls("text")
+    fps = TX.fingerprint_sqls("c")
     want_rows = con.execute(
         f"""
         SELECT doc_id,
@@ -95,7 +96,7 @@ def test_text_functions_cross_engine_parity(spark):
                {qs['punct_ratio']}             AS punct_ratio,
                {fps['fp']}                     AS fp,
                {fps['n_shingles']}             AS n_shingles
-        FROM docs
+        FROM (SELECT *, {TX.fingerprint_codes_sql('text')} AS c FROM docs)
         """
     ).fetchall()
 

@@ -403,6 +403,40 @@ def test_common_span_pairs_semantics(spark):
     )
 
 
+def test_winnow_arrow_matches_expr_twin(spark):
+    """The Arrow (numpy) winnowing default must be row-identical to the
+    pure-expression twin — the shape the DuckDB oracle evaluates — on
+    adversarial inputs: non-ASCII codepoints (astral included), docs at
+    exactly the k / k+w−1 length boundaries, empty and null texts."""
+    import random
+
+    from real_time_trip_processing_project_spark.operators import dedup as DD
+
+    rng = random.Random(11)
+    alpha = "abcdefgh ñé北京🎉"  # multibyte + astral plane
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    k, w = DD.WINNOW_K, DD.WINNOW_W
+    shared = rand_text(w + k - 1)
+    rows = [
+        (1, rand_text(120) + shared + rand_text(40)),
+        (2, shared + rand_text(100)),
+        (3, rand_text(k + w - 2)),   # one below the floor
+        (4, rand_text(k + w - 1)),   # exactly the floor → 1 window
+        (5, rand_text(k - 1)),       # below gram size → no grams
+        (6, ""),
+        (7, None),
+        (8, rand_text(500)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, DD.winnow_fingerprints(docs).collect()))
+    b = sorted(map(tuple, DD.winnow_fingerprints_expr(docs).collect()))
+    assert a == b
+    assert any(d == 4 for d, _ in a)      # floor doc fingerprinted
+    assert all(d not in (3, 5, 6, 7) for d, _ in a)
+
+
 def test_bmp_codec_roundtrip():
     """encode_bmp_rgb24 → decode_bmp_rgb24 recovers the RGB array
     bit-exactly across odd widths (row padding), bottom-up and top-down
