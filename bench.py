@@ -165,6 +165,19 @@ def main() -> None:
         "probe_start_sec": probe_start,
         "probe_end_sec": probe_end,
     }
+    # probe-normalized timings (seconds per second of probe): divide by
+    # the mean probe so round-over-round comparison doesn't need manual
+    # probe eyeballing — equal normalized values on boxes of different
+    # load are the same code-speed
+    probe_mean = (probe_start + probe_end) / 2 or 1.0
+    out["normalized"] = {
+        "probe_mean_sec": round(probe_mean, 3),
+        "value": round(out["value"] / probe_mean, 3),
+        "queries": {k: round(v / probe_mean, 3) for k, v in timings.items()},
+        "secondary": {
+            k: round(v / probe_mean, 3) for k, v in secondary.items()
+        },
+    }
     out["quality"] = _quality(spark)
     streaming = _stream_throughput(spark)
     if streaming:
@@ -310,7 +323,13 @@ def _stream_throughput(spark) -> dict | None:
         # Min-of-REPS like the batch queries: the first replay also pays
         # one-off codegen + checkpoint-format setup.
         prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_ndmb = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled"
+        )
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # an availableNow drain doesn't need the trailing no-data batch
+        # (it exists for event-time timer liveness; the drain has none)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         dt = None
         try:
             for rep in range(REPS):
@@ -320,15 +339,22 @@ def _stream_throughput(spark) -> dict | None:
                 t0 = time.perf_counter()
                 # key-group state: the throughput configuration (per-trip
                 # keying pays ~0.8 ms of invocation overhead per trip per
-                # batch; see correlator.py key-group design note)
+                # batch; see correlator.py key-group design note).  16
+                # groups, not 64: the group function's fixed pandas cost
+                # (~4 ms/group/batch after the r6 vectorization) dominates
+                # this replay's per-group work, and 16 still spreads over
+                # the 8 state partitions.
                 jobs.run_pipeline_to_completion(
                     spark, dirs["start"], dirs["end"], store, orph, ckpt,
-                    key_groups=64,
+                    key_groups=16,
                 )
                 rep_dt = time.perf_counter() - t0
                 dt = rep_dt if dt is None else min(dt, rep_dt)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
+            )
         n = n_start + n_end
         # cost split: (a) source+decode alone — the file-source scan and
         # JSON parse with no stateful operator; (b) the state machine
@@ -369,7 +395,7 @@ def _stream_throughput(spark) -> dict | None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         return {
             "events": n,
-            "key_groups": 64,
+            "key_groups": 16,
             "pipeline_sec": round(dt, 3),
             "events_per_sec": round(n / dt, 1),
             "source_only_sec": round(source_sec, 3),

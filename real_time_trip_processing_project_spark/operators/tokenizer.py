@@ -131,8 +131,15 @@ def apply_bpe(
     """Tokenize with a trained merge table: chars, then each merge in
     rank order — map-only (the model is ``n_merges`` literals baked into
     the fold chain, the distributed analogue of broadcasting a
-    tokenizer)."""
-    col = F.split(F.trim(F.col(text_col)), r"\s+")
+    tokenizer).  Empty words are filtered before the symbol stream
+    (mirroring ``word_freq_table``): a blank/whitespace-only doc yields
+    ZERO symbols, not a stray ['' , sentinel] pair — Spark's
+    ``split('', '\\s+')`` returns ``['']``, which would otherwise leak
+    a phantom word the training side never saw."""
+    col = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
     sym = F.flatten(
         F.transform(col, lambda w: F.concat(F.split(w, ""), F.array(F.lit(" "))))
     )

@@ -1810,8 +1810,10 @@ def _bpe_apply_oracle(n_merges: int = 8) -> str:
     """Tokenize-with-the-trained-model oracle: per doc, the token count
     after applying all ``n_merges`` merges — each word's final segment
     count from the last vocab level plus one end-of-word sentinel
-    (``apply_bpe`` appends one per word; the empty word of a blank doc
-    contributes just its sentinel via the LEFT JOIN's coalesce)."""
+    (``apply_bpe`` appends one per word).  Empty words are filtered on
+    both sides (apply_bpe mirrors word_freq_table's length>0 filter), so
+    a blank/whitespace-only doc counts 0 tokens — re-attached via the
+    LEFT JOIN back to ``documents`` so the doc still gets a row."""
     sep = _BPE_SEP
     return _bpe_chain(n_merges) + f""",
         wordtoks AS MATERIALIZED (
@@ -1820,14 +1822,23 @@ def _bpe_apply_oracle(n_merges: int = 8) -> str:
             FROM vocab{n_merges}
         ),
         docwords AS MATERIALIZED (
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS w
+                FROM documents WHERE text NOT LIKE '%{sep}%'
+            ) WHERE len(w) > 0
+        ),
+        doccounts AS MATERIALIZED (
             SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS w
-            FROM documents WHERE text NOT LIKE '%{sep}%'
+                   CAST(sum(coalesce(wt.ntok, 0) + 1) AS BIGINT) AS n_tokens
+            FROM docwords dw LEFT JOIN wordtoks wt USING (w)
+            GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(sum(coalesce(wt.ntok, 0) + 1) AS BIGINT) AS n_tokens
-        FROM docwords dw LEFT JOIN wordtoks wt USING (w)
-        GROUP BY doc_id"""
+        SELECT d.doc_id,
+               coalesce(dc.n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+        FROM (SELECT doc_id FROM documents
+              WHERE text NOT LIKE '%{sep}%') d
+        LEFT JOIN doccounts dc USING (doc_id)"""
 
 
 @register(

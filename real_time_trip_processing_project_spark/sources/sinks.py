@@ -30,7 +30,8 @@ ORPHAN_STATUS = "Orphaned"
 
 
 def append_trip_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
-                      orphan_dir: str | None = None) -> None:
+                      orphan_dir: str | None = None,
+                      expect_orphans: bool = True) -> None:
     """foreachBatch body: version-stamp and append one micro-batch.
 
     ``updated_at`` encodes (batch_id, status rank) so dedup-on-read is
@@ -38,7 +39,15 @@ def append_trip_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     rows and last-writer-wins picks the same winner.  Within a batch the
     only per-trip ordering that matters is Started → Completed, which the
     status rank encodes without relying on row order.
+
+    ``expect_orphans=False`` (set by the pipeline when the correlator
+    runs in buffer mode, which never emits ``Orphaned`` rows) collapses
+    the batch to ONE action — no persist, no emptiness probe — shaving
+    a cache materialization plus a probe job from every micro-batch.
+    ``orphan_dir`` is still created empty so its path exists either way.
     """
+    import os
+
     stamped = batch_df.withColumn(
         "updated_at",
         F.timestamp_micros(
@@ -46,13 +55,22 @@ def append_trip_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
             + F.when(F.col("status") == "Completed", 1).otherwise(0)
         ),
     )
+    if orphan_dir is not None:
+        # the sink's external contract: the orphan path exists after the
+        # first batch even when nothing was ever orphaned (a consumer
+        # still needs an explicit schema to read an empty dir — see
+        # start_trip_pipeline's docstring)
+        os.makedirs(orphan_dir, exist_ok=True)
+    if orphan_dir is None or not expect_orphans:
+        stamped.filter(F.col("status") != ORPHAN_STATUS).write.mode(
+            "append"
+        ).partitionBy("date").parquet(store_dir)
+        return
     # two sinks = two actions on the same micro-batch plan; without a
     # persist the second action RE-EXECUTES the upstream stateful
     # operator (the correlator ran 2x per batch — measured as ~half the
     # pipeline's wall time before this cache)
-    two_sinks = orphan_dir is not None
-    if two_sinks:
-        stamped = stamped.persist()
+    stamped = stamped.persist()
     try:
         orphans = stamped.filter(F.col("status") == ORPHAN_STATUS)
         trips = stamped.filter(F.col("status") != ORPHAN_STATUS)
@@ -61,13 +79,11 @@ def append_trip_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         # (reference logs-and-drops these; trip_processor.py:60-62).
         # The emptiness probe on the persisted frame is one limit-1 job,
         # far cheaper than the parquet commit protocol an empty write
-        # still pays — and in buffer mode orphans are ALWAYS empty, so
-        # the probe saves a write job every micro-batch.
-        if orphan_dir is not None and not orphans.isEmpty():
+        # still pays.
+        if not orphans.isEmpty():
             orphans.drop("date").write.mode("append").parquet(orphan_dir)
     finally:
-        if two_sinks:
-            stamped.unpersist()
+        stamped.unpersist()
 
 
 def current_trips(spark: SparkSession, store_dir: str) -> DataFrame:

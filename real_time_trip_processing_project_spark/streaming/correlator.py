@@ -297,33 +297,51 @@ _DBL_FIELDS = {
 }
 
 
+#: Wire datetime layout (send_to_kinesis.py:45-50 CSV passthrough).
+#: Pinning it keeps pandas on the vectorized C parser — the generic
+#: ``pd.to_datetime`` cannot infer a format from an all-None column and
+#: falls back to per-element dateutil parsing (profiled as a top cost of
+#: the correlator's micro-batch CPU).
+_WIRE_TS_FORMAT = "%Y-%m-%d %H:%M:%S"
+
+
+def _to_ts(col: pd.Series) -> pd.Series:
+    try:
+        return pd.to_datetime(col, format=_WIRE_TS_FORMAT)
+    except (ValueError, TypeError):  # non-wire layouts: generic parse
+        return pd.to_datetime(col)
+
+
 def _assemble(
     sub: pd.DataFrame, use_start: bool, use_end: bool, status: str
 ) -> pd.DataFrame:
     """Columnar OUT_SCHEMA frame from merged start⋈end rows — the typed
     per-row work of :func:`_emit_row` done once per column instead of
-    once per value."""
-    out = pd.DataFrame(index=pd.RangeIndex(len(sub)))
-    out["trip_id"] = sub["trip_id"].to_numpy()
+    once per value.  Columns are gathered in a dict and handed to one
+    ``pd.DataFrame`` constructor: 40 incremental ``out[f] = col``
+    inserts per call were re-consolidating the block manager each time
+    (profiled ~1/3 of the correlator's micro-batch CPU)."""
+    n = len(sub)
+    cols: dict[str, pd.Series] = {"trip_id": sub["trip_id"].to_numpy()}
     for f, used in [(f, use_start) for f in START_FIELDS[1:]] + [
         (f, use_end) for f in END_FIELDS
     ]:
         if used:
             col = pd.Series(sub[f].to_numpy())
         else:
-            col = pd.Series([None] * len(sub), dtype="object")
+            col = pd.Series([None] * n, dtype="object")
         if f in _TS_FIELDS:
-            col = pd.to_datetime(col)
+            col = _to_ts(col)
         elif f in _INT_FIELDS:
             col = col.astype("Int32")
         elif f in _DBL_FIELDS:
             col = col.astype("Float64")
-        out[f] = col
-    dates = out["pickup_datetime"].dt.date
-    out["date"] = dates.where(out["pickup_datetime"].notna(), None)
-    out["status"] = status
-    out["__trig"] = sub["__trig"].to_numpy()
-    return out
+        cols[f] = col
+    pickup = cols["pickup_datetime"]
+    cols["date"] = pickup.dt.date.where(pickup.notna(), None)
+    cols["status"] = pd.Series([status] * n, dtype="object")
+    cols["__trig"] = sub["__trig"].to_numpy()
+    return pd.DataFrame(cols, copy=False)
 
 
 def _merge_starts_ends(rows: pd.DataFrame) -> pd.DataFrame:
@@ -497,17 +515,64 @@ def correlate_stream(
 #
 # Tradeoff (why the per-trip path still exists): group state is one
 # value, so a batch that touches a group rewrites that group's WHOLE
-# state (write amplification ∝ live-trips/groups), and per-trip TTL
-# timers are not expressible (a group's timer would reset on any
-# member's event) — state_ttl_ms therefore requires the per-trip path.
-# Groups ≫ cores keeps partitions balanced; live-state/groups bounds the
-# per-value size.
+# state, and per-trip TTL timers are not expressible (a group's timer
+# would reset on any member's event) — state_ttl_ms therefore requires
+# the per-trip path.  Groups ≫ cores keeps partitions balanced.
+#
+# What bounds the blob: completed entries are EVICTED once they have sat
+# untouched for EVICT_COMPLETED_AFTER batches of group activity, and
+# emitted-orphan placeholders ([None, None, False]) are dropped
+# immediately, so a group's state is its OPEN trips plus a K-batch tail
+# of recently-completed ones — not every trip ever seen (pre-r6 the map
+# grew unboundedly, the one long-running-stream hazard of this path).
+# Write amplification per touched group is therefore
+# ∝ open-trips/G + recent-completions/G.
 # ---------------------------------------------------------------------------
 
 #: Key-group state: one JSON blob mapping trip_id → [start, end, completed].
 GROUP_STATE_SCHEMA = T.StructType(
     [T.StructField("trips_json", T.StringType(), True)]
 )
+
+#: Batches of group activity a completed trip's state survives before
+#: eviction.  A duplicate start/end redelivered WITHIN the window
+#: re-emits ``Completed`` exactly like the per-trip host; one arriving
+#: after eviction is treated as a fresh event instead (buffer mode holds
+#: it; drop mode orphans an end) — the documented divergence bounded by
+#: this constant.  Kinesis-style redelivery happens within a few
+#: consecutive polls, so the default window is generous for the
+#: semantics it protects while keeping state ∝ open trips.
+EVICT_COMPLETED_AFTER = 8
+
+
+def _load_group_blob(blob: str | None) -> tuple[int, dict, dict]:
+    """(batch_seq, trips, last_touched) from a state blob.  Accepts the
+    r5 layout (bare ``{tid: [s, e, c]}``) as generation 0 with no touch
+    stamps — its entries age out normally from the next batch on."""
+    if not blob:
+        return 0, {}, {}
+    d = json.loads(blob)
+    if isinstance(d, dict) and d.get("__v") == 2:
+        return d["n"], d["trips"], d["last"]
+    return 0, d, {}
+
+
+def _evict_group_state(
+    trips: dict, last: dict, batch_no: int, keep_for: int | None
+) -> None:
+    """Drop state no future event can need: emitted-orphan placeholders
+    (``[None, None, False]`` ≡ no state for every later transition) and
+    completed trips untouched for ``keep_for`` batches (kept only to
+    re-emit on redelivery)."""
+    for tid in list(trips):
+        s, e, c = trips[tid]
+        stale = (
+            keep_for is not None
+            and batch_no - last.get(tid, 0) >= keep_for
+        )
+        if (c and stale) or (s is None and e is None and not c):
+            del trips[tid]
+            last.pop(tid, None)
 
 
 def _json_default(v: Any) -> Any:
@@ -517,10 +582,13 @@ def _json_default(v: Any) -> Any:
 
 def _records(df: pd.DataFrame, cols: list[str]) -> list[dict]:
     """Rows → plain-Python dicts with NaN/NaT normalized to None — the
-    exact state-dict shape the per-trip path stores (see ``_py``)."""
-    sub = df[cols].astype(object)
-    sub = sub.where(sub.notna(), None)
-    return sub.to_dict("records")
+    exact state-dict shape the per-trip path stores (see ``_py``).
+    itertuples instead of ``astype(object).where(...).to_dict``: the
+    object-cast copied and re-blocked every column per group call."""
+    return [
+        {c: (None if pd.isna(v) else v) for c, v in zip(cols, row)}
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
 
 
 def _fold_merge_into_state(
@@ -541,11 +609,18 @@ def _fold_merge_into_state(
         trips[tid] = [s, e, s is not None and e is not None]
 
 
-def make_group_correlator(mode: str = "buffer"):
+def make_group_correlator(
+    mode: str = "buffer",
+    evict_completed_after: int | None = EVICT_COMPLETED_AFTER,
+):
     """applyInPandasWithState function for one key GROUP (hash bucket of
     trip ids): same per-trip semantics as :func:`make_correlator`, with
     the batch's clean-shape stateless trips vectorized and only stateful
-    or multi-event trips routed through the per-row loop."""
+    or multi-event trips routed through the per-row loop.  Completed
+    entries age out of group state after ``evict_completed_after``
+    batches of group activity (None = keep forever, the pre-r6
+    behavior); see :data:`EVICT_COMPLETED_AFTER` for the redelivery
+    divergence this bounds."""
     if mode not in ("buffer", "drop"):
         raise ValueError(f"mode must be 'buffer' or 'drop', got {mode!r}")
 
@@ -556,7 +631,8 @@ def make_group_correlator(mode: str = "buffer"):
             state.remove()
             return
         (blob,) = state.get if state.exists else (None,)
-        trips: dict[str, list] = json.loads(blob) if blob else {}
+        batch_no, trips, last = _load_group_blob(blob)
+        batch_no += 1
         parts = [p for p in pdfs if len(p)]
         frames: list[pd.DataFrame] = []
         if parts:
@@ -585,6 +661,8 @@ def make_group_correlator(mode: str = "buffer"):
                     m = _merge_starts_ends(fast)
                     frames.append(_emit_from_merge(m, mode))
                     _fold_merge_into_state(m, mode, trips)
+                    for tid in m["trip_id"].tolist():
+                        last[tid] = batch_no
                 if slow_ids:
                     slow = pdf[pdf["trip_id"].isin(slow_ids)]
                     for tid, sub in slow.groupby("trip_id", sort=False):
@@ -593,9 +671,18 @@ def make_group_correlator(mode: str = "buffer"):
                             tid, iter([sub]), st[0], st[1], st[2], mode
                         )
                         trips[tid] = [s2, e2, c2]
+                        last[tid] = batch_no
                         if out:
                             frames.append(_frame_from_rows(out))
-        state.update((json.dumps(trips, default=_json_default),))
+        _evict_group_state(trips, last, batch_no, evict_completed_after)
+        state.update(
+            (
+                json.dumps(
+                    {"__v": 2, "n": batch_no, "trips": trips, "last": last},
+                    default=_json_default,
+                ),
+            )
+        )
         for f in frames:
             yield f
 
@@ -603,7 +690,10 @@ def make_group_correlator(mode: str = "buffer"):
 
 
 def correlate_stream_grouped(
-    tagged: DataFrame, mode: str = "buffer", n_groups: int = 64
+    tagged: DataFrame,
+    mode: str = "buffer",
+    n_groups: int = 64,
+    evict_completed_after: int | None = EVICT_COMPLETED_AFTER,
 ) -> DataFrame:
     """T2 keyed correlation on hash key groups — the high-throughput host
     for the same trip state machine (see the key-group design note
@@ -614,7 +704,9 @@ def correlate_stream_grouped(
         tagged.withColumn("__group", g)
         .groupBy("__group")
         .applyInPandasWithState(
-            make_group_correlator(mode=mode),
+            make_group_correlator(
+                mode=mode, evict_completed_after=evict_completed_after
+            ),
             outputStructType=OUT_SCHEMA,
             stateStructType=GROUP_STATE_SCHEMA,
             outputMode="append",

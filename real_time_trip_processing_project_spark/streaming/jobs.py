@@ -310,6 +310,11 @@ def start_trip_pipeline(
     batches ('no new data but cleaning up state') instead of
     terminating, so the combination is rejected.
 
+    Orphan-dir contract: the path is CREATED (empty) by the first
+    micro-batch even when no orphan is ever written — but an empty
+    directory still needs ``spark.read.schema(...).parquet`` (no files
+    to infer from); orphan files only appear in drop mode.
+
     Returns a :class:`PipelineQueries` with both query handles.  The
     quarantine query starts first; if the main query fails to start, the
     quarantine stream is stopped rather than leaked.
@@ -340,7 +345,9 @@ def start_trip_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda df, bid: sinks.append_trip_batch(
-                df, bid, store_dir, orphan_dir
+                df, bid, store_dir, orphan_dir,
+                # buffer mode never emits Orphaned rows: single-action sink
+                expect_orphans=(mode == "drop"),
             )
         )
     )

@@ -231,3 +231,124 @@ def test_grouped_rejects_ttl(spark, tmp_path):
             spark, start_dir, end_dir, store, orphans, ckpt,
             key_groups=GROUPS, state_ttl_ms=1000,
         )
+
+
+def test_group_state_evicts_completed_and_placeholders():
+    """Long-running-stream boundedness (direct function-level test):
+    completed trips age out of the group blob after
+    EVICT_COMPLETED_AFTER batches of group activity, emitted-orphan
+    placeholders vanish immediately, open trips persist, and a
+    duplicate end INSIDE the window still re-emits Completed like the
+    per-trip host."""
+    import json
+
+    import pandas as pd
+
+    from real_time_trip_processing_project_spark.streaming import (
+        correlator as C,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+        hasTimedOut = False
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+        def remove(self):
+            self._v = None
+
+    def wire(events):
+        cols = list(dict.fromkeys([*C.START_FIELDS, *C.END_FIELDS]))
+        return pd.DataFrame(
+            [{c: e.get(c) for c in cols} for e in events]
+        ).assign(
+            event_type=[
+                "trip_start" if "pickup_datetime" in e else "trip_end"
+                for e in events
+            ]
+        )
+
+    fn = C.make_group_correlator("buffer", evict_completed_after=3)
+    st = FakeState()
+
+    def run(events):
+        frames = list(fn((0,), iter([wire(events)]), st))
+        return pd.concat(frames) if frames else pd.DataFrame()
+
+    def blob():
+        return json.loads(st.get[0])
+
+    # batch 1: trip 0 completes, trip 1 stays open
+    run([_start_event(0), _end_event(0), _start_event(1)])
+    assert set(blob()["trips"]) == {"t0000", "t0001"}
+    # batch 2 (within window): duplicate end re-emits Completed
+    out = run([_end_event(0)])
+    assert list(out["status"]) == ["Completed"]
+    # batches 3-5 touch only other trips; t0000 ages out, t0001 stays
+    for i in range(2, 5):
+        run([_start_event(i), _end_event(i)])
+    b = blob()["trips"]
+    assert "t0000" not in b, "completed trip must age out"
+    assert "t0001" in b, "open trip must survive eviction"
+    # recently-completed trips are still inside their window
+    assert "t0004" in b
+
+    # drop mode: an orphaned end leaves NO placeholder behind
+    fn_drop = C.make_group_correlator("drop", evict_completed_after=3)
+    st = FakeState()
+    frames = list(fn_drop((0,), iter([wire([_end_event(7)])]), st))
+    out = pd.concat(frames)
+    assert list(out["status"]) == ["Orphaned"]
+    assert blob is not None and json.loads(st.get[0])["trips"] == {}
+
+
+def test_group_state_accepts_legacy_r5_blob():
+    """A pre-r6 state blob (bare ``{tid: [s, e, c]}``) loads as
+    generation 0: its open entries keep working and its completed
+    entries age out on later activity."""
+    import json
+
+    import pandas as pd
+
+    from real_time_trip_processing_project_spark.streaming import (
+        correlator as C,
+    )
+
+    class FakeState:
+        def __init__(self, v):
+            self._v = v
+        hasTimedOut = False
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+        def remove(self):
+            self._v = None
+
+    legacy = json.dumps(
+        {
+            "t0000": [None, {"trip_id": "t0000", "fare_amount": 5.0}, False],
+            "t0001": [{"trip_id": "t0001"}, {"trip_id": "t0001"}, True],
+        }
+    )
+    st = FakeState((legacy,))
+    fn = C.make_group_correlator("buffer", evict_completed_after=1)
+    events = pd.DataFrame([dict(_start_event(0), event_type="trip_start")])
+    frames = list(fn((0,), iter([events]), st))
+    out = pd.concat(frames)
+    # buffered legacy end + new start -> Completed (state still works)
+    assert list(out["status"]) == ["Completed"]
+    b = json.loads(st.get[0])
+    assert b["__v"] == 2
+    # legacy completed entry (stampless -> generation 0) aged out
+    assert "t0001" not in b["trips"]

@@ -890,6 +890,66 @@ def test_apply_bpe_respects_word_boundaries(spark):
     assert all(" " not in t or t == " " for t in toks)
 
 
+def test_apply_bpe_blank_doc_yields_zero_symbols(spark):
+    """A blank or whitespace-only doc tokenizes to ZERO symbols — not the
+    phantom ['', sentinel] pair Spark's split('', '\\s+') == [''] would
+    leak — and the registered count query agrees with its oracle on a
+    corpus containing such docs (the r5 oracle/plan disagreed: 1 vs 2)."""
+    import duckdb
+
+    from real_time_trip_processing_project_spark.operators import (
+        tokenizer as TK,
+    )
+    from real_time_trip_processing_project_spark.plans import REGISTRY
+    from real_time_trip_processing_project_spark import testing
+
+    # corpus rich enough that 8 merges stay intra-word (a degenerate
+    # 2-word corpus exhausts its pairs and drifts into tie-break
+    # territory the fixture never reaches)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, "   "),
+        (4, "a b"),
+        (5, "pack my box with five dozen liquor jugs"),
+        (6, "sphinx of black quartz judge my vow"),
+        (7, "the jay pig fox zebra and my wolves quack"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = TK.train_bpe(docs, n_merges=2).collect()
+    toks = {
+        r["doc_id"]: r["symbols"]
+        for r in TK.apply_bpe(docs, merges).collect()
+    }
+    assert toks[2] == [] and toks[3] == []
+    assert len(toks[4]) == 4  # a, sentinel, b, sentinel
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{d}/documents.parquet'"
+        )
+        qdef = REGISTRY["tokenizer_apply_bpe_counts"]
+        res = testing.compare_query(
+            qdef.name, qdef.fn(spark, d), qdef.oracle, con
+        )
+        assert res.ok, res.detail
+
+
 def test_ivf_persistent_index_matches_adhoc(spark, tmp_path):
     """build_ivf_index + ivf_topk_indexed must return exactly what the
     ad-hoc ivf_topk returns (same deterministic quantizer, same probes,
