@@ -33,6 +33,10 @@ _RECHECK_FIRST = [
     "funnel_conversion",
     "dedup_common_spans",
     "text_fingerprint",
+    # r6: blank-doc token-count fix touched this oracle
+    "tokenizer_apply_bpe_counts",
+    # r6: rewired from the fake codec to real AVI containers
+    "multimodal_frame_sample",
 ]
 
 

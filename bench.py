@@ -79,6 +79,8 @@ SECONDARY = [
     "multimodal_image_features",
     "dedup_common_spans",
     "events_resample_1h_ffill",
+    # round-6 additions
+    "multimodal_video_frames",
     # tokenizer_apply_bpe_counts is oracle-gated per round but kept out
     # of the timing list: its cost is ~90% fixed plan compilation
     # (training jobs + an 8-deep nested fold chain), which would drown

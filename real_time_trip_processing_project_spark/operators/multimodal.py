@@ -3,10 +3,13 @@
 The reference is text/number-only; a 100 TB training-data pipeline also
 carries images/audio/video as opaque ``binary`` columns with typed
 metadata.  This module makes the Spark-side plumbing real — schema,
-Arrow batch shape, ``mapInPandas`` signature, partition behavior — while
-the actual codec step is stubbed (no image/audio libs in this
-container): ``decode_media`` raises ``NotImplementedError`` unless the
-deterministic fake decoder is selected.
+Arrow batch shape, ``mapInPandas`` signature, partition behavior — with
+REAL pure-Python container codecs for all three fixture modalities:
+audio (RIFF/WAVE PCM16), image (24-bit uncompressed BMP), and video
+(uncompressed 24-bit AVI: RIFF header tree, DIB frame chunks, idx1
+index).  Only compressed formats (JPEG/PNG/MP4), whose codecs genuinely
+need PIL/av absent from this container, remain a marked
+``NotImplementedError`` seam behind ``codec="real"``.
 
 Layout conventions that matter at scale:
 
@@ -174,6 +177,143 @@ def decode_bmp_rgb24(payload: bytes):
     return bgr[:, :, ::-1].copy()  # BGR → RGB
 
 
+def encode_avi_rgb24(frames, fps: int = 10) -> bytes:
+    """Serialize an (n, h, w, 3) uint8 RGB frame stack as a real
+    uncompressed AVI (RIFF 'AVI ': LIST hdrl with avih + strl
+    (strh 'vids'/'DIB ' + strf BITMAPINFOHEADER), LIST movi of '00db'
+    DIB frames — bottom-up BGR rows padded to 4-byte strides, exactly
+    like BMP bodies — and an idx1 index) — pure Python, no video
+    libraries.  The video codec for the multimodal seam."""
+    import numpy as np
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) RGB frames, got {fr.shape}")
+    n, h, w, _ = fr.shape
+    if n == 0 or h == 0 or w == 0:
+        raise ValueError(f"empty frame stack: {fr.shape}")
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    frame_size = stride * h
+
+    def dib(frame) -> bytes:
+        bgr = frame[::-1, :, ::-1]  # bottom-up rows, BGR channels
+        if pad:
+            return b"".join(
+                bgr[r].tobytes() + b"\x00" * pad for r in range(h)
+            )
+        return bgr.tobytes()
+
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,          # scale / rate → fps frames per second
+        0, n,            # start, length (in frames)
+        frame_size, 0xFFFFFFFF, 0,  # buffer size, quality, sample size
+        0, 0, w, h,      # rcFrame
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) \
+        + b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10,  # AVIF_HASINDEX
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack(
+        "<I", 4 + 8 + len(avih) + len(strl)
+    ) + b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    chunks, idx, off = [], [], 4  # offsets relative to 'movi' fourcc
+    frame_pad = frame_size & 1
+    for i in range(n):
+        chunks.append(
+            b"00db" + struct.pack("<I", frame_size) + dib(fr[i])
+            + b"\x00" * frame_pad
+        )
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, frame_size))
+        off += 8 + frame_size + frame_pad
+    movi_body = b"movi" + b"".join(chunks)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    idx1 = b"idx1" + struct.pack("<I", 16 * n) + b"".join(idx)
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_rgb24(payload: bytes):
+    """Parse an uncompressed 24-bit AVI back into a list of (h, w, 3)
+    uint8 RGB frame arrays by walking the RIFF chunk tree (hdrl for the
+    BITMAPINFOHEADER, LIST movi for the '00db'/'00dc' frame chunks).
+    Size fields are untrusted: truncation, compressed streams, and
+    non-24-bit frames all raise ``ValueError``."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    if 8 + riff_size > len(payload):
+        # a truncation landing exactly on a chunk boundary would
+        # otherwise decode silently as a shorter video
+        raise ValueError(
+            f"truncated RIFF: declares {riff_size} bytes, "
+            f"{len(payload) - 8} remain"
+        )
+    strf = None
+    frame_bodies: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal strf
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            if pos + 8 + size > end:
+                raise ValueError(
+                    f"truncated chunk {cid!r}: declares {size} bytes, "
+                    f"{end - pos - 8} remain"
+                )
+            body_at = pos + 8
+            if cid == b"LIST":
+                walk(body_at + 4, body_at + size)  # skip the list type
+            elif cid == b"strf" and strf is None:
+                if size < 40:
+                    raise ValueError(f"strf too short: {size} < 40")
+                strf = struct.unpack(
+                    "<IiiHHI", payload[body_at : body_at + 20]
+                )
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frame_bodies.append(payload[body_at : body_at + size])
+            pos = body_at + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if strf is None:
+        raise ValueError("missing strf (stream format) chunk")
+    _size, w, bi_h, _planes, bits, compression = strf
+    if bits != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported AVI encoding: bits={bits}, compression={compression}"
+        )
+    if w <= 0 or bi_h <= 0:
+        raise ValueError(f"bad frame dimensions: {w}x{bi_h}")
+    h = bi_h
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    frames = []
+    for body in frame_bodies:
+        if len(body) < stride * h:
+            raise ValueError(
+                f"truncated frame: needs {stride * h} bytes, has {len(body)}"
+            )
+        raw = np.frombuffer(
+            body, dtype=np.uint8, count=stride * h
+        ).reshape(h, stride)
+        bgr = raw[:, :row_bytes].reshape(h, w, 3)
+        frames.append(bgr[::-1, :, ::-1].copy())  # bottom-up, BGR → RGB
+    return frames
+
+
 #: Schema of the synthetic media table derived from ``documents``.
 MEDIA = T.StructType(
     [
@@ -266,12 +406,24 @@ def _real_decode(payload: bytes) -> dict:
             "width": px.shape[1],
             "height": px.shape[0],
         }
-    # STUB: container has no video libraries (pyav).  The Arrow plumbing
-    # and schema are production-real; only the video codec call is
-    # missing — audio (WAV) and image (BMP) decode for real above.
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        frames = decode_avi_rgb24(bytes(payload))
+        h, w = (frames[0].shape[0], frames[0].shape[1]) if frames else (0, 0)
+        return {
+            "n_bytes": len(payload),
+            "content_hash": hashlib.md5(payload).hexdigest(),
+            "frame_count": len(frames),
+            "width": w,
+            "height": h,
+        }
+    # STUB: compressed formats (JPEG/PNG/MP4/H.264) still need PIL/av,
+    # absent from this container.  Every fixture modality — audio
+    # (RIFF/PCM16), image (BMP), video (uncompressed AVI) — decodes for
+    # real above; only the compressed-codec call remains a marked seam.
     raise NotImplementedError(
-        "real decode supports WAV (RIFF/PCM16) and BMP (24-bit BI_RGB) "
-        "only; video needs av — use codec='fake'"
+        "real decode supports WAV (RIFF/PCM16), BMP (24-bit BI_RGB) and "
+        "uncompressed AVI; compressed formats need PIL/av — use "
+        "codec='fake'"
     )
 
 
@@ -302,12 +454,16 @@ def extract_media_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, MEDIA_FEATURES)
 
 
-def sample_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
-    """Frame-sampling plumbing: explode the (fake) frame index space and
-    keep every nth frame — the shape of video-frame extraction, where the
-    per-frame decode would live in a second ``mapInPandas`` stage.
-    """
-    feats = extract_media_features(media)
+def sample_frames(
+    media: DataFrame, every_nth: int = 10, codec: str = "fake"
+) -> DataFrame:
+    """Frame sampling: explode the frame index space and keep every nth
+    frame — the front half of video-frame extraction, where the
+    per-frame decode lives in a second ``mapInPandas`` stage
+    (:func:`video_frame_features`).  ``codec="real"`` reads the REAL
+    frame count out of the container (AVI/WAV/BMP via
+    :func:`_real_decode`); ``"fake"`` keeps the deterministic stub."""
+    feats = extract_media_features(media, codec=codec)
     frames = feats.select(
         "media_id",
         F.explode(
@@ -525,4 +681,97 @@ def image_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, IMAGE_FEATURES
+    )
+
+
+#: Fixed frame geometry of generated AVI fixtures: 4×4 RGB → 48 bytes
+#: of text fill one frame.
+VID_W = 4
+VID_H = 4
+
+#: Output schema of the per-frame video featurizer — exact integers so
+#: the DuckDB oracle (character codes over each frame's byte slice of
+#: the ASCII fixture text) matches bit-for-bit.
+VIDEO_FRAME_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_max", T.LongType(), True),
+    ]
+)
+
+
+def media_avi_from_documents(
+    docs: DataFrame, width: int = VID_W, height: int = VID_H
+) -> DataFrame:
+    """Media table whose payloads are REAL uncompressed-AVI bytes: each
+    doc's text bytes fill consecutive ``height×width`` RGB frames
+    (zero-padded to the last frame, ≥1 frame) serialized through
+    :func:`encode_avi_rgb24` — RIFF header tree, bottom-up BGR DIB
+    frames, idx1 index and all.  Consumers must walk the container to
+    get frames back; the fixture generator for the real video-codec
+    path."""
+    import numpy as np
+
+    frame_bytes = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                n_frames = max(-(-len(b) // frame_bytes), 1)
+                px = np.zeros(n_frames * frame_bytes, dtype=np.uint8)
+                px[: len(b)] = b
+                payloads.append(
+                    encode_avi_rgb24(
+                        px.reshape(n_frames, height, width, 3)
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    out_schema = "media_id long, payload binary"
+    avi = docs.select("doc_id", "text").mapInPandas(run, out_schema)
+    return avi.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit("avi-encoder").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def video_frame_features(media: DataFrame) -> DataFrame:
+    """Decode each AVI payload (:func:`decode_avi_rgb24`) and emit exact
+    integer per-FRAME pixel statistics: channel-value sum and peak per
+    frame.  The second ``mapInPandas`` stage of the video path
+    (:func:`sample_frames` is the first); binary column dropped here,
+    output is frames × 4 ints."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, sums, maxs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, frame in enumerate(decode_avi_rgb24(bytes(payload))):
+                    mids.append(mid)
+                    idxs.append(i)
+                    sums.append(int(frame.astype(np.int64).sum()))
+                    maxs.append(int(frame.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": idxs,
+                    "px_sum": sums,
+                    "px_max": maxs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, VIDEO_FRAME_FEATURES
     )

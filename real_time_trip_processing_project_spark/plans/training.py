@@ -1998,11 +1998,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_media_features(MM.media_from_documents(docs))
 
 
+#: Bytes of document text per generated AVI frame (VID_W × VID_H RGB).
+_VID_FRAME_BYTES = MM.VID_W * MM.VID_H * 3
+
+
 @register(
     "multimodal_frame_sample",
-    oracle="""
+    oracle=f"""
         WITH m AS (SELECT doc_id AS media_id,
-                          greatest(octet_length(encode(text)) // 64, 1) AS fc
+                          greatest((octet_length(encode(text))
+                                    + {_VID_FRAME_BYTES - 1})
+                                   // {_VID_FRAME_BYTES}, 1) AS fc
                    FROM documents),
              fr AS (SELECT media_id, CAST(unnest(range(0, fc)) AS BIGINT) AS frame_idx
                     FROM m)
@@ -2011,10 +2017,68 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["EXT", "multimodal"],
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every-10th-frame sampling over the fake frame index space — the
-    explode/filter shape of video frame extraction."""
+    """Every-10th-frame sampling over REAL video containers: each doc's
+    text bytes are packed into an actual uncompressed AVI
+    (operators/multimodal.py:media_avi_from_documents), the sampler
+    DECODES the container (decode_avi_rgb24 via the real codec) to get
+    the true frame count, then explodes/filters the frame index space.
+    The oracle recomputes ceil(bytes / frame_bytes) from the source
+    text — r5 ran this on the fake codec; the frame path is now
+    real-bytes end to end."""
     docs = load_fixture(spark, sf_dir, "documents")
-    return MM.sample_frames(MM.media_from_documents(docs), every_nth=10)
+    return MM.sample_frames(
+        MM.media_avi_from_documents(docs), every_nth=10, codec="real"
+    )
+
+
+@register(
+    "multimodal_video_frames",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id AS media_id, text AS t,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n
+            FROM documents
+            -- byte==char-code only holds for ASCII; both engines apply
+            -- the same guard (the audio/image twins' discipline)
+            WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+        ),
+        fr AS (
+            SELECT media_id, t, n,
+                   unnest(range(0, greatest((n + {_VID_FRAME_BYTES - 1})
+                                            // {_VID_FRAME_BYTES}, 1)))
+                       AS frame_idx
+            FROM s
+        )
+        SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(coalesce(list_sum(list_transform(
+                   range(CAST(frame_idx * {_VID_FRAME_BYTES} + 1 AS INT),
+                         CAST(least((frame_idx + 1) * {_VID_FRAME_BYTES}, n)
+                              + 1 AS INT)),
+                   i -> ascii(substr(t, CAST(i AS INT), 1))
+               )), 0) AS BIGINT) AS px_sum,
+               CAST(coalesce(list_max(list_transform(
+                   range(CAST(frame_idx * {_VID_FRAME_BYTES} + 1 AS INT),
+                         CAST(least((frame_idx + 1) * {_VID_FRAME_BYTES}, n)
+                              + 1 AS INT)),
+                   i -> ascii(substr(t, CAST(i AS INT), 1))
+               )), 0) AS BIGINT) AS px_max
+        FROM fr
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec video frame features, end to end: text bytes packed
+    into uncompressed-AVI frames (media_avi_from_documents), then the
+    per-frame featurizer DECODES the container (decode_avi_rgb24 — RIFF
+    tree walk, bottom-up BGR DIB rows) and computes exact integer pixel
+    stats per FRAME.  Zero-padding in the last frame contributes nothing
+    to px_sum/px_max, so the oracle recomputes both from each frame's
+    byte slice of the source text — ASCII-guarded on both sides like the
+    audio and image twins."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.video_frame_features(MM.media_avi_from_documents(docs))
 
 
 @register(

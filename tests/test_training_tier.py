@@ -463,6 +463,52 @@ def test_bmp_codec_roundtrip():
         MM.decode_bmp_rgb24(bytes(bad_bits))
 
 
+def test_avi_codec_roundtrip():
+    """encode_avi_rgb24 → decode_avi_rgb24 recovers every RGB frame
+    bit-exactly across frame counts and odd widths (DIB row padding);
+    untrusted size fields fail as ValueError, as do compressed or
+    non-24-bit streams."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for n, h, w in ((1, 1, 1), (3, 4, 4), (5, 3, 5), (2, 7, 1)):
+        fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        back = MM.decode_avi_rgb24(MM.encode_avi_rgb24(fr))
+        assert len(back) == n, (n, h, w)
+        assert all(np.array_equal(a, b) for a, b in zip(fr, back))
+    payload = MM.encode_avi_rgb24(
+        rng.integers(0, 256, (3, 4, 4, 3), dtype=np.uint8)
+    )
+    for cut in (len(payload) // 2, len(payload) - 1, 13):
+        with pytest.raises(ValueError, match="truncated|missing"):
+            MM.decode_avi_rgb24(payload[:cut])
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        MM.decode_avi_rgb24(b"\x00\x01\x02 not a video")
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        MM.decode_avi_rgb24(MM.encode_wav_pcm16([1, 2, 3]))  # RIFF, not AVI
+    # uncompressed 24-bit only: find strf in the header tree and flip
+    # its biBitCount to 8 — must be rejected, not mis-sliced
+    bad = bytearray(payload)
+    at = payload.index(b"strf")
+    bad[at + 8 + 14] = 8  # biBitCount low byte inside BITMAPINFOHEADER
+    with pytest.raises(ValueError, match="unsupported AVI"):
+        MM.decode_avi_rgb24(bytes(bad))
+
+
+def test_real_decode_avi_frame_count():
+    """The real-codec seam reports the true decoded frame count and
+    dimensions for AVI payloads — the r5 seam raised NotImplementedError
+    for video; only compressed formats remain stubbed."""
+    import numpy as np
+
+    fr = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    feats = MM._real_decode(MM.encode_avi_rgb24(fr))
+    assert feats["frame_count"] == 2
+    assert (feats["width"], feats["height"]) == (4, 4)
+    with pytest.raises(NotImplementedError, match="compressed"):
+        MM._real_decode(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
 def test_real_decode_bmp_dimensions():
     """The real-codec seam reports true decoded dimensions for BMP
     payloads (frame_count 1), unlike the fake codec's derived fakes."""
