@@ -81,6 +81,7 @@ SECONDARY = [
     "events_resample_1h_ffill",
     # round-6 additions
     "multimodal_video_frames",
+    "curation_bloom_contamination",
     # tokenizer_apply_bpe_counts is oracle-gated per round but kept out
     # of the timing list: its cost is ~90% fixed plan compilation
     # (training jobs + an 8-deep nested fold chain), which would drown
@@ -209,7 +210,9 @@ def _quality(spark) -> dict:
         (r.query_id, r.neighbor_id)
         for r in REGISTRY["sim_cosine_topk"].fn(spark, SF_DIR).collect()
     }
-    for name, floor in (("sim_ann_lsh", 0.85), ("sim_ann_ivf", 0.75)):
+    # floors raised with the measured headroom: r6 configs measure
+    # ≈0.975 (LSH) / ≈0.945 (IVF) at sf0.1
+    for name, floor in (("sim_ann_lsh", 0.85), ("sim_ann_ivf", 0.9)):
         ann = {
             (r.query_id, r.neighbor_id)
             for r in REGISTRY[name].fn(spark, SF_DIR).collect()

@@ -30,6 +30,107 @@ from real_time_trip_processing_project_spark.operators import dedup as DD
 #: Token budget per packed bin (whitespace tokens at fixture scale).
 PACK_BUDGET = 512
 
+#: Bloom filter shape for the sketch-based contamination probe:
+#: 2^16 bits (exactly four md5 hex nibbles), 4 hash functions.  At the
+#: fixture's ~50k distinct train shingles the fill ratio is ~0.95 —
+#: deliberately saturated so false positives actually occur and the
+#: superset property (bloom ≥ exact) is exercised, not vacuous; a
+#: production deployment sizes bits ≈ 1.44·n·k for its target FP rate.
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+_HEXD = "0123456789abcdef"
+
+
+def _bloom_pos(hash_col):
+    """Bit position 0..65535 from the first four hex nibbles of an md5
+    column — engine-portable (the DuckDB twin computes identical strpos
+    arithmetic, the CMS discipline)."""
+
+    def nib(pos):
+        return F.instr(F.lit(_HEXD), F.substring(hash_col, pos, 1)) - 1
+
+    return (
+        nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+    ) % BLOOM_BITS
+
+
+def bloom_pos_sql(h: str) -> str:
+    """DuckDB twin of :func:`_bloom_pos` over a hex-string expression."""
+    nib = lambda p: f"(strpos('{_HEXD}', substr({h}, {p}, 1)) - 1)"
+    return (
+        f"(({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+        f" % {BLOOM_BITS})"
+    )
+
+
+def bloom_contamination(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sketch-based contamination probe: a Bloom filter of the train
+    split's shingle set, probed by every eval doc's distinct shingles.
+
+    This is the structure the exact semi-join (``contamination_check``)
+    cannot be at extreme scale: the train side collapses to a FIXED
+    2^16-bit bitmap (8 KB of actual bits; here a ≤65,536-row distinct
+    position relation) built in one aggregation pass, then BROADCAST —
+    eval probing is map-side, no shuffle of the train vocabulary per
+    query.  A shingle "hits" iff all ``BLOOM_K`` md5-derived positions
+    are set; Bloom filters have no false negatives, so per doc
+    ``n_bloom_hits ≥`` the exact contaminated count (asserted in tests)
+    with the false-positive excess set by the fill ratio.
+
+    Everything is md5-derived and integer, so the DuckDB oracle
+    reproduces the filter EXACTLY — same bits, same probes, same counts
+    (the heavy_hitters_cms discipline: an approximate structure under a
+    full hash-parity gate)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        split_expr(id_col).alias("split"),
+        DD.word_shingles(F.col(text_col)).alias("shingles"),
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    train_bits = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("shingles").alias("s"))
+        .select("s", ks)
+        .select(
+            _bloom_pos(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s")))
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probes = (
+        sh.filter(F.col("split") == "eval")
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", "s", ks)
+        .select(
+            "doc_id",
+            "s",
+            _bloom_pos(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s")))
+            ).alias("pos"),
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(train_bits), "pos", "left_semi")
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bloom_hits"))
+    )
+    totals = (
+        sh.filter(F.col("split") == "eval")
+        .select("doc_id", F.size("shingles").cast("long").alias("n_shingles"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_bloom_hits", F.lit(0)).cast("long").alias("n_bloom_hits"),
+    )
+
 
 def split_expr(id_col="doc_id", frac_hex: str = "cccc"):
     """Deterministic md5-prefix train/eval split (shared with the

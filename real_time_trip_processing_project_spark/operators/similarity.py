@@ -234,11 +234,14 @@ def ann_topk(
 
 #: IVF index shape: k-means cell count and probe width.  The fixture
 #: embeddings are nearly unclustered (synthetic), so credible recall
-#: needs a wide probe (10/16 cells ⇒ recall@10 ≈ 0.89); on naturally
-#: clustered corpora the same recall needs far fewer probes — the knob
-#: is per-deployment, the floor is asserted in bench.py.
-IVF_CELLS = 16
-IVF_PROBES = 10
+#: needs a wide probe; finer cells at the SAME scanned fraction buy
+#: recall for free (r6 sweep at sf0.1: 10/16 ⇒ 0.89 scanning 62%;
+#: 40/64 ⇒ 0.945 scanning the same 62% — smaller cells hug the query
+#: neighborhoods tighter).  On naturally clustered corpora the same
+#: recall needs far fewer probes — the knob is per-deployment, the
+#: floor is asserted in bench.py.
+IVF_CELLS = 64
+IVF_PROBES = 40
 IVF_ITERS = 10
 
 

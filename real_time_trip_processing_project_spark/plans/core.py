@@ -674,6 +674,44 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "latest_event_per_user_onepass",
+    oracle="""
+        SELECT user_id,
+               m.r.event_id   AS event_id,
+               m.r.event_type AS event_type,
+               m.r.ts         AS ts
+        FROM (SELECT user_id,
+                     max(struct_pack(ts := ts, event_id := event_id,
+                                     event_type := event_type)) AS r
+              FROM events GROUP BY user_id) m
+    """,
+    tags=["S5", "EXT"],
+)
+def latest_event_per_user_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The argmax twin of ``latest_event_per_user``: latest row per key
+    as ONE partial-aggregating ``max(struct(ts, tiebreak, payload))``.
+    The 100 TB property is the map-side combine: the shuffle carries at
+    most one row per (key × input partition), where the window form
+    must shuffle EVERY version of every key to sort it.  (Struct agg
+    buffers compile to SortAggregate — a per-partition sort on the
+    GROUP key over already-reduced data — so the exchange-volume win is
+    the claim, not sortlessness; plan-asserted.)  The struct's field
+    order (ts, event_id, payload…) makes lexicographic max =
+    (ts, event_id) DESC tie-break — deterministic, same result set as
+    the window form."""
+    events = load_fixture(spark, sf_dir, "events")
+    top = events.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type")).alias("r")
+    )
+    return top.select(
+        "user_id",
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.event_type").alias("event_type"),
+        F.col("r.ts").alias("ts"),
+    )
+
+
+@register(
     "topk_orders",
     oracle="""
         SELECT o_orderkey, o_custkey, o_totalprice

@@ -631,6 +631,61 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_bloom_contamination",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                        THEN 'train' ELSE 'eval' END AS split,
+                   {_SHINGLES_SQL} AS shingles
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+                  FROM documents)
+        ),
+        tr AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE split = 'train'),
+        bits AS (
+            SELECT DISTINCT
+                   {CU.bloom_pos_sql(
+                       "md5(CAST(j AS VARCHAR) || ':' || s)"
+                   )} AS pos
+            FROM tr, LATERAL (SELECT unnest(range(0, {CU.BLOOM_K})) AS j)
+        ),
+        probes AS (
+            SELECT doc_id, s, j,
+                   {CU.bloom_pos_sql(
+                       "md5(CAST(j AS VARCHAR) || ':' || s)"
+                   )} AS pos
+            FROM (SELECT doc_id, unnest(shingles) AS s
+                  FROM sh WHERE split = 'eval'),
+                 LATERAL (SELECT unnest(range(0, {CU.BLOOM_K})) AS j)
+        ),
+        hits AS (
+            SELECT doc_id, s
+            FROM probes SEMI JOIN bits USING (pos)
+            GROUP BY doc_id, s
+            HAVING count(*) = {CU.BLOOM_K}
+        )
+        SELECT e.doc_id,
+               CAST(len(e.shingles) AS BIGINT) AS n_shingles,
+               CAST(coalesce(h.n, 0) AS BIGINT) AS n_bloom_hits
+        FROM (SELECT doc_id, shingles FROM sh WHERE split = 'eval') e
+        LEFT JOIN (SELECT doc_id, count(*) AS n FROM hits GROUP BY doc_id) h
+          USING (doc_id)
+    """,
+    tags=["EXT", "curation"],
+)
+def curation_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination probe (operators/curation.py:
+    bloom_contamination): the train shingle set collapses to a fixed
+    2^16-bit md5-derived Bloom filter, BROADCAST to probe every eval
+    doc map-side — the sketch that replaces the exact semi-join when
+    the train vocabulary is too big to shuffle per audit.  No false
+    negatives (n_bloom_hits ≥ the exact contaminated count, asserted in
+    tests); md5-integer construction makes the DuckDB oracle reproduce
+    the filter bit-for-bit (the heavy_hitters_cms discipline)."""
+    return CU.bloom_contamination(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
     "curation_pack_sequences",
     oracle=f"""
         WITH toks AS (

@@ -243,3 +243,25 @@ def test_retention_distinct_agg_is_two_phase(spark):
     plan = _plan(spark, "retention_cohorts")
     assert "partial_count" in plan
     assert "Window" in plan
+
+
+def test_onepass_argmax_partially_aggregates(spark):
+    """latest_event_per_user_onepass must compile to a PARTIAL-aggregating
+    max before its single exchange (the shuffle carries local winners,
+    not every event) and must not fall back to the window form."""
+    plan = _plan(spark, "latest_event_per_user_onepass")
+    assert "Window" not in plan
+    assert "partial_max" in plan
+    simple = _plan(spark, "latest_event_per_user_onepass", "simple")
+    assert simple.count("Exchange hashpartitioning") == 1
+    # the partial agg must sit BELOW the exchange (map-side combine)
+    assert simple.index("partial_max") > simple.index("Exchange")
+
+
+def test_bloom_probe_broadcasts_the_bitmap(spark):
+    """curation_bloom_contamination's probe join must broadcast the
+    ≤2^16-row position relation (the 'ship the bitmap to the data'
+    property the sketch exists for), never shuffle the eval probes
+    against it with a sort-merge join."""
+    plan = _plan(spark, "curation_bloom_contamination", "simple")
+    assert "BroadcastHashJoin" in plan

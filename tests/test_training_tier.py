@@ -1160,3 +1160,21 @@ def test_kmv_sketch_is_mergeable(spark):
     b = k_smallest(orders.filter(F.col("o_orderkey") % 2 == 1))
     merged = sorted(set(a) | set(b))[:K]
     assert merged == whole
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """Bloom filters have no false negatives: per eval doc,
+    n_bloom_hits ≥ the exact semi-join's contaminated count — and at
+    the fixture's deliberately saturated fill ratio some false
+    positives must actually occur (otherwise the test is vacuous)."""
+    bloom = {
+        r.doc_id: r.n_bloom_hits
+        for r in REGISTRY["curation_bloom_contamination"].fn(spark, SF).collect()
+    }
+    exact = {
+        r.doc_id: r.n_contaminated
+        for r in REGISTRY["curation_contamination"].fn(spark, SF).collect()
+    }
+    assert set(bloom) == set(exact)
+    assert all(bloom[d] >= exact[d] for d in exact)
+    assert sum(bloom[d] - exact[d] for d in bloom) > 0
