@@ -333,6 +333,71 @@ def fingerprint_sqls(cs: str, k: int = FINGERPRINT_K) -> dict[str, str]:
     }
 
 
+def fingerprint_arrow(
+    docs, id_col: str = "doc_id", text_col: str = "text",
+    k: int = FINGERPRINT_K,
+):
+    """Arrow (numpy) twin of :func:`fingerprint_exprs` — identical
+    integers, computed as vectorized int64 kernels in ``mapInPandas``
+    (codes via one UTF-32 reinterpret with zero-pad to k, gram hashes
+    as k shifted multiply–accumulates, then ``min`` / ``unique``).
+    Spark's array-HOF lambdas evaluate interpreted with per-element
+    boxing, so the expression form pays an interpreter tax per
+    character; this map-only Arrow path computes the same polynomial at
+    numpy speed (the winnow_fingerprints precedent).  Fuzz-asserted
+    row-identical to the expression twin."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F811 (module alias)
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    pows, mod = _rolling.kr_pows(k), _rolling.KR_MOD
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fps, counts = [], [], []
+            for did, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                if t is None:
+                    # match the expression twin: NULL codes → CASE else
+                    # branch → empty gram array → NULL min, 0 distinct
+                    ids.append(did)
+                    fps.append(None)
+                    counts.append(0)
+                    continue
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if len(codes) < k:  # zero-pad: short docs keep 1 gram
+                    codes = np.concatenate(
+                        [codes, np.zeros(k - len(codes), dtype=np.int64)]
+                    )
+                g = len(codes) - k + 1
+                h = np.zeros(g, dtype=np.int64)
+                for j, p in enumerate(pows):
+                    h += (codes[j : j + g] * p) % mod
+                h %= mod
+                ids.append(did)
+                fps.append(int(h.min()))
+                counts.append(len(np.unique(h)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "fp": pd.array(fps, dtype="Int64"),
+                    "n_shingles": pd.array(counts, dtype="Int64"),
+                }
+            )
+
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    sel = spread_small_input(docs.select(id_col, text_col))
+    return sel.mapInPandas(
+        gen, schema=f"doc_id {id_type}, fp bigint, n_shingles bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (32-bit, md5-derived bits — engine-portable)
 # ---------------------------------------------------------------------------

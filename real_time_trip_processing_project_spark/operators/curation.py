@@ -30,53 +30,73 @@ from real_time_trip_processing_project_spark.operators import dedup as DD
 #: Token budget per packed bin (whitespace tokens at fixture scale).
 PACK_BUDGET = 512
 
-#: Bloom filter shape for the sketch-based contamination probe:
-#: 2^16 bits (exactly four md5 hex nibbles), 4 hash functions.  At the
-#: fixture's ~50k distinct train shingles the fill ratio is ~0.95 —
-#: deliberately saturated so false positives actually occur and the
-#: superset property (bloom ≥ exact) is exercised, not vacuous; a
-#: production deployment sizes bits ≈ 1.44·n·k for its target FP rate.
-BLOOM_BITS = 1 << 16
+#: Bloom filter shape for the sketch-based contamination probe: 2^20
+#: bits, 4 hash functions — each position is 8 hex nibbles (32 bits) of
+#: ONE md5 per shingle, reduced mod BLOOM_BITS (4 groups × 8 nibbles =
+#: the whole digest; one digest per shingle, not one per hash).  At the
+#: sf0.1 train vocabulary (~10^6 shingles) the fill ratio is ~0.98 —
+#: a production deployment sizes bits ≈ 1.44·n·k for its target FP
+#: rate; tests use a deliberately small ``bits`` to force observable
+#: false positives.
+BLOOM_BITS = 1 << 20
 BLOOM_K = 4
 
 _HEXD = "0123456789abcdef"
 
+#: Place values of the 8 nibbles in one position group (16^7 … 16^0).
+_NIB_W = [16 ** (7 - i) for i in range(8)]
 
-def _bloom_pos(hash_col):
-    """Bit position 0..65535 from the first four hex nibbles of an md5
-    column — engine-portable (the DuckDB twin computes identical strpos
-    arithmetic, the CMS discipline)."""
+
+def _bloom_pos(hash_col, group: int, bits: int):
+    """Bit position 0..bits−1 from nibble group ``group`` (8 hex chars
+    starting at 8·group+1) of an md5 column — engine-portable (the
+    DuckDB twin computes identical strpos arithmetic, the CMS
+    discipline).  The 8-nibble value is < 2^32, so the BIGINT sum never
+    overflows."""
 
     def nib(pos):
-        return F.instr(F.lit(_HEXD), F.substring(hash_col, pos, 1)) - 1
+        return (
+            F.instr(F.lit(_HEXD), F.substring(hash_col, pos, 1)) - 1
+        ).cast("long")
 
-    return (
-        nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
-    ) % BLOOM_BITS
+    acc = None
+    for i, w in enumerate(_NIB_W):
+        term = nib(8 * group + 1 + i) * F.lit(w)
+        acc = term if acc is None else acc + term
+    return acc % F.lit(bits)
 
 
-def bloom_pos_sql(h: str) -> str:
+def bloom_pos_sql(h: str, group: int, bits: int) -> str:
     """DuckDB twin of :func:`_bloom_pos` over a hex-string expression."""
-    nib = lambda p: f"(strpos('{_HEXD}', substr({h}, {p}, 1)) - 1)"
-    return (
-        f"(({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
-        f" % {BLOOM_BITS})"
+    terms = " + ".join(
+        f"(strpos('{_HEXD}', substr({h}, {8 * group + 1 + i}, 1)) - 1)"
+        f" * {w}"
+        for i, w in enumerate(_NIB_W)
     )
+    return f"(({terms}) % {bits})"
 
 
 def bloom_contamination(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_K,
 ) -> DataFrame:
     """Sketch-based contamination probe: a Bloom filter of the train
     split's shingle set, probed by every eval doc's distinct shingles.
 
     This is the structure the exact semi-join (``contamination_check``)
     cannot be at extreme scale: the train side collapses to a FIXED
-    2^16-bit bitmap (8 KB of actual bits; here a ≤65,536-row distinct
-    position relation) built in one aggregation pass, then BROADCAST —
-    eval probing is map-side, no shuffle of the train vocabulary per
-    query.  A shingle "hits" iff all ``BLOOM_K`` md5-derived positions
-    are set; Bloom filters have no false negatives, so per doc
+    ``bits``-wide bitmap (2^20 bits = 128 KB; here a ≤``bits``-row
+    distinct position relation) built in ONE aggregation pass, then
+    BROADCAST — probing never shuffles the train vocabulary.  Both
+    sides deduplicate to their shingle VOCABULARY before hashing (the
+    Zipf win: positions don't depend on multiplicity, so the md5 work
+    is per distinct shingle, not per occurrence) and each shingle is
+    digested ONCE — the ``k_hashes`` positions are disjoint 8-nibble
+    groups of a single md5.  A shingle "hits" iff all its positions are
+    set; Bloom filters have no false negatives, so per doc
     ``n_bloom_hits ≥`` the exact contaminated count (asserted in tests)
     with the false-positive excess set by the fill ratio.
 
@@ -84,51 +104,60 @@ def bloom_contamination(
     reproduces the filter EXACTLY — same bits, same probes, same counts
     (the heavy_hitters_cms discipline: an approximate structure under a
     full hash-parity gate)."""
-    sh = docs.select(
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    # shingling is the CPU-dominant step; spread a single-split local
+    # fixture across cores (no-op at real input-split counts)
+    sh = spread_small_input(docs).select(
         F.col(id_col).alias("doc_id"),
         split_expr(id_col).alias("split"),
         DD.word_shingles(F.col(text_col)).alias("shingles"),
     )
-    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
-    train_bits = (
-        sh.filter(F.col("split") == "train")
-        .select(F.explode("shingles").alias("s"))
-        .select("s", ks)
-        .select(
-            _bloom_pos(
-                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s")))
-            ).alias("pos")
-        )
-        .distinct()
-    )
-    probes = (
-        sh.filter(F.col("split") == "eval")
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .select("doc_id", "s", ks)
-        .select(
-            "doc_id",
-            "s",
-            _bloom_pos(
-                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s")))
+
+    def positions(df):  # distinct shingles → one md5 → k positions
+        h = df.withColumn("h", F.md5("s"))
+        return h.select(
+            *df.columns,
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("h"), g, bits) for g in range(k_hashes)]
+                )
             ).alias("pos"),
         )
-    )
-    hits = (
-        probes.join(F.broadcast(train_bits), "pos", "left_semi")
-        .groupBy("doc_id", "s")
-        .agg(F.count("*").alias("n_set"))
-        .filter(F.col("n_set") == BLOOM_K)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_bloom_hits"))
-    )
-    totals = (
-        sh.filter(F.col("split") == "eval")
-        .select("doc_id", F.size("shingles").cast("long").alias("n_shingles"))
-    )
-    return totals.join(hits, "doc_id", "left").select(
+
+    train_bits = positions(
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    ).select("pos").distinct()
+    # one shingling pass over the (small) eval split carries BOTH the
+    # per-doc total and the postings — the hit flag joins back as a
+    # broadcast left join so totals and hit counts come out of a single
+    # aggregation, not three re-shingling branches
+    ev = sh.filter(F.col("split") == "eval").select(
         "doc_id",
-        "n_shingles",
-        F.coalesce("n_bloom_hits", F.lit(0)).cast("long").alias("n_bloom_hits"),
+        F.size("shingles").cast("long").alias("n_shingles"),
+        F.explode("shingles").alias("s"),
+    )
+    hit_vocab = (
+        positions(ev.select("s").distinct())
+        .join(F.broadcast(train_bits), "pos", "left_semi")
+        .groupBy("s")
+        .agg(F.count("*").alias("n_set"))
+        .filter(F.col("n_set") == k_hashes)
+        .select("s", F.lit(1).alias("hit"))
+    )
+    return (
+        ev.join(F.broadcast(hit_vocab), "s", "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0))
+            .cast("long")
+            .alias("n_bloom_hits")
+        )
+        .select("doc_id", "n_shingles", "n_bloom_hits")
     )
 
 
@@ -162,7 +191,11 @@ def contamination_check(
     probe is a semi-join, Spark builds a bloom/hash of the smaller side
     per partition.  No step is quadratic in documents.
     """
-    sh = docs.select(
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    sh = spread_small_input(docs).select(
         F.col(id_col).alias("doc_id"),
         split_expr(id_col).alias("split"),
         DD.word_shingles(F.col(text_col)).alias("shingles"),

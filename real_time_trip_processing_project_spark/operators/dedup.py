@@ -679,14 +679,11 @@ def winnow_fingerprints(
                     }
                 )
 
-    # A single local parquet file arrives as 1-2 input splits, which
-    # would serialize the whole scan onto one core; spread it.  At real
-    # scale the source has ≫ cores splits and this branch never fires
-    # (the round-robin repartition of raw text would be a pure tax).
-    sel = docs.select(id_col, text_col)
-    cores = sel.sparkSession.sparkContext.defaultParallelism
-    if sel.rdd.getNumPartitions() < max(2, cores // 2):
-        sel = sel.repartition(cores)
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    sel = spread_small_input(docs.select(id_col, text_col))
     return sel.mapInPandas(gen, schema=f"doc_id {id_type}, fp bigint")
 
 

@@ -408,17 +408,16 @@ def _fingerprint_oracle() -> str:
 @register("text_fingerprint", oracle=_fingerprint_oracle(), tags=["EXT", "text"])
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 8-char-shingle fingerprint: min Karp–Rabin gram hash
-    (1-perm MinHash, functions/rolling.py) + distinct-shingle count; all
-    codegen integer array expressions — no digests (the r5 md5 variant
-    was the bench's #2 cost).  Codes are materialized in a first
-    projection so the gram-hash lambdas reference a bound column."""
+    (1-perm MinHash, functions/rolling.py) + distinct-shingle count,
+    computed in the Arrow numpy kernel (operators/dedup.py's winnowing
+    discipline: Spark's array-HOF lambdas evaluate interpreted with
+    per-element boxing — the r5 md5 variant AND the pure-expression KR
+    form both pay seconds of interpreter tax at sf0.1, the numpy path
+    ~0.3 s for the same integers).  The expression twin
+    (functions/text.py:fingerprint_exprs) remains the cross-engine
+    parity reference, fuzz-checked identical."""
     docs = load_fixture(spark, sf_dir, "documents")
-    fp = TX.fingerprint_exprs("c")
-    return docs.select(
-        "doc_id", TX.fingerprint_codes_expr("text").alias("c")
-    ).select(
-        "doc_id", fp["fp"].alias("fp"), fp["n_shingles"].alias("n_shingles")
-    )
+    return TX.fingerprint_arrow(docs)
 
 
 @register(
@@ -643,45 +642,51 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tr AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE split = 'train'),
         bits AS (
-            SELECT DISTINCT
-                   {CU.bloom_pos_sql(
-                       "md5(CAST(j AS VARCHAR) || ':' || s)"
-                   )} AS pos
-            FROM tr, LATERAL (SELECT unnest(range(0, {CU.BLOOM_K})) AS j)
+            SELECT DISTINCT unnest([{", ".join(
+                CU.bloom_pos_sql("h", g, CU.BLOOM_BITS)
+                for g in range(CU.BLOOM_K)
+            )}]) AS pos
+            FROM (SELECT md5(s) AS h FROM tr)
         ),
-        probes AS (
-            SELECT doc_id, s, j,
-                   {CU.bloom_pos_sql(
-                       "md5(CAST(j AS VARCHAR) || ':' || s)"
-                   )} AS pos
-            FROM (SELECT doc_id, unnest(shingles) AS s
+        evvoc AS (SELECT DISTINCT unnest(shingles) AS s
                   FROM sh WHERE split = 'eval'),
-                 LATERAL (SELECT unnest(range(0, {CU.BLOOM_K})) AS j)
+        evpos AS (
+            SELECT s, unnest([{", ".join(
+                CU.bloom_pos_sql("h", g, CU.BLOOM_BITS)
+                for g in range(CU.BLOOM_K)
+            )}]) AS pos
+            FROM (SELECT s, md5(s) AS h FROM evvoc)
+        ),
+        hitv AS (
+            SELECT s FROM evpos SEMI JOIN bits USING (pos)
+            GROUP BY s HAVING count(*) = {CU.BLOOM_K}
         ),
         hits AS (
-            SELECT doc_id, s
-            FROM probes SEMI JOIN bits USING (pos)
-            GROUP BY doc_id, s
-            HAVING count(*) = {CU.BLOOM_K}
+            SELECT doc_id, count(*) AS n
+            FROM (SELECT doc_id, unnest(shingles) AS s
+                  FROM sh WHERE split = 'eval')
+            SEMI JOIN hitv USING (s)
+            GROUP BY doc_id
         )
         SELECT e.doc_id,
                CAST(len(e.shingles) AS BIGINT) AS n_shingles,
                CAST(coalesce(h.n, 0) AS BIGINT) AS n_bloom_hits
         FROM (SELECT doc_id, shingles FROM sh WHERE split = 'eval') e
-        LEFT JOIN (SELECT doc_id, count(*) AS n FROM hits GROUP BY doc_id) h
-          USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)
     """,
     tags=["EXT", "curation"],
 )
 def curation_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter contamination probe (operators/curation.py:
     bloom_contamination): the train shingle set collapses to a fixed
-    2^16-bit md5-derived Bloom filter, BROADCAST to probe every eval
-    doc map-side — the sketch that replaces the exact semi-join when
-    the train vocabulary is too big to shuffle per audit.  No false
-    negatives (n_bloom_hits ≥ the exact contaminated count, asserted in
-    tests); md5-integer construction makes the DuckDB oracle reproduce
-    the filter bit-for-bit (the heavy_hitters_cms discipline)."""
+    2^20-bit md5-derived Bloom filter, BROADCAST to probe the eval
+    vocabulary — the sketch that replaces the exact semi-join when the
+    train vocabulary is too big to shuffle per audit.  Both sides hash
+    per DISTINCT shingle (one digest, 4 disjoint 8-nibble position
+    groups).  No false negatives (n_bloom_hits ≥ the exact contaminated
+    count, asserted in tests); md5-integer construction makes the
+    DuckDB oracle reproduce the filter bit-for-bit (the
+    heavy_hitters_cms discipline)."""
     return CU.bloom_contamination(load_fixture(spark, sf_dir, "documents"))
 
 

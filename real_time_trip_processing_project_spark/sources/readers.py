@@ -76,6 +76,18 @@ def load_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.schema(schema).parquet(f"{sf_dir}/{table}.parquet")
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a DataFrame whose source arrived as fewer
+    input splits than half the cores — a single local parquet file
+    otherwise serializes CPU-heavy per-row work (shingling, codecs) onto
+    one task.  At real scale the source has ≫ cores splits and this is
+    a no-op (the repartition of raw rows would be a pure tax there)."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, cores // 2):
+        return df.repartition(cores)
+    return df
+
+
 def load_table(spark: SparkSession, path: str, schema, fmt: str = "parquet"):
     """Typed batch read of any supported format (parquet/orc/json/csv).
 

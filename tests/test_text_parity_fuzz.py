@@ -126,6 +126,30 @@ def test_text_functions_cross_engine_parity(spark):
     assert not mismatches, mismatches[:8]
 
 
+def test_fingerprint_arrow_matches_expr_twin(spark):
+    """The Arrow (numpy) fingerprint default must be row-identical to
+    the expression twin — the shape the DuckDB oracle evaluates — on
+    the adversarial corpus plus null/blank/short docs."""
+    docs = _corpus(seed=3, n=80) + ["", "ab", "1234567", "12345678"]
+    rows = [(i, d) for i, d in enumerate(docs)] + [(9001, None)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = TX.fingerprint_exprs("c")
+    expr_rows = sorted(
+        map(
+            tuple,
+            sdf.withColumn("c", TX.fingerprint_codes_expr("text"))
+            .select(
+                "doc_id",
+                fp["fp"].alias("fp"),
+                fp["n_shingles"].alias("n_shingles"),
+            )
+            .collect(),
+        )
+    )
+    arrow_rows = sorted(map(tuple, TX.fingerprint_arrow(sdf).collect()))
+    assert arrow_rows == expr_rows
+
+
 def test_word_count_exact_on_adjacent_repeats(spark):
     """The documented whole-word count semantics: adjacent repeats all
     count (' the the the ' = 3 — the replace-length trick lost one per

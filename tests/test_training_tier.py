@@ -1164,17 +1164,26 @@ def test_kmv_sketch_is_mergeable(spark):
 
 def test_bloom_contamination_superset_of_exact(spark):
     """Bloom filters have no false negatives: per eval doc,
-    n_bloom_hits ≥ the exact semi-join's contaminated count — and at
-    the fixture's deliberately saturated fill ratio some false
-    positives must actually occur (otherwise the test is vacuous)."""
-    bloom = {
-        r.doc_id: r.n_bloom_hits
-        for r in REGISTRY["curation_bloom_contamination"].fn(spark, SF).collect()
-    }
+    n_bloom_hits ≥ the exact semi-join's contaminated count, at BOTH
+    the registered 2^20-bit shape and a deliberately tiny 2^10-bit
+    filter.  The tiny filter must also produce actual false positives
+    (fill ratio ≈ 1) — otherwise the superset assertion is vacuous."""
+    from real_time_trip_processing_project_spark.operators import (
+        curation as CU,
+    )
+
+    docs = load_fixture(spark, SF, "documents")
     exact = {
         r.doc_id: r.n_contaminated
         for r in REGISTRY["curation_contamination"].fn(spark, SF).collect()
     }
-    assert set(bloom) == set(exact)
-    assert all(bloom[d] >= exact[d] for d in exact)
-    assert sum(bloom[d] - exact[d] for d in bloom) > 0
+    for bits, want_fp in ((CU.BLOOM_BITS, False), (1 << 10, True)):
+        bloom = {
+            r.doc_id: r.n_bloom_hits
+            for r in CU.bloom_contamination(docs, bits=bits).collect()
+        }
+        assert set(bloom) == set(exact)
+        assert all(bloom[d] >= exact[d] for d in exact), f"bits={bits}"
+        fp = sum(bloom[d] - exact[d] for d in bloom)
+        if want_fp:
+            assert fp > 0, "saturated filter must show false positives"
