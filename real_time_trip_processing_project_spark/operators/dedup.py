@@ -85,8 +85,17 @@ def word_bigrams(text_col):
 
 
 def shingled_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingles, n_shingles) per document."""
-    return docs.select(
+    """(id, shingles, n_shingles) per document.
+
+    Shingling is the CPU-dominant scan-stage step of every consumer
+    (Jaccard, MinHash); a single-split local fixture is spread across
+    cores first (no-op at real input-split counts — see
+    sources/readers.py:spread_small_input)."""
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    return spread_small_input(docs).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col)).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles").cast("long"))
@@ -572,7 +581,11 @@ def simhash_docs(
     """
     from real_time_trip_processing_project_spark.functions import text as TX
 
-    toks = docs.select(
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    toks = spread_small_input(docs).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))

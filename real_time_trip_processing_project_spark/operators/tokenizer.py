@@ -57,9 +57,15 @@ def _merge_adjacent(symbols: Column, a: str, b: str, merged: str) -> Column:
 def word_freq_table(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """(word, cnt) over whitespace tokens — the one corpus-sized pass."""
+    """(word, cnt) over whitespace tokens — the one corpus-sized pass
+    (single-split local inputs spread across cores first; no-op at real
+    split counts)."""
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
     return (
-        docs.select(
+        spread_small_input(docs).select(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
         )
         .filter(F.length("w") > 0)

@@ -1512,7 +1512,13 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the sketch EXACTLY (same buckets, same counters, same
     estimates) — an approximate data structure under a full hash-parity
     gate, unlike the rows-only HLL/GK built-ins."""
-    docs = load_fixture(spark, sf_dir, "documents")
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    # token hashing dominates the scan stage; spread single-split local
+    # inputs across cores (no-op at real split counts)
+    docs = spread_small_input(load_fixture(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(TX.ws_tokens("text")).alias("w"))
     hashed = toks.select(
         "w", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i")
@@ -1604,9 +1610,12 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is quantized to integer micro-ticks before the per-doc sum, so
     accumulation order cannot move the rounded mean (fixed-point
     discipline)."""
-    docs = load_fixture(spark, sf_dir, "documents")
     from real_time_trip_processing_project_spark.operators import dedup as DD
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
 
+    docs = spread_small_input(load_fixture(spark, sf_dir, "documents"))
     pairs = docs.select(
         "doc_id", F.explode(DD.word_bigrams(F.col("text"))).alias("g")
     ).select(
