@@ -1,0 +1,155 @@
+"""Distributed graph algorithms over pair relations (SURVEY.md §2.7
+north-star tier; the reference has no graph processing — its keys are
+unique telemetry ids).
+
+Connected components (large-star/small-star contraction) lives in
+operators/dedup.py where its consumer (dedup cluster resolution) is;
+this module hosts the rank-propagation family.
+
+- **PageRank, integer-exact** — power iteration over an undirected pair
+  graph with every quantity held in fixed-point integers: ranks are
+  ``scale``-denominated BIGINTs, per-edge contributions are integer
+  divisions ``r // deg``, and the damping step is integer
+  ``(d·Σ) // 100``.  No floating point anywhere, so accumulation order
+  cannot move a single bit — the same fixed-point discipline as the
+  engine's money/KR/log-tick paths — and the DuckDB oracle reproduces
+  every iteration EXACTLY via an unrolled CTE chain (the
+  tokenizer_train_bpe discipline for iterative algorithms).
+
+Scale shape: each iteration is one edge⋈rank equi-join plus one
+hash aggregate on the destination key — the canonical Pregel step as
+plain DataFrame ops.  Lineage is truncated with ``localCheckpoint``
+every few rounds (the BPE loop's discipline) so plan depth stays
+bounded at high iteration counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point denominator for ranks: 1 rank unit = 1e-12.
+PR_SCALE = 10**12
+
+#: Damping factor as an integer percentage (the classic 0.85).
+PR_DAMPING_PCT = 85
+
+#: Power-iteration rounds for the registered query (unrolled in the
+#: oracle, so this is deliberately modest; convergence on the planted
+#: dedup graph is fast — components are small).
+PR_ITERS = 6
+
+
+def pagerank_integer(
+    pairs: DataFrame,
+    iters: int = PR_ITERS,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    scale: int = PR_SCALE,
+    damping_pct: int = PR_DAMPING_PCT,
+) -> DataFrame:
+    """(id, rank_fp) after ``iters`` integer power iterations over the
+    undirected graph given as (id_a, id_b) pairs.
+
+    Ranks start at ``scale // N`` (N = node count — the one driver
+    scalar, same class as the BPE argmax); each round every node emits
+    ``r // deg`` along each incident edge and collects
+    ``tele + (d · Σ incoming) // 100`` where
+    ``tele = (100−d) · (scale // N) // 100``.  All-integer ⇒ exact,
+    order-insensitive, engine-portable.  Isolated nodes cannot occur
+    (every node comes from a pair) so there is no dangling-mass term.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # static per-edge frame: destination + source degree, reused by
+    # every iteration (join once, not per round)
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+    r_init = scale // n
+    tele = (100 - damping_pct) * r_init // 100
+    ranks = nodes.withColumn("r", F.lit(r_init).cast("long"))
+    for i in range(iters):
+        sums = (
+            ed.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(sums.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(tele)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+        if (i + 1) % 3 == 0:  # bound lineage depth like the BPE loop
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+def pagerank_oracle_sql(
+    pairs_cte: str,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    damping_pct: int = PR_DAMPING_PCT,
+    id_col_out: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`pagerank_integer`: the same integer
+    power iteration unrolled as a materialized-CTE chain.  ``pairs_cte``
+    is a complete ``WITH``-clause prefix ending in a relation named
+    ``pairs(id_a, id_b)``.  BIGINT sums widen to HUGEINT in DuckDB, so
+    every damped sum is cast back — values are < 2^63 by construction
+    (Σ incoming ≤ total mass ≈ scale)."""
+    d = damping_pct
+    levels = []
+    for k in range(iters):
+        prev = f"r{k}"
+        levels.append(
+            f"""r{k + 1} AS MATERIALIZED (
+            SELECT n.id,
+                   CAST((SELECT tele FROM c)
+                        + ({d} * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, SUM(r.r // d2.deg) AS s
+                FROM edges e
+                JOIN {prev} r ON r.id = e.src
+                JOIN deg d2 ON d2.src = e.src
+                GROUP BY e.dst) s USING (id)
+        )"""
+        )
+    chain = ",\n        ".join(levels)
+    return f"""
+        {pairs_cte},
+        edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        deg AS MATERIALIZED (
+            SELECT src, count(*) AS deg FROM edges GROUP BY src
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+        c AS MATERIALIZED (
+            SELECT {scale} // count(*) AS r_init,
+                   ({100 - d} * ({scale} // count(*))) // 100 AS tele
+            FROM nodes
+        ),
+        r0 AS MATERIALIZED (
+            SELECT id, CAST((SELECT r_init FROM c) AS BIGINT) AS r
+            FROM nodes
+        ),
+        {chain}
+        SELECT id AS {id_col_out}, r AS rank_fp FROM r{iters}
+    """

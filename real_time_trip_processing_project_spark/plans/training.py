@@ -213,9 +213,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_common_spans",
-    oracle=f"""
+#: Winnowing span-pair CTE chain (ends in ``pairs(id_a, id_b,
+#: n_shared_fps)``) — shared by the dedup_common_spans oracle and the
+#: PageRank-over-the-dedup-graph oracle that composes on top of it.
+_SPAN_PAIRS_CTES = f"""
         WITH cs AS MATERIALIZED (
             SELECT doc_id, {RK.codes_duckdb('text')} AS c
             FROM documents
@@ -237,13 +238,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM fps GROUP BY fp
             HAVING len(list(DISTINCT doc_id))
                    BETWEEN 2 AND {DD.WINNOW_MAX_POSTINGS}
-        )
-        SELECT u1 AS id_a, u2 AS id_b, CAST(count(*) AS BIGINT) AS n_shared_fps
-        FROM capped,
-             LATERAL (SELECT unnest(ids) AS u1),
-             LATERAL (SELECT unnest(ids) AS u2)
-        WHERE u2 > u1
-        GROUP BY 1, 2
+        ),
+        pairs AS MATERIALIZED (
+            SELECT u1 AS id_a, u2 AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_fps
+            FROM capped,
+                 LATERAL (SELECT unnest(ids) AS u1),
+                 LATERAL (SELECT unnest(ids) AS u2)
+            WHERE u2 > u1
+            GROUP BY 1, 2
+        )"""
+
+
+@register(
+    "dedup_common_spans",
+    oracle=_SPAN_PAIRS_CTES + """
+        SELECT id_a, id_b, n_shared_fps FROM pairs
     """,
     tags=["EXT", "dedup", "text"],
 )
@@ -257,6 +267,45 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     nowhere else.  Boilerplate fingerprints (> WINNOW_MAX_POSTINGS docs)
     are capped out on both sides before the pair join."""
     return DD.common_span_pairs(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "graph_pagerank_dedup",
+    oracle=None,  # placeholder; assigned right below (needs GR import)
+    tags=["EXT", "dedup", "graph"],
+)
+def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the span-dedup pair graph
+    (operators/graph.py:pagerank_integer): rank propagation finds the
+    HUB documents of near-duplicate networks — the template/boilerplate
+    sources whose text radiates through a crawl — which per-pair counts
+    alone cannot see.  Six power iterations, every quantity a
+    fixed-point BIGINT (rank units of 1e-12; per-edge contributions by
+    integer division), so the unrolled-CTE oracle reproduces each
+    iteration bit-for-bit — the tokenizer_train_bpe discipline applied
+    to an iterative GRAPH algorithm.  Scale: per round one edge⋈rank
+    equi-join + one destination-keyed aggregate (the Pregel step as
+    DataFrame ops), lineage checkpoint-truncated."""
+    from real_time_trip_processing_project_spark.operators import (
+        graph as GR,
+    )
+
+    pairs = DD.common_span_pairs(load_fixture(spark, sf_dir, "documents"))
+    return GR.pagerank_integer(pairs).select(
+        F.col("id").alias("doc_id"), "rank_fp"
+    )
+
+
+def _install_pagerank_oracle() -> None:
+    from real_time_trip_processing_project_spark.operators import graph as GR
+    from real_time_trip_processing_project_spark.plans.catalog import REGISTRY
+
+    REGISTRY["graph_pagerank_dedup"].oracle = GR.pagerank_oracle_sql(
+        _SPAN_PAIRS_CTES
+    )
+
+
+_install_pagerank_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -1187,3 +1187,28 @@ def test_bloom_contamination_superset_of_exact(spark):
         fp = sum(bloom[d] - exact[d] for d in bloom)
         if want_fp:
             assert fp > 0, "saturated filter must show false positives"
+
+
+def test_pagerank_integer_semantics(spark):
+    """Integer PageRank on a hand-checkable star-plus-path graph: the
+    star hub outranks every leaf, path ends rank below the middle, the
+    total mass stays within integer-truncation loss of `scale`, and the
+    result is deterministic across runs."""
+    from real_time_trip_processing_project_spark.operators import graph as GR
+
+    # star: 1 is hub of 2..6; path: 10-11-12
+    pairs = spark.createDataFrame(
+        [(1, k) for k in range(2, 7)] + [(10, 11), (11, 12)],
+        "id_a LONG, id_b LONG",
+    )
+    a = {r.id: r.rank_fp for r in GR.pagerank_integer(pairs, iters=8).collect()}
+    b = {r.id: r.rank_fp for r in GR.pagerank_integer(pairs, iters=8).collect()}
+    assert a == b, "must be deterministic"
+    assert set(a) == {1, 2, 3, 4, 5, 6, 10, 11, 12}
+    leaves = [a[k] for k in range(2, 7)]
+    assert len(set(leaves)) == 1, "symmetric leaves must tie exactly"
+    assert a[1] > leaves[0], "hub must outrank its leaves"
+    assert a[11] > a[10] == a[12], "path middle outranks symmetric ends"
+    total = sum(a.values())
+    # mass only shrinks via integer truncation: ≤ (iters+1)·n·100 units
+    assert GR.PR_SCALE * 0.95 < total <= GR.PR_SCALE
