@@ -243,12 +243,19 @@ def encode_avi_rgb24(frames, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi_rgb24(payload: bytes):
-    """Parse an uncompressed 24-bit AVI back into a list of (h, w, 3)
-    uint8 RGB frame arrays by walking the RIFF chunk tree (hdrl for the
+def decode_avi_rgb24(payload: bytes, every_nth: int = 1):
+    """Parse an uncompressed 24-bit AVI back into a list of
+    (frame_idx, (h, w, 3) uint8 RGB array) — only every ``every_nth``
+    frame — by walking the RIFF chunk tree (hdrl for the
     BITMAPINFOHEADER, LIST movi for the '00db'/'00dc' frame chunks).
-    Size fields are untrusted: truncation, compressed streams, and
-    non-24-bit frames all raise ``ValueError``."""
+
+    Because the stream is uncompressed, frames are independent: the
+    walk slices bytes ONLY for selected frames (an unsampled frame
+    costs one offset addition — the random-access property a
+    frame-sampling pipeline exploits; a compressed codec would need
+    keyframe-aware seeking here).  Size fields are untrusted:
+    truncation, compressed streams, and non-24-bit frames all raise
+    ``ValueError``."""
     import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -261,11 +268,14 @@ def decode_avi_rgb24(payload: bytes):
             f"truncated RIFF: declares {riff_size} bytes, "
             f"{len(payload) - 8} remain"
         )
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
     strf = None
-    frame_bodies: list[bytes] = []
+    n_frames = 0
+    frame_bodies: list[tuple[int, bytes]] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal strf
+        nonlocal strf, n_frames
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
             size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
@@ -284,7 +294,11 @@ def decode_avi_rgb24(payload: bytes):
                     "<IiiHHI", payload[body_at : body_at + 20]
                 )
             elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
-                frame_bodies.append(payload[body_at : body_at + size])
+                if n_frames % every_nth == 0:  # slice ONLY sampled frames
+                    frame_bodies.append(
+                        (n_frames, payload[body_at : body_at + size])
+                    )
+                n_frames += 1
             pos = body_at + size + (size & 1)  # chunks are word-aligned
 
     walk(12, len(payload))
@@ -301,7 +315,7 @@ def decode_avi_rgb24(payload: bytes):
     row_bytes = w * 3
     stride = row_bytes + ((-row_bytes) % 4)
     frames = []
-    for body in frame_bodies:
+    for idx, body in frame_bodies:
         if len(body) < stride * h:
             raise ValueError(
                 f"truncated frame: needs {stride * h} bytes, has {len(body)}"
@@ -310,7 +324,7 @@ def decode_avi_rgb24(payload: bytes):
             body, dtype=np.uint8, count=stride * h
         ).reshape(h, stride)
         bgr = raw[:, :row_bytes].reshape(h, w, 3)
-        frames.append(bgr[::-1, :, ::-1].copy())  # bottom-up, BGR → RGB
+        frames.append((idx, bgr[::-1, :, ::-1].copy()))  # bottom-up, BGR→RGB
     return frames
 
 
@@ -408,7 +422,11 @@ def _real_decode(payload: bytes) -> dict:
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         frames = decode_avi_rgb24(bytes(payload))
-        h, w = (frames[0].shape[0], frames[0].shape[1]) if frames else (0, 0)
+        h, w = (
+            (frames[0][1].shape[0], frames[0][1].shape[1])
+            if frames
+            else (0, 0)
+        )
         return {
             "n_bytes": len(payload),
             "content_hash": hashlib.md5(payload).hexdigest(),
@@ -746,19 +764,23 @@ def media_avi_from_documents(
     )
 
 
-def video_frame_features(media: DataFrame) -> DataFrame:
-    """Decode each AVI payload (:func:`decode_avi_rgb24`) and emit exact
-    integer per-FRAME pixel statistics: channel-value sum and peak per
-    frame.  The second ``mapInPandas`` stage of the video path
-    (:func:`sample_frames` is the first); binary column dropped here,
-    output is frames × 4 ints."""
+def video_frame_features(
+    media: DataFrame, every_nth: int = 1
+) -> DataFrame:
+    """Decode AVI payloads (:func:`decode_avi_rgb24`) and emit exact
+    integer per-FRAME pixel statistics (channel-value sum and peak) for
+    every ``every_nth`` frame.  With ``every_nth > 1`` unsampled frames
+    are never materialized — the decoder seeks over them by offset
+    arithmetic (the uncompressed container's random-access property),
+    so sampling divides BOTH output rows and decode bytes.  Binary
+    column dropped here; output is sampled-frames × 4 ints."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mids, idxs, sums, maxs = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for i, frame in enumerate(decode_avi_rgb24(bytes(payload))):
+                for i, frame in decode_avi_rgb24(bytes(payload), every_nth):
                     mids.append(mid)
                     idxs.append(i)
                     sums.append(int(frame.astype(np.int64).sum()))

@@ -1856,3 +1856,40 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_date", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               count(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    tags=["EXT", "A6"],
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: counts of consecutive
+    (prev → next) event-type pairs per user stream — the Markov-chain
+    summary behind journey/funnel exploration, and a shape the
+    reference's same-day scalar KPIs cannot express.
+
+    Plan: ONE shuffle on ``user_id`` for the lag window (deterministic
+    total order: ts then the unique event_id), then a
+    transition-vocabulary-sized groupBy with map-side partials — the
+    events themselves cross the wire once."""
+    events = load_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )

@@ -2149,9 +2149,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_video_frames",
-    oracle=f"""
+def _video_frames_oracle(where: str = "") -> str:
+    return f"""
         WITH s AS (
             SELECT doc_id AS media_id, text AS t,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n
@@ -2180,8 +2179,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                               + 1 AS INT)),
                    i -> ascii(substr(t, CAST(i AS INT), 1))
                )), 0) AS BIGINT) AS px_max
-        FROM fr
-    """,
+        FROM fr {where}
+    """
+
+
+@register(
+    "multimodal_sampled_frame_features",
+    oracle=_video_frames_oracle("WHERE frame_idx % 10 = 0"),
+    tags=["EXT", "multimodal"],
+)
+def multimodal_sampled_frame_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sample-then-decode, fused: per-frame pixel stats for every 10th
+    frame, where UNSAMPLED frames are never materialized — the decoder
+    seeks over them by offset arithmetic (the uncompressed container's
+    random-access property; a compressed stream would need
+    keyframe-aware seeking).  This is the production shape of video
+    sampling: decode bytes scale with the sampling rate, not the
+    corpus.  Oracle = the full per-frame oracle filtered to the sampled
+    indices."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.video_frame_features(
+        MM.media_avi_from_documents(docs), every_nth=10
+    )
+
+
+@register(
+    "multimodal_video_frames",
+    oracle=_video_frames_oracle(),
     tags=["EXT", "multimodal"],
 )
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

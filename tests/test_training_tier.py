@@ -475,8 +475,12 @@ def test_avi_codec_roundtrip():
     for n, h, w in ((1, 1, 1), (3, 4, 4), (5, 3, 5), (2, 7, 1)):
         fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
         back = MM.decode_avi_rgb24(MM.encode_avi_rgb24(fr))
-        assert len(back) == n, (n, h, w)
-        assert all(np.array_equal(a, b) for a, b in zip(fr, back))
+        assert [i for i, _ in back] == list(range(n)), (n, h, w)
+        assert all(np.array_equal(a, b) for a, (_, b) in zip(fr, back))
+        # sampled decode: only every 2nd frame materializes, indices true
+        sampled = MM.decode_avi_rgb24(MM.encode_avi_rgb24(fr), every_nth=2)
+        assert [i for i, _ in sampled] == list(range(0, n, 2))
+        assert all(np.array_equal(fr[i], b) for i, b in sampled)
     payload = MM.encode_avi_rgb24(
         rng.integers(0, 256, (3, 4, 4, 3), dtype=np.uint8)
     )
