@@ -37,6 +37,8 @@ _RECHECK_FIRST = [
     "tokenizer_apply_bpe_counts",
     # r6: rewired from the fake codec to real AVI containers
     "multimodal_frame_sample",
+    # r6: contamination ratio integerized to ppm (the funnel discipline)
+    "curation_contamination",
 ]
 
 

@@ -213,15 +213,21 @@ def contamination_check(
         F.count("*").alias("n_contaminated")
     )
     totals = ev.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    return totals.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-        F.round(
-            F.coalesce("n_contaminated", F.lit(0)).cast("double")
-            / F.col("n_shingles"),
-            6,
-        ).alias("contamination"),
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        # fixed-point parts-per-million, not a rounded double: the r4/r5
+        # funnel_conversion red rows hit exactly the derived-ratio-double
+        # shape while the engine was bit-exact — integerize the class
+        # away (pure integer floor division on both sides)
+        .withColumn(
+            "contamination_ppm",
+            F.expr("(1000000 * n_contaminated) div n_shingles"),
+        )
     )
 
 

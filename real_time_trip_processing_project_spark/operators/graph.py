@@ -66,9 +66,16 @@ def pagerank_integer(
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # static per-edge frame: destination + source degree, reused by
-    # every iteration (join once, not per round)
+    # every iteration (join once, not per round).  nodes derives from
+    # the CHECKPOINTED frame — deriving it from `edges` would re-run
+    # the whole upstream pair pipeline on every iteration's node join
+    # (measured as the dominant cost of the registered query).
     ed = edges.join(deg, "src").localCheckpoint(eager=False)
-    nodes = edges.select(F.col("src").alias("id")).distinct()
+    nodes = (
+        ed.select(F.col("src").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_fp", F.lit(0).cast("long"))

@@ -662,12 +662,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tr AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE split = 'train'),
         ev AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE split = 'eval')
-        SELECT ev.doc_id,
-               count(*)    AS n_shingles,
-               count(tr.s) AS n_contaminated,
-               round(count(tr.s)::DOUBLE / count(*), 6) AS contamination
-        FROM ev LEFT JOIN tr ON ev.s = tr.s
-        GROUP BY ev.doc_id
+        SELECT doc_id, n_shingles, n_contaminated,
+               CAST((1000000 * n_contaminated) // n_shingles AS BIGINT)
+                   AS contamination_ppm
+        FROM (
+            SELECT ev.doc_id,
+                   count(*)    AS n_shingles,
+                   CAST(count(tr.s) AS BIGINT) AS n_contaminated
+            FROM ev LEFT JOIN tr ON ev.s = tr.s
+            GROUP BY ev.doc_id
+        )
     """,
     tags=["EXT", "curation"],
 )

@@ -616,9 +616,9 @@ def test_contamination_semantics(spark):
     )
     got = {r["doc_id"]: r for r in CU.contamination_check(docs).collect()}
     assert set(got) == {copy_id, fresh_id}  # train docs are not audited
-    assert got[copy_id]["contamination"] == 1.0
+    assert got[copy_id]["contamination_ppm"] == 1_000_000
     assert got[copy_id]["n_contaminated"] == got[copy_id]["n_shingles"]
-    assert got[fresh_id]["contamination"] == 0.0
+    assert got[fresh_id]["contamination_ppm"] == 0
 
 
 def test_pack_sequences_semantics(spark):
