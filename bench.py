@@ -85,6 +85,7 @@ SECONDARY = [
     "graph_pagerank_dedup",
     "multimodal_sampled_frame_features",
     "event_transition_matrix",
+    "tpch_q5_local_supplier",
     # tokenizer_apply_bpe_counts is oracle-gated per round but kept out
     # of the timing list: its cost is ~90% fixed plan compilation
     # (training jobs + an 8-deep nested fold chain), which would drown

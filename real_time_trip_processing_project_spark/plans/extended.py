@@ -1440,6 +1440,65 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q5_local_supplier",
+    oracle="""
+        SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    tags=["EXT", "J3", "A6"],
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): the catalogue's deepest
+    join tree — SIX relations with the non-key ``c_nationkey =
+    s_nationkey`` correlation — per-nation revenue in a region/date
+    window.  Exercises what Catalyst must get right at depth: all four
+    dimension sides (customer, supplier, nation, region) broadcast, the
+    one big shuffle is orders⋈lineitem on orderkey, date filters pushed
+    to the orders scan.  Revenue is exact integer cents × (100 −
+    discount%) so the cross-engine hash can't wobble."""
+    region = load_fixture(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_fixture(spark, sf_dir, "nation")
+    supplier = load_fixture(spark, sf_dir, "supplier")
+    customer = load_fixture(spark, sf_dir, "customer")
+    orders = load_fixture(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    lineitem = load_fixture(spark, sf_dir, "lineitem")
+    rev = _cents("l_extendedprice") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@register(
     "safe_arithmetic",
     oracle="""
         SELECT o_orderkey,

@@ -265,3 +265,14 @@ def test_bloom_probe_broadcasts_the_bitmap(spark):
     against it with a sort-merge join."""
     plan = _plan(spark, "curation_bloom_contamination", "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q5_join_tree_broadcasts_all_dimensions(spark):
+    """tpch_q5_local_supplier: the deepest join tree in the catalogue
+    must resolve every dimension side as a broadcast — no sort-merge
+    join anywhere — leaving the orderkey shuffle + final agg as the
+    only exchanges."""
+    simple = _plan(spark, "tpch_q5_local_supplier", "simple")
+    assert "SortMergeJoin" not in simple
+    assert "BroadcastHashJoin" in simple
+    assert simple.count("Exchange hashpartitioning") <= 2
