@@ -886,6 +886,41 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector delta to a persisted IVF index WITHOUT
+    retraining — FAISS ``add()`` semantics made distributed: load the
+    saved quantizer (k rows), assign each new vector to its nearest
+    cell with the same Arrow matmul the build used, and APPEND to the
+    cell partitions.  Writes are partition-local (only touched cells
+    gain files) and the index stays queryable throughout — the
+    ingestion path of a corpus that grows between snapshots.  The
+    quantizer staying fixed means recall drifts only as the data
+    distribution drifts; the periodic rebuild (``build_ivf_index``)
+    re-trains, exactly the sibling of the trips store's append +
+    periodic-compaction discipline.  Parity is tested: an index built
+    then appended holds the identical (id, cell) assignment set as
+    assigning the full corpus with the saved centroids."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = np.asarray(
+        [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)],
+        dtype=np.float64,
+    )
+    delta = new_emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn(
+        "cell", F.element_at(_assign_udf(centroids, 1)(F.col("cv")), 1)
+    )
+    delta.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
 def build_lsh_index(
     emb: DataFrame,
     path: str,

@@ -1217,3 +1217,70 @@ def test_pagerank_integer_semantics(spark):
     total = sum(a.values())
     # mass only shrinks via integer truncation: ≤ (iters+1)·n·100 units
     assert GR.PR_SCALE * 0.95 < total <= GR.PR_SCALE
+
+
+def test_ivf_index_append_matches_full_assignment(spark, tmp_path):
+    """Incremental IVF maintenance: build on a subset, append the rest —
+    the index must hold EXACTLY the (id, cell) assignments that
+    assigning the full corpus with the SAVED quantizer produces (no
+    retraining, no lost or duplicated vectors), and the appended index
+    must answer queries identically to one materialized directly from
+    that full assignment."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_fixture(spark, SF, "embeddings")
+    s1 = emb.filter(F.col("vec_id") % 3 != 0)
+    s2 = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(s1, path)
+    SIM.ivf_index_append(spark, path, s2)
+
+    got = {
+        (r.neighbor_id, r.cell)
+        for r in spark.read.parquet(f"{path}/cells").collect()
+    }
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = np.asarray(
+        [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    )
+    want = {
+        (r.neighbor_id, r.cell)
+        for r in emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.element_at(
+                SIM._assign_udf(centroids, 1)(F.col("embedding")), 1
+            ).alias("cell"),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == emb.count(), "every vector exactly once"
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0).limit(8)
+    res = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.ivf_topk_indexed(spark, path, queries, 10).collect()
+    }
+    # reference: an index written in one shot from the full corpus with
+    # the same saved centroids must answer identically
+    ref_path = str(tmp_path / "ivf-ref")
+    full = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    ).withColumn(
+        "cell",
+        F.element_at(SIM._assign_udf(centroids, 1)(F.col("cv")), 1),
+    )
+    full.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{ref_path}/cells"
+    )
+    spark.read.parquet(f"{path}/centroids").write.mode("overwrite").parquet(
+        f"{ref_path}/centroids"
+    )
+    ref = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.ivf_topk_indexed(spark, ref_path, queries, 10).collect()
+    }
+    assert res == ref
