@@ -76,6 +76,102 @@ def bloom_pos_sql(h: str, group: int, bits: int) -> str:
     return f"(({terms}) % {bits})"
 
 
+def build_bloom_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_K,
+) -> None:
+    """Persist a Bloom filter of a corpus's shingle set: the distinct
+    set-position relation as parquet plus a 1-row meta table pinning
+    (bits, k_hashes) — the build-once/probe-many sibling of
+    ``build_ivf_index``/``build_lsh_index`` for membership sketches.
+    A decontamination service builds this from the TRAIN corpus once
+    per snapshot; every later eval audit broadcasts ~bits rows instead
+    of re-aggregating the train vocabulary (the whole point of the
+    sketch at 100 TB: the train side is read zero times per audit)."""
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    spark = docs.sparkSession
+    sh = spread_small_input(docs).select(
+        DD.word_shingles(F.col(text_col)).alias("shingles")
+    )
+    bits_rel = _bloom_positions(
+        sh.select(F.explode("shingles").alias("s")).distinct(),
+        bits,
+        k_hashes,
+    ).select("pos").distinct()
+    bits_rel.write.mode("overwrite").parquet(f"{path}/bits")
+    spark.createDataFrame(
+        [(bits, k_hashes)], "bits long, k_hashes int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bloom_probe_indexed(
+    spark,
+    path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe documents against a persisted Bloom index
+    (:func:`build_bloom_index`): per doc, distinct-shingle total and
+    the count of shingles whose ``k`` positions are all set.  Same
+    output contract as :func:`bloom_contamination`; the probe never
+    touches the corpus the index was built from.  Parity is tested:
+    build-then-probe equals the inline sketch on the same split."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    saved_bits = F.broadcast(spark.read.parquet(f"{path}/bits"))
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    ev = spread_small_input(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(DD.word_shingles(F.col(text_col)))
+        .cast("long")
+        .alias("n_shingles"),
+        F.explode(DD.word_shingles(F.col(text_col))).alias("s"),
+    )
+    hit_vocab = (
+        _bloom_positions(
+            ev.select("s").distinct(), int(meta.bits), int(meta.k_hashes)
+        )
+        .join(saved_bits, "pos", "left_semi")
+        .groupBy("s")
+        .agg(F.count("*").alias("n_set"))
+        .filter(F.col("n_set") == int(meta.k_hashes))
+        .select("s", F.lit(1).alias("hit"))
+    )
+    return (
+        ev.join(F.broadcast(hit_vocab), "s", "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0))
+            .cast("long")
+            .alias("n_bloom_hits")
+        )
+        .select("doc_id", "n_shingles", "n_bloom_hits")
+    )
+
+
+def _bloom_positions(df: DataFrame, bits: int, k_hashes: int) -> DataFrame:
+    """distinct shingles → one md5 → k position rows (shared by the
+    inline sketch, the index build, and the indexed probe)."""
+    h = df.withColumn("h", F.md5("s"))
+    return h.select(
+        *df.columns,
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col("h"), g, bits) for g in range(k_hashes)]
+            )
+        ).alias("pos"),
+    )
+
+
 def bloom_contamination(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -116,21 +212,12 @@ def bloom_contamination(
         DD.word_shingles(F.col(text_col)).alias("shingles"),
     )
 
-    def positions(df):  # distinct shingles → one md5 → k positions
-        h = df.withColumn("h", F.md5("s"))
-        return h.select(
-            *df.columns,
-            F.explode(
-                F.array(
-                    *[_bloom_pos(F.col("h"), g, bits) for g in range(k_hashes)]
-                )
-            ).alias("pos"),
-        )
-
-    train_bits = positions(
+    train_bits = _bloom_positions(
         sh.filter(F.col("split") == "train")
         .select(F.explode("shingles").alias("s"))
-        .distinct()
+        .distinct(),
+        bits,
+        k_hashes,
     ).select("pos").distinct()
     # one shingling pass over the (small) eval split carries BOTH the
     # per-doc total and the postings — the hit flag joins back as a
@@ -142,7 +229,7 @@ def bloom_contamination(
         F.explode("shingles").alias("s"),
     )
     hit_vocab = (
-        positions(ev.select("s").distinct())
+        _bloom_positions(ev.select("s").distinct(), bits, k_hashes)
         .join(F.broadcast(train_bits), "pos", "left_semi")
         .groupBy("s")
         .agg(F.count("*").alias("n_set"))

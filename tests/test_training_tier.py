@@ -1284,3 +1284,24 @@ def test_ivf_index_append_matches_full_assignment(spark, tmp_path):
         for r in SIM.ivf_topk_indexed(spark, ref_path, queries, 10).collect()
     }
     assert res == ref
+
+
+def test_bloom_index_build_probe_matches_inline(spark, tmp_path):
+    """The persisted Bloom index (build on the train split, probe eval
+    later) must produce row-identical output to the inline sketch that
+    aggregates the train vocabulary in the same job — and the probe
+    must not read the train corpus at all (only the saved bits)."""
+    from real_time_trip_processing_project_spark.operators import (
+        curation as CU,
+    )
+
+    docs = load_fixture(spark, SF, "documents")
+    train = docs.filter(CU.split_expr() == "train")
+    evald = docs.filter(CU.split_expr() == "eval")
+    path = str(tmp_path / "bloom")
+    CU.build_bloom_index(train, path)
+    got = sorted(
+        map(tuple, CU.bloom_probe_indexed(spark, path, evald).collect())
+    )
+    want = sorted(map(tuple, CU.bloom_contamination(docs).collect()))
+    assert got == want and got
