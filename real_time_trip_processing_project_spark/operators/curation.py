@@ -129,12 +129,17 @@ def bloom_probe_indexed(
         spread_small_input,
     )
 
-    ev = spread_small_input(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.size(DD.word_shingles(F.col(text_col)))
-        .cast("long")
-        .alias("n_shingles"),
-        F.explode(DD.word_shingles(F.col(text_col))).alias("s"),
+    ev = (
+        spread_small_input(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            DD.word_shingles(F.col(text_col)).alias("shingles"),
+        )
+        .select(  # bind the shingle array once, not once per consumer
+            "doc_id",
+            F.size("shingles").cast("long").alias("n_shingles"),
+            F.explode("shingles").alias("s"),
+        )
     )
     hit_vocab = (
         _bloom_positions(
