@@ -599,6 +599,48 @@ def udf_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udaf_grouped_pandas",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty_energy,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=["EXT", "A6"],
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF — the third leg of the UDF surface
+    (scalar: ``udf_registered``; table: ``udtf_tokenize``): an
+    Arrow-batched GROUPED_AGG function computing Σq² per group in one
+    numpy pass per group batch.  Exact-integer discipline (quantities
+    are integral doubles → BIGINT squares) keeps the oracle a plain SQL
+    aggregate.  At scale the UDAF runs after the same hash exchange a
+    built-in agg uses — the cost over a built-in is Arrow transfer of
+    the grouped column, not a Python-per-row penalty."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def qty_energy(q: pd.Series) -> int:
+        x = q.round().astype("int64")
+        return int((x * x).sum())
+
+    # Spark rejects mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() — the row count is a second UDAF
+    @pandas_udf("long")
+    def n_rows(q: pd.Series) -> int:
+        return len(q)
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        qty_energy(F.col("l_quantity")).alias("qty_energy"),
+        n_rows(F.col("l_quantity")).alias("n_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (as-of / range) — batch generalization of the streaming
 # point-in-time lookup (trip_processor.py:59-78); see operators/temporal.py
