@@ -94,10 +94,12 @@ SECONDARY = [
 
 #: Executions per query; the reported number is the minimum (steady-state
 #: engine time — first run also pays one-off codegen compilation, and the
-#: shared box shows ±40% load noise between runs).  The headline list
-#: gets one extra rep: it is the round-over-round comparison number, and
-#: a third sample materially tightens the min on a noisy box.
-REPS = 2
+#: shared box shows ±40% load noise between runs — r6 observed the pinned
+#: probe swinging 0.12–4.3 s within one run).  Three samples everywhere:
+#: on a box that noisy, min-of-2 regularly charged a query for a load
+#: spike (r6's in-run min-of-3 cross-checks disagreed with min-of-2 bench
+#: numbers by 2–3×).
+REPS = 3
 HEADLINE_REPS = 3
 
 
