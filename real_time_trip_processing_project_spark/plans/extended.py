@@ -1994,3 +1994,278 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands family (EXTENSION §2.6): batch sessionization and
+# SCD2-style run versioning — the two standard island constructions over
+# an ordered event stream.  The reference's correlator
+# (trip_events_processing.py) sessionizes exactly one hard-coded pair
+# (start/end per trip_id); these are the general forms.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sessionize_batch",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_us
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, us, event_id,
+                   CASE WHEN prev_us IS NULL
+                             OR us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM seq
+        ),
+        numbered AS (
+            SELECT user_id, us,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               count(*) AS n_events,
+               CAST((max(us) - min(us)) // 1000000 AS BIGINT)
+                   AS duration_sec
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
+    tags=["EXT", "A6", "T6"],
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap: each user's
+    event stream splits into sessions wherever the gap to the previous
+    event exceeds 30 min; per-session event count and integer duration.
+
+    Plan shape: ONE shuffle on ``user_id`` serves both window passes
+    (lag for the gap flag, running sum for the session number — same
+    partitioning, Spark reuses the exchange), then the per-session
+    groupBy re-partitions on (user, session).  Durations are integer
+    microsecond differences floored to seconds — no derived-ratio
+    doubles anywhere (the ``funnel_conversion`` lesson).  At 100 TB the
+    state per task is one window frame, not the whole user history."""
+    events = load_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            F.lag(us).over(w).isNull()
+            | (us - F.lag(us).over(w) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("new_sess").over(w)
+    ).withColumn("us", us)
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            ((F.max("us") - F.min("us")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("duration_sec"),
+        )
+    )
+
+
+@register(
+    "scd2_event_type_versions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type, ts,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, event_type, ts,
+                   sum(CASE WHEN prev_type IS NULL
+                             OR prev_type <> event_type
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS run_seq
+            FROM seq
+        )
+        SELECT user_id, run_seq, min(event_type) AS event_type,
+               count(*) AS n_events,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS valid_from_us,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS valid_to_us
+        FROM runs
+        GROUP BY user_id, run_seq
+    """,
+    tags=["EXT", "A6"],
+)
+def scd2_event_type_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 style run versioning: consecutive equal
+    ``event_type`` values in each user's ordered stream collapse into
+    one version row carrying [valid_from, valid_to] — the standard
+    change-data-capture compaction a warehouse dimension build needs.
+
+    Same single-shuffle gaps-and-islands skeleton as
+    ``sessionize_batch`` (change-flag lag + running sum + grouped
+    bounds), with the island border defined by value change instead of
+    time gap.  Validity bounds are integer epoch-microseconds (the
+    registration-time ns-robust rewrite keeps DuckDB at us precision,
+    and integers hash identically everywhere)."""
+    events = load_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    runs = events.withColumn(
+        "run_seq",
+        F.sum(
+            F.when(
+                prev_type.isNull() | (prev_type != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(w),
+    )
+    return runs.groupBy("user_id", "run_seq").agg(
+        F.min("event_type").alias("event_type"),
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("valid_from_us"),
+        F.unix_micros(F.max("ts")).alias("valid_to_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG-prep chunking (north-star LLM-data tier): fixed-size overlapping
+# token-window chunks per document — the preprocessing step every
+# retrieval corpus build runs before embedding.
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_chunk_overlap",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> len(x) > 0) AS t
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+        )
+        SELECT doc_id,
+               CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+               CAST(least(64, n - start + 1) AS BIGINT) AS n_tok,
+               t[start] AS first_tok,
+               t[least(start + 63, n)] AS last_tok
+        FROM sized, unnest(generate_series(1, n, 48)) AS g(start)
+    """,
+    tags=["EXT", "P8"],
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for retrieval-corpus prep:
+    64-token chunks with a 16-token overlap (stride 48), one row per
+    chunk with its bounds — the standard RAG chunker expressed without
+    any Python in the loop.
+
+    Plan shape: map-only.  Tokenize (split + filter — same whitespace
+    discipline as ``word_freq_table``), ``sequence()`` generates chunk
+    starts per document, one ``explode`` fans out to chunk rows — no
+    shuffle at all, so at 100 TB this is a pure scan→write pipeline
+    whose parallelism is the input split count.  ``chunk_idx`` derives
+    arithmetically from the start offset, keeping both engines
+    index-free."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0
+    )
+    sized = (
+        docs.withColumn("t", toks)
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    fanned = sized.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(48))
+        ).alias("start"),
+    )
+    return fanned.select(
+        "doc_id",
+        ((F.col("start") - 1) / F.lit(48)).cast("long").alias("chunk_idx"),
+        F.least(F.lit(64), F.col("n") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_tok"),
+        F.element_at("t", F.col("start")).alias("first_tok"),
+        F.element_at(
+            "t", F.least(F.col("start") + 63, F.col("n"))
+        ).alias("last_tok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue ranking — the canonical
+# fact×fact×dim join with a selective date window and money-exact top-k.
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q10_returned_item",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               sum(({_cents_sql('l.l_extendedprice')}
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                   // 100) AS revenue_cents
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate <  DATE '1996-04-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue_cents DESC, c.c_custkey
+        LIMIT 20
+    """,
+    tags=["EXT", "J3", "A6"],
+)
+def tpch_q10_returned_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned
+    items in one quarter — fact×fact join under a selective date
+    window, nation dim for display, exact-cents top-20 with a total
+    tie-break.
+
+    Plan shape at scale: the o_orderdate window prunes orders at the
+    scan (pushed filter), the pruned orders side then keys the
+    lineitem join so only one quarter of the fact table shuffles;
+    ``nation`` broadcasts (25 rows).  Revenue stays integer end-to-end
+    (exact cents × integer basis points, floored) — order-insensitive
+    and bit-exact in both engines.  TakeOrderedAndProject caps the
+    result without a global sort."""
+    customer = load_fixture(spark, sf_dir, "customer")
+    orders = load_fixture(spark, sf_dir, "orders")
+    lineitem = load_fixture(spark, sf_dir, "lineitem")
+    nation = load_fixture(spark, sf_dir, "nation")
+    # all-integer revenue: exact cents × integer basis points, floored —
+    # no double product ever reaches a round(), so both engines are
+    # bit-exact by construction (l_discount is 2-decimal in TPC-H)
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    rev_cents = F.floor(price_cents * (100 - disc_pct) / 100).cast("long")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .join(
+            lineitem.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev_cents).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
