@@ -1022,3 +1022,116 @@ def ann_topk_indexed(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed integer-exact Lloyd's k-means (full-corpus, oracle-parity)
+# ---------------------------------------------------------------------------
+
+KMEANS_TICK_OFF = 1_000_000  # shifts [-1e6, 1e6] ticks to non-negative
+
+
+def _kmeans_assign(ticks: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Add the argmin-cluster column ``cl`` for broadcast centroids.
+
+    Distance per centroid is an ``aggregate(zip_with(...))`` over
+    integer ticks — exact, overflow-safe (d·(2.2e6)² ≈ 3e14 « 2^63).
+    The argmin-with-tie-break is branch-free: ``min(dist·k + j) % k``
+    picks the smallest cluster id among equal distances, identically in
+    Spark and DuckDB.  Map-only — centroids ride along as literals, so
+    assignment parallelism is the scan's split count at any scale."""
+    k = len(cents)
+    keys = []
+    for j, c in enumerate(cents):
+        lit_c = F.array(*[F.lit(int(v)) for v in c])
+        dist = F.aggregate(
+            F.zip_with("tv", lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        keys.append(dist * k + j)
+    return ticks.withColumn("cl", (F.least(*keys) % k).cast("long"))
+
+
+def kmeans_exact_ticks(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Full-corpus distributed Lloyd's k-means with bit-exact integer
+    arithmetic — the iterative-algorithm twin of ``tokenizer_train_bpe``
+    (same discipline: distributed heavy lifting, only k·d aggregated
+    integers to the driver per iteration, oracle-verifiable against an
+    unrolled CTE chain).
+
+    Everything is fixed-point: components quantize to offset micro-ticks
+    (``floor(v·1e6 + 0.5) + OFF`` — non-negative, so truncating and
+    floor division coincide in every engine), distances are exact
+    integer sums, and centroid updates are integer floor-divided means.
+    Init is the ``k`` lowest-id vectors (deterministic, split-invariant).
+    Empty clusters keep their previous centroid.
+
+    Per iteration: one map-only assignment pass (broadcast centroid
+    literals), one partial-aggregated shuffle of (cluster, dim) integer
+    sums — k·d rows collected (512 for the default shape, metadata
+    class).  The returned frame is the long-format model: (cluster_id,
+    i, centroid_tick, n_members), counts from the final iteration's
+    assignment (the one that produced the final centroids).
+
+    Unlike :func:`kmeans_fit` (sample-trained float quantizer for IVF),
+    this trains on the FULL corpus and is hash-verifiable cross-engine;
+    use it when the model itself is the deliverable, not just a cell
+    router."""
+    spark = emb.sparkSession
+    off = F.lit(KMEANS_TICK_OFF)
+    ticks = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: (
+                F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+                + off
+            ),
+        ).alias("tv"),
+    ).persist()
+    init_rows = ticks.orderBy("vec_id").limit(k).collect()
+    if not init_rows:
+        raise ValueError("kmeans_exact_ticks: empty corpus")
+    cents = [list(r["tv"]) for r in init_rows]
+    k = len(cents)
+    assigned = None
+    for _ in range(iters):
+        assigned = _kmeans_assign(ticks, cents)
+        sums = (
+            assigned.select("cl", F.posexplode("tv").alias("i", "t"))
+            .groupBy("cl", "i")
+            .agg(F.sum("t").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        bycl: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            bycl.setdefault(r["cl"], {})[r["i"]] = (r["s"], r["n"])
+        cents = [
+            [bycl[j][i][0] // bycl[j][i][1] for i in range(dim)]
+            if j in bycl
+            else cents[j]
+            for j in range(k)
+        ]
+    cnt = {
+        r["cl"]: r["n_members"]
+        for r in assigned.groupBy("cl")
+        .agg(F.count("*").alias("n_members"))
+        .collect()  # k rows — bounded metadata, like the k*d sums above
+    }
+    ticks.unpersist()
+    return spark.createDataFrame(
+        [
+            (j, i, cents[j][i] - KMEANS_TICK_OFF, cnt.get(j, 0))
+            for j in range(k)
+            for i in range(dim)
+        ],
+        "cluster_id long, i int, centroid_tick long, n_members long",
+    )

@@ -2264,3 +2264,88 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike(_ASCII_ONLY)
     )
     return MM.image_features(MM.media_bmp_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# Distributed iterative ML: full-corpus integer-exact k-means
+# (operators/similarity.py:kmeans_exact_ticks), hash-verified against an
+# unrolled Lloyd's-iteration CTE chain — the embedding-space sibling of
+# tokenizer_train_bpe's unrolled-merge oracle.
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unroll ``iters`` Lloyd iterations into a MATERIALIZED CTE chain.
+
+    Mirrors the operator exactly: offset micro-ticks (non-negative, so
+    ``//`` floor division and truncation agree), branch-free argmin via
+    ``min(dist*k + j) % k``, empty clusters keep their previous
+    centroid, counts from the final iteration's assignment.  All sums
+    are cast back to BIGINT before division so DuckDB's HUGEINT
+    promotion never reaches the output schema."""
+    d1 = dim + 1
+    sql = f"""
+        WITH t AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       v -> CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5)
+                                 AS BIGINT) + 1000000) AS tv
+            FROM embeddings
+        ),
+        c0 AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                        AS BIGINT) AS j,
+                   tv AS c
+            FROM t ORDER BY vec_id LIMIT {k}
+        )"""
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql += f""",
+        a{it} AS MATERIALIZED (
+            SELECT t.vec_id, t.tv,
+                   CAST(min(CAST(list_sum(list_transform(range(1, {d1}),
+                            i -> (t.tv[i] - {prev}.c[i])
+                               * (t.tv[i] - {prev}.c[i]))) AS BIGINT)
+                            * {k} + {prev}.j) % {k} AS BIGINT) AS cl
+            FROM t, {prev}
+            GROUP BY t.vec_id, t.tv
+        ),
+        u{it} AS MATERIALIZED (
+            SELECT cl AS j, i,
+                   CAST(sum(tv[i]) AS BIGINT) // count(*) AS ci
+            FROM a{it}, unnest(range(1, {d1})) AS r(i)
+            GROUP BY cl, i
+        ),
+        c{it} AS MATERIALIZED (
+            SELECT {prev}.j, coalesce(nc.c, {prev}.c) AS c
+            FROM {prev} LEFT JOIN (
+                SELECT j, list(ci ORDER BY i) AS c FROM u{it} GROUP BY j
+            ) nc ON nc.j = {prev}.j
+        )"""
+        prev = f"c{it}"
+    sql += f"""
+        SELECT f.j AS cluster_id, CAST(f.i - 1 AS INTEGER) AS i,
+               f.ci - 1000000 AS centroid_tick,
+               coalesce(cnt.n_members, 0) AS n_members
+        FROM (SELECT j, i, c[i] AS ci
+              FROM {prev}, unnest(range(1, {d1})) AS r(i)) f
+        LEFT JOIN (SELECT cl, count(*) AS n_members
+                   FROM a{iters} GROUP BY cl) cnt ON cnt.cl = f.j
+    """
+    return sql
+
+
+@register(
+    "embedding_kmeans",
+    oracle=_kmeans_oracle(),
+    tags=["EXT", "similarity"],
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed Lloyd's k-means (k=8, 3 iterations) with
+    bit-exact fixed-point arithmetic — the iterative-ML flagship:
+    distributed assignment + partial-aggregated update shuffles, only
+    k·d integers to the driver per iteration, and the whole training
+    loop hash-verified against an unrolled CTE chain (like
+    ``tokenizer_train_bpe``).  Long-format model output:
+    (cluster_id, i, centroid_tick, n_members)."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    return SIM.kmeans_exact_ticks(emb, k=8, iters=3, dim=64)
