@@ -90,3 +90,30 @@ def produce_trip_streams(
     write_stream_files(starts, start_dir, n_files=n_files)
     write_stream_files(ends, end_dir, n_files=n_files)
     return len(starts), len(ends)
+
+
+def produce_trip_waves(
+    start_csv: str,
+    end_csv: str,
+    start_dir: str,
+    end_dir: str,
+    waves: int = 5,
+    n_files: int = 4,
+) -> tuple[int, int]:
+    """Replay the trip CSVs ``waves`` times with disjoint trip-id
+    namespaces (``w00-…``, ``w01-…``) — the steady-state throughput
+    workload: one wave ≈ one micro-batch of a long-running stream, so a
+    single query processes ``waves`` consecutive batches and per-batch
+    engine overhead can be read off the query's own progress metrics
+    instead of being confounded with query start/stop."""
+    starts = _rows_from_csv(start_csv)
+    ends = _rows_from_csv(end_csv)
+    tot_s = tot_e = 0
+    for w in range(waves):
+        s2 = [{**r, "trip_id": f"w{w:02d}-{r['trip_id']}"} for r in starts]
+        e2 = [{**r, "trip_id": f"w{w:02d}-{r['trip_id']}"} for r in ends]
+        write_stream_files(s2, start_dir, n_files=n_files, prefix=f"w{w:02d}")
+        write_stream_files(e2, end_dir, n_files=n_files, prefix=f"w{w:02d}")
+        tot_s += len(s2)
+        tot_e += len(e2)
+    return tot_s, tot_e

@@ -312,31 +312,50 @@ def _to_ts(col: pd.Series) -> pd.Series:
         return pd.to_datetime(col)
 
 
+def _type_merge_columns(m: pd.DataFrame) -> pd.DataFrame:
+    """Typed COPY of a merge frame: wire strings → timestamps, ids →
+    Int32, measures → Float64, parsed ONCE per merge frame.  The copy
+    matters: the caller still folds the ORIGINAL wire-string values into
+    group state (state blobs must stay in wire format for the per-trip
+    slow path), so typing must not mutate ``m``."""
+    mt = m.copy()
+    for f in mt.columns:
+        if f in _TS_FIELDS:
+            mt[f] = _to_ts(mt[f])
+        elif f in _INT_FIELDS:
+            mt[f] = mt[f].astype("Int32")
+        elif f in _DBL_FIELDS:
+            mt[f] = mt[f].astype("Float64")
+    return mt
+
+
 def _assemble(
     sub: pd.DataFrame, use_start: bool, use_end: bool, status: str
 ) -> pd.DataFrame:
-    """Columnar OUT_SCHEMA frame from merged start⋈end rows — the typed
-    per-row work of :func:`_emit_row` done once per column instead of
-    once per value.  Columns are gathered in a dict and handed to one
+    """Columnar OUT_SCHEMA frame from ALREADY-TYPED merged start⋈end
+    rows (see :func:`_type_merge_columns`) — per-status work is now
+    just column selection plus null-out of the fields the status must
+    not carry.  Columns are gathered in a dict and handed to one
     ``pd.DataFrame`` constructor: 40 incremental ``out[f] = col``
     inserts per call were re-consolidating the block manager each time
-    (profiled ~1/3 of the correlator's micro-batch CPU)."""
+    (profiled ~1/3 of the correlator's micro-batch CPU); per-subset
+    re-parse/astype of every column was another ~1/3."""
+    sub = sub.reset_index(drop=True)
     n = len(sub)
     cols: dict[str, pd.Series] = {"trip_id": sub["trip_id"].to_numpy()}
     for f, used in [(f, use_start) for f in START_FIELDS[1:]] + [
         (f, use_end) for f in END_FIELDS
     ]:
         if used:
-            col = pd.Series(sub[f].to_numpy())
-        else:
-            col = pd.Series([None] * n, dtype="object")
-        if f in _TS_FIELDS:
-            col = _to_ts(col)
+            cols[f] = sub[f]
+        elif f in _TS_FIELDS:
+            cols[f] = pd.Series(pd.NaT, index=sub.index)
         elif f in _INT_FIELDS:
-            col = col.astype("Int32")
+            cols[f] = pd.Series(pd.NA, index=sub.index, dtype="Int32")
         elif f in _DBL_FIELDS:
-            col = col.astype("Float64")
-        cols[f] = col
+            cols[f] = pd.Series(pd.NA, index=sub.index, dtype="Float64")
+        else:
+            cols[f] = pd.Series([None] * n, dtype="object")
     pickup = cols["pickup_datetime"]
     cols["date"] = pickup.dt.date.where(pickup.notna(), None)
     cols["status"] = pd.Series([status] * n, dtype="object")
@@ -379,17 +398,18 @@ def _emit_from_merge(m: pd.DataFrame, mode: str) -> pd.DataFrame:
         started = has_s
         completed = has_s & has_e & ~end_first
         orphaned = has_e & (end_first | ~has_s)
+    mt = _type_merge_columns(m)
     # __trig = position of the event whose arrival caused the emission,
     # so a global sort reproduces the loop's row-order emission
     frames = []
-    sub = m[started].copy()
+    sub = mt[started].copy()
     sub["__trig"] = sub["__spos"]
     frames.append(_assemble(sub, True, False, "Started"))
-    sub = m[completed].copy()
+    sub = mt[completed].copy()
     sub["__trig"] = sub[["__spos", "__epos"]].max(axis=1)
     frames.append(_assemble(sub, True, True, "Completed"))
     if mode == "drop":
-        sub = m[orphaned].copy()
+        sub = mt[orphaned].copy()
         sub["__trig"] = sub["__epos"]
         frames.append(_assemble(sub, False, True, "Orphaned"))
     return (
@@ -583,12 +603,20 @@ def _json_default(v: Any) -> Any:
 def _records(df: pd.DataFrame, cols: list[str]) -> list[dict]:
     """Rows → plain-Python dicts with NaN/NaT normalized to None — the
     exact state-dict shape the per-trip path stores (see ``_py``).
-    itertuples instead of ``astype(object).where(...).to_dict``: the
-    object-cast copied and re-blocked every column per group call."""
-    return [
-        {c: (None if pd.isna(v) else v) for c, v in zip(cols, row)}
-        for row in df[cols].itertuples(index=False, name=None)
-    ]
+    Null-masking runs VECTORIZED per column (one ``pd.isna`` per
+    column, not per value — the per-value form profiled as the fold's
+    top remaining cost after the itertuples rewrite); the per-row work
+    left is one ``dict(zip(...))``."""
+    arrays = []
+    for c in cols:
+        col = df[c]
+        arr = col.to_numpy(dtype=object)
+        mask = pd.isna(col).to_numpy()
+        if mask.any():
+            arr = arr.copy()
+            arr[mask] = None
+        arrays.append(arr)
+    return [dict(zip(cols, vals)) for vals in zip(*arrays)]
 
 
 def _fold_merge_into_state(
@@ -596,15 +624,15 @@ def _fold_merge_into_state(
 ) -> None:
     """Post-batch state for clean-shape stateless trips, derived from the
     merge frame — what the per-row loop would have left in state."""
-    has_s = m["__spos"].notna()
-    has_e = m["__epos"].notna()
-    end_first = has_s & has_e & (m["__epos"] < m["__spos"])
+    has_s = (m["__spos"].notna()).to_numpy()
+    has_e = (m["__epos"].notna()).to_numpy()
+    end_first = has_s & has_e & (m["__epos"] < m["__spos"]).to_numpy()
     srecs = _records(m, START_FIELDS)
     erecs = _records(m, END_FIELDS)
     for i, tid in enumerate(m["trip_id"].tolist()):
-        s = srecs[i] if has_s.iat[i] else None
-        e = erecs[i] if has_e.iat[i] else None
-        if mode == "drop" and e is not None and (s is None or end_first.iat[i]):
+        s = srecs[i] if has_s[i] else None
+        e = erecs[i] if has_e[i] else None
+        if mode == "drop" and e is not None and (s is None or end_first[i]):
             e = None  # orphaned end was emitted, never stored
         trips[tid] = [s, e, s is not None and e is not None]
 

@@ -284,6 +284,8 @@ def start_trip_pipeline(
     quarantine_dir: str | None = None,
     state_store: str = "hdfs",
     key_groups: int | None = None,
+    max_files_per_trigger: int | None = None,
+    evict_completed_after: int | None = C.EVICT_COMPLETED_AFTER,
 ) -> PipelineQueries:
     """Wire the full pipeline and start it.
 
@@ -335,9 +337,15 @@ def start_trip_pipeline(
         "spark.sql.streaming.stateStore.providerClass",
         ROCKSDB_PROVIDER if state_store == "rocksdb" else HDFS_PROVIDER,
     )
-    tagged, quarantine = tagged_union_stream(spark, start_dir, end_dir)
+    tagged, quarantine = tagged_union_stream(
+        spark, start_dir, end_dir,
+        max_files_per_trigger=max_files_per_trigger,
+    )
     if key_groups is not None:
-        trips = C.correlate_stream_grouped(tagged, mode=mode, n_groups=key_groups)
+        trips = C.correlate_stream_grouped(
+            tagged, mode=mode, n_groups=key_groups,
+            evict_completed_after=evict_completed_after,
+        )
     else:
         trips = C.correlate_stream(tagged, mode=mode, state_ttl_ms=state_ttl_ms)
     writer = (
