@@ -367,6 +367,23 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, TOPK)
 
 
+@register(
+    "sim_ann_pq",
+    oracle=None,  # approximate — rows-only; recall floor in bench quality
+    tags=["EXT", "similarity"],
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 for the same query subset:
+    16 subspaces x 16-entry codebooks (4-bit codes, 8 bytes/vector), ADC lookup-table
+    scan with per-batch shortlisting, exact cosine re-rank of the
+    8x-oversampled shortlist.  Third ANN mechanism next to LSH and IVF
+    -- the compressed-scan path (codes are ~32x smaller than vectors,
+    and compose with IVF cells as IVFADC at billion scale)."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.pq_topk(emb, queries, TOPK, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
