@@ -218,7 +218,12 @@ def _quality(spark) -> dict:
     }
     # floors raised with the measured headroom: r6 configs measure
     # ≈0.975 (LSH) / ≈0.945 (IVF) at sf0.1
-    for name, floor in (("sim_ann_lsh", 0.85), ("sim_ann_ivf", 0.9)):
+    for name, floor in (
+        ("sim_ann_lsh", 0.85),
+        ("sim_ann_ivf", 0.9),
+        # PQ m=32 measures 0.98 at sf0.1 (1.0 at smaller SFs)
+        ("sim_ann_pq", 0.9),
+    ):
         ann = {
             (r.query_id, r.neighbor_id)
             for r in REGISTRY[name].fn(spark, SF_DIR).collect()

@@ -1148,14 +1148,15 @@ def kmeans_exact_ticks(
 # kept orthogonal here so each mechanism is separately testable.
 # ---------------------------------------------------------------------------
 
-PQ_M = 16       # subspaces (64-dim fixture → 4 dims per subspace)
+PQ_M = 32       # subspaces (64-dim fixture → 2 dims per subspace)
 PQ_KS = 16      # codebook entries per subspace (4-bit codes)
 PQ_REFINE = 8   # shortlist factor for the exact re-rank
-# Sweep at sf0.01 (recall@10 vs exact): m=8/ks=16/refine=8 → 0.82;
-# refine=16 → 0.94; m=16 → 1.0 at the SAME scan cost.  Finer subspaces
-# beat bigger codebooks and bigger shortlists on this (nearly
-# unclustered) corpus: quantization error shrinks with subspace dim.
-# 16×4-bit codes = 8 bytes/vector — a 32× compressed scan vs float32.
+# Sweeps (recall@10 vs exact): at sf0.01, m=8 → 0.82, m=16 → 1.0 at the
+# same scan cost; at sf0.1 m=16 decays to 0.78 while m=32 holds 0.98
+# with refine still 8.  Finer subspaces beat bigger codebooks and
+# bigger shortlists on this (nearly unclustered) corpus: quantization
+# error shrinks with subspace dim.  32×4-bit codes = 16 bytes/vector —
+# a 16× compressed scan vs float32.
 
 
 def pq_train_codebooks(

@@ -374,7 +374,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-10 for the same query subset:
-    16 subspaces x 16-entry codebooks (4-bit codes, 8 bytes/vector), ADC lookup-table
+    32 subspaces x 16-entry codebooks (4-bit codes, 16 bytes/vector), ADC lookup-table
     scan with per-batch shortlisting, exact cosine re-rank of the
     8x-oversampled shortlist.  Third ANN mechanism next to LSH and IVF
     -- the compressed-scan path (codes are ~32x smaller than vectors,

@@ -1376,3 +1376,43 @@ def test_kmeans_empty_cluster_retained_exactly(spark):
     got2 = {r.cluster_id: (r.centroid_tick, r.n_members) for r in out2}
     assert got2[1] == (250_000, 2)
     assert got2[0] == (750_000, 1)
+
+
+def test_pq_ann_recall_vs_exact(spark):
+    """PQ-ADC with m=32 subspaces must recover ≥0.9 of the exact top-10
+    pair set on the fixture corpus (measured 1.0 at sf0.001/sf0.01 and
+    0.98 at sf0.1; floor also asserted in bench quality)."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, SF).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_ann_pq"].fn(spark, SF).collect()
+    }
+    assert bf
+    assert len(bf & pq) / len(bf) >= 0.9
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """Encoding is deterministic (seedless: codebooks derive from the
+    md5-ordered sample) and every code fits the 4-bit codebook."""
+    from real_time_trip_processing_project_spark.operators.similarity import (
+        PQ_KS,
+        PQ_M,
+        _pq_encode_udf,
+        pq_train_codebooks,
+    )
+
+    emb = load_fixture(spark, SF, "embeddings")
+    b1 = pq_train_codebooks(emb)
+    b2 = pq_train_codebooks(emb)
+    assert (b1 == b2).all()
+    codes = (
+        emb.select(_pq_encode_udf(b1)("embedding").alias("c"))
+        .selectExpr("max(array_max(c)) AS mx", "min(array_min(c)) AS mn",
+                    "max(size(c)) AS n")
+        .collect()[0]
+    )
+    assert codes["n"] == PQ_M
+    assert 0 <= codes["mn"] and codes["mx"] < PQ_KS
