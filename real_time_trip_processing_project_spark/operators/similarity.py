@@ -1053,6 +1053,46 @@ def _kmeans_assign(ticks: DataFrame, cents: list[list[int]]) -> DataFrame:
     return ticks.withColumn("cl", (F.least(*keys) % k).cast("long"))
 
 
+def _kmeans_ticks(emb, vec_col: str, id_col: str) -> DataFrame:
+    off = F.lit(KMEANS_TICK_OFF)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: (
+                F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+                + off
+            ),
+        ).alias("tv"),
+    )
+
+
+def _kmeans_train_loop(ticks: DataFrame, cents: list[list[int]], iters: int, dim: int):
+    """Run ``iters`` Lloyd rounds; returns (final centroids, the last
+    iteration's assignment frame — i.e. the assignment that PRODUCED
+    the final centroids)."""
+    k = len(cents)
+    assigned = None
+    for _ in range(iters):
+        assigned = _kmeans_assign(ticks, cents)
+        sums = (
+            assigned.select("cl", F.posexplode("tv").alias("i", "t"))
+            .groupBy("cl", "i")
+            .agg(F.sum("t").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        bycl: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            bycl.setdefault(r["cl"], {})[r["i"]] = (r["s"], r["n"])
+        cents = [
+            [bycl[j][i][0] // bycl[j][i][1] for i in range(dim)]
+            if j in bycl
+            else cents[j]
+            for j in range(k)
+        ]
+    return cents, assigned
+
+
 def kmeans_exact_ticks(
     emb: DataFrame,
     k: int = 8,
@@ -1086,40 +1126,13 @@ def kmeans_exact_ticks(
     use it when the model itself is the deliverable, not just a cell
     router."""
     spark = emb.sparkSession
-    off = F.lit(KMEANS_TICK_OFF)
-    ticks = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col),
-            lambda v: (
-                F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast("long")
-                + off
-            ),
-        ).alias("tv"),
-    ).persist()
+    ticks = _kmeans_ticks(emb, vec_col, id_col).persist()
     init_rows = ticks.orderBy("vec_id").limit(k).collect()
     if not init_rows:
         raise ValueError("kmeans_exact_ticks: empty corpus")
     cents = [list(r["tv"]) for r in init_rows]
     k = len(cents)
-    assigned = None
-    for _ in range(iters):
-        assigned = _kmeans_assign(ticks, cents)
-        sums = (
-            assigned.select("cl", F.posexplode("tv").alias("i", "t"))
-            .groupBy("cl", "i")
-            .agg(F.sum("t").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
-        bycl: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            bycl.setdefault(r["cl"], {})[r["i"]] = (r["s"], r["n"])
-        cents = [
-            [bycl[j][i][0] // bycl[j][i][1] for i in range(dim)]
-            if j in bycl
-            else cents[j]
-            for j in range(k)
-        ]
+    cents, assigned = _kmeans_train_loop(ticks, cents, iters, dim)
     cnt = {
         r["cl"]: r["n_members"]
         for r in assigned.groupBy("cl")
@@ -1135,6 +1148,36 @@ def kmeans_exact_ticks(
         ],
         "cluster_id long, i int, centroid_tick long, n_members long",
     )
+
+
+def kmeans_assign_corpus(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Model APPLICATION for :func:`kmeans_exact_ticks`: train the same
+    integer-exact model, then assign every corpus vector to its final
+    centroid — (vec_id, cluster_id), the map-only inference pass a
+    deployment runs after training (the ``tokenizer_apply_bpe_counts``
+    twin on the embedding side).  The final assignment uses the
+    POST-update centroids (one more argmin generation than the counts
+    reported by the trainer), matching the oracle chain's extra
+    assignment CTE."""
+    ticks = _kmeans_ticks(emb, vec_col, id_col).persist()
+    init_rows = ticks.orderBy("vec_id").limit(k).collect()
+    if not init_rows:
+        raise ValueError("kmeans_assign_corpus: empty corpus")
+    cents = [list(r["tv"]) for r in init_rows]
+    k = len(cents)
+    cents, _ = _kmeans_train_loop(ticks, cents, iters, dim)
+    out = _kmeans_assign(ticks, cents).select(
+        "vec_id", F.col("cl").alias("cluster_id")
+    )
+    ticks.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -2269,3 +2269,64 @@ def tpch_q10_returned_item(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS o_orderdate,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+               CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY total_cents DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    tags=["EXT", "J3", "A6"],
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): an aggregated HAVING
+    subquery gates the join tree — the canonical "filter a fact by an
+    aggregate of itself" pattern.
+
+    Plan shape: the subquery is ONE groupBy over lineitem whose
+    survivors (a tiny id set at any scale — quantity sums above a high
+    threshold) broadcast as a semi-join back onto lineitem and orders,
+    so the big fact shuffles once for its own aggregate and once for
+    the final per-order rollup; customer joins post-reduction.
+    ``l_quantity`` sums are integral in TPC-H, so the output is an
+    exact BIGINT; money goes through exact cents."""
+    customer = load_fixture(spark, sf_dir, "customer")
+    orders = load_fixture(spark, sf_dir, "orders")
+    lineitem = load_fixture(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        lineitem.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .orderBy(F.desc("total_cents"), F.asc("o_orderkey"))
+        .limit(100)
+    )

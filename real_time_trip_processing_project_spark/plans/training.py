@@ -2290,7 +2290,9 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tokenizer_train_bpe's unrolled-merge oracle.
 # ---------------------------------------------------------------------------
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_oracle(
+    k: int = 8, iters: int = 3, dim: int = 64, final_assign: bool = False
+) -> str:
     """Unroll ``iters`` Lloyd iterations into a MATERIALIZED CTE chain.
 
     Mirrors the operator exactly: offset micro-ticks (non-negative, so
@@ -2339,6 +2341,19 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
             ) nc ON nc.j = {prev}.j
         )"""
         prev = f"c{it}"
+    if final_assign:
+        # one more argmin generation under the POST-update centroids —
+        # the model-application pass (kmeans_assign_corpus)
+        sql += f"""
+        SELECT t.vec_id,
+               CAST(min(CAST(list_sum(list_transform(range(1, {d1}),
+                        i -> (t.tv[i] - {prev}.c[i])
+                           * (t.tv[i] - {prev}.c[i]))) AS BIGINT)
+                        * {k} + {prev}.j) % {k} AS BIGINT) AS cluster_id
+        FROM t, {prev}
+        GROUP BY t.vec_id
+        """
+        return sql
     sql += f"""
         SELECT f.j AS cluster_id, CAST(f.i - 1 AS INTEGER) AS i,
                f.ci - 1000000 AS centroid_tick,
@@ -2349,6 +2364,22 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
                    FROM a{iters} GROUP BY cl) cnt ON cnt.cl = f.j
     """
     return sql
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle=_kmeans_oracle(final_assign=True),
+    tags=["EXT", "similarity"],
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model application for ``embedding_kmeans``: train the same
+    integer-exact model, then one map-only argmin pass labels every
+    corpus vector with its final cluster — (vec_id, cluster_id).  The
+    inference half of the train/apply pair (the embedding-space twin of
+    ``tokenizer_apply_bpe_counts``), hash-verified against the same
+    unrolled CTE chain extended by one assignment generation."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    return SIM.kmeans_assign_corpus(emb, k=8, iters=3, dim=64)
 
 
 @register(
