@@ -160,3 +160,123 @@ def pagerank_oracle_sql(
         {chain}
         SELECT id AS {id_col_out}, r AS rank_fp FROM r{iters}
     """
+
+
+def triangle_count(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(id, n_triangles) per node of the undirected pair graph —
+    NodeIterator++ as DataFrame joins.
+
+    Edges are ORIENTED from the (degree, id)-smaller endpoint, the
+    classic compact-forward trick: every node's out-degree is then
+    O(√m), so the wedge self-join — the quadratic step of triangle
+    enumeration — is bounded by Σ out-deg² = O(m^1.5) instead of
+    Σ deg² (which a single high-degree hub makes quadratic).  A wedge
+    (s→a, s→b with a before b in the same total order) closes iff the
+    oriented edge (a→b) exists; each triangle is found exactly once,
+    from its smallest vertex in the order.  Three equi-joins + one
+    explode-aggregate; no iteration, no driver data."""
+    und = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        und.join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("src"), F.col("du").alias("dsrc"),
+                    F.col("v").alias("dst"), F.col("dv").alias("ddst"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("src"), F.col("dv").alias("dsrc"),
+                    F.col("u").alias("dst"), F.col("du").alias("ddst"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dsrc", "o.dst", "o.ddst")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.ddst") < F.col("e2.ddst"))
+            | (
+                (F.col("e1.ddst") == F.col("e2.ddst"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(
+        F.col("e1.src").alias("s"),
+        F.col("e1.dst").alias("a"),
+        F.col("e2.dst").alias("b"),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("a") == F.col("e3.src")) & (F.col("b") == F.col("e3.dst")),
+        "left_semi",
+    )
+    per_node = (
+        tri.select(F.explode(F.array("s", "a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.select("id")
+        .join(per_node, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+    )
+
+
+def triangle_oracle_sql(pairs_cte: str, id_col_out: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`triangle_count`: id-ordered triangle
+    enumeration (x<y<z via two joins + closure) — a DIFFERENT but
+    equivalent orientation, so parity checks the semantics rather than
+    the physical trick."""
+    return f"""
+        {pairs_cte},
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+            FROM pairs WHERE id_a <> id_b
+        ),
+        tri AS MATERIALIZED (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.v
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        per_node AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT unnest([x, y, z]) AS id FROM tri)
+            GROUP BY id
+        ),
+        nodes AS (
+            SELECT DISTINCT u AS id FROM und
+            UNION SELECT DISTINCT v FROM und
+        )
+        SELECT n.id AS {id_col_out},
+               coalesce(t.n_triangles, 0) AS n_triangles
+        FROM nodes n LEFT JOIN per_node t USING (id)
+    """

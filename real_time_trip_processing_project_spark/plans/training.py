@@ -296,16 +296,43 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _install_pagerank_oracle() -> None:
+@register(
+    "graph_triangles_dedup",
+    oracle=None,  # placeholder; assigned right below (needs GR import)
+    tags=["EXT", "dedup", "graph"],
+)
+def graph_triangles_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the span-dedup pair graph
+    (operators/graph.py:triangle_count): triangles measure CLIQUE-ness
+    — a template family whose members all share spans forms dense
+    triangles, while chain-shaped contamination (A→B→C) has none, a
+    distinction neither pair counts nor PageRank makes.  Degree-ordered
+    NodeIterator++ (wedge join bounded by O(m^1.5)); the oracle
+    enumerates triangles in id order — a different orientation of the
+    same semantics, so parity checks the answer, not the trick."""
+    from real_time_trip_processing_project_spark.operators import (
+        graph as GR,
+    )
+
+    pairs = DD.common_span_pairs(load_fixture(spark, sf_dir, "documents"))
+    return GR.triangle_count(pairs).select(
+        F.col("id").alias("doc_id"), "n_triangles"
+    )
+
+
+def _install_graph_oracles() -> None:
     from real_time_trip_processing_project_spark.operators import graph as GR
     from real_time_trip_processing_project_spark.plans.catalog import REGISTRY
 
     REGISTRY["graph_pagerank_dedup"].oracle = GR.pagerank_oracle_sql(
         _SPAN_PAIRS_CTES
     )
+    REGISTRY["graph_triangles_dedup"].oracle = GR.triangle_oracle_sql(
+        _SPAN_PAIRS_CTES
+    )
 
 
-_install_pagerank_oracle()
+_install_graph_oracles()
 
 
 # ---------------------------------------------------------------------------

@@ -1416,3 +1416,26 @@ def test_pq_codes_shape_and_determinism(spark):
     )
     assert codes["n"] == PQ_M
     assert 0 <= codes["mn"] and codes["mx"] < PQ_KS
+
+
+def test_triangle_count_hand_graph(spark):
+    """Planted shapes: K4 on {1,2,3,4} (each node in C(3,2)=3
+    triangles), a chain 10-11-12 (zero triangles), one extra triangle
+    {20,21,22}, and duplicate/reversed pair rows that must not double
+    count."""
+    from real_time_trip_processing_project_spark.operators import graph as GR
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    pairs = spark.createDataFrame(
+        k4
+        + [(10, 11), (11, 12)]
+        + [(20, 21), (21, 22), (20, 22)]
+        + [(2, 1), (21, 20)],  # reversed duplicates — must be ignored
+        "id_a LONG, id_b LONG",
+    )
+    got = {r.id: r.n_triangles for r in GR.triangle_count(pairs).collect()}
+    assert got == {
+        1: 3, 2: 3, 3: 3, 4: 3,
+        10: 0, 11: 0, 12: 0,
+        20: 1, 21: 1, 22: 1,
+    }
