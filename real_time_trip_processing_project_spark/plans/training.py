@@ -411,6 +411,74 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(emb, queries, TOPK, dim=64)
 
 
+@register(
+    "curation_corpus_pipeline",
+    oracle=f"""
+        WITH canon AS (
+            SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, lang, text,
+                   {TX.quality_score_sql('text')} AS score
+            FROM canon WHERE rn = 1
+        ),
+        good AS (
+            SELECT doc_id, lang, text,
+                   CAST(round(score * 1000) AS BIGINT) AS score_milli,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                             < 'cccc'
+                        THEN 'train' ELSE 'eval' END AS split
+            FROM kept WHERE score >= 0.5
+        )
+        SELECT split, lang,
+               count(*) AS n_docs,
+               CAST(sum({TX.ws_token_count_sql('text')}) AS BIGINT)
+                   AS n_tokens,
+               sum(score_milli) AS sum_score_milli
+        FROM good
+        GROUP BY split, lang
+    """,
+    tags=["EXT", "curation"],
+)
+def curation_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation COMPOSITION — the flow a training-data build
+    actually runs, as one declarative plan: exact dedup (keep the
+    lowest-id copy per md5(text)) → quality gate (score ≥ 0.5, i.e. the
+    length band passes) → deterministic train/eval split → per-(split,
+    lang) corpus accounting.  Each stage is individually verified
+    elsewhere (dedup_exact, text_quality, split_train_eval); this entry
+    verifies their COMPOSITION, where stage-boundary bugs (dedup before
+    vs after scoring, split leakage through duplicates) live.
+
+    Plan shape: ONE shuffle on md5(text) for the dedup window, then a
+    histogram-sized groupBy; the quality score and token counts are
+    codegen expressions computed in the same pass.  Scores aggregate as
+    integer millis (the derived-double lesson)."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("score", TX.quality_score_expr("text"))
+        .filter(F.col("score") >= 0.5)
+    )
+    return (
+        kept.withColumn("split", CU.split_expr())
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.ws_token_count_expr("text"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.round(F.col("score") * 1000).cast("long")).alias(
+                "sum_score_milli"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
