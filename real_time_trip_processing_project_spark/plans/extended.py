@@ -2330,3 +2330,82 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_cents"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "doc_chunk_dedup",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> len(x) > 0) AS t
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       t[start:least(start + 63, n)], ' ')) AS chunk_hash
+            FROM sized, unnest(generate_series(1, n, 48)) AS g(start)
+        )
+        SELECT chunk_hash,
+               count(*) AS n_copies,
+               count(DISTINCT doc_id) AS n_docs,
+               min(doc_id) AS min_doc_id
+        FROM chunks
+        GROUP BY chunk_hash
+        HAVING count(*) > 1
+    """,
+    tags=["EXT", "dedup", "P8"],
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular exact dedup — the retrieval-corpus composition of
+    ``doc_chunk_overlap`` + ``dedup_exact``: duplicated boilerplate
+    found at CHUNK level even when the containing documents differ
+    (headers, footers, licence blocks), which whole-document hashing
+    misses entirely.
+
+    Plan shape: the same shuffle-free chunk fan-out as the chunker,
+    then ONE hash-groupBy on the chunk digest with map-side partials —
+    dedup cost scales with the chunk stream, and the output is only
+    the duplicated tail (HAVING > 1)."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0
+    )
+    sized = (
+        docs.withColumn("t", toks)
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    chunks = sized.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(48))
+        ).alias("start"),
+        "t",
+        "n",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "t",
+                    F.col("start"),
+                    F.least(F.lit(64), F.col("n") - F.col("start") + 1),
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
