@@ -2409,3 +2409,90 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "events_rolling_zscore_outliers",
+    oracle="""
+        WITH v AS (
+            SELECT event_id, user_id, ts,
+                   CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vt
+            FROM events WHERE value IS NOT NULL
+        ),
+        wstats AS (
+            SELECT event_id, user_id, vt,
+                   sum(vt)      OVER w AS s,
+                   sum(vt * vt) OVER w AS s2,
+                   count(*)     OVER w AS n
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                               AND CURRENT ROW)
+        )
+        SELECT event_id, user_id,
+               CAST(n AS BIGINT) AS n_frame,
+               CAST((vt * n - s) * (vt * n - s) AS BIGINT) AS z_num,
+               CAST(n * s2 - s * s AS BIGINT) AS z_den_var,
+               (vt * n - s) * (vt * n - s) > 9 * (n * s2 - s * s)
+                   AS is_outlier
+        FROM wstats
+        WHERE n >= 5
+    """,
+    tags=["EXT", "A6", "T6"],
+)
+def events_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: events whose value sits more
+    than 3 population standard deviations from their user's trailing
+    24-hour mean — the streaming-telemetry outlier staple.
+
+    The z-test is ALGEBRAICALLY INTEGERIZED: |v−μ| > 3σ over the frame
+    (μ = S/n, σ² = S₂/n − μ²) rearranges to
+    (v·n − S)² > 9·(n·S₂ − S²), every term an exact integer in value
+    milli-ticks — no division, no sqrt, no float anywhere, so the
+    boundary cannot drift between engines (the funnel_conversion
+    lesson applied to second moments; magnitudes bounded ≤ ~3e15 at
+    fixture value ranges, « 2^63).  Every framed event emits its
+    z-decomposition plus the flag (the fixture's uniform values never
+    exceed √3 σ, so a flagged-only output would be vacuously green —
+    emitting the moments keeps the hash on real arithmetic), and the
+    3σ flag itself is part of the verified row.  Plan shape: ONE
+    shuffle on
+    ``user_id``; the range frame over epoch-microseconds matches
+    DuckDB's ``RANGE INTERVAL 24 HOURS`` exactly, ties included."""
+    events = load_fixture(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("vt"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    stats = v.select(
+        "event_id",
+        "user_id",
+        "vt",
+        F.sum("vt").over(w).alias("s"),
+        F.sum(F.col("vt") * F.col("vt")).over(w).alias("s2"),
+        F.count("*").over(w).alias("n"),
+    )
+    z_num = (F.col("vt") * F.col("n") - F.col("s")) * (
+        F.col("vt") * F.col("n") - F.col("s")
+    )
+    z_var = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        stats.filter(F.col("n") >= 5)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("n").alias("n_frame"),
+            z_num.alias("z_num"),
+            z_var.alias("z_den_var"),
+            (z_num > F.lit(9) * z_var).alias("is_outlier"),
+        )
+    )
