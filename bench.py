@@ -95,6 +95,7 @@ SECONDARY = [
     "sim_ann_pq",
     "graph_triangles_dedup",
     "curation_corpus_pipeline",
+    "sim_ann_ivfpq",
     # embedding_kmeans / embedding_kmeans_assign are oracle-gated per
     # round but, like tokenizer_apply_bpe_counts, kept out of the
     # timing list: the 3-iteration driver loop is ~90% fixed per-job
@@ -237,6 +238,8 @@ def _quality(spark) -> dict:
         ("sim_ann_ivf", 0.9),
         # PQ m=32 measures 0.98 at sf0.1 (1.0 at smaller SFs)
         ("sim_ann_pq", 0.9),
+        # IVFADC measures 0.94 at sf0.1 (routing-limited, = plain IVF)
+        ("sim_ann_ivfpq", 0.85),
     ):
         ann = {
             (r.query_id, r.neighbor_id)

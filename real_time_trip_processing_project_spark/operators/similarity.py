@@ -1369,3 +1369,217 @@ def pq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: IVF cell routing × residual product quantization — the
+# billion-scale ANN composition (FAISS's IndexIVFPQ shape) built from
+# the two mechanisms above.
+# ---------------------------------------------------------------------------
+
+IVFPQ_CELLS = 64
+#: Probe width mirrors the plain-IVF finding (see IVF_PROBES): the
+#: fixture corpus is nearly unclustered, so credible recall needs a
+#: wide probe.  Sweep at sf0.1: 16 probes → 0.70 recall@10; 40 probes
+#: → 0.93; 40 probes + 16× refine → 0.94 — within 0.005 of plain IVF's
+#: routing ceiling, i.e. residual-PQ quantization costs almost nothing.
+IVFPQ_PROBES = 40
+IVFPQ_REFINE = 16
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int = 64,
+    n_cells: int = IVFPQ_CELLS,
+    n_probes: int = IVFPQ_PROBES,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    refine: int = IVFPQ_REFINE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC approximate top-k: coarse k-means cells route the search,
+    RESIDUAL product quantization compresses what's scanned.
+
+    Corpus pass (one Arrow map): assign each vector to its nearest
+    coarse centroid, PQ-encode the RESIDUAL ``x − c(cell)`` (residual
+    magnitudes are much smaller than raw components, so the same
+    codebook budget spends its precision where the variance actually
+    is — the classic IVFADC win over flat PQ).  Query side: each query
+    precomputes, per PROBED cell, the (m × ks) ADC table of its own
+    residual against the shared codebooks — (queries × probes) small
+    tables, driver-built like the LSH planes.  The scan scores only
+    rows whose cell is probed and emits per-batch shortlists (same
+    shuffle bound as :func:`pq_topk`); exact cosine re-ranks.
+
+    At deployment scale the encoded corpus is written
+    ``partitionBy(cell)`` (see :func:`build_ivf_index`), so a probe
+    reads ``n_probes/n_cells`` of a corpus that is ALSO 16× smaller
+    than float32 — the two multiplicative savings that make
+    billion-vector ANN tractable."""
+    cents = kmeans_fit(emb, k=n_cells, vec_col=vec_col, id_col=id_col)
+    n_cells = len(cents)
+    n_probes = min(n_probes, n_cells)
+    books = _pq_train_residual_books(emb, cents, m, ks, dim, vec_col, id_col)
+    dsub = dim // m
+
+    C64 = cents.astype(np.float64)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            d2 = ((X[:, None, :] - C64[None, :, :]) ** 2).sum(-1)
+            cell = d2.argmin(1)
+            R = X - C64[cell]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Rs = R[:, s * dsub : (s + 1) * dsub]
+                dd = ((Rs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = dd.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    enc = emb.mapInPandas(
+        encode, "neighbor_id long, cell int, codes array<int>"
+    )
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    qd2 = ((Q[:, None, :] - C64[None, :, :]) ** 2).sum(-1)  # (nq, cells)
+    probe = np.argsort(qd2, axis=1)[:, :n_probes]  # (nq, probes)
+    # per (query, probed cell): ADC table of the query's residual
+    luts = np.full((len(Q), n_cells, m, ks), np.inf)
+    for qi in range(len(Q)):
+        for c in probe[qi]:
+            r = (Q[qi] - C64[c]).reshape(m, 1, dsub)
+            luts[qi, c] = ((r - books) ** 2).sum(-1)
+    probesets = [set(map(int, probe[qi])) for qi in range(len(Q))]
+    kr = k * refine
+    marange = np.arange(m)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cell = pdf["cell"].to_numpy()
+            Cc = np.stack(pdf["codes"].to_numpy())
+            nid = pdf["neighbor_id"].to_numpy()
+            outs = []
+            for qi in range(len(qids)):
+                mask = np.isin(cell, list(probesets[qi]))
+                if not mask.any():
+                    continue
+                cc = cell[mask]
+                cd = Cc[mask]
+                adc = luts[qi][cc[:, None], marange[None, :], cd].sum(1)
+                take = min(kr, len(adc))
+                sel = np.argpartition(adc, take - 1)[:take]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": nid[mask][sel],
+                            "adc": adc[sel],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cand = enc.mapInPandas(
+        score, "query_id long, neighbor_id long, adc double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= kr)
+        .select("query_id", "neighbor_id")
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        shortlist.join(F.broadcast(qvecs), "query_id")
+        .join(corpus, "neighbor_id")
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _pq_train_residual_books(
+    emb: DataFrame,
+    cents: np.ndarray,
+    m: int,
+    ks: int,
+    dim: int,
+    vec_col: str,
+    id_col: str,
+    iters: int = 10,
+) -> np.ndarray:
+    """Codebooks over coarse-quantizer RESIDUALS, trained on the same
+    bounded deterministic sample discipline as :func:`kmeans_fit`."""
+    sample_n = min(max(ks * 64, 2048), 65536)
+    rows = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(sample_n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("ivfpq: empty corpus")
+    rows.sort(key=lambda r: r["id"])
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    C64 = cents.astype(np.float64)
+    cell = ((X[:, None, :] - C64[None, :, :]) ** 2).sum(-1).argmin(1)
+    R = X - C64[cell]
+    dsub = dim // m
+    books = np.zeros((m, ks, dsub), dtype=np.float64)
+    for s in range(m):
+        Rs = R[:, s * dsub : (s + 1) * dsub]
+        k_eff = min(ks, len(Rs))
+        stride = max(len(Rs) // k_eff, 1)
+        C = Rs[[i * stride for i in range(k_eff)]].copy()
+        for _ in range(iters):
+            d2 = ((Rs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k_eff):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Rs[mask].mean(0)
+        books[s, :k_eff] = C
+        if k_eff < ks:
+            books[s, k_eff:] = C[k_eff - 1]
+    return books

@@ -479,6 +479,22 @@ def curation_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ann_ivfpq",
+    oracle=None,  # approximate — rows-only; recall floor in bench quality
+    tags=["EXT", "similarity"],
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC ANN top-10: 64 coarse k-means cells route the search
+    (16-cell probe), residual product quantization (32x4-bit codes)
+    compresses the scan, exact cosine re-ranks the shortlist -- the
+    billion-scale composition (FAISS IndexIVFPQ shape) of the IVF and
+    PQ mechanisms, each separately floor-asserted."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.ivfpq_topk(emb, queries, TOPK, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

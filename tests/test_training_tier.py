@@ -1439,3 +1439,19 @@ def test_triangle_count_hand_graph(spark):
         10: 0, 11: 0, 12: 0,
         20: 1, 21: 1, 22: 1,
     }
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """IVFADC (64 cells × 40 probes, residual 32×4-bit PQ, 16× refine)
+    must land within the plain-IVF routing ceiling's neighborhood:
+    measured 0.92/0.98/0.94 at sf0.001/0.01/0.1."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, SF).collect()
+    }
+    iv = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_ann_ivfpq"].fn(spark, SF).collect()
+    }
+    assert bf
+    assert len(bf & iv) / len(bf) >= 0.85
