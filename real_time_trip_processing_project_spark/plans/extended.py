@@ -2496,3 +2496,86 @@ def events_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFram
             (z_num > F.lit(9) * z_var).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+        WITH l AS (
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                   CAST(round(l_discount * 100) AS BIGINT) AS disc_bp,
+                   CAST(round(l_tax * 100) AS BIGINT) AS tax_bp
+            FROM lineitem
+            WHERE l_shipdate <= DATE '2000-12-01'
+        ),
+        staged AS (
+            SELECT *,
+                   (price_c * (100 - disc_bp)) // 100 AS disc_price_c
+            FROM l
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               sum(price_c) AS sum_base_price_cents,
+               sum(disc_price_c) AS sum_disc_price_cents,
+               sum((disc_price_c * (100 + tax_bp)) // 100)
+                   AS sum_charge_cents,
+               count(*) AS count_order,
+               CAST((1000 * CAST(sum(l_quantity) AS BIGINT)) // count(*)
+                    AS BIGINT) AS avg_qty_milli
+        FROM staged
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=["EXT", "A6", "F1"],
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical scan-heavy pricing summary: one
+    filtered pass over the biggest fact, grouped to a handful of rows
+    with stacked money aggregates.
+
+    Every money chain is integer end-to-end: exact cents × integer
+    basis points with floor division at each stage (discount, then
+    tax), identical in both engines by construction; the average is
+    fixed-point millis via integer division (no derived-ratio doubles
+    — the funnel lesson).  Plan shape: pushed date filter at the scan,
+    map-side partial aggregation, a 4-ish-row exchange — the query is
+    bandwidth-bound at any scale, exactly as Q1 should be."""
+    lineitem = load_fixture(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    tax_bp = F.round(F.col("l_tax") * 100).cast("long")
+    staged = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            price_c.alias("price_c"),
+            disc_bp.alias("disc_bp"),
+            tax_bp.alias("tax_bp"),
+        )
+        .withColumn(
+            "disc_price_c",
+            F.floor(
+                F.col("price_c") * (100 - F.col("disc_bp")) / 100
+            ).cast("long"),
+        )
+    )
+    return (
+        staged.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum("price_c").alias("sum_base_price_cents"),
+            F.sum("disc_price_c").alias("sum_disc_price_cents"),
+            F.sum(
+                F.floor(
+                    F.col("disc_price_c") * (100 + F.col("tax_bp")) / 100
+                ).cast("long")
+            ).alias("sum_charge_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty_milli",
+            F.expr("(1000 * sum_qty) div count_order"),
+        )
+    )

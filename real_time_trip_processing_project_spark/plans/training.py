@@ -495,6 +495,50 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(emb, queries, TOPK, dim=64)
 
 
+@register(
+    "text_hashing_vectors",
+    oracle=f"""
+        SELECT doc_id,
+               {CU.bloom_pos_sql('md5(tok)', 0, 1024)} AS bucket,
+               count(*) AS tf
+        FROM (
+            SELECT doc_id, unnest(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> len(x) > 0)) AS tok
+            FROM documents
+        )
+        GROUP BY 1, 2
+    """,
+    tags=["EXT", "text", "similarity"],
+)
+def text_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document vectors (the 'hashing trick'): each
+    token maps to one of 1024 buckets via md5-nibble arithmetic, per
+    (doc, bucket) term frequencies come out in long format — the
+    fixed-width, vocabulary-free featurization that scales where a
+    learned vocabulary cannot (no global dictionary, no second pass,
+    new tokens never resize the space).  Bucket arithmetic reuses the
+    Bloom nibble decomposition, so DuckDB reproduces every bucket id
+    exactly.  Plan shape: explode → ONE hash aggregate with map-side
+    partials; output is bounded by docs × 1024 regardless of
+    vocabulary growth."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    return (
+        toks.withColumn("bucket", CU._bloom_pos(F.md5("tok"), 0, 1024))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
