@@ -207,14 +207,25 @@ def lang_id_sql(text: str) -> str:
 def quality_exprs(text: str) -> dict[str, Column]:
     n_chars = F.length(F.col(text)).cast("long")
     n_tokens = ws_token_count_expr(text)
-    stop = None
-    for w in STOPWORDS:
-        c = word_count_expr(text, w)
-        stop = c if stop is None else stop + c
+    # one split + one IN-filter: Σ_w count(tok = w) over disjoint words
+    # equals count(tok ∈ words) — the per-word form re-split (and
+    # re-interpreted the array HOF) six times per row, measured as the
+    # bulk of the quality pass (1.2 s of curation_corpus_pipeline's
+    # 2.8 s at sf0.1); values are bit-identical, so the oracle keeps
+    # its per-word sum.
+    toks = F.split(F.col(text), WORD_SPLIT_PATTERN)
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("long")
     alpha_chars = F.length(
         F.regexp_replace(F.col(text), r"[^A-Za-z]", "")
     ).cast("long")
-    punct = punct_count_expr(text)
+    # punct count as a length difference (PUNCT_PATTERN matches single
+    # chars, so removed-length = match count) — no match-array build
+    punct = (
+        F.length(F.col(text))
+        - F.length(F.regexp_replace(F.col(text), PUNCT_PATTERN, ""))
+    ).cast("long")
     avg_token_len = F.round(
         alpha_chars.cast("double") / n_tokens.cast("double"), 6
     )
