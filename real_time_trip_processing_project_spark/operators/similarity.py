@@ -1583,3 +1583,190 @@ def _pq_train_residual_books(
         if k_eff < ks:
             books[s, k_eff:] = C[k_eff - 1]
     return books
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_cells: int = IVFPQ_CELLS,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVFADC index: cell-PARTITIONED parquet of PQ codes
+    (16 bytes of payload per vector) plus the coarse centroids and
+    residual codebooks as small model tables.
+
+    The deployment shape both savings multiply in: a probe reads
+    ``n_probes/n_cells`` of the PARTITIONS (Catalyst pruning on the
+    cell filter) and each partition holds codes, not vectors — 16×
+    less I/O per byte scanned than the float32 IVF index.  Build once
+    per corpus snapshot, amortize over every query batch."""
+    spark = emb.sparkSession
+    cents = kmeans_fit(emb, k=n_cells, vec_col=vec_col, id_col=id_col)
+    books = _pq_train_residual_books(
+        emb, cents, m, ks, dim, vec_col, id_col
+    )
+    C64 = cents.astype(np.float64)
+    dsub = dim // m
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            d2 = ((X[:, None, :] - C64[None, :, :]) ** 2).sum(-1)
+            cell = d2.argmin(1)
+            R = X - C64[cell]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Rs = R[:, s * dsub : (s + 1) * dsub]
+                dd = ((Rs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = dd.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    emb.mapInPandas(
+        encode, "neighbor_id long, cell int, codes array<int>"
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(C64)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s, c]])
+            for s in range(m)
+            for c in range(ks)
+        ],
+        "subspace int, code int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int = 64,
+    n_probes: int = IVFPQ_PROBES,
+    refine: int = IVFPQ_REFINE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVFADC index: identical results to the inline
+    :func:`ivfpq_topk` at the same parameters (asserted in tests), but
+    the corpus pass reads ONLY the probed cell partitions of the code
+    parquet — the partition-pruned scan is asserted on the plan.
+    ``emb`` is consulted only for the exact re-rank of the shortlist
+    (id-keyed joins, no full scan)."""
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((len(crows), dim))
+    for r in crows:
+        cents[r["cell"]] = r["centroid"]
+    brows = spark.read.parquet(f"{path}/books").collect()
+    m = 1 + max(r["subspace"] for r in brows)
+    ks = 1 + max(r["code"] for r in brows)
+    dsub = dim // m
+    books = np.zeros((m, ks, dsub))
+    for r in brows:
+        books[r["subspace"], r["code"]] = r["vec"]
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    n_cells = len(cents)
+    n_probes = min(n_probes, n_cells)
+    qd2 = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    probe = np.argsort(qd2, axis=1)[:, :n_probes]
+    luts = np.full((len(Q), n_cells, m, ks), np.inf)
+    for qi in range(len(Q)):
+        for c in probe[qi]:
+            r = (Q[qi] - cents[c]).reshape(m, 1, dsub)
+            luts[qi, c] = ((r - books) ** 2).sum(-1)
+    probesets = [set(map(int, probe[qi])) for qi in range(len(Q))]
+    probed_union = sorted({int(c) for qi in range(len(Q)) for c in probe[qi]})
+    kr = k * refine
+    marange = np.arange(m)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cell = pdf["cell"].to_numpy()
+            Cc = np.stack(pdf["codes"].to_numpy())
+            nid = pdf["neighbor_id"].to_numpy()
+            outs = []
+            for qi in range(len(qids)):
+                mask = np.isin(cell, list(probesets[qi]))
+                if not mask.any():
+                    continue
+                cc = cell[mask]
+                cd = Cc[mask]
+                adc = luts[qi][cc[:, None], marange[None, :], cd].sum(1)
+                take = min(kr, len(adc))
+                sel = np.argpartition(adc, take - 1)[:take]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": nid[mask][sel],
+                            "adc": adc[sel],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(probed_union)  # partition-pruned scan
+    )
+    cand = codes.mapInPandas(
+        score, "query_id long, neighbor_id long, adc double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= kr)
+        .select("query_id", "neighbor_id")
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        shortlist.join(F.broadcast(qvecs), "query_id")
+        .join(corpus, "neighbor_id")
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

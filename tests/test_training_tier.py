@@ -1455,3 +1455,29 @@ def test_ivfpq_recall_vs_exact(spark):
     }
     assert bf
     assert len(bf & iv) / len(bf) >= 0.85
+
+
+def test_ivfpq_index_build_probe_matches_inline(spark, tmp_path):
+    """The persisted IVFADC index must return EXACTLY the inline
+    ivfpq_topk result (training is deterministic end to end), and the
+    probe's code scan must be partition-pruned on the cell filter."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_fixture(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "ivfpq")
+    SIM.build_ivfpq_index(emb, path)
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.ivfpq_topk(emb, queries, 10).collect()
+    }
+    indexed_df = SIM.ivfpq_topk_indexed(spark, path, emb, queries, 10)
+    indexed = {
+        (r.query_id, r.neighbor_id, r.rank) for r in indexed_df.collect()
+    }
+    assert indexed == inline and indexed
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
