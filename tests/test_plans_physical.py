@@ -276,3 +276,70 @@ def test_q5_join_tree_broadcasts_all_dimensions(spark):
     assert "SortMergeJoin" not in simple
     assert "BroadcastHashJoin" in simple
     assert simple.count("Exchange hashpartitioning") <= 2
+
+
+def test_sessionize_reuses_user_window_exchange(spark):
+    """sessionize_batch: both window passes (gap lag + running sum) and
+    the per-(user, session) aggregate ride ONE user_id exchange — the
+    aggregate's grouping key starts with user_id, so Catalyst must not
+    re-shuffle."""
+    import re
+
+    plan = _plan(spark, "sessionize_batch")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Window" in plan
+
+
+def test_scd2_islands_single_exchange(spark):
+    """scd2_event_type_versions: same single-exchange discipline as
+    sessionize — the island construction is window + grouped bounds on
+    one user_id partitioning."""
+    import re
+
+    plan = _plan(spark, "scd2_event_type_versions")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_chunker_is_shuffle_free(spark):
+    """doc_chunk_overlap: pure scan → generate → project; any Exchange
+    means the fan-out stopped being map-only."""
+    plan = _plan(spark, "doc_chunk_overlap")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_q1_partially_aggregates_with_pushed_filter(spark):
+    """tpch_q1_pricing_summary: the date filter reaches the parquet
+    scan and the money sums partial-aggregate below the single
+    exchange (the Q1 bandwidth-bound contract)."""
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    assert "PushedFilters:" in plan
+    assert "partial_sum" in plan
+    simple = _plan(spark, "tpch_q1_pricing_summary", "simple")
+    assert simple.count("Exchange hashpartitioning") == 1
+
+
+def test_q18_semi_join_broadcasts_survivors(spark):
+    """tpch_q18_large_orders: the HAVING-subquery survivors must come
+    back as a BROADCAST left-semi join onto lineitem, not a shuffled
+    join of the whole fact against itself."""
+    plan = _plan(spark, "tpch_q18_large_orders")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_zscore_single_user_exchange(spark):
+    """events_rolling_zscore_outliers: the three frame aggregates share
+    one user_id window exchange."""
+    import re
+
+    plan = _plan(spark, "events_rolling_zscore_outliers")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Window" in plan
+
+
+def test_hashing_vectors_partially_aggregates(spark):
+    """text_hashing_vectors: the (doc, bucket) term counts must
+    partial-aggregate below the exchange — the shuffle carries at most
+    docs×1024 partials, never raw tokens."""
+    plan = _plan(spark, "text_hashing_vectors")
+    assert "partial_count" in plan
