@@ -280,3 +280,89 @@ def triangle_oracle_sql(pairs_cte: str, id_col_out: str = "doc_id") -> str:
                coalesce(t.n_triangles, 0) AS n_triangles
         FROM nodes n LEFT JOIN per_node t USING (id)
     """
+
+
+def bfs_depths(
+    pairs: DataFrame,
+    max_depth: int = 8,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, depth) = hop distance from the nearest LOCAL-MINIMUM node
+    (a node smaller than all its neighbors) — multi-source
+    breadth-first search as an iterative frontier expansion (the
+    Pregel pattern Spark substitutes for the recursive CTE it lacks;
+    the DuckDB oracle IS a ``WITH RECURSIVE``, so parity crosses two
+    fundamentally different evaluation models).
+
+    Every component contains its global minimum, which is a local
+    minimum, so every node is labeled within ``max_depth`` of its
+    component's seeds — the distance-to-canonical measure a dedup
+    cluster review wants.  Each round: frontier ⋈ edges → anti-join
+    against visited → next frontier at depth+1; a node's FIRST
+    reaching round is its hop distance.  Fully distributed — the
+    source SET is itself a DataFrame (anti-join finds local minima),
+    no driver scalar at all; ``localCheckpoint`` truncates lineage per
+    round (the BPE loop discipline)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    smaller_nbr = edges.filter(F.col("dst") < F.col("src")).select(
+        F.col("src").alias("id")
+    )
+    visited = (
+        nodes.join(smaller_nbr, "id", "left_anti")
+        .withColumn("depth", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("depth", F.lit(d).cast("long"))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def bfs_oracle_sql(
+    pairs_cte: str, max_depth: int = 8, id_col_out: str = "doc_id"
+) -> str:
+    """DuckDB oracle for :func:`bfs_depths`: a depth-capped recursive
+    CTE; ``min(depth)`` per node collapses the path enumeration to hop
+    distance.  ``pairs_cte`` must start with ``WITH `` — it is rewritten
+    to ``WITH RECURSIVE`` (legal for a mixed CTE list)."""
+    assert pairs_cte.lstrip().startswith("WITH ")
+    chain = pairs_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""
+        {chain},
+        edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        src AS (
+            SELECT n.id
+            FROM (SELECT DISTINCT src AS id FROM edges) n
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.src = n.id AND e.dst < n.id)
+        ),
+        bfs AS (
+            SELECT id, 0 AS depth FROM src
+            UNION
+            SELECT e.dst, b.depth + 1
+            FROM bfs b JOIN edges e ON e.src = b.id
+            WHERE b.depth < {max_depth}
+        )
+        SELECT id AS {id_col_out}, CAST(min(depth) AS BIGINT) AS depth
+        FROM bfs GROUP BY id
+    """

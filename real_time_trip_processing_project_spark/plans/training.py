@@ -320,6 +320,29 @@ def graph_triangles_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_bfs_depths",
+    oracle=None,  # placeholder; assigned right below (needs GR import)
+    tags=["EXT", "graph"],
+)
+def graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-capped BFS from every LOCAL-MINIMUM node of the span-dedup graph
+    (operators/graph.py:bfs_depths): hop-distance labeling -- how far
+    template contamination radiates from a seed document.  Spark runs
+    the iterative frontier expansion (anti-join + localCheckpoint per
+    round, the recursive-CTE substitute); the oracle IS DuckDB's
+    WITH RECURSIVE, so the parity check crosses two fundamentally
+    different evaluation models."""
+    from real_time_trip_processing_project_spark.operators import (
+        graph as GR,
+    )
+
+    pairs = DD.common_span_pairs(load_fixture(spark, sf_dir, "documents"))
+    return GR.bfs_depths(pairs).select(
+        F.col("id").alias("doc_id"), "depth"
+    )
+
+
 def _install_graph_oracles() -> None:
     from real_time_trip_processing_project_spark.operators import graph as GR
     from real_time_trip_processing_project_spark.plans.catalog import REGISTRY
@@ -328,6 +351,9 @@ def _install_graph_oracles() -> None:
         _SPAN_PAIRS_CTES
     )
     REGISTRY["graph_triangles_dedup"].oracle = GR.triangle_oracle_sql(
+        _SPAN_PAIRS_CTES
+    )
+    REGISTRY["graph_bfs_depths"].oracle = GR.bfs_oracle_sql(
         _SPAN_PAIRS_CTES
     )
 

@@ -1481,3 +1481,32 @@ def test_ivfpq_index_build_probe_matches_inline(spark, tmp_path):
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bfs_depths_hand_graph(spark):
+    """Path 1-2-3-4-5 (one local min: 1), triangle {10,11,12} (local
+    min 10), plus node pair (20,21): depths are hop distances from
+    each component's local minima."""
+    from real_time_trip_processing_project_spark.operators import graph as GR
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "id_a LONG, id_b LONG",
+    )
+    got = {r.id: r.depth for r in GR.bfs_depths(pairs).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4,
+                   10: 0, 11: 1, 12: 1,
+                   20: 0, 21: 1}
+
+
+def test_bfs_depth_cap_excludes_far_nodes(spark):
+    """A 12-node path with max_depth=3 labels only the first 4 nodes."""
+    from real_time_trip_processing_project_spark.operators import graph as GR
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a LONG, id_b LONG"
+    )
+    got = {r.id: r.depth for r in GR.bfs_depths(pairs, max_depth=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
