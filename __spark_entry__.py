@@ -39,6 +39,12 @@ _RECHECK_FIRST = [
     "multimodal_frame_sample",
     # r6: contamination ratio integerized to ppm (the funnel discipline)
     "curation_contamination",
+    # r6 session-2: quality_exprs rewritten (one split + IN-filter,
+    # punct via replace-length) — recheck its two established consumers
+    # (the new curation_corpus_pipeline is never-checked and already
+    # leads the window)
+    "text_quality",
+    "quality_calibration",
 ]
 
 
