@@ -191,3 +191,129 @@ def test_group_state_eviction_invariants(entries, batch_no, keep_for):
     for tid, (has_s, has_e, c, touched) in entries.items():
         placeholder = not has_s and not has_e and not c
         assert (tid not in trips) == placeholder
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=600_000), min_size=5, max_size=40
+    )
+)
+def test_zscore_integerization_equals_float_form(vals):
+    """The integerized 3σ test (v·n − S)² > 9·(n·S₂ − S²) must agree
+    with the float z² > 9 comparison away from exact-boundary ties
+    (where the integer form is the DEFINED semantics)."""
+    import math
+
+    n = len(vals)
+    S = sum(vals)
+    S2 = sum(v * v for v in vals)
+    for v in vals:
+        lhs = (v * n - S) ** 2
+        rhs = 9 * (n * S2 - S * S)
+        int_flag = lhs > rhs
+        mu = S / n
+        var = S2 / n - mu * mu
+        if var > 0:
+            z2 = (v - mu) ** 2 / var
+            if not math.isclose(z2, 9.0, rel_tol=1e-9):
+                assert int_flag == (z2 > 9.0), (v, vals)
+        else:
+            # zero variance ⇒ every v equals μ ⇒ never an outlier
+            assert not int_flag
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=12),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_reference_orientations_agree(pairs):
+    """Degree-ordered and id-ordered triangle enumeration (the Spark
+    operator's trick vs the oracle's) must count identically — checked
+    here against a third, brute-force reference over random graphs."""
+    import itertools
+
+    edges = {
+        (min(a, b), max(a, b)) for a, b in pairs if a != b
+    }
+    nodes = sorted({x for e in edges for x in e})
+    # brute force: every 3-subset
+    per_node = {u: 0 for u in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (
+            (x, y) in edges
+            and (y, z) in edges
+            and (x, z) in edges
+        ):
+            per_node[x] += 1
+            per_node[y] += 1
+            per_node[z] += 1
+    # id-ordered two-join enumeration (the oracle's shape)
+    per_node2 = {u: 0 for u in nodes}
+    es = sorted(edges)
+    for u, v in es:
+        for v2, w in es:
+            if v2 == v and (u, w) in edges:
+                per_node2[u] += 1
+                per_node2[v] += 1
+                per_node2[w] += 1
+    assert per_node == per_node2
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=15),
+            st.integers(min_value=1, max_value=15),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_bfs_reference_matches_python_bfs(pairs, cap):
+    """The multi-source local-minima BFS semantics (what both the Spark
+    loop and the recursive oracle implement) against a plain Python
+    BFS."""
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    if not adj:
+        return
+    seeds = [u for u, nbrs in adj.items() if all(v > u for v in nbrs)]
+    depth = {u: 0 for u in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if depth[u] >= cap:
+            continue
+        for v in adj[u]:
+            if v not in depth:
+                depth[v] = depth[u] + 1
+                q.append(v)
+    # recursive-CTE shape: min over all ≤cap-hop path lengths from seeds
+    ref: dict[int, int] = {}
+    frontier = {u: 0 for u in seeds}
+    ref.update(frontier)
+    for d in range(1, cap + 1):
+        nxt = {}
+        for u in frontier:
+            for v in adj[u]:
+                if v not in ref and v not in nxt:
+                    nxt[v] = d
+        ref.update(nxt)
+        frontier = nxt
+    assert depth == ref
