@@ -565,6 +565,92 @@ def text_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sparse_matmul_projection",
+    oracle=f"""
+        WITH tfv AS (
+            SELECT doc_id,
+                   {CU.bloom_pos_sql('md5(tok)', 0, 1024)} AS bucket,
+                   count(*) AS tf
+            FROM (
+                SELECT doc_id, unnest(list_filter(
+                           string_split_regex(trim(text), '\\s+'),
+                           x -> len(x) > 0)) AS tok
+                FROM documents
+            )
+            GROUP BY 1, 2
+        ),
+        proj AS (
+            SELECT b.bucket, t.topic,
+                   {CU.bloom_pos_sql(
+                       "md5(CAST(b.bucket AS VARCHAR) || ':' "
+                       "|| CAST(t.topic AS VARCHAR))", 0, 19)} - 9 AS w
+            FROM (SELECT unnest(range(0, 1024)) AS bucket) b,
+                 (SELECT unnest(range(0, 8)) AS topic) t
+        )
+        SELECT v.doc_id, p.topic,
+               CAST(sum(v.tf * p.w) AS BIGINT) AS score
+        FROM tfv v JOIN proj p USING (bucket)
+        GROUP BY v.doc_id, p.topic
+    """,
+    tags=["EXT", "text", "similarity"],
+)
+def sparse_matmul_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SPARSE MATRIX MULTIPLY as join + aggregate: the
+    (doc × bucket) hashed term-frequency matrix times a deterministic
+    (bucket × 8) integer projection — the bag-of-words → topic-space
+    projection every classical text pipeline runs (LSA-style).  COO
+    matmul shape: C[d,t] = Σ_b A[d,b]·B[b,t] is exactly an equi-join
+    on the contracted index followed by a grouped sum).
+
+    The projection matrix derives each weight from md5(bucket:topic)
+    nibble arithmetic (integers in [-9, 9]) — generated IN the plan on
+    both engines, no shipped model.  Plan shape: the dense side is
+    8192 rows → broadcast join onto the sparse TF stream, partial
+    aggregation on (doc, topic); the big side never shuffles before
+    the contraction."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    tfv = (
+        toks.withColumn("bucket", CU._bloom_pos(F.md5("tok"), 0, 1024))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    proj = (
+        spark.range(1024)
+        .select(F.col("id").alias("bucket"))
+        .crossJoin(spark.range(8).select(F.col("id").alias("topic")))
+        .withColumn(
+            "w",
+            CU._bloom_pos(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("bucket").cast("string"),
+                        F.col("topic").cast("string"),
+                    )
+                ),
+                0,
+                19,
+            )
+            - F.lit(9),
+        )
+    )
+    return (
+        tfv.join(F.broadcast(proj), "bucket")
+        .groupBy("doc_id", "topic")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
