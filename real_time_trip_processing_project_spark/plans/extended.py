@@ -2579,3 +2579,109 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * sum_qty) div count_order"),
         )
     )
+
+
+@register(
+    "funnel_3step_ordered",
+    oracle="""
+        WITH v AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+            FROM events GROUP BY user_id
+        ),
+        c AS (
+            SELECT v.user_id, v.t_view,
+                   min(CASE WHEN e.event_type = 'click'
+                             AND e.ts >= v.t_view THEN e.ts END) AS t_click
+            FROM v JOIN events e ON e.user_id = v.user_id
+            WHERE v.t_view IS NOT NULL
+            GROUP BY v.user_id, v.t_view
+        ),
+        p AS (
+            SELECT c.user_id, c.t_view, c.t_click,
+                   min(CASE WHEN e.event_type = 'purchase'
+                             AND e.ts >= c.t_click THEN e.ts END) AS t_buy
+            FROM c JOIN events e ON e.user_id = c.user_id
+            WHERE c.t_click IS NOT NULL
+            GROUP BY c.user_id, c.t_view, c.t_click
+        )
+        SELECT count(*) AS n_viewers,
+               CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clicked_after_view,
+               CAST(coalesce(sum(CASE WHEN t_buy IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_purchased_after_click,
+               CAST(coalesce(sum(CASE WHEN t_buy IS NOT NULL THEN
+                        (epoch_us(t_buy) - epoch_us(t_view)) // 1000000
+                    END), 0) AS BIGINT) AS total_funnel_sec
+        FROM (SELECT v.user_id, v.t_view, p.t_click, p.t_buy
+              FROM v LEFT JOIN p ON p.user_id = v.user_id
+              WHERE v.t_view IS NOT NULL)
+    """,
+    tags=["EXT", "A6"],
+)
+def funnel_3step_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ORDERED sequential pattern (view → click → purchase,
+    each step at-or-after the previous step's first occurrence) — the
+    MATCH_RECOGNIZE-class query, expressed as chained conditional-min
+    windows so no engine-specific pattern operator is needed.
+
+    Plan shape: all three step resolutions partition by ``user_id``, so
+    Catalyst reuses ONE exchange across the window and both grouped
+    conditional mins; the final rollup is a single global aggregate.
+    The naive phrasing is a triple self-join with two inequality
+    predicates — a per-user cubic blow-up this plan never builds.
+    Durations aggregate as integer seconds (no ratio doubles)."""
+    events = load_fixture(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w_user)
+    step1 = events.withColumn("t_view", t_view).filter(
+        F.col("t_view").isNotNull()
+    )
+    step2 = step1.groupBy("user_id", "t_view").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view")),
+                F.col("ts"),
+            )
+        ).alias("t_click")
+    )
+    # third step: re-attach events of clicking users only (semi-scoped
+    # by the join), resolve first qualifying purchase
+    step3 = (
+        step2.filter(F.col("t_click").isNotNull())
+        .join(events.select("user_id", "event_type", "ts"), "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_buy")
+        )
+    )
+    per_user = step2.select("user_id", "t_view").join(
+        step3.select("user_id", "t_click", "t_buy"), "user_id", "left"
+    )
+    dur = (
+        (F.unix_micros("t_buy") - F.unix_micros("t_view"))
+        / F.lit(1_000_000)
+    ).cast("long")
+    return per_user.agg(
+        F.count("*").alias("n_viewers"),
+        F.sum(
+            F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+        ).alias("n_clicked_after_view"),
+        F.coalesce(
+            F.sum(F.when(F.col("t_buy").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_purchased_after_click"),
+        F.coalesce(
+            F.sum(F.when(F.col("t_buy").isNotNull(), dur)), F.lit(0)
+        ).alias("total_funnel_sec"),
+    )
