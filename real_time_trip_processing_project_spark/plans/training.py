@@ -625,9 +625,11 @@ def sparse_matmul_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     proj = (
-        spark.range(1024)
-        .select(F.col("id").alias("bucket"))
-        .crossJoin(spark.range(8).select(F.col("id").alias("topic")))
+        spark.range(1024 * 8)  # one range, decomposed — no cross join
+        .select(
+            (F.col("id") / 8).cast("long").alias("bucket"),
+            (F.col("id") % 8).alias("topic"),
+        )
         .withColumn(
             "w",
             CU._bloom_pos(
