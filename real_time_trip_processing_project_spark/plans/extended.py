@@ -2685,3 +2685,66 @@ def funnel_3step_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("t_buy").isNotNull(), dur)), F.lit(0)
         ).alias("total_funnel_sec"),
     )
+
+
+@register(
+    "fuzzy_join_levenshtein",
+    oracle="""
+        WITH blocked AS (
+            SELECT c_custkey, c_name,
+                   length(c_name) AS ln,
+                   substr(c_name, 1, 16) AS blk
+            FROM customer
+        )
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.ln = b.ln
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=["EXT", "J1", "dedup"],
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity self-join: customer-name pairs within edit
+    distance 1, the entity-resolution primitive (typo'd duplicates,
+    OCR noise) that exact dedup cannot see.
+
+    Plan shape — the classic blocking discipline: candidates come from
+    an EQUI-join on (16-char prefix, length) blocks, so the O(n²)
+    all-pairs space never materializes and the expensive edit-distance
+    verify runs only inside blocks (same shape as the PPJoin prefix
+    filter and the LSH band buckets; an edit-1 pair in these
+    fixed-prefix names always shares the block — for general corpora
+    the block key generalizes to q-gram or length-band keys, trading a
+    wider candidate set for guaranteed recall).  Both engines compute
+    the same dynamic-programming Levenshtein, so the verified distance
+    hashes identically."""
+    customer = load_fixture(spark, sf_dir, "customer")
+    blocked = customer.select(
+        "c_custkey",
+        "c_name",
+        F.length("c_name").alias("ln"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.ln") == F.col("b.ln"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("dist") <= 1)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            "dist",
+        )
+    )
