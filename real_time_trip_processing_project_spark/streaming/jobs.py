@@ -615,3 +615,116 @@ def daily_kpi_job(
     if compact_to is not None:
         sinks.compact_trips(spark, store_dir, compact_to, date=target_date)
     return path
+
+
+def rolling_zscore_stream(
+    events: DataFrame,
+    window_us: int = 86_400_000_000,
+    min_frame: int = 5,
+) -> DataFrame:
+    """Streaming twin of the ``events_rolling_zscore_outliers`` batch
+    query: per-user trailing-window second-moment anomaly flags over a
+    stream of (event_id, ts, user_id, value) — a DIFFERENT stateful
+    shape from the trip correlator (sliding event-time BUFFER state
+    with front eviction, not a key→record map).
+
+    State per user: the (epoch-us, milli-tick) arrays still inside the
+    trailing window of the newest seen event.  Each micro-batch merges
+    its arrivals into the buffer (sort restores event-time order, so
+    in-window late data is handled exactly), computes every arrival's
+    frame via PREFIX SUMS + binary search — O(n log n) per batch, no
+    per-event rescans — and evicts entries older than the new horizon.
+    The emitted integer z-decomposition matches the batch query's
+    algebra term for term, so a time-ordered replay must reproduce the
+    batch rows EXACTLY (asserted in tests — the golden-parity
+    discipline).  Arrivals later than ``window_us`` behind the frontier
+    get best-effort frames (their older context was evicted) — the
+    bounded-state trade every streaming window makes."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "event_id long, user_id long, n_frame long, "
+        "z_num long, z_den_var long, is_outlier boolean"
+    )
+    state_schema = "us array<long>, vt array<long>, eid array<long>"
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:  # pragma: no cover - no TTL configured
+            state.remove()
+            return
+        (bus, bvt, beid) = (
+            state.get if state.exists else ([], [], [])
+        )
+        bus, bvt, beid = list(bus), list(bvt), list(beid)
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update((bus, bvt, beid))
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        pdf = pdf[pdf["value"].notna()]
+        if not len(pdf):
+            state.update((bus, bvt, beid))
+            return
+        new_us = (
+            pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        new_vt = np.floor(
+            pdf["value"].to_numpy(dtype=np.float64) * 1000 + 0.5
+        ).astype(np.int64)
+        new_eid = pdf["event_id"].to_numpy(dtype=np.int64)
+        us = np.concatenate([np.asarray(bus, dtype=np.int64), new_us])
+        vt = np.concatenate([np.asarray(bvt, dtype=np.int64), new_vt])
+        eid = np.concatenate([np.asarray(beid, dtype=np.int64), new_eid])
+        order = np.lexsort((eid, us))
+        us, vt, eid = us[order], vt[order], eid[order]
+        cs = np.concatenate([[0], np.cumsum(vt)])
+        cs2 = np.concatenate([[0], np.cumsum(vt * vt)])
+        # emit only this batch's arrivals
+        newset = set(map(int, new_eid))
+        emit_mask = np.fromiter(
+            (int(e) in newset for e in eid), dtype=bool, count=len(eid)
+        )
+        lo = np.searchsorted(us, us - window_us, side="left")
+        hi = np.searchsorted(us, us, side="right")
+        n = hi - lo
+        S = cs[hi] - cs[lo]
+        S2 = cs2[hi] - cs2[lo]
+        z_num = (vt * n - S) ** 2
+        z_den = n * S2 - S * S
+        keep = emit_mask & (n >= min_frame)
+        out = pd.DataFrame(
+            {
+                "event_id": eid[keep],
+                "user_id": int(key[0]),
+                "n_frame": n[keep],
+                "z_num": z_num[keep],
+                "z_den_var": z_den[keep],
+                "is_outlier": z_num[keep] > 9 * z_den[keep],
+            }
+        )
+        horizon = int(us.max()) - window_us
+        live = us >= horizon
+        state.update(
+            (
+                [int(x) for x in us[live]],
+                [int(x) for x in vt[live]],
+                [int(x) for x in eid[live]],
+            )
+        )
+        if len(out):
+            yield out
+
+    return (
+        events.select("event_id", "ts", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

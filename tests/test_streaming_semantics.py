@@ -395,3 +395,55 @@ def test_correlate_batch_matches_stream_completed_set(spark, tmp_path):
         for r in out.filter(F.col("status") == "Completed").collect()
     }
     assert got == want and len(got) == n
+
+
+def test_rolling_zscore_stream_matches_batch(spark, tmp_path):
+    """A time-ordered replay of the events fixture through the
+    streaming rolling-z-score operator must reproduce the BATCH
+    query's rows exactly — same integer z-decomposition, same flags —
+    because frames only ever look backward."""
+    import os
+
+    from real_time_trip_processing_project_spark.plans import REGISTRY
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+    from real_time_trip_processing_project_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    events = load_fixture(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    rows = events.orderBy("ts", "event_id").collect()
+    third = max(len(rows) // 3, 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/batch-{i}")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch-*")
+    )
+    out = jobs.rolling_zscore_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zstream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.user_id, r.n_frame, r.z_num, r.z_den_var, r.is_outlier)
+        for r in spark.table("zstream").collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.n_frame, r.z_num, r.z_den_var, r.is_outlier)
+        for r in REGISTRY["events_rolling_zscore_outliers"].fn(spark, sf).collect()
+    }
+    assert got == want and want
