@@ -96,6 +96,14 @@ SECONDARY = [
     "graph_triangles_dedup",
     "curation_corpus_pipeline",
     "sim_ann_ivfpq",
+    "tpch_q1_pricing_summary",
+    "events_rolling_zscore_outliers",
+    "doc_chunk_dedup",
+    "text_hashing_vectors",
+    "sparse_matmul_projection",
+    "graph_bfs_depths",
+    "funnel_3step_ordered",
+    "fuzzy_join_levenshtein",
     # embedding_kmeans / embedding_kmeans_assign are oracle-gated per
     # round but, like tokenizer_apply_bpe_counts, kept out of the
     # timing list: the 3-iteration driver loop is ~90% fixed per-job
