@@ -2748,3 +2748,68 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
         )
     )
+
+
+@register(
+    "events_trend_slopes",
+    oracle="""
+        WITH t AS (
+            SELECT event_type,
+                   (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+                   CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        m AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM t GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+        FROM m
+    """,
+    tags=["EXT", "A6"],
+)
+def events_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares trend: per event type, the OLS slope of
+    value (milli-ticks) against time (integer hours since the fixture
+    epoch) — drift detection over telemetry streams.
+
+    The slope is emitted as its exact integer numerator/denominator
+    (n·Σxy − ΣxΣy, n·Σx² − (Σx)²) — the z-score discipline applied to
+    first-order regression; one grouped aggregate with map-side
+    partials, magnitudes ≤ ~2e17 at fixture ranges (« 2^63; at corpus
+    scales beyond ~1e9 rows per group the moments move to
+    DECIMAL(38,0), the ``corpus_zipf_fit`` pattern)."""
+    events = load_fixture(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    t = events.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - 1704067200000000) div 3600000000"
+        ).alias("x"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    m = t.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "slope_num"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "slope_den"
+        ),
+    )
