@@ -2813,3 +2813,115 @@ def events_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_den"
         ),
     )
+
+
+@register(
+    "session_overlap_pairs",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_us
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, us,
+                   sum(CASE WHEN prev_us IS NULL
+                             OR us - prev_us > 1800000000
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id)
+                       AS session_seq
+            FROM seq
+        ),
+        sessions AS (
+            SELECT user_id, session_seq,
+                   min(us) AS s_us, max(us) AS e_us
+            FROM numbered GROUP BY user_id, session_seq
+        )
+        SELECT a.user_id AS user_a, a.session_seq AS seq_a,
+               b.user_id AS user_b, b.session_seq AS seq_b,
+               CAST((least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us))
+                    // 1000000 AS BIGINT) AS overlap_sec
+        FROM sessions a JOIN sessions b
+          ON a.user_id < b.user_id
+         AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    """,
+    tags=["EXT", "J1", "T6"],
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join — both sides are time intervals (the
+    existing range join probes points into windows): cross-user pairs
+    of concurrently-active sessions, the co-presence primitive behind
+    collusion/abuse detection.
+
+    Plan shape: sessions (from the gaps-and-islands construction)
+    explode to their covered HOUR buckets via distributed
+    ``sequence()``; candidates come from an EQUI-join on the bucket,
+    overlap verifies as a residual predicate, and pair dedup collapses
+    multi-bucket hits — O(Σ duration-hours) index size, never the
+    quadratic interval cross product (DuckDB plans the raw inequality
+    as an IEJoin, its own specialized interval algorithm — two engines,
+    two strategies, one verified answer).  Overlap is an integer-second
+    floor (microsecond subtraction first, the funnel discipline)."""
+    events = load_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    numbered = events.withColumn(
+        "session_seq",
+        F.sum(
+            F.when(
+                F.lag(us).over(w).isNull()
+                | (us - F.lag(us).over(w) > 1_800_000_000),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(w),
+    ).withColumn("us", us)
+    sessions = numbered.groupBy("user_id", "session_seq").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    hour = 3_600_000_000
+    binned = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / hour).cast("long"),
+                (F.col("e_us") / hour).cast("long"),
+            )
+        ),
+    )
+    a = binned.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_seq").alias("seq_a"),
+        F.col("s_us").alias("sa"),
+        F.col("e_us").alias("ea"),
+        "bucket",
+    )
+    b = binned.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_seq").alias("seq_b"),
+        F.col("s_us").alias("sb"),
+        F.col("e_us").alias("eb"),
+        "bucket",
+    )
+    return (
+        a.join(
+            b,
+            (a.bucket == b.bucket)
+            & (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea")),
+        )
+        .dropDuplicates(["user_a", "seq_a", "user_b", "seq_b"])
+        .select(
+            "user_a",
+            "seq_a",
+            "user_b",
+            "seq_b",
+            (
+                (F.least("ea", "eb") - F.greatest("sa", "sb"))
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("overlap_sec"),
+        )
+    )
