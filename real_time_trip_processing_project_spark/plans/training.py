@@ -653,6 +653,76 @@ def sparse_matmul_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+        WITH t AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS i,
+                   CAST(floor(unnest(list_transform(embedding,
+                        v -> CAST(v AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+                       AS tick
+            FROM embeddings
+        ),
+        proj AS (
+            SELECT CAST(ij // 8 AS INTEGER) AS i,
+                   CAST(ij % 8 AS INTEGER) AS j,
+                   CASE WHEN ({CU.bloom_pos_sql(
+                       "md5(CAST(ij AS VARCHAR))", 0, 2)}) = 0
+                        THEN 1 ELSE -1 END AS sign
+            FROM (SELECT unnest(range(0, 512)) AS ij)
+        )
+        SELECT t.vec_id, p.j AS component,
+               CAST(sum(t.tick * p.sign) AS BIGINT) AS y_tick
+        FROM t JOIN proj p USING (i)
+        GROUP BY t.vec_id, p.j
+    """,
+    tags=["EXT", "similarity"],
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project every
+    embedding from 64 to 8 components through a deterministic +/-1
+    sign matrix (Achlioptas construction, signs from md5 nibble
+    parity, generated IN the plan on both engines) -- the reduction
+    that preserves pairwise distances within (1 +/- eps) whp and, run
+    over integer micro-ticks, stays EXACTLY hash-verifiable: every
+    output is an integer +/- sum of ticks, no float accumulation
+    anywhere.  Plan shape: posexplode -> broadcast join with the
+    512-row sign matrix -> partial-aggregated (vec, component) sums --
+    the dense narrow matmul as join+agg, the corpus never shuffles
+    before the contraction."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select(
+        "vec_id",
+        F.col("i").cast("int").alias("i"),
+        F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("tick"),
+    )
+    proj = (
+        spark.range(512)
+        .select(
+            (F.col("id") / 8).cast("int").alias("i"),
+            (F.col("id") % 8).cast("int").alias("j"),
+            F.when(
+                CU._bloom_pos(F.md5(F.col("id").cast("string")), 0, 2)
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+    )
+    return (
+        t.join(F.broadcast(proj), "i")
+        .groupBy("vec_id", F.col("j").alias("component"))
+        .agg(F.sum(F.col("tick") * F.col("sign")).alias("y_tick"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
