@@ -548,7 +548,11 @@ def text_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly.  Plan shape: explode → ONE hash aggregate with map-side
     partials; output is bounded by docs × 1024 regardless of
     vocabulary growth."""
-    docs = load_fixture(spark, sf_dir, "documents")
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    docs = spread_small_input(load_fixture(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -609,7 +613,12 @@ def sparse_matmul_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     8192 rows → broadcast join onto the sparse TF stream, partial
     aggregation on (doc, topic); the big side never shuffles before
     the contraction."""
-    docs = load_fixture(spark, sf_dir, "documents")
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    # per-token md5 is the CPU; spread the one-file local fixture
+    docs = spread_small_input(load_fixture(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(
