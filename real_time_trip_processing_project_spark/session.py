@@ -21,6 +21,15 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: Heap for the single local-mode JVM (driver + all executor threads).
+#: Spark's default is 1g — discovered the hard way when a 16× corpus
+#: scaling run OOM'd building a broadcast relation: in local mode every
+#: operator's working memory comes out of this one heap, so leaving the
+#: default means 32 executor threads share 1 GiB.  Sized well below the
+#: box (override via SPARK_GRAFT_DRIVER_MEM); only effective for the
+#: process that CREATES the JVM, which is every fresh bench/test run.
+DEFAULT_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 
 def get_spark(
     app_name: str = "trip-engine",
@@ -35,6 +44,7 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEM)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
