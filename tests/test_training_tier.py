@@ -1510,3 +1510,22 @@ def test_bfs_depth_cap_excludes_far_nodes(spark):
     )
     got = {r.id: r.depth for r in GR.bfs_depths(pairs, max_depth=3).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_kmeans_arrow_assignment_matches_expression_twin(spark):
+    """The Arrow argmin kernel must agree row-for-row with the
+    interpreted expression form (which is what the DuckDB oracle
+    executes) — including on duplicate-seed ties."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_fixture(spark, SF, "embeddings")
+    ticks = SIM._kmeans_ticks(emb, "embedding", "vec_id")
+    cents = [list(r["tv"]) for r in ticks.orderBy("vec_id").limit(8).collect()]
+    cents[1] = list(cents[0])  # duplicate seed → exercised tie-break
+    a = {r["vec_id"]: r["cl"]
+         for r in SIM._kmeans_assign(ticks, cents).collect()}
+    b = {r["vec_id"]: r["cl"]
+         for r in SIM._kmeans_assign_expr(ticks, cents).collect()}
+    assert a == b and a
