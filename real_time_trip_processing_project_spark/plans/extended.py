@@ -2944,3 +2944,46 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_sec"),
         )
     )
+
+
+@register(
+    "math_functions",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(floor(sqrt(o_totalprice) * 1e4 + 0.5) AS BIGINT)
+                   AS sqrt_t,
+               CAST(floor(ln(o_totalprice) * 1e4 + 0.5) AS BIGINT)
+                   AS ln_t,
+               CAST(ceil(o_totalprice) AS BIGINT) AS ceil_p,
+               CAST(floor(o_totalprice) AS BIGINT) AS floor_p,
+               CAST(abs(o_totalprice - 100000) AS DOUBLE) AS abs_dev,
+               CAST(sign(o_totalprice - 100000) AS BIGINT) AS sign_dev,
+               CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+               CAST(greatest(o_totalprice, 100000.0) AS DOUBLE) AS hi,
+               CAST(least(o_totalprice, 100000.0) AS DOUBLE) AS lo
+        FROM orders
+    """,
+    tags=["EXT", "P4"],
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function surface (the last §2.6 absence category): sqrt /
+    ln / ceil / floor / abs / sign / mod / greatest / least over order
+    totals.  ``sqrt`` is IEEE-correctly-rounded so its ticks are exact
+    by construction; ``ln`` is the one libm-dependent op — 1e4 ticks
+    give it four orders of magnitude of boundary margin (the zipf
+    oracle's ln ticks at 1e6 already hash-match; this is safer still).
+    Everything else is exact arithmetic passed through unchanged."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.floor(F.sqrt(p) * 1e4 + F.lit(0.5)).cast("long").alias("sqrt_t"),
+        F.floor(F.log(p) * 1e4 + F.lit(0.5)).cast("long").alias("ln_t"),
+        F.ceil(p).cast("long").alias("ceil_p"),
+        F.floor(p).cast("long").alias("floor_p"),
+        F.abs(p - 100000).cast("double").alias("abs_dev"),
+        F.signum(p - 100000).cast("long").alias("sign_dev"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+        F.greatest(p, F.lit(100000.0)).cast("double").alias("hi"),
+        F.least(p, F.lit(100000.0)).cast("double").alias("lo"),
+    )
