@@ -1410,6 +1410,73 @@ IVFPQ_PROBES = 40
 IVFPQ_REFINE = 16
 
 
+def _ivfpq_scorer(qids, luts, probesets, kr: int, m: int):
+    """mapInPandas ADC scorer shared by the inline scan and the index
+    probe: gather per-(query, cell) LUT entries by code, emit each
+    batch's per-query shortlist."""
+    marange = np.arange(m)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cell = pdf["cell"].to_numpy()
+            Cc = np.stack(pdf["codes"].to_numpy())
+            nid = pdf["neighbor_id"].to_numpy()
+            outs = []
+            for qi in range(len(qids)):
+                mask = np.isin(cell, list(probesets[qi]))
+                if not mask.any():
+                    continue
+                cc = cell[mask]
+                cd = Cc[mask]
+                adc = luts[qi][cc[:, None], marange[None, :], cd].sum(1)
+                take = min(kr, len(adc))
+                sel = np.argpartition(adc, take - 1)[:take]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": nid[mask][sel],
+                            "adc": adc[sel],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return score
+
+
+def _ivfpq_encoder(C64, books, dsub: int, id_col: str, vec_col: str):
+    """mapInPandas body shared by the inline scan and the index build:
+    assign the coarse cell, PQ-encode the residual."""
+    m = books.shape[0]
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            d2 = ((X[:, None, :] - C64[None, :, :]) ** 2).sum(-1)
+            cell = d2.argmin(1)
+            R = X - C64[cell]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Rs = R[:, s * dsub : (s + 1) * dsub]
+                dd = ((Rs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = dd.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    return encode
+
+
 def ivfpq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -1449,30 +1516,9 @@ def ivfpq_topk(
     dsub = dim // m
 
     C64 = cents.astype(np.float64)
-
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            d2 = ((X[:, None, :] - C64[None, :, :]) ** 2).sum(-1)
-            cell = d2.argmin(1)
-            R = X - C64[cell]
-            codes = np.empty((len(X), m), dtype=np.int32)
-            for s in range(m):
-                Rs = R[:, s * dsub : (s + 1) * dsub]
-                dd = ((Rs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = dd.argmin(1)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(),
-                    "cell": cell.astype("int32"),
-                    "codes": list(codes),
-                }
-            )
-
     enc = emb.mapInPandas(
-        encode, "neighbor_id long, cell int, codes array<int>"
+        _ivfpq_encoder(C64, books, dsub, id_col, vec_col),
+        "neighbor_id long, cell int, codes array<int>",
     )
 
     qrows = queries.select(
@@ -1494,36 +1540,7 @@ def ivfpq_topk(
             luts[qi, c] = ((r - books) ** 2).sum(-1)
     probesets = [set(map(int, probe[qi])) for qi in range(len(Q))]
     kr = k * refine
-    marange = np.arange(m)
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cell = pdf["cell"].to_numpy()
-            Cc = np.stack(pdf["codes"].to_numpy())
-            nid = pdf["neighbor_id"].to_numpy()
-            outs = []
-            for qi in range(len(qids)):
-                mask = np.isin(cell, list(probesets[qi]))
-                if not mask.any():
-                    continue
-                cc = cell[mask]
-                cd = Cc[mask]
-                adc = luts[qi][cc[:, None], marange[None, :], cd].sum(1)
-                take = min(kr, len(adc))
-                sel = np.argpartition(adc, take - 1)[:take]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qids[qi],
-                            "neighbor_id": nid[mask][sel],
-                            "adc": adc[sel],
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+    score = _ivfpq_scorer(qids, luts, probesets, kr, m)
 
     cand = enc.mapInPandas(
         score, "query_id long, neighbor_id long, adc double"
@@ -1634,30 +1651,9 @@ def build_ivfpq_index(
     )
     C64 = cents.astype(np.float64)
     dsub = dim // m
-
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            d2 = ((X[:, None, :] - C64[None, :, :]) ** 2).sum(-1)
-            cell = d2.argmin(1)
-            R = X - C64[cell]
-            codes = np.empty((len(X), m), dtype=np.int32)
-            for s in range(m):
-                Rs = R[:, s * dsub : (s + 1) * dsub]
-                dd = ((Rs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = dd.argmin(1)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(),
-                    "cell": cell.astype("int32"),
-                    "codes": list(codes),
-                }
-            )
-
     emb.mapInPandas(
-        encode, "neighbor_id long, cell int, codes array<int>"
+        _ivfpq_encoder(C64, books, dsub, id_col, vec_col),
+        "neighbor_id long, cell int, codes array<int>",
     ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(C64)],
@@ -1724,36 +1720,7 @@ def ivfpq_topk_indexed(
     probesets = [set(map(int, probe[qi])) for qi in range(len(Q))]
     probed_union = sorted({int(c) for qi in range(len(Q)) for c in probe[qi]})
     kr = k * refine
-    marange = np.arange(m)
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cell = pdf["cell"].to_numpy()
-            Cc = np.stack(pdf["codes"].to_numpy())
-            nid = pdf["neighbor_id"].to_numpy()
-            outs = []
-            for qi in range(len(qids)):
-                mask = np.isin(cell, list(probesets[qi]))
-                if not mask.any():
-                    continue
-                cc = cell[mask]
-                cd = Cc[mask]
-                adc = luts[qi][cc[:, None], marange[None, :], cd].sum(1)
-                take = min(kr, len(adc))
-                sel = np.argpartition(adc, take - 1)[:take]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qids[qi],
-                            "neighbor_id": nid[mask][sel],
-                            "adc": adc[sel],
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+    score = _ivfpq_scorer(qids, luts, probesets, kr, m)
 
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell").isin(probed_union)  # partition-pruned scan
