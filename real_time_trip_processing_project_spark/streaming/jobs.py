@@ -617,6 +617,70 @@ def daily_kpi_job(
     return path
 
 
+def _zscore_merge_batch(state, pdf, user_id, window_us, min_frame):
+    """Shared kernel of both rolling-z-score hosts (v1
+    applyInPandasWithState and v2 transformWithStateInPandas): merge a
+    micro-batch of one user's arrivals into the (us, vt, eid) buffer,
+    compute every arrival's trailing-window frame via prefix sums +
+    binary search, return (output frame or None, evicted new state)."""
+    import numpy as np
+    import pandas as pd
+
+    bus, bvt, beid = state
+    pdf = pdf[pdf["value"].notna()]
+    if not len(pdf):
+        return None, (list(bus), list(bvt), list(beid))
+    new_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    new_vt = np.floor(
+        pdf["value"].to_numpy(dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    new_eid = pdf["event_id"].to_numpy(dtype=np.int64)
+    us = np.concatenate([np.asarray(list(bus), dtype=np.int64), new_us])
+    vt = np.concatenate([np.asarray(list(bvt), dtype=np.int64), new_vt])
+    eid = np.concatenate([np.asarray(list(beid), dtype=np.int64), new_eid])
+    order = np.lexsort((eid, us))
+    us, vt, eid = us[order], vt[order], eid[order]
+    cs = np.concatenate([[0], np.cumsum(vt)])
+    cs2 = np.concatenate([[0], np.cumsum(vt * vt)])
+    newset = set(map(int, new_eid))
+    emit_mask = np.fromiter(
+        (int(e) in newset for e in eid), dtype=bool, count=len(eid)
+    )
+    lo = np.searchsorted(us, us - window_us, side="left")
+    hi = np.searchsorted(us, us, side="right")
+    n = hi - lo
+    S = cs[hi] - cs[lo]
+    S2 = cs2[hi] - cs2[lo]
+    z_num = (vt * n - S) ** 2
+    z_den = n * S2 - S * S
+    keep = emit_mask & (n >= min_frame)
+    out = pd.DataFrame(
+        {
+            "event_id": eid[keep],
+            "user_id": user_id,
+            "n_frame": n[keep],
+            "z_num": z_num[keep],
+            "z_den_var": z_den[keep],
+            "is_outlier": z_num[keep] > 9 * z_den[keep],
+        }
+    )
+    horizon = int(us.max()) - window_us
+    live = us >= horizon
+    new_state = (
+        [int(x) for x in us[live]],
+        [int(x) for x in vt[live]],
+        [int(x) for x in eid[live]],
+    )
+    return (out if len(out) else None), new_state
+
+
+ZSCORE_OUT_SCHEMA = (
+    "event_id long, user_id long, n_frame long, "
+    "z_num long, z_den_var long, is_outlier boolean"
+)
+ZSCORE_STATE_SCHEMA = "us array<long>, vt array<long>, eid array<long>"
+
+
 def rolling_zscore_stream(
     events: DataFrame,
     window_us: int = 86_400_000_000,
@@ -640,81 +704,27 @@ def rolling_zscore_stream(
     discipline).  Arrivals later than ``window_us`` behind the frontier
     get best-effort frames (their older context was evicted) — the
     bounded-state trade every streaming window makes."""
-    import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
-
-    out_schema = (
-        "event_id long, user_id long, n_frame long, "
-        "z_num long, z_den_var long, is_outlier boolean"
-    )
-    state_schema = "us array<long>, vt array<long>, eid array<long>"
 
     def fn(key, pdfs, state):
         if state.hasTimedOut:  # pragma: no cover - no TTL configured
             state.remove()
             return
-        (bus, bvt, beid) = (
-            state.get if state.exists else ([], [], [])
-        )
-        bus, bvt, beid = list(bus), list(bvt), list(beid)
+        st = state.get if state.exists else ([], [], [])
         parts = [p for p in pdfs if len(p)]
         if not parts:
-            state.update((bus, bvt, beid))
+            state.update((list(st[0]), list(st[1]), list(st[2])))
             return
-        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        pdf = pdf[pdf["value"].notna()]
-        if not len(pdf):
-            state.update((bus, bvt, beid))
-            return
-        new_us = (
-            pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        pdf = (
+            pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
         )
-        new_vt = np.floor(
-            pdf["value"].to_numpy(dtype=np.float64) * 1000 + 0.5
-        ).astype(np.int64)
-        new_eid = pdf["event_id"].to_numpy(dtype=np.int64)
-        us = np.concatenate([np.asarray(bus, dtype=np.int64), new_us])
-        vt = np.concatenate([np.asarray(bvt, dtype=np.int64), new_vt])
-        eid = np.concatenate([np.asarray(beid, dtype=np.int64), new_eid])
-        order = np.lexsort((eid, us))
-        us, vt, eid = us[order], vt[order], eid[order]
-        cs = np.concatenate([[0], np.cumsum(vt)])
-        cs2 = np.concatenate([[0], np.cumsum(vt * vt)])
-        # emit only this batch's arrivals
-        newset = set(map(int, new_eid))
-        emit_mask = np.fromiter(
-            (int(e) in newset for e in eid), dtype=bool, count=len(eid)
+        out, new_state = _zscore_merge_batch(
+            st, pdf, int(key[0]), window_us, min_frame
         )
-        lo = np.searchsorted(us, us - window_us, side="left")
-        hi = np.searchsorted(us, us, side="right")
-        n = hi - lo
-        S = cs[hi] - cs[lo]
-        S2 = cs2[hi] - cs2[lo]
-        z_num = (vt * n - S) ** 2
-        z_den = n * S2 - S * S
-        keep = emit_mask & (n >= min_frame)
-        out = pd.DataFrame(
-            {
-                "event_id": eid[keep],
-                "user_id": int(key[0]),
-                "n_frame": n[keep],
-                "z_num": z_num[keep],
-                "z_den_var": z_den[keep],
-                "is_outlier": z_num[keep] > 9 * z_den[keep],
-            }
-        )
-        horizon = int(us.max()) - window_us
-        live = us >= horizon
-        state.update(
-            (
-                [int(x) for x in us[live]],
-                [int(x) for x in vt[live]],
-                [int(x) for x in eid[live]],
-            )
-        )
-        if len(out):
+        state.update(new_state)
+        if out is not None:
             yield out
 
     return (
@@ -722,9 +732,79 @@ def rolling_zscore_stream(
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
+            outputStructType=ZSCORE_OUT_SCHEMA,
+            stateStructType=ZSCORE_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def rolling_zscore_stream_v2(
+    events: DataFrame,
+    window_us: int = 86_400_000_000,
+    min_frame: int = 5,
+) -> DataFrame:
+    """The v2 (``transformWithStateInPandas``) host of the SAME rolling
+    z-score kernel — typed value state instead of the opaque tuple, the
+    API the correlator's v2 twin established.  Semantics are pinned by
+    the shared :func:`_zscore_merge_batch` kernel plus a replay parity
+    test against the batch query."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("us", ArrayType(LongType())),
+            StructField("vt", ArrayType(LongType())),
+            StructField("eid", ArrayType(LongType())),
+        ]
+    )
+
+    class _ZProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("buf", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            st = self._state.get() if self._state.exists() else ([], [], [])
+            parts = [p for p in rows if len(p)]
+            if not parts:
+                self._state.update(
+                    (list(st[0]), list(st[1]), list(st[2]))
+                )
+                return
+            pdf = (
+                pd.concat(parts, ignore_index=True)
+                if len(parts) > 1
+                else parts[0]
+            )
+            out, new_state = _zscore_merge_batch(
+                st, pdf, int(key[0]), window_us, min_frame
+            )
+            self._state.update(new_state)
+            if out is not None:
+                yield out
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("event_id", "ts", "user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _ZProcessor(),
+            outputStructType=ZSCORE_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
         )
     )

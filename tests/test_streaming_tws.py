@@ -224,3 +224,61 @@ def test_v2_state_persists_across_drains(spark, tmp_path):
     # merged row carries both start fields and end fields
     row = comp[0]
     assert row[0] == "x" and row[11] == 11.0  # fare_amount
+
+
+@needs_protobuf
+def test_rolling_zscore_v2_matches_batch(spark, tmp_path):
+    """The v2 host of the rolling z-score kernel must reproduce the
+    batch query's rows on a time-ordered replay, exactly like the v1
+    host (same shared kernel; this pins the v2 plumbing)."""
+    from real_time_trip_processing_project_spark.plans import REGISTRY
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = load_fixture(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    rows = events.orderBy("ts", "event_id").collect()
+    half = max(len(rows) // 2, 1)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/b*")
+        )
+        out = jobs.rolling_zscore_stream_v2(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("zstream_v2")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = {
+        (r.event_id, r.user_id, r.n_frame, r.z_num, r.z_den_var, r.is_outlier)
+        for r in spark.table("zstream_v2").collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.n_frame, r.z_num, r.z_den_var, r.is_outlier)
+        for r in REGISTRY["events_rolling_zscore_outliers"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert got == want and want
