@@ -2987,3 +2987,38 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(p, F.lit(100000.0)).cast("double").alias("hi"),
         F.least(p, F.lit(100000.0)).cast("double").alias("lo"),
     )
+
+
+@register(
+    "sql_text_interface",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS total_cents
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+        GROUP BY o_orderpriority
+    """,
+    tags=["EXT", "A6"],
+)
+def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textual SQL entry point: the fixture registered as a temp
+    view and queried with ``spark.sql(...)`` — same Catalyst plan as
+    the DataFrame form (SQL text and DataFrame calls build identical
+    logical plans), so this entry pins that a user can drive the whole
+    engine from SQL strings.  The view name is scoped per scale factor
+    to keep concurrent registrations from colliding."""
+    view = f"orders_sql_{abs(hash(sf_dir)) % 10_000}"
+    load_fixture(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS total_cents
+        FROM {view}
+        WHERE o_orderdate >= DATE '1996-01-01'
+        GROUP BY o_orderpriority
+        """
+    )
