@@ -133,3 +133,55 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
         for r in spark.read.schema(schemas.TRIPS).parquet(out2).collect()
     }
     assert got2 == want
+
+
+def test_dynamic_partition_pruning_on_partitioned_store(spark, tmp_path):
+    """A date-partitioned fact joined to a filtered dimension must plan
+    a DPP subquery (dynamicpruning expression on the scan) and read
+    only the matching partitions at runtime — the star-schema scan
+    eliminator a 100 TB layout depends on beyond static pruning."""
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    events = load_fixture(spark, sf, "events").withColumn(
+        "date", F.to_date("ts")
+    )
+    fact = str(tmp_path / "fact")
+    events.write.partitionBy("date").parquet(fact)
+    dates = (
+        events.select("date").distinct().orderBy("date").limit(2)
+        .withColumn("keep", F.lit(1))
+    )
+    dim = str(tmp_path / "dim")
+    dates.write.parquet(dim)
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+    )
+    # DPP needs the join to be worth pruning; drop the broadcast-only
+    # fallback restriction so the tiny local fixture still triggers it
+    prev_fb = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+    )
+    try:
+        f = spark.read.parquet(fact)
+        d = spark.read.parquet(dim).filter(F.col("keep") == 1)
+        q = f.join(d, "date").groupBy("date").count()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        # and the answer is right: only the two dim dates survive
+        got = {str(r["date"]) for r in q.collect()}
+        want = {str(r["date"]) for r in dates.collect()}
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            prev_fb,
+        )
