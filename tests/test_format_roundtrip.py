@@ -63,3 +63,26 @@ def test_orc_scan_gets_pushdown(spark, tmp_path, orders_slice):
     plan = buf.getvalue()
     assert "PushedFilters" in plan
     assert "EqualTo(o_orderstatus,F)" in plan.replace(" ", "")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A store whose later files carry an extra column must read as the
+    UNION schema under mergeSchema, with nulls for the old files — the
+    additive-evolution contract an append store needs to survive
+    producer upgrades without rewrites."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(3).select(
+        F.col("id"), F.lit("v1").alias("tag")
+    ).write.parquet(path + "/gen=1")
+    spark.range(3, 6).select(
+        F.col("id"),
+        F.lit("v2").alias("tag"),
+        F.lit(1.5).alias("score"),  # new column in generation 2
+    ).write.parquet(path + "/gen=2")
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "tag", "score", "gen"}
+    rows = {r["id"]: (r["tag"], r["score"]) for r in df.collect()}
+    assert rows[0] == ("v1", None) and rows[5] == ("v2", 1.5)
+    assert len(rows) == 6

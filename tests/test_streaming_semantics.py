@@ -447,3 +447,48 @@ def test_rolling_zscore_stream_matches_batch(spark, tmp_path):
         for r in REGISTRY["events_rolling_zscore_outliers"].fn(spark, sf).collect()
     }
     assert got == want and want
+
+
+def test_pipeline_checkpoint_resume_no_reprocess(spark, tmp_path):
+    """Exactly-once bookkeeping across process restarts: drain wave 1,
+    STOP, land wave 2 in the same source dirs, start a NEW pipeline on
+    the SAME checkpoint — the store must contain each trip exactly once
+    per status (wave 1 not reprocessed, wave 2 fully processed)."""
+    import os
+
+    from real_time_trip_processing_project_spark.sources import producer
+    from real_time_trip_processing_project_spark.streaming import jobs
+
+    ref = "/root/reference/data"
+    sdir, edir = str(tmp_path / "s"), str(tmp_path / "e")
+    store, orph, ckpt = (
+        str(tmp_path / "store"),
+        str(tmp_path / "orph"),
+        str(tmp_path / "ckpt"),
+    )
+    starts = producer._rows_from_csv(f"{ref}/trip_start.csv")[:50]
+    ends = producer._rows_from_csv(f"{ref}/trip_end.csv")[:50]
+    producer.write_stream_files(starts[:25], sdir, prefix="w0")
+    producer.write_stream_files(ends[:25], edir, prefix="w0")
+    jobs.run_pipeline_to_completion(
+        spark, sdir, edir, store, orph, ckpt, key_groups=4
+    )
+    n_after_w0 = spark.read.parquet(store).count()
+    producer.write_stream_files(starts[25:], sdir, prefix="w1")
+    producer.write_stream_files(ends[25:], edir, prefix="w1")
+    jobs.run_pipeline_to_completion(
+        spark, sdir, edir, store, orph, ckpt, key_groups=4
+    )
+    rows = spark.read.parquet(store)
+    # every (trip, status) emitted exactly once across both drains
+    dupes = (
+        rows.groupBy("trip_id", "status")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dupes == 0
+    assert rows.count() > n_after_w0  # wave 2 actually processed
+    # all 50 trips present and completed exactly once
+    completed = rows.filter("status = 'Completed'")
+    assert completed.select("trip_id").distinct().count() == completed.count() == 50
