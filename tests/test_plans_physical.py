@@ -343,3 +343,20 @@ def test_hashing_vectors_partially_aggregates(spark):
     docs×1024 partials, never raw tokens."""
     plan = _plan(spark, "text_hashing_vectors")
     assert "partial_count" in plan
+
+
+def test_chunker_prunes_to_two_columns(spark):
+    """doc_chunk_overlap touches only (doc_id, text) — the scan schema
+    must not drag the other document columns through the fan-out."""
+    plan = _plan(spark, "doc_chunk_overlap")
+    seg = plan.split("ReadSchema:", 1)[1][:200]
+    assert "doc_id" in seg and "text" in seg
+    assert "lang" not in seg and "source" not in seg
+
+
+def test_fuzzy_join_prunes_to_key_and_name(spark):
+    """fuzzy_join_levenshtein reads only (c_custkey, c_name)."""
+    plan = _plan(spark, "fuzzy_join_levenshtein")
+    seg = plan.split("ReadSchema:", 1)[1][:200]
+    assert "c_custkey" in seg and "c_name" in seg
+    assert "c_acctbal" not in seg and "c_nationkey" not in seg
