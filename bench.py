@@ -104,6 +104,9 @@ SECONDARY = [
     "graph_bfs_depths",
     "funnel_3step_ordered",
     "fuzzy_join_levenshtein",
+    "session_overlap_pairs",
+    "embedding_random_projection",
+    "events_trend_slopes",
     # embedding_kmeans / embedding_kmeans_assign are oracle-gated per
     # round but, like tokenizer_apply_bpe_counts, kept out of the
     # timing list: the 3-iteration driver loop is ~90% fixed per-job
