@@ -217,13 +217,18 @@ def bloom_contamination(
         DD.word_shingles(F.col(text_col)).alias("shingles"),
     )
 
+    # NOTE: no ``.distinct()`` on the positions — the consumer is a
+    # left-SEMI join, which is duplicate-insensitive, so deduping the
+    # ~k×vocab position stream only bought a smaller broadcast (~10%)
+    # at the price of a full extra shuffle.  (The PERSISTED index build
+    # keeps its distinct: there it shrinks what's written to disk.)
     train_bits = _bloom_positions(
         sh.filter(F.col("split") == "train")
         .select(F.explode("shingles").alias("s"))
         .distinct(),
         bits,
         k_hashes,
-    ).select("pos").distinct()
+    ).select("pos")
     # one shingling pass over the (small) eval split carries BOTH the
     # per-doc total and the postings — the hit flag joins back as a
     # broadcast left join so totals and hit counts come out of a single
