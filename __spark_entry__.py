@@ -45,6 +45,9 @@ _RECHECK_FIRST = [
     # leads the window)
     "text_quality",
     "quality_calibration",
+    # r6 session-2: graduated from rows-only to a FULL banded-LSH
+    # oracle (md5-arithmetic hashing swap) — force the first full check
+    "dedup_minhash_lsh",
 ]
 
 

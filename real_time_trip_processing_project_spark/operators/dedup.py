@@ -265,6 +265,35 @@ def jaccard_pairs(
 #: shipped as literals, no executor RNG state.
 _MH_PRIME = 4_294_967_311  # smallest prime > 2^32
 
+_HEXD = "0123456789abcdef"
+
+
+def _h32(col):
+    """32-bit integer from the first 8 hex nibbles of md5 — the
+    engine-portable shingle hash (same nibble arithmetic family as the
+    Bloom/CMS sketches, so DuckDB reproduces every value exactly;
+    replaces xxhash64, which has no DuckDB twin).  Value < 2^32, so
+    ``a·h`` with a < 2^31 stays under 2^63."""
+    h = F.md5(col)
+    acc = None
+    for i in range(8):
+        nib = (F.instr(F.lit(_HEXD), F.substring(h, i + 1, 1)) - 1).cast(
+            "long"
+        )
+        term = nib * F.lit(16 ** (7 - i))
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def h32_sql(s: str) -> str:
+    """DuckDB twin of :func:`_h32` over an expression ``s``."""
+    terms = " + ".join(
+        f"(strpos('{_HEXD}', substr(md5({s}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
 
 def _mh_params(n: int = MINHASH_PERMS, seed: int = 42) -> list[tuple[int, int]]:
     import random
@@ -282,7 +311,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>[MINHASH_PERMS]) MinHash via universal hashing.
 
-    Each shingle is hashed ONCE (xxhash64 → 32-bit base); the k
+    Each shingle is hashed ONCE (md5-nibble → 32-bit base); the k
     "permutations" are linear transforms ``(aᵢ·h + bᵢ) mod P`` — cheap
     long arithmetic instead of k string hashes, and no per-permutation
     intermediate arrays.  Plan: explode shingles → one hash per
@@ -302,7 +331,7 @@ def _minhash_from_sh(sh: DataFrame) -> DataFrame:
     ).select(
         "id",
         "n_sh",
-        F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h"),
+        _h32(F.col("s")).alias("h"),
     )
     mins = hashed.groupBy("id").agg(
         F.first("n_sh").alias("n_sh"),
@@ -328,7 +357,9 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
-    1. signature → LSH_BANDS band keys (xxhash64 of the band's slice).
+    1. signature → LSH_BANDS band keys (md5 of the band's slice —
+       every hash in the pipeline is now md5-derived, which is what
+       makes the FULL banded pipeline oracle-expressible in DuckDB).
     2. explode band keys → groupBy (band, key) buckets → pairs within a
        bucket (dropDuplicates on the pair — a pair can collide in
        several bands).
@@ -351,7 +382,7 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
+                    F.md5(
                         F.concat_ws(
                             ",",
                             *[

@@ -86,15 +86,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(load_fixture(spark, sf_dir, "documents"), JACCARD_T)
 
 
+def _minhash_oracle() -> str:
+    """FULL banded-MinHash-LSH pipeline as DuckDB SQL — every stage of
+    the approximate path reproduced exactly (the heavy_hitters_cms
+    discipline applied to LSH): md5-nibble 32-bit shingle hashes, the
+    64 universal-hash permutations, per-band md5 bucket keys, the
+    bucket self-join candidate set, and the exact-Jaccard verify.
+    Possible at all because r6 swapped the pipeline's hashing from
+    xxhash64 (no DuckDB twin) to md5 arithmetic."""
+    perms_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(DD._mh_params())
+    )
+    jac = (
+        "round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE"
+        " / (sa.n_sh + sb.n_sh"
+        " - len(list_intersect(sa.shingles, sb.shingles))), 6)"
+    )
+    return f"""
+        WITH sh AS MATERIALIZED (
+            SELECT doc_id AS id, shingles, len(shingles)::BIGINT AS n_sh
+            FROM (SELECT doc_id, {_SHINGLES_SQL} AS shingles
+                  FROM (SELECT doc_id,
+                               string_split_regex(trim(text), '\\s+') AS words
+                        FROM documents))
+        ),
+        hashed AS MATERIALIZED (
+            SELECT id, {DD.h32_sql('s')} AS h
+            FROM (SELECT id, unnest(shingles) AS s FROM sh)
+        ),
+        perms(i, a, b) AS (SELECT * FROM (VALUES {perms_rows}) v(i, a, b)),
+        mins AS MATERIALIZED (
+            SELECT id, p.i AS i, min((h * p.a + p.b) % {DD._MH_PRIME}) AS m
+            FROM hashed, perms p GROUP BY id, p.i
+        ),
+        bands AS MATERIALIZED (
+            SELECT id, CAST(i // {DD.LSH_ROWS} AS INTEGER) AS band,
+                   md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i))
+                       AS bucket
+            FROM mins GROUP BY id, i // {DD.LSH_ROWS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        )
+        SELECT c.id_a, c.id_b, {jac} AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b
+        WHERE {jac} >= {JACCARD_T}
+    """
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # approximate (banded LSH) — rows-only; recall vs exact in tests
+    oracle=_minhash_oracle(),
     tags=["EXT", "dedup"],
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16×4) candidate generation, exact-Jaccard verify.
     At the fixture's ~0.99-Jaccard planted pairs, collision probability is
-    1-(1-0.99⁴)¹⁶ ≈ 1 − 1e-22 — recall asserted in tests."""
+    1-(1-0.99⁴)¹⁶ ≈ 1 − 1e-22 — recall ALSO asserted in tests, but since
+    r6 the whole banded pipeline is hash-verified against a full DuckDB
+    oracle (see ``_minhash_oracle``) — no longer a rows-only entry."""
     return DD.minhash_lsh_pairs(load_fixture(spark, sf_dir, "documents"), JACCARD_T)
 
 
