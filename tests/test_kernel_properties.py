@@ -317,3 +317,28 @@ def test_bfs_reference_matches_python_bfs(pairs, cap):
         ref.update(nxt)
         frontier = nxt
     assert depth == ref
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=24), min_size=1, max_size=12))
+def test_h32_sql_twin_matches_python_reference(strings):
+    """The DuckDB twin of the minhash 32-bit md5-nibble hash must equal
+    a direct Python computation of the same definition for arbitrary
+    strings (the Spark side is pinned separately by the full
+    dedup_minhash_lsh oracle hash)."""
+    import hashlib
+
+    import duckdb
+
+    from real_time_trip_processing_project_spark.operators.dedup import (
+        h32_sql,
+    )
+
+    con = duckdb.connect()
+    for s in strings:
+        digest = hashlib.md5(s.encode("utf-8")).hexdigest()
+        want = int(digest[:8], 16)
+        got = con.execute(
+            f"SELECT {h32_sql('s')} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        assert got == want, (s, got, want)
