@@ -797,3 +797,65 @@ def video_frame_features(
     return media.select("media_id", "payload").mapInPandas(
         run, VIDEO_FRAME_FEATURES
     )
+
+
+def audio_zero_crossings(
+    media: DataFrame,
+    frame: int = AUDIO_FRAME,
+    hop: int = AUDIO_HOP,
+    codec: str = "pcm8",
+) -> DataFrame:
+    """Per-window zero-crossing counts — the classic cheap
+    voiced/unvoiced discriminator next to energy/peak
+    (:func:`audio_window_features`): the number of adjacent sample
+    pairs whose amplitudes have strictly opposite signs (product < 0;
+    a zero sample crosses nothing).  Exact integers end to end, same
+    windowing as the energy featurizer, same Arrow ``mapInPandas``
+    scale shape."""
+    import numpy as np
+
+    if codec not in ("pcm8", "wav"):
+        raise ValueError(f"unknown audio codec: {codec}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, wins, lens, crossings = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if codec == "wav":
+                    s, _rate, n_ch = decode_wav_pcm16(bytes(payload))
+                    if n_ch > 1:
+                        s = s[:, 0]
+                    b = s.astype(np.int64)
+                else:
+                    b = (
+                        np.frombuffer(payload, dtype=np.uint8).astype(
+                            np.int64
+                        )
+                        - 128
+                    )
+                n = len(b)
+                if n == 0:
+                    continue
+                for w in range((n - 1) // hop + 1):
+                    seg = b[w * hop : w * hop + frame]
+                    mids.append(mid)
+                    wins.append(w)
+                    lens.append(len(seg))
+                    crossings.append(
+                        int((seg[:-1] * seg[1:] < 0).sum())
+                        if len(seg) > 1
+                        else 0
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "win": wins,
+                    "n_samples": lens,
+                    "n_crossings": crossings,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, win long, n_samples long, n_crossings long",
+    )

@@ -2518,6 +2518,48 @@ def multimodal_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_zero_crossings",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id AS media_id, text AS t,
+                   CAST(length(text) AS BIGINT) AS n
+            FROM documents
+            WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+        ),
+        w AS (
+            SELECT media_id, t, n,
+                   unnest(range(0, (n - 1) // {MM.AUDIO_HOP} + 1)) AS win
+            FROM s
+        )
+        SELECT media_id, win,
+               least({MM.AUDIO_FRAME}, n - win * {MM.AUDIO_HOP}) AS n_samples,
+               CAST(coalesce(list_sum(list_transform(
+                   range(1, least({MM.AUDIO_FRAME},
+                                  n - win * {MM.AUDIO_HOP})),
+                   i -> CASE WHEN
+                       (ascii(substr(t, CAST(win * {MM.AUDIO_HOP} + i AS INT), 1)) - 128)
+                     * (ascii(substr(t, CAST(win * {MM.AUDIO_HOP} + i + 1 AS INT), 1)) - 128)
+                       < 0 THEN 1 ELSE 0 END
+               )), 0) AS BIGINT) AS n_crossings
+        FROM w
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_wav_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing counts through the REAL WAV codec: text bytes ->
+    RIFF/PCM16 container -> decode -> adjacent-pair sign changes per
+    window (the voiced/unvoiced discriminator).  Same ASCII guard and
+    windowing as the energy featurizer; the oracle counts strict
+    sign-opposite adjacent pairs straight from the source bytes."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.audio_zero_crossings(
+        MM.media_wav_from_documents(docs), codec="wav"
+    )
+
+
+@register(
     "multimodal_features",
     oracle="""
         SELECT doc_id AS media_id,
