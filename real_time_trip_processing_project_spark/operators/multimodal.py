@@ -859,3 +859,37 @@ def audio_zero_crossings(
         run,
         "media_id long, win long, n_samples long, n_crossings long",
     )
+
+
+def video_motion_energy(media: DataFrame) -> DataFrame:
+    """Per-consecutive-frame-pair motion energy — Σ |pixel difference|
+    between decoded frames f and f+1, the temporal feature a
+    scene-cut / static-content filter runs over video corpora.  Exact
+    integers over the REAL AVI codec (decode per payload, vectorized
+    numpy diff); single-frame videos emit nothing."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, pairs, motions = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_avi_rgb24(bytes(payload))
+                if len(frames) < 2:
+                    continue
+                arr = np.stack([f for _i, f in frames]).astype(np.int64)
+                d = np.abs(arr[1:] - arr[:-1]).sum(axis=(1, 2, 3))
+                for i, m in enumerate(d):
+                    mids.append(mid)
+                    pairs.append(i)
+                    motions.append(int(m))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_pair": pairs,
+                    "motion": motions,
+                }
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, frame_pair long, motion long"
+    )

@@ -2693,6 +2693,54 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_motion",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id AS media_id, text AS t,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n
+            FROM documents
+            WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+        ),
+        fr AS (
+            SELECT media_id, t, n,
+                   unnest(range(0, greatest((n + {_VID_FRAME_BYTES - 1})
+                                            // {_VID_FRAME_BYTES}, 1)
+                                   - 1)) AS frame_pair
+            FROM s
+        )
+        SELECT media_id, CAST(frame_pair AS BIGINT) AS frame_pair,
+               CAST(coalesce(list_sum(list_transform(
+                   range(1, {_VID_FRAME_BYTES + 1}),
+                   j -> abs(
+                       (CASE WHEN frame_pair * {_VID_FRAME_BYTES} + j <= n
+                             THEN ascii(substr(t,
+                                  CAST(frame_pair * {_VID_FRAME_BYTES} + j
+                                       AS INT), 1))
+                             ELSE 0 END)
+                     - (CASE WHEN (frame_pair + 1) * {_VID_FRAME_BYTES} + j <= n
+                             THEN ascii(substr(t,
+                                  CAST((frame_pair + 1) * {_VID_FRAME_BYTES} + j
+                                       AS INT), 1))
+                             ELSE 0 END))
+               )), 0) AS BIGINT) AS motion
+        FROM fr
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion energy through the REAL AVI codec: per consecutive frame
+    pair, the exact integer sum of absolute pixel differences -- the
+    temporal scene-cut/static-content signal.  The last frame's
+    zero-padding is reproduced by the oracle's out-of-range-as-zero
+    CASE, so encode->decode->diff matches character arithmetic over
+    the source bytes bit-for-bit."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.video_motion_energy(MM.media_avi_from_documents(docs))
+
+
+@register(
     "multimodal_image_features",
     oracle=f"""
         SELECT doc_id AS media_id,
