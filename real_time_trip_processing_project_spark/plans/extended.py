@@ -3022,3 +3022,45 @@ def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(coalesce(sum(
+                   (CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) // 100
+               ), 0) AS BIGINT) AS revenue_delta_cents
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1997-01-01'
+          AND round(l_discount * 100) BETWEEN 5 AND 7
+          AND l_quantity < 24
+    """,
+    tags=["EXT", "A7", "F1"],
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the simplest and most scan-bound of the suite:
+    one filtered pass, one global aggregate, all predicates pushable.
+    Revenue delta stays integer (exact cents × integer basis points,
+    floored); the discount band compares integer basis points so a
+    0.05-vs-0.0500000001 double can never leak through the filter."""
+    lineitem = load_fixture(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & disc_bp.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.coalesce(
+                F.sum(F.floor(price_c * disc_bp / 100).cast("long")),
+                F.lit(0),
+            ).alias("revenue_delta_cents"),
+        )
+    )
