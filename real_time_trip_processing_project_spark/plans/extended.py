@@ -3064,3 +3064,56 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_delta_cents"),
         )
     )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+        WITH l AS (
+            SELECT p.p_type,
+                   (CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                   // 100 AS rev_c
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_shipdate >= DATE '1996-01-01'
+              AND l.l_shipdate <  DATE '1996-02-01'
+        )
+        SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev_c
+                             ELSE 0 END) AS BIGINT) AS promo_cents,
+               CAST(sum(rev_c) AS BIGINT) AS total_cents,
+               CAST((1000000 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                        THEN rev_c ELSE 0 END))
+                    // sum(rev_c) AS BIGINT) AS promo_ppm
+        FROM l
+    """,
+    tags=["EXT", "J1", "A7"],
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one month — a
+    conditional aggregate RATIO over a fact⋈dim join.  The share is
+    parts-per-million by integer floor division of two exact-cents
+    sums (the funnel discipline for derived ratios); the month filter
+    prunes the fact at the scan and ``part`` joins on its key."""
+    lineitem = load_fixture(spark, sf_dir, "lineitem")
+    part = load_fixture(spark, sf_dir, "part")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    rev_c = F.floor(price_c * (100 - disc_bp) / 100).cast("long")
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), rev_c
+    ).otherwise(F.lit(0))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("promo_cents"),
+            F.sum(rev_c).alias("total_cents"),
+        )
+        .withColumn(
+            "promo_ppm",
+            F.expr("(1000000 * promo_cents) div total_cents"),
+        )
+    )
