@@ -27,27 +27,15 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: verified near the front of the window.  Maintained per round, names only
 #: advisory (unknown names warn, never break the package).
 _RECHECK_FIRST = [
-    # r6 in-round edits only (kept short per VERDICT r5 #5 so the window
-    # drains the r3-stale cohort): funnel rate integerized to ppm;
-    # winnowing/fingerprint shingle hash swapped md5 -> Karp-Rabin.
-    "funnel_conversion",
-    "dedup_common_spans",
-    "text_fingerprint",
-    # r6: blank-doc token-count fix touched this oracle
-    "tokenizer_apply_bpe_counts",
-    # r6: rewired from the fake codec to real AVI containers
-    "multimodal_frame_sample",
-    # r6: contamination ratio integerized to ppm (the funnel discipline)
-    "curation_contamination",
-    # r6 session-2: quality_exprs rewritten (one split + IN-filter,
-    # punct via replace-length) — recheck its two established consumers
-    # (the new curation_corpus_pipeline is never-checked and already
-    # leads the window)
+    # r7 in-round edits only (the 7 r6 HUGEINT-red oracles need no entry
+    # here — red rows lead the window automatically via `failed`):
+    # quality_score_sql gained a CAST(... AS DOUBLE) wrapper (the
+    # DESCRIBE-type allowlist gate forbids DECIMAL oracle outputs), so
+    # recheck its green consumers.
     "text_quality",
     "quality_calibration",
-    # r6 session-2: graduated from rows-only to a FULL banded-LSH
-    # oracle (md5-arithmetic hashing swap) — force the first full check
-    "dedup_minhash_lsh",
+    "seq_length_histogram",
+    "text_lang_id",
 ]
 
 

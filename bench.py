@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline declared queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+1. the full detail object (all secondary timings, normalized values,
+   quality floors, streaming) — also written to ``bench_detail.json``;
+2. a FINAL compact line ≤1,500 chars —
+   ``{"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ...}`` — sized so the driver's last-2,000-chars stdout capture
+   always parses it (r6 lost its headline metric to a single oversized
+   line).
 
 Execution is measured with the "noop" sink so plans run fully (all
 shuffles + aggregates) without driver-side row transfer skewing the
@@ -217,7 +223,50 @@ def main() -> None:
     streaming = _stream_throughput(spark)
     if streaming:
         out["streaming"] = streaming
+
+    # Output contract (r6 lesson): the driver captures only the LAST
+    # 2,000 chars of stdout, and r6's single ever-growing JSON line
+    # outgrew that — BENCH_r06.json recorded "parsed": null and the
+    # round lost its headline metric entirely.  So: full detail first
+    # (its own line, plus a file for humans), then a FINAL compact line
+    # that stays parseable no matter how many queries the lists grow.
     print(json.dumps(out))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail.json"), "w"
+        ) as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "secondary_total": out["secondary_total"],
+        "probe_start_sec": probe_start,
+        "probe_end_sec": probe_end,
+        "normalized_value": out["normalized"]["value"],
+    }
+    if streaming:
+        compact["streaming"] = {
+            k: streaming[k]
+            for k in ("events", "steady_state_events_per_sec")
+            if k in streaming
+        }
+    # hard budget: the driver tail is 2,000 chars — keep the final line
+    # ≤1,500 with margin for a stray warning; shed detail keys in
+    # priority order before ever touching the contract keys
+    line = json.dumps(compact)
+    for shed in ("normalized_value", "secondary_total", "queries"):
+        if len(line) <= 1500:
+            break
+        compact.pop(shed, None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

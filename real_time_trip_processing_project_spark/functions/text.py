@@ -274,14 +274,19 @@ def quality_score_expr(text: str) -> Column:
 
 
 def quality_score_sql(text: str) -> str:
+    # CAST AS DOUBLE: DuckDB types the decimal-literal CASE sum as
+    # DECIMAL(4,1), which the driver-hash type allowlist
+    # (tests/test_queries_oracle.py) forbids in oracle OUTPUT columns.
+    # Every reachable value (tenths in [0, 1]) is exactly representable
+    # in binary64, so the cast is bit-exact vs the Spark double.
     q = quality_sqls(text)
     return (
-        "round("
+        "CAST(round("
         f"(CASE WHEN {q['n_chars']} >= 100 AND {q['n_chars']} <= 20000 "
         "THEN 0.5 ELSE 0.0 END) + "
         f"(CASE WHEN {q['stopword_ratio']} >= 0.01 THEN 0.3 ELSE 0.0 END) + "
         f"(CASE WHEN {q['punct_ratio']} <= 0.2 THEN 0.2 ELSE 0.0 END)"
-        ", 6)"
+        ", 6) AS DOUBLE)"
     )
 
 

@@ -357,14 +357,24 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
-    1. signature → LSH_BANDS band keys (md5 of the band's slice —
-       every hash in the pipeline is now md5-derived, which is what
-       makes the FULL banded pipeline oracle-expressible in DuckDB).
+    1. signature → LSH_BANDS band keys.
     2. explode band keys → groupBy (band, key) buckets → pairs within a
        bucket (dropDuplicates on the pair — a pair can collide in
        several bands).
     3. verify candidates with exact Jaccard on the (carried) shingle
        sets and filter ≥ threshold.
+
+    Band-key hash: ``xxhash64`` over the band's 4 signature longs.  The
+    DuckDB oracle keys its buckets with md5-of-string instead — that is
+    FINE, because bucket values never reach the output: pairs depend
+    only on band-key EQUALITY, which both hashes decide identically
+    (same 4-long slice ⇒ same key; different slices collide with
+    ~2⁻⁶⁴ / 2⁻¹²⁸ probability, and a spurious candidate is killed by
+    the exact-Jaccard verify anyway).  xxhash64 takes the longs
+    directly — no 4-way string concat, no digest, and an 8-byte join
+    key through the bucket shuffle instead of a 32-char string (the r6
+    bench's top headline cost was exactly this md5-per-band
+    projection).
 
     Scale: candidates ≪ N²; the bucket join shuffles only colliding ids.
     The shingled corpus is localCheckpointed once and feeds both the
@@ -382,14 +392,11 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[i].cast("string")
-                                for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
-                            ],
-                        )
+                    F.xxhash64(
+                        *[
+                            F.col("sig")[i]
+                            for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+                        ]
                     )
                     for b in range(LSH_BANDS)
                 ]

@@ -11,6 +11,15 @@ across the two engines:
   flip the hash.
 - No nondeterministic outputs (no current_timestamp in declared queries;
   top-k queries carry a total tie-break key).
+- Every integer aggregate in an oracle is wrapped in
+  ``CAST(... AS BIGINT)``: DuckDB widens ``SUM(BIGINT)`` and windowed
+  integer sums to HUGEINT (int128), which the driver's type-aware
+  value-hash encodes differently from Spark's int64 even when every
+  value is bit-identical — r6 shipped seven red rows this way while the
+  local comparator (which collapses integer widths) stayed green.
+  Enforced statically by the DESCRIBE-type allowlist gate in
+  ``tests/test_queries_oracle.py`` (no HUGEINT/DECIMAL/LIST output
+  columns in any hash-compared oracle).
 """
 
 from __future__ import annotations

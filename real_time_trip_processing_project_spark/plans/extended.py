@@ -2022,8 +2022,9 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         numbered AS (
             SELECT user_id, us,
-                   sum(new_sess) OVER (PARTITION BY user_id
-                                       ORDER BY us, event_id) AS session_seq
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                            ORDER BY us, event_id)
+                        AS BIGINT) AS session_seq
             FROM flagged
         )
         SELECT user_id, session_seq,
@@ -2084,11 +2085,11 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         runs AS (
             SELECT user_id, event_type, ts,
-                   sum(CASE WHEN prev_type IS NULL
-                             OR prev_type <> event_type
-                            THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       AS run_seq
+                   CAST(sum(CASE WHEN prev_type IS NULL
+                                  OR prev_type <> event_type
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS run_seq
             FROM seq
         )
         SELECT user_id, run_seq, min(event_type) AS event_type,
@@ -2211,9 +2212,9 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_item",
     oracle=f"""
         SELECT c.c_custkey, c.c_name, n.n_name,
-               sum(({_cents_sql('l.l_extendedprice')}
+               CAST(sum(({_cents_sql('l.l_extendedprice')}
                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-                   // 100) AS revenue_cents
+                   // 100) AS BIGINT) AS revenue_cents
         FROM customer c
         JOIN orders o   ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2516,9 +2517,9 @@ def events_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFram
         )
         SELECT l_returnflag, l_linestatus,
                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-               sum(price_c) AS sum_base_price_cents,
-               sum(disc_price_c) AS sum_disc_price_cents,
-               sum((disc_price_c * (100 + tax_bp)) // 100)
+               CAST(sum(price_c) AS BIGINT) AS sum_base_price_cents,
+               CAST(sum(disc_price_c) AS BIGINT) AS sum_disc_price_cents,
+               CAST(sum((disc_price_c * (100 + tax_bp)) // 100) AS BIGINT)
                    AS sum_charge_cents,
                count(*) AS count_order,
                CAST((1000 * CAST(sum(l_quantity) AS BIGINT)) // count(*)
@@ -2810,8 +2811,14 @@ def events_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = events.select(
         "event_type",
+        # FLOOR division to match DuckDB's `//` (Spark's `div` truncates
+        # toward zero, which disagrees on any pre-2024 timestamp's
+        # negative bucket).  pmod keeps it exact integer arithmetic:
+        # x - pmod(x, d) is an exact multiple of d, so `div` == floor.
         F.expr(
-            "(unix_micros(ts) - 1704067200000000) div 3600000000"
+            "(unix_micros(ts) - 1704067200000000"
+            " - pmod(unix_micros(ts) - 1704067200000000, 3600000000))"
+            " div 3600000000"
         ).alias("x"),
         F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("y"),
     )
@@ -2845,11 +2852,11 @@ def events_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         numbered AS (
             SELECT user_id, us,
-                   sum(CASE WHEN prev_us IS NULL
-                             OR us - prev_us > 1800000000
-                            THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY us, event_id)
-                       AS session_seq
+                   CAST(sum(CASE WHEN prev_us IS NULL
+                                  OR us - prev_us > 1800000000
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id)
+                        AS BIGINT) AS session_seq
             FROM seq
         ),
         sessions AS (
@@ -2994,8 +3001,8 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                   AS total_cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
         FROM orders
         WHERE o_orderdate >= DATE '1996-01-01'
         GROUP BY o_orderpriority

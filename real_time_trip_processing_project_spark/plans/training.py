@@ -516,7 +516,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_docs,
                CAST(sum({TX.ws_token_count_sql('text')}) AS BIGINT)
                    AS n_tokens,
-               sum(score_milli) AS sum_score_milli
+               CAST(sum(score_milli) AS BIGINT) AS sum_score_milli
         FROM good
         GROUP BY split, lang
     """,
@@ -1854,8 +1854,18 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p50").cast("long").alias("med2"),
         )
     )
-    dev = docs.join(F.broadcast(med2), "lang").withColumn(
-        "dev2", F.abs(2 * F.col("n_chars") - F.col("med2"))
+    # dev feeds BOTH the MAD percentile selection (itself multi-pass)
+    # and the final join: uncached, the med2 bucket-refine subtree
+    # re-executes ~3x (r6 saw 1.2 s inflate to 6-17 s under box load —
+    # redundant work is what contended clusters punish).  Eager
+    # localCheckpoint materializes the 5-narrow-column relation once;
+    # both downstream joins broadcast their small side explicitly, so
+    # the checkpoint's lost size statistics can't flip a join strategy
+    # (the graph-edges pattern, operators/graph.py).
+    dev = (
+        docs.join(F.broadcast(med2), "lang")
+        .withColumn("dev2", F.abs(2 * F.col("n_chars") - F.col("med2")))
+        .localCheckpoint(eager=True)
     )
     mad4 = (
         bucket_refine_percentiles(

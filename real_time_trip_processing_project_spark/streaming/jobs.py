@@ -635,6 +635,25 @@ def _zscore_merge_batch(state, pdf, user_id, window_us, min_frame):
         pdf["value"].to_numpy(dtype=np.float64) * 1000 + 0.5
     ).astype(np.int64)
     new_eid = pdf["event_id"].to_numpy(dtype=np.int64)
+    # at-least-once delivery guard: a redelivered event (source file
+    # reprocessed after checkpoint loss) must not be double-counted in
+    # the prefix sums or re-emitted — drop arrivals whose event_id is
+    # already buffered (the live buffer is small, set membership is
+    # cheap; duplicates WITHIN one batch are new-vs-new and keep the
+    # first occurrence after the lexsort)
+    if len(beid):
+        seen = set(map(int, beid))
+        fresh = np.fromiter(
+            (int(e) not in seen for e in new_eid),
+            dtype=bool,
+            count=len(new_eid),
+        )
+        if not fresh.all():
+            new_us, new_vt, new_eid = (
+                new_us[fresh], new_vt[fresh], new_eid[fresh],
+            )
+            if not len(new_eid):
+                return None, (list(bus), list(bvt), list(beid))
     us = np.concatenate([np.asarray(list(bus), dtype=np.int64), new_us])
     vt = np.concatenate([np.asarray(list(bvt), dtype=np.int64), new_vt])
     eid = np.concatenate([np.asarray(list(beid), dtype=np.int64), new_eid])

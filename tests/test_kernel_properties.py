@@ -342,3 +342,53 @@ def test_h32_sql_twin_matches_python_reference(strings):
             f"SELECT {h32_sql('s')} FROM (SELECT ? AS s)", [s]
         ).fetchone()[0]
         assert got == want, (s, got, want)
+
+
+def test_zscore_merge_redelivery_is_noop():
+    """At-least-once guard on the rolling-z-score buffer: redelivering
+    an already-buffered event_id (source file reprocessed after
+    checkpoint loss) must not re-emit it nor perturb the prefix sums —
+    the batch containing only the duplicate is a no-op, and a
+    duplicate-plus-fresh batch emits exactly what the fresh-only batch
+    would."""
+    import pandas as pd
+
+    from real_time_trip_processing_project_spark.streaming.jobs import (
+        _zscore_merge_batch,
+    )
+
+    T0 = 1_704_067_200_000_000
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([T0 + r[1] for r in rows], unit="us"),
+                "user_id": 7,
+                "value": [r[2] for r in rows],
+            }
+        )
+
+    batch1 = [(1, 0, 1.0), (2, 1_000_000, 2.0), (3, 2_000_000, 3.0)]
+    _, state = _zscore_merge_batch(
+        ([], [], []), pdf(batch1), 7, 86_400_000_000, 2
+    )
+    assert sorted(state[2]) == [1, 2, 3]
+
+    # pure redelivery: no output, state unchanged
+    out, state2 = _zscore_merge_batch(
+        state, pdf([batch1[1]]), 7, 86_400_000_000, 2
+    )
+    assert out is None
+    assert state2 == state
+
+    # duplicate + fresh arrival == fresh-only arrival
+    fresh = [(4, 3_000_000, 4.0)]
+    out_mixed, st_mixed = _zscore_merge_batch(
+        state, pdf([batch1[0]] + fresh), 7, 86_400_000_000, 2
+    )
+    out_fresh, st_fresh = _zscore_merge_batch(
+        state, pdf(fresh), 7, 86_400_000_000, 2
+    )
+    assert out_mixed.to_dict("records") == out_fresh.to_dict("records")
+    assert st_mixed == st_fresh
+    assert sorted(st_mixed[2]) == [1, 2, 3, 4]

@@ -164,8 +164,13 @@ def test_dynamic_partition_pruning_on_partitioned_store(spark, tmp_path):
     )
     # DPP needs the join to be worth pruning; drop the broadcast-only
     # fallback restriction so the tiny local fixture still triggers it
+    # even if the dim side's estimate crosses the broadcast threshold
     prev_fb = spark.conf.get(
         "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false",
     )
     try:
         f = spark.read.parquet(fact)

@@ -360,3 +360,37 @@ def test_fuzzy_join_prunes_to_key_and_name(spark):
     seg = plan.split("ReadSchema:", 1)[1][:200]
     assert "c_custkey" in seg and "c_name" in seg
     assert "c_acctbal" not in seg and "c_nationkey" not in seg
+
+
+def test_iterative_graph_plan_depth_stays_bounded(spark):
+    """The 100 TB claim for the iterative graph family rests on lineage
+    truncation: localCheckpoint every k rounds must keep the physical
+    plan's size FLAT in the iteration count (without it, each extra
+    iteration appends a join+agg layer and the plan — and scheduler
+    overhead — grows without bound).  Compare executed-plan sizes at
+    low vs high iteration counts; the high-iteration plan may be at
+    most the checkpoint period's worth of layers, never proportional
+    to total iterations."""
+    import contextlib as _ctx
+    import io as _io
+
+    from real_time_trip_processing_project_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 6), (2, 5)],
+        "id_a long, id_b long",
+    )
+
+    def plan_len(iters: int) -> int:
+        df = pagerank_integer(pairs, iters=iters)
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            df.explain("extended")
+        return len(buf.getvalue())
+
+    short, long_ = plan_len(3), plan_len(12)
+    # 12 iterations = 4 checkpoint cycles; a flat plan is within ~1.5x
+    # of the 3-iteration plan, an unbounded one would be ~4x
+    assert long_ <= int(short * 1.5) + 2000, (short, long_)

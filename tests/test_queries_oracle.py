@@ -49,6 +49,49 @@ def test_every_oracle_parses_in_duckdb(duck):
             raise AssertionError(f"{qname}: oracle does not parse: {e}") from e
 
 
+# Types the driver's value-hash encodes identically to their Spark
+# counterparts.  Notably ABSENT: HUGEINT (int128) — DuckDB silently
+# widens SUM(BIGINT) and windowed integer sums to HUGEINT, which the
+# driver hashes differently from Spark's int64 even when every value is
+# bit-identical (the r6 seven-red-rows incident).  Every integer
+# aggregate in an oracle must therefore be wrapped in
+# CAST(... AS BIGINT); this static gate makes the class unrepresentable.
+_ORACLE_TYPE_ALLOWLIST = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "VARCHAR",
+    "DOUBLE",
+    "FLOAT",
+    "DATE",
+    "TIMESTAMP",
+    "BOOLEAN",
+}
+
+
+def test_oracle_output_types_are_driver_hashable(duck):
+    """Static type gate the value-comparator structurally cannot perform
+    (``testing.py:_norm`` collapses every integer width to Python
+    ``int``, so a HUGEINT-emitting oracle looks green locally while the
+    driver's type-aware hash diverges).  DESCRIBE each oracle and
+    require every output column's declared type to be in the allowlist
+    — no HUGEINT, no DECIMAL, no LIST in a hash-compared oracle."""
+    bad = []
+    for qname, qdef in sorted(REGISTRY.items()):
+        if qdef.oracle is None:
+            continue
+        cols = duck.execute("DESCRIBE " + qdef.oracle).fetchall()
+        for name, dtype, *_ in cols:
+            base = dtype.split("(")[0].strip().upper()
+            if base not in _ORACLE_TYPE_ALLOWLIST:
+                bad.append(f"{qname}.{name}: {dtype}")
+    assert not bad, (
+        "oracle columns with driver-unhashable types (wrap integer "
+        "aggregates in CAST(... AS BIGINT)): " + "; ".join(bad)
+    )
+
+
 def test_events_oracles_ns_robust(spark, tmp_path):
     """An ns-unit events fixture with sub-microsecond residues sitting
     exactly on predicate boundaries must hash-match through the SAME
