@@ -273,16 +273,15 @@ def _h32(col):
     engine-portable shingle hash (same nibble arithmetic family as the
     Bloom/CMS sketches, so DuckDB reproduces every value exactly;
     replaces xxhash64, which has no DuckDB twin).  Value < 2^32, so
-    ``a·h`` with a < 2^31 stays under 2^63."""
-    h = F.md5(col)
-    acc = None
-    for i in range(8):
-        nib = (F.instr(F.lit(_HEXD), F.substring(h, i + 1, 1)) - 1).cast(
-            "long"
-        )
-        term = nib * F.lit(16 ** (7 - i))
-        acc = term if acc is None else acc + term
-    return acc
+    ``a·h`` with a < 2^31 stays under 2^63.
+
+    Spark computes it as ``conv(substring(md5, 1, 8), 16, 10)`` — one
+    base conversion instead of the 8 instr/substring nibble scans the
+    DuckDB twin (:func:`h32_sql`) uses; both are the same definition
+    (value of the first 8 hex digits), pinned per-value by the
+    ``test_h32_spark_matches_python`` fuzz and end-to-end by the full
+    ``dedup_minhash_lsh`` oracle hash."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def h32_sql(s: str) -> str:

@@ -392,3 +392,23 @@ def test_zscore_merge_redelivery_is_noop():
     assert out_mixed.to_dict("records") == out_fresh.to_dict("records")
     assert st_mixed == st_fresh
     assert sorted(st_mixed[2]) == [1, 2, 3, 4]
+
+
+def test_h32_spark_matches_python(spark):
+    """The Spark side of the 32-bit md5-nibble shingle hash (now a
+    single ``conv(substring(md5, 1, 8), 16, 10)``) must equal the
+    direct Python definition for assorted strings, including unicode —
+    pinning that the conv rewrite kept the value identical to the
+    DuckDB strpos-arithmetic twin."""
+    import hashlib
+
+    from real_time_trip_processing_project_spark.operators.dedup import _h32
+    from pyspark.sql import functions as F
+
+    strings = ["", "a", "hello world", "héllo wörld", "0", "ffffffff",
+               "the quick brown fox", "é中文", " spaces  "]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", _h32(F.col("s")).alias("h")).collect()}
+    for s in strings:
+        want = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+        assert got[s] == want, (s, got[s], want)
