@@ -113,6 +113,17 @@ SECONDARY = [
     "session_overlap_pairs",
     "embedding_random_projection",
     "events_trend_slopes",
+    # round-7 additions: TPC-H batch 2 (plans/tpch.py)
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q12_late_lines",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
     # embedding_kmeans / embedding_kmeans_assign are oracle-gated per
     # round but, like tokenizer_apply_bpe_counts, kept out of the
     # timing list: the 3-iteration driver loop is ~90% fixed per-job

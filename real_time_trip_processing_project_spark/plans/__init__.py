@@ -9,6 +9,7 @@ Importing this package registers every query module into
 from real_time_trip_processing_project_spark.plans import catalog
 from real_time_trip_processing_project_spark.plans import core  # noqa: F401
 from real_time_trip_processing_project_spark.plans import extended  # noqa: F401
+from real_time_trip_processing_project_spark.plans import tpch  # noqa: F401
 from real_time_trip_processing_project_spark.plans import training  # noqa: F401
 
 REGISTRY = catalog.REGISTRY

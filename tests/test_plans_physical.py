@@ -394,3 +394,33 @@ def test_iterative_graph_plan_depth_stays_bounded(spark):
     # 12 iterations = 4 checkpoint cycles; a flat plan is within ~1.5x
     # of the 3-iteration plan, an unbounded one would be ~4x
     assert long_ <= int(short * 1.5) + 2000, (short, long_)
+
+
+def test_q19_disjunction_derivatives_pushed_to_both_scans(spark):
+    """tpch_q19: the OR of cross-side conjunctions can only be fully
+    evaluated above the join, but Catalyst must derive each side's
+    implied disjunction and push it into the parquet scan — otherwise
+    the scan reads every brand and every quantity at 100 TB."""
+    plan = _plan(spark, "tpch_q19_disjunctive_predicates")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    lq = [l for l in pushed if "l_quantity" in l]
+    pb = [l for l in pushed if "p_brand" in l]
+    assert lq and "Or(" in lq[0], lq
+    assert pb and "Or(" in pb[0], pb
+
+
+def test_q21_decorrelates_to_semi_and_anti(spark):
+    """tpch_q21: the EXISTS / NOT EXISTS pair must plan as LEFT SEMI +
+    LEFT ANTI joins (not subquery re-execution), each carrying the
+    suppkey-inequality residual."""
+    plan = _plan(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("NOT (l_suppkey") >= 2
+
+
+def test_q13_left_join_then_two_level_aggregate(spark):
+    """tpch_q13: zero-order customers must survive (LeftOuter), and
+    both aggregation levels keep map-side partials."""
+    plan = _plan(spark, "tpch_q13_customer_distribution")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4
