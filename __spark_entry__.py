@@ -36,6 +36,15 @@ _RECHECK_FIRST = [
     "quality_calibration",
     "seq_length_histogram",
     "text_lang_id",
+    # r7: AVI container walk refactored into avi_raw_frames (shared
+    # with the new MJPEG decoder) — recheck its decoder consumers
+    "multimodal_video_frames",
+    "multimodal_video_motion",
+    "multimodal_frame_sample",
+    "multimodal_sampled_frame_features",
+    # r7: h32 conv rewrite consumers beyond minhash
+    "dedup_minhash_lsh",
+    "dedup_incremental",
 ]
 
 

@@ -124,6 +124,8 @@ SECONDARY = [
     "tpch_q19_disjunctive_predicates",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
+    "join_skew_salted",
+    "multimodal_mjpeg_frames",
     # embedding_kmeans / embedding_kmeans_assign are oracle-gated per
     # round but, like tokenizer_apply_bpe_counts, kept out of the
     # timing list: the 3-iteration driver loop is ~90% fixed per-job
@@ -391,6 +393,55 @@ def _quality(spark) -> dict:
     )
     assert ranks <= 0.01, f"approx_quantiles rank err {ranks} > 0.01"
     q["approx_quantiles_max_rank_err"] = round(float(ranks), 5)
+
+    # MJPEG roundtrip floor: decoded per-frame px_sum vs the exact
+    # source-byte sum (distributed join on the doc's frame grid; the
+    # unit-quant pipeline bounds error at ±1/pixel → ≤256/frame).
+    docs = load_fixture(spark, SF_DIR, "documents").filter(
+        F.col("text").rlike(r"^[\x00-\x7F]*$")
+    )
+    src = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.posexplode(
+                F.split(
+                    F.rpad(
+                        F.col("text"),
+                        256
+                        * F.greatest(
+                            F.ceil(F.length("text") / 256), F.lit(1)
+                        ).cast("int"),
+                        "\x00",
+                    ),
+                    "(?<=\\G.{256})",
+                )
+            ).alias("frame_idx", "chunk"),
+        )
+        .filter(F.length("chunk") > 0)
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.aggregate(
+                F.transform(
+                    F.split(F.col("chunk"), "(?!^)"),
+                    lambda c: F.ascii(c).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sum_exact"),
+        )
+    )
+    mj = REGISTRY["multimodal_mjpeg_frames"].fn(spark, SF_DIR)
+    mae = (
+        mj.join(src, ["media_id", "frame_idx"])
+        .select(
+            (F.abs(F.col("px_sum") - F.col("sum_exact")) / 256.0).alias("e")
+        )
+        .agg(F.avg("e").alias("mae"), F.max("e").alias("mx"))
+        .collect()[0]
+    )
+    assert mae["mx"] <= 1.0, f"mjpeg per-pixel err {mae['mx']} > 1.0"
+    q["mjpeg_mean_abs_px_err"] = round(float(mae["mae"]), 5)
     return q
 
 

@@ -7,8 +7,10 @@ Arrow batch shape, ``mapInPandas`` signature, partition behavior — with
 REAL pure-Python container codecs for all three fixture modalities:
 audio (RIFF/WAVE PCM16), image (24-bit uncompressed BMP), and video
 (uncompressed 24-bit AVI: RIFF header tree, DIB frame chunks, idx1
-index).  Only compressed formats (JPEG/PNG/MP4), whose codecs genuinely
-need PIL/av absent from this container, remain a marked
+index) — plus a real COMPRESSED path since r7: baseline JPEG
+(DCT/quant/Huffman, operators/jpeg.py) carried as MJPEG-in-AVI.
+Remaining formats (PNG/MP4/H.264), whose codecs genuinely need
+PIL/av absent from this container, remain a marked
 ``NotImplementedError`` seam behind ``codec="real"``.
 
 Layout conventions that matter at scale:
@@ -243,21 +245,15 @@ def encode_avi_rgb24(frames, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi_rgb24(payload: bytes, every_nth: int = 1):
-    """Parse an uncompressed 24-bit AVI back into a list of
-    (frame_idx, (h, w, 3) uint8 RGB array) — only every ``every_nth``
-    frame — by walking the RIFF chunk tree (hdrl for the
-    BITMAPINFOHEADER, LIST movi for the '00db'/'00dc' frame chunks).
-
-    Because the stream is uncompressed, frames are independent: the
-    walk slices bytes ONLY for selected frames (an unsampled frame
-    costs one offset addition — the random-access property a
-    frame-sampling pipeline exploits; a compressed codec would need
-    keyframe-aware seeking here).  Size fields are untrusted:
-    truncation, compressed streams, and non-24-bit frames all raise
-    ``ValueError``."""
-    import numpy as np
-
+def avi_raw_frames(payload: bytes, every_nth: int = 1):
+    """Walk a RIFF/AVI chunk tree and return
+    ``(strf_header, [(frame_idx, chunk_bytes)])`` for every
+    ``every_nth`` movi frame chunk — the container layer shared by the
+    uncompressed (:func:`decode_avi_rgb24`) and MJPEG
+    (operators/jpeg.py:decode_avi_mjpeg) decoders.  Only SELECTED
+    frames are sliced; an unsampled frame costs one offset addition —
+    the random-access property a frame-sampling pipeline exploits.
+    Size fields are untrusted: truncation raises ``ValueError``."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     riff_size = struct.unpack("<I", payload[4:8])[0]
@@ -304,6 +300,20 @@ def decode_avi_rgb24(payload: bytes, every_nth: int = 1):
     walk(12, len(payload))
     if strf is None:
         raise ValueError("missing strf (stream format) chunk")
+    return strf, frame_bodies
+
+
+def decode_avi_rgb24(payload: bytes, every_nth: int = 1):
+    """Parse an uncompressed 24-bit AVI back into a list of
+    (frame_idx, (h, w, 3) uint8 RGB array) — only every ``every_nth``
+    frame (container walk shared with the MJPEG decoder via
+    :func:`avi_raw_frames`).  Because the stream is uncompressed,
+    frames are independent DIB bodies — bottom-up BGR rows padded to
+    4-byte strides, exactly like BMP.  Compressed streams and
+    non-24-bit frames raise ``ValueError``."""
+    import numpy as np
+
+    strf, frame_bodies = avi_raw_frames(payload, every_nth)
     _size, w, bi_h, _planes, bits, compression = strf
     if bits != 24 or compression != 0:
         raise ValueError(
@@ -398,9 +408,11 @@ def _fake_decode(payload: bytes) -> dict:
 def _real_decode(payload: bytes) -> dict:
     """Real codec for the seam: WAV (RIFF/PCM16) payloads decode fully
     via :func:`decode_wav_pcm16` (frame_count = sample frames; the
-    image-only width/height stay NULL for audio).  Other media types
-    (JPEG/PNG/MP4 …) still need PIL/av, absent from this container, so
-    they remain the explicit ``NotImplementedError`` seam."""
+    image-only width/height stay NULL for audio); BMP, uncompressed
+    AVI, MJPEG AVI and bare baseline JPEG all decode for real.
+    Remaining media types (PNG/MP4/H.264) still need PIL/av, absent
+    from this container, so they remain the explicit
+    ``NotImplementedError`` seam."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _rate, n_channels = decode_wav_pcm16(bytes(payload))
         n_frames = len(samples) if n_channels == 1 else samples.shape[0]
@@ -421,6 +433,19 @@ def _real_decode(payload: bytes) -> dict:
             "height": px.shape[0],
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from real_time_trip_processing_project_spark.operators import jpeg as J
+
+        strf, _bodies = avi_raw_frames(bytes(payload), every_nth=1)
+        if strf[5] == struct.unpack("<I", b"MJPG")[0]:
+            mframes = J.decode_avi_mjpeg(bytes(payload))
+            h, w = mframes[0][1].shape if mframes else (0, 0)
+            return {
+                "n_bytes": len(payload),
+                "content_hash": hashlib.md5(payload).hexdigest(),
+                "frame_count": len(mframes),
+                "width": w,
+                "height": h,
+            }
         frames = decode_avi_rgb24(bytes(payload))
         h, w = (
             (frames[0][1].shape[0], frames[0][1].shape[1])
@@ -434,14 +459,25 @@ def _real_decode(payload: bytes) -> dict:
             "width": w,
             "height": h,
         }
-    # STUB: compressed formats (JPEG/PNG/MP4/H.264) still need PIL/av,
-    # absent from this container.  Every fixture modality — audio
-    # (RIFF/PCM16), image (BMP), video (uncompressed AVI) — decodes for
-    # real above; only the compressed-codec call remains a marked seam.
+    if payload[:2] == b"\xff\xd8":
+        from real_time_trip_processing_project_spark.operators import jpeg as J
+
+        px = J.jpeg_decode_gray(bytes(payload))
+        return {
+            "n_bytes": len(payload),
+            "content_hash": hashlib.md5(payload).hexdigest(),
+            "frame_count": 1,
+            "width": px.shape[1],
+            "height": px.shape[0],
+        }
+    # STUB: the remaining compressed formats (PNG/MP4/H.264) need
+    # PIL/av, absent from this container.  Audio (RIFF/PCM16), image
+    # (BMP), uncompressed AVI, MJPEG AVI and baseline JPEG all decode
+    # for real above; only those codecs remain a marked seam.
     raise NotImplementedError(
-        "real decode supports WAV (RIFF/PCM16), BMP (24-bit BI_RGB) and "
-        "uncompressed AVI; compressed formats need PIL/av — use "
-        "codec='fake'"
+        "real decode supports WAV (RIFF/PCM16), BMP (24-bit BI_RGB), "
+        "uncompressed AVI, MJPEG AVI and baseline grayscale JPEG; "
+        "PNG/MP4/H.264 need PIL/av — use codec='fake'"
     )
 
 
@@ -892,4 +928,109 @@ def video_motion_energy(media: DataFrame) -> DataFrame:
 
     return media.mapInPandas(
         run, "media_id long, frame_pair long, motion long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MJPEG: the compressed-video path (operators/jpeg.py holds the codec).
+# ---------------------------------------------------------------------------
+
+#: MJPEG frame dimensions: 16×16 grayscale = 4 DCT blocks per frame.
+MJPEG_W = 16
+MJPEG_H = 16
+
+
+def media_mjpeg_from_documents(
+    docs: DataFrame, width: int = MJPEG_W, height: int = MJPEG_H,
+    lossless: bool = True,
+) -> DataFrame:
+    """Media table whose payloads are REAL MJPEG AVIs: each doc's text
+    bytes fill consecutive ``height×width`` GRAYSCALE frames
+    (zero-padded, ≥1 frame), every frame DCT-transformed, quantized,
+    Huffman-coded into an independent baseline JPEG inside the RIFF
+    container (operators/jpeg.py:encode_avi_mjpeg).  With
+    ``lossless=True`` the quant table is all-ones, bounding roundtrip
+    error to ±1/pixel (float DCT rounding) — the measurable contract
+    the bench quality floor asserts; ``lossless=False`` uses the Annex
+    K table (real lossy compression)."""
+    import numpy as np
+
+    from real_time_trip_processing_project_spark.operators import jpeg as J
+
+    frame_bytes = width * height
+    quant = (
+        np.ones((8, 8), dtype=np.int64) if lossless else J.QUANT_LUMA
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                n_frames = max(-(-len(b) // frame_bytes), 1)
+                px = np.zeros(n_frames * frame_bytes, dtype=np.uint8)
+                px[: len(b)] = b
+                payloads.append(
+                    J.encode_avi_mjpeg(
+                        px.reshape(n_frames, height, width), quant=quant
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    # DCT+Huffman per frame is the CPU-heaviest per-row work in the
+    # repo — a one-file local fixture would serialize it onto one task
+    mj = spread_small_input(docs.select("doc_id", "text")).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+    return mj.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("video/x-motion-jpeg").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit("mjpeg-encoder").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def mjpeg_frame_features(media: DataFrame, every_nth: int = 1) -> DataFrame:
+    """Decode MJPEG payloads (container walk + per-frame baseline JPEG
+    decode) and emit per-frame pixel statistics of the DECODED (lossy)
+    frames.  Sampling skips the JPEG decode entirely for unsampled
+    frames — each '00dc' chunk is self-contained, so the walk costs one
+    offset addition per skipped frame (the same random-access property
+    as the uncompressed path, now with real compression)."""
+    import numpy as np
+
+    from real_time_trip_processing_project_spark.operators import jpeg as J
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, sums, maxs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, frame in J.decode_avi_mjpeg(
+                    bytes(payload), every_nth
+                ):
+                    a = frame.astype(np.int64)
+                    mids.append(mid)
+                    idxs.append(i)
+                    sums.append(int(a.sum()))
+                    maxs.append(int(a.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": idxs,
+                    "px_sum": sums,
+                    "px_max": maxs,
+                }
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, frame_idx long, px_sum long, px_max long"
     )

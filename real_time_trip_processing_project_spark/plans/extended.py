@@ -402,6 +402,77 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_skew_salted",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS day_events
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(d.day_events) AS BIGINT) AS sum_cohort
+        FROM events e
+        JOIN daily d ON d.user_id = e.user_id
+                    AND d.day = CAST(e.ts AS DATE)
+        GROUP BY e.event_type
+    """,
+    tags=["EXT", "J1", "A6"],
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted BIG×BIG join — the skew mitigation when broadcast is
+    impossible: both sides are fact-sized and the join key is power-law
+    (a handful of hot users own most events), so a plain shuffle join
+    sends every hot key's volume to one reducer.
+
+    Technique: the probe side gets ``salt = pmod(xxhash64(row id), S)``;
+    the build side is replicated ×S via ``explode(sequence(...))``; the
+    join key becomes (user, day, salt), spreading each hot key over S
+    reducers.  Semantics are IDENTICAL to the plain join — every probe
+    row meets exactly the one replica matching its salt — which is what
+    the oracle checks (the oracle IS the unsalted join).  Sums are
+    integer so the re-association cannot perturb anything.
+
+    At 100 TB: S is sized to the observed p99 key volume / target
+    partition size; AQE's skew-join split is the automatic alternative
+    when key salting can't be threaded through (this query pins the
+    manual pattern the engine recommends for deterministic layout).
+    Companion: ``skew_salted_agg`` (the aggregation-side variant)."""
+    N_SALTS = 8
+    events = load_fixture(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "user_id", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("day_events"))
+        .withColumn(
+            "salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(N_SALTS - 1).cast("long")
+                )
+            ),
+        )
+    )
+    probe = events.select(
+        "event_type",
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).cast("long").alias(
+            "salt"
+        ),
+    )
+    return (
+        probe.join(daily, ["user_id", "day", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("day_events").alias("sum_cohort"),
+        )
+    )
+
+
+@register(
     "summary_stats",
     oracle=f"""
         WITH m AS (

@@ -2785,6 +2785,34 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_features(MM.media_bmp_from_documents(docs))
 
 
+@register(
+    "multimodal_mjpeg_frames",
+    oracle=None,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec video, end to end: each doc's text bytes
+    fill 16×16 grayscale frames, every frame DCT-transformed, quantized
+    and Huffman-coded into an independent baseline JPEG inside an MJPEG
+    AVI container (operators/jpeg.py), then the featurizer walks the
+    container and JPEG-DECODES each frame back to pixel statistics.
+
+    Rows-only BY DESIGN: the decoded values pass through float DCT
+    rounding, which no SQL oracle can reproduce (the same class as the
+    ANN entries).  The measurable contract is asserted elsewhere
+    instead: with the all-ones quant table the roundtrip error is
+    bounded at ±1/pixel — `tests/test_jpeg_codec.py` pins it per frame
+    against the exact source bytes, and the bench quality section
+    reports the corpus-wide mean absolute pixel error as a floor.
+    Sampling economics mirror the uncompressed path: unsampled frames
+    skip the JPEG decode entirely (each '00dc' chunk is
+    self-contained)."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.mjpeg_frame_features(MM.media_mjpeg_from_documents(docs))
+
+
 # ---------------------------------------------------------------------------
 # Distributed iterative ML: full-corpus integer-exact k-means
 # (operators/similarity.py:kmeans_exact_ticks), hash-verified against an

@@ -1,0 +1,174 @@
+"""Baseline JPEG + MJPEG-AVI codec contracts (operators/jpeg.py).
+
+The Spark query (`multimodal_mjpeg_frames`) is rows-only — float DCT
+rounding has no SQL oracle — so the codec's measurable guarantees are
+pinned here instead: near-lossless roundtrip at unit quantization,
+marker-level spec conformance, container sampling, and the end-to-end
+Spark pipeline against exact source-byte statistics."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from real_time_trip_processing_project_spark.operators import jpeg as J
+from real_time_trip_processing_project_spark.operators import multimodal as MM
+
+Q1 = np.ones((8, 8), dtype=np.int64)
+
+
+def test_flat_image_roundtrips_exactly():
+    img = np.full((24, 24), 77, dtype=np.uint8)
+    assert (J.jpeg_decode_gray(J.jpeg_encode_gray(img, Q1)) == img).all()
+
+
+def test_unit_quant_roundtrip_error_bounded_one():
+    """With quant=1 the only loss is float-DCT rounding: every pixel of
+    every image must come back within ±1 — including hard cases
+    (random noise, checkerboard extremes, non-multiple-of-8 dims)."""
+    rng = np.random.RandomState(42)
+    cases = [
+        rng.randint(0, 256, (16, 16), dtype=np.uint8),
+        rng.randint(0, 256, (23, 31), dtype=np.uint8),  # padded edges
+        np.indices((17, 9)).sum(0).astype(np.uint8) * 7,
+        np.tile(np.array([[0, 255], [255, 0]], np.uint8), (8, 8)),
+    ]
+    for img in cases:
+        dec = J.jpeg_decode_gray(J.jpeg_encode_gray(img, Q1))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int)).max()
+        assert err <= 1, (img.shape, err)
+
+
+def test_standard_quant_is_lossy_but_sane():
+    """Annex K quantization must actually compress (smaller than unit
+    quant) and still reconstruct a smooth gradient closely."""
+    g = np.linspace(0, 255, 32 * 32).reshape(32, 32).astype(np.uint8)
+    lossy = J.jpeg_encode_gray(g)                  # Annex K table
+    lossless = J.jpeg_encode_gray(g, Q1)
+    assert len(lossy) < len(lossless)
+    dec = J.jpeg_decode_gray(lossy)
+    mse = ((dec.astype(float) - g.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+    assert psnr > 30, psnr
+
+
+def test_marker_structure_is_spec_conformant():
+    """SOI first, EOI last; DQT/SOF0/DHT×2/SOS present with correct
+    lengths; every 0xFF inside entropy data is stuffed."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    enc = J.jpeg_encode_gray(img)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    pos, seen = 2, []
+    while pos < len(enc) - 2:
+        marker = struct.unpack(">H", enc[pos : pos + 2])[0]
+        seen.append(marker)
+        size = struct.unpack(">H", enc[pos + 2 : pos + 4])[0]
+        if marker == 0xFFDA:
+            entropy = enc[pos + 2 + size : -2]
+            i = 0
+            while i < len(entropy):
+                if entropy[i] == 0xFF:
+                    assert entropy[i + 1] == 0x00, f"unstuffed FF at {i}"
+                    i += 2
+                else:
+                    i += 1
+            break
+        pos += 2 + size
+    assert seen[:2] == [0xFFDB, 0xFFC0] and seen.count(0xFFC4) == 2
+    assert seen[-1] == 0xFFDA
+
+
+def test_decoder_rejects_non_baseline():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    enc = bytearray(J.jpeg_encode_gray(img))
+    with pytest.raises(ValueError):
+        J.jpeg_decode_gray(b"\x00\x01" + bytes(enc))
+    # flip SOF0 to SOF2 (progressive) — must refuse, not mis-decode
+    i = bytes(enc).find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        J.jpeg_decode_gray(bytes(enc))
+
+
+def test_mjpeg_avi_roundtrip_and_sampling():
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, (9, 16, 16), dtype=np.uint8)
+    avi = J.encode_avi_mjpeg(frames, quant=Q1)
+    out = J.decode_avi_mjpeg(avi)
+    assert [i for i, _ in out] == list(range(9))
+    for i, f in out:
+        assert np.abs(f.astype(int) - frames[i].astype(int)).max() <= 1
+    sampled = J.decode_avi_mjpeg(avi, every_nth=4)
+    assert [i for i, _ in sampled] == [0, 4, 8]
+    # container refuses to MJPEG-decode an uncompressed stream
+    rgb = MM.encode_avi_rgb24(
+        rng.randint(0, 256, (2, 4, 4, 3), dtype=np.uint8)
+    )
+    with pytest.raises(ValueError):
+        J.decode_avi_mjpeg(rgb)
+    # and the uncompressed decoder refuses MJPEG
+    with pytest.raises(ValueError):
+        MM.decode_avi_rgb24(avi)
+
+
+def test_real_decode_seam_handles_mjpeg_and_bare_jpeg():
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    meta = MM._real_decode(J.jpeg_encode_gray(img))
+    assert (meta["frame_count"], meta["width"], meta["height"]) == (1, 16, 16)
+    avi = J.encode_avi_mjpeg(np.stack([img, img.T]), quant=Q1)
+    meta = MM._real_decode(avi)
+    assert (meta["frame_count"], meta["width"], meta["height"]) == (2, 16, 16)
+
+
+def test_mjpeg_query_matches_source_byte_stats(spark):
+    """End to end through Spark: `multimodal_mjpeg_frames` must emit one
+    row per 256-byte frame of each ASCII doc, with px_sum within
+    256·1 of the exact source-byte sum (±1/pixel roundtrip bound) and
+    px_max within 1 of the exact source max — the quantitative contract
+    that replaces the SQL oracle for this lossy path."""
+    import duckdb
+
+    from real_time_trip_processing_project_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.media_id, r.frame_idx): (r.px_sum, r.px_max)
+        for r in REGISTRY["multimodal_mjpeg_frames"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH s AS (
+            SELECT doc_id, encode(text) AS b,
+                   octet_length(encode(text)) AS n
+            FROM '{sf}/documents.parquet'
+            WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+        ),
+        fr AS (
+            SELECT doc_id, b, n,
+                   unnest(range(0, greatest((n + 255) // 256, 1)))
+                       AS frame_idx
+            FROM s
+        )
+        SELECT doc_id, frame_idx,
+               coalesce(list_sum(list_transform(range(1, 257),
+                   j -> CASE WHEN frame_idx * 256 + j <= n
+                        THEN ascii(substr(CAST(b AS VARCHAR),
+                             CAST(frame_idx * 256 + j AS INT), 1))
+                        ELSE 0 END)), 0) AS sum_exact,
+               coalesce(list_max(list_transform(range(1, 257),
+                   j -> CASE WHEN frame_idx * 256 + j <= n
+                        THEN ascii(substr(CAST(b AS VARCHAR),
+                             CAST(frame_idx * 256 + j AS INT), 1))
+                        ELSE 0 END)), 0) AS max_exact
+        FROM fr
+        """
+    ).fetchall()
+    assert rows and len(got) == len(rows)
+    for doc_id, frame_idx, sum_exact, max_exact in rows:
+        px_sum, px_max = got[(doc_id, frame_idx)]
+        assert abs(px_sum - sum_exact) <= 256, (doc_id, frame_idx)
+        assert abs(px_max - max_exact) <= 1, (doc_id, frame_idx)

@@ -95,6 +95,9 @@ def test_no_cartesian_products_in_catalogue(spark):
         "text_bigram_lm_score",  # same 1-row corpus-total broadcast
         "text_bm25_search",
         "embedding_covariance",  # 1-row broadcast of the corpus count
+        # 1-row broadcast of the (n, sum) balance scalar — the Q22
+        # scalar-subquery threshold, same class as the corpus scalars
+        "tpch_q22_global_sales_opportunity",
     }
     for name in REGISTRY:
         if name in allowed:

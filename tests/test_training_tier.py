@@ -510,8 +510,12 @@ def test_real_decode_avi_frame_count():
     feats = MM._real_decode(MM.encode_avi_rgb24(fr))
     assert feats["frame_count"] == 2
     assert (feats["width"], feats["height"]) == (4, 4)
-    with pytest.raises(NotImplementedError, match="compressed"):
+    # JPEG is REAL since r7 (operators/jpeg.py): a malformed stream is a
+    # decode error, not a stub; the marked seam moved to PNG/MP4
+    with pytest.raises(ValueError):
         MM._real_decode(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(NotImplementedError, match="PNG/MP4"):
+        MM._real_decode(b"\x89PNG\r\n\x1a\n rest-of-png")
 
 
 def test_real_decode_bmp_dimensions():
