@@ -45,6 +45,9 @@ _RECHECK_FIRST = [
     # r7: h32 conv rewrite consumers beyond minhash
     "dedup_minhash_lsh",
     "dedup_incremental",
+    # r7: simhash bit votes via conv+shift; pairs filter moved in-flight
+    "dedup_simhash",
+    "dedup_simhash_pairs",
 ]
 
 

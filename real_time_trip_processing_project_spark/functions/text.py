@@ -427,15 +427,30 @@ def _hex_nibble_expr(hexcol: Column, pos: int) -> Column:
     return F.instr(F.lit(HEX_DIGITS), F.substring(hexcol, pos, 1)) - 1
 
 
-def simhash_bit_exprs(token_hash: Column) -> list[Column]:
-    """±1 contribution of one token's md5 to each of the 32 simhash bits.
+def simhash_h32_expr(token_hash: Column) -> Column:
+    """The md5's first 8 hex digits as one 32-bit integer — computed
+    with a single ``conv`` (the r7 ``_h32`` discipline: one base
+    conversion instead of per-nibble instr/substring scans).  Must be
+    bound as a real column BEFORE :func:`simhash_bit_exprs` so the 32
+    bit expressions share it (Catalyst does not CSE a repeated conv
+    across independent projections)."""
+    return F.conv(F.substring(token_hash, 1, 8), 16, 10).cast("long")
 
-    Bit b lives in hex digit ``b // 4`` (nibble), bit ``b % 4`` within it.
-    """
+
+def simhash_bit_exprs(h32: Column) -> list[Column]:
+    """±1 contribution of one token's 32-bit hash value (from
+    :func:`simhash_h32_expr`) to each of the 32 simhash bits.
+
+    Bit b of the DEFINITION lives in hex digit ``b // 4`` (1-based
+    position, i.e. the (7 − b//4)-th nibble from the least significant)
+    at in-nibble bit ``b % 4`` — overall bit ``4·(7 − b//4) + b%4`` of
+    the integer; a shift+mask per vote instead of a string scan.  The
+    DuckDB twin (:func:`simhash_bit_sql`) keeps the strpos arithmetic —
+    same definition, pinned by the full simhash oracle hashes."""
     bits: list[Column] = []
     for b in range(SIMHASH_BITS):
-        nib = _hex_nibble_expr(token_hash, b // 4 + 1)
-        bit = F.floor(nib / (2 ** (b % 4))) % 2
+        pos = 4 * (7 - b // 4) + b % 4
+        bit = F.shiftright(h32, pos).bitwiseAND(F.lit(1))
         bits.append(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)))
     return bits
 

@@ -435,13 +435,25 @@ def simhash_pairs(
     Candidate generation: split each 32-bit simhash into 4 byte-bands
     and self-join on (band, value) — pigeonhole guarantees every pair
     within distance 3 collides in ≥1 band, so recall is exact (not
-    probabilistic).  Verification: ``bit_count(a XOR b)`` on the two
-    hashes joined back by id.  All narrow rows; the band join is the
-    only candidate-sized shuffle.
+    probabilistic).
+
+    Each band row CARRIES its full simhash, so the ``bit_count(a XOR
+    b)`` Hamming test runs IN-FLIGHT on the band join's output:
+    collision pairs that fail the distance cut die inside the join
+    stage without ever being shuffled.  An 8-bit band's candidate
+    stream is O(n²/256) on a large corpus — filtering before the
+    pair-dedup shuffle (instead of after two verify back-joins) is
+    what keeps this shape alive at scale; only true near-dups, orders
+    of magnitude fewer, reach ``dropDuplicates``.  The signature
+    relation is checkpointed once for the join's two sides (the
+    minhash ``sh`` discipline).
     """
-    sims = simhash_docs(docs, id_col, text_col)
+    sims = simhash_docs(docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     bands = sims.select(
         "id",
+        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -454,27 +466,22 @@ def simhash_pairs(
         ).alias("band", "val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sa = sims.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
-    sb = sims.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int"),
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -627,8 +634,8 @@ def simhash_docs(
         F.explode(
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
         ).alias("tok"),
-    ).withColumn("h", F.md5("tok"))
-    bit_votes = TX.simhash_bit_exprs(F.col("h"))
+    ).withColumn("h32", TX.simhash_h32_expr(F.md5("tok")))
+    bit_votes = TX.simhash_bit_exprs(F.col("h32"))
     sums = toks.groupBy("id").agg(
         *[F.sum(v).alias(f"b{i}") for i, v in enumerate(bit_votes)]
     )
