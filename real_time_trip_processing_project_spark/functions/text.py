@@ -422,11 +422,6 @@ HEX_DIGITS = "0123456789abcdef"
 SIMHASH_BITS = 32
 
 
-def _hex_nibble_expr(hexcol: Column, pos: int) -> Column:
-    """Value 0-15 of the hex digit at 1-based ``pos`` of an md5 string."""
-    return F.instr(F.lit(HEX_DIGITS), F.substring(hexcol, pos, 1)) - 1
-
-
 def simhash_h32_expr(token_hash: Column) -> Column:
     """The md5's first 8 hex digits as one 32-bit integer — computed
     with a single ``conv`` (the r7 ``_h32`` discipline: one base

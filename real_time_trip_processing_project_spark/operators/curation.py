@@ -51,19 +51,16 @@ def _bloom_pos(hash_col, group: int, bits: int):
     """Bit position 0..bits−1 from nibble group ``group`` (8 hex chars
     starting at 8·group+1) of an md5 column — engine-portable (the
     DuckDB twin computes identical strpos arithmetic, the CMS
-    discipline).  The 8-nibble value is < 2^32, so the BIGINT sum never
-    overflows."""
-
-    def nib(pos):
-        return (
-            F.instr(F.lit(_HEXD), F.substring(hash_col, pos, 1)) - 1
-        ).cast("long")
-
-    acc = None
-    for i, w in enumerate(_NIB_W):
-        term = nib(8 * group + 1 + i) * F.lit(w)
-        acc = term if acc is None else acc + term
-    return acc % F.lit(bits)
+    discipline).  The 8-nibble value is < 2^32, so the modulo input
+    never overflows.  Spark computes the group value with one ``conv``
+    (the r7 ``_h32`` discipline — same definition as the twin's
+    weighted-nibble sum, one base conversion instead of 8
+    instr/substring scans)."""
+    return (
+        F.conv(F.substring(hash_col, 8 * group + 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(bits)
+    )
 
 
 def bloom_pos_sql(h: str, group: int, bits: int) -> str:

@@ -1898,13 +1898,11 @@ CMS_WIDTH = 1024
 def _cms_bucket(hash_col):
     """Bucket 0..1023 from the first three hex nibbles of an md5 column
     (engine-portable: the DuckDB oracle computes the identical strpos
-    arithmetic, so sketch counters match cell for cell)."""
-    hexd = "0123456789abcdef"
-
-    def nib(pos):
-        return F.instr(F.lit(hexd), F.substring(hash_col, pos, 1)) - 1
-
-    return (nib(1) * 256 + nib(2) * 16 + nib(3)) % CMS_WIDTH
+    arithmetic, so sketch counters match cell for cell; Spark computes
+    the same value with one ``conv`` — the r7 ``_h32`` discipline)."""
+    return (
+        F.conv(F.substring(hash_col, 1, 3), 16, 10).cast("long") % CMS_WIDTH
+    )
 
 
 @register(

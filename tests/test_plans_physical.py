@@ -427,3 +427,55 @@ def test_q13_left_join_then_two_level_aggregate(spark):
     plan = _plan(spark, "tpch_q13_customer_distribution")
     assert "LeftOuter" in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Runtime (row-level) bloom-filter join pruning: when a selective
+    dim filter feeds a shuffle join, Spark can build a bloom filter of
+    the surviving keys and inject `might_contain` into the fact scan —
+    at 100 TB this is the row-level sibling of dynamic partition
+    pruning (shuffle bytes drop before the exchange, not after).  The
+    fixture is far below the size thresholds where this fires on its
+    own, so the test pins the MECHANISM with thresholds floored — the
+    production posture is the default thresholds, which arm exactly in
+    the big-fact regime the feature exists for."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        q = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan
+        # and the filtered result is still correct
+        got = {r["o_orderpriority"]: r["count"] for r in q.collect()}
+        want = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .count()
+        )
+        assert got == {"1-URGENT": want}
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
