@@ -207,12 +207,15 @@ def bloom_contamination(
     )
 
     # shingling is the CPU-dominant step; spread a single-split local
-    # fixture across cores (no-op at real input-split counts)
+    # fixture across cores (no-op at real input-split counts).
+    # Checkpointed: the train-bits branch and the eval-probe branch
+    # both consume it — uncheckpointed, the whole corpus shingles twice
+    # (the minhash ``sh`` discipline).
     sh = spread_small_input(docs).select(
         F.col(id_col).alias("doc_id"),
         split_expr(id_col).alias("split"),
         DD.word_shingles(F.col(text_col)).alias("shingles"),
-    )
+    ).localCheckpoint(eager=False)
 
     # NOTE: no ``.distinct()`` on the positions — the consumer is a
     # left-SEMI join, which is duplicate-insensitive, so deduping the
@@ -289,11 +292,13 @@ def contamination_check(
         spread_small_input,
     )
 
+    # checkpointed: consumed by the train-vocab branch and (twice,
+    # via ev) the eval side — uncheckpointed the corpus shingles 3x
     sh = spread_small_input(docs).select(
         F.col(id_col).alias("doc_id"),
         split_expr(id_col).alias("split"),
         DD.word_shingles(F.col(text_col)).alias("shingles"),
-    )
+    ).localCheckpoint(eager=False)
     train_vocab = (
         sh.filter(F.col("split") == "train")
         .select(F.explode("shingles").alias("s"))

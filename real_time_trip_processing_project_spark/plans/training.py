@@ -2184,6 +2184,123 @@ def embedding_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_noise_centroid",
+    oracle="""
+        WITH t AS (
+            SELECT vec_id, label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS i,
+                   CAST(floor(unnest(list_transform(embedding,
+                        v -> CAST(v AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+                       AS tick
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT label AS cand, i,
+                   CAST(sum(tick) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM t GROUP BY label, i
+        ),
+        dist AS (
+            SELECT t.vec_id, t.label, st.cand,
+                   CAST(sum((t.tick - CASE
+                        WHEN st.cand = t.label AND st.n > 1
+                        THEN (st.s - t.tick) // (st.n - 1)
+                        ELSE st.s // st.n END) ** 2) AS BIGINT) AS d2
+            FROM t JOIN stats st USING (i)
+            GROUP BY t.vec_id, t.label, st.cand
+        ),
+        ranked AS (
+            SELECT vec_id, label, cand, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cand) AS rk
+            FROM dist
+        )
+        SELECT r.vec_id, r.label,
+               r.cand AS pred_label,
+               r.d2 AS d2_pred,
+               o.d2 AS d2_own,
+               r.cand <> r.label AS is_suspect
+        FROM ranked r
+        JOIN dist o ON o.vec_id = r.vec_id AND o.cand = r.label
+        WHERE r.rk = 1
+    """,
+    tags=["EXT", "similarity", "curation"],
+)
+def label_noise_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by leave-one-out nearest class centroid —
+    the confident-learning-lite pass a training pipeline runs before
+    trusting labels: a point whose nearest class centroid is NOT its
+    own label is a mislabel suspect (emitted with both distances so a
+    margin cut can tighten the flag downstream).
+
+    Exactness: components quantize to integer micro-ticks; each class
+    centroid is the per-component integer floor-division ``Σt div n``
+    — and for the point's OWN class the point is first removed
+    (``(Σt − t) div (n−1)``), so a mislabeled point cannot drag its
+    own centroid toward itself (the leave-one-out correction that
+    separates a detector from a self-fulfilling assignment; singleton
+    classes fall back to the self-inclusive mean, identically in both
+    engines).  All distances are exact BIGINT sums of squared tick
+    differences — argmin with a label tie-break cannot wobble.
+
+    Plan at scale: the per-(label, component) stats relation is k×dim
+    rows — broadcast; the distance evaluation is one explode +
+    broadcast-join + two hash aggregates, and the argmin is a
+    row_number window over k rows per point.  Nothing is quadratic in
+    corpus size; the only per-point cost is k×dim integer ops."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("i").cast("int").alias("i"),
+        F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("tick"),
+    )
+    stats = t.groupBy(F.col("label").alias("cand"), "i").agg(
+        F.sum("tick").alias("s"), F.count("*").alias("n")
+    )
+    m = F.when(
+        (F.col("cand") == F.col("label")) & (F.col("n") > 1),
+        F.expr("(s - tick) div (n - 1)"),
+    ).otherwise(F.expr("s div n"))
+    dist = (
+        t.join(F.broadcast(stats), "i")
+        .select(
+            "vec_id",
+            "label",
+            "cand",
+            ((F.col("tick") - m) * (F.col("tick") - m)).alias("sq"),
+        )
+        .groupBy("vec_id", "label", "cand")
+        .agg(F.sum("sq").alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cand")
+    ranked = dist.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    own = dist.filter(F.col("cand") == F.col("label")).select(
+        "vec_id", F.col("d2").alias("d2_own")
+    )
+    return (
+        ranked.join(own, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("cand").alias("pred_label"),
+            F.col("d2").alias("d2_pred"),
+            "d2_own",
+            (F.col("cand") != F.col("label")).alias("is_suspect"),
+        )
+    )
+
+
+@register(
     "corpus_zipf_fit",
     oracle="""
         WITH tf AS (
