@@ -324,7 +324,89 @@ def minhash_signatures(
 
 
 def _minhash_from_sh(sh: DataFrame) -> DataFrame:
-    """Signatures from pre-shingled (id, shingles, n_sh) rows."""
+    """Signatures from pre-shingled (id, shingles, n_sh) rows — Arrow
+    numpy kernel, shuffle-FREE.
+
+    One ``mapInPandas`` pass: per document, md5 each shingle once
+    (hashlib — byte-identical to ``F.md5``), take the first 8 hex
+    digits as the 32-bit base (= :func:`_h32`), apply all 64 universal
+    transforms ``(a·h + b) mod P`` as one broadcasted int64 matrix, and
+    reduce per-doc minima with ``np.minimum.reduceat``.  Values are
+    BIT-IDENTICAL to the expression form (kept as
+    :func:`_minhash_from_sh_expr`, fuzz-pinned by
+    ``test_minhash_kernel_matches_expr_form``): P < 2³² and a < 2³¹
+    keep a·h + b < 2⁶³, so int64 arithmetic is exact in both.
+
+    Why a kernel: the expression form explodes to one row per (doc,
+    shingle) and runs a 64-buffer hash aggregate over the blow-up —
+    measured as the dominant cost of the LSH pipeline.  The kernel is
+    row-in/row-out (no explode, no exchange), and chunks its (shingles
+    × 64) transform matrix so one Arrow batch of long documents cannot
+    balloon task memory."""
+    import numpy as np
+    import pandas as pd
+
+    params = np.asarray(_mh_params(), dtype=np.int64)
+    A, B = params[:, 0], params[:, 1]
+    out_schema = "id long, n_sh long, sig array<long>"
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            keep = pdf["n_sh"] > 0
+            pdf = pdf[keep]
+            if not len(pdf):
+                yield pd.DataFrame({"id": [], "n_sh": [], "sig": []}).astype(
+                    {"id": "int64", "n_sh": "int64"}
+                )
+                continue
+            counts = pdf["n_sh"].to_numpy(dtype=np.int64)
+            flat = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    for shingles in pdf["shingles"]
+                    for s in shingles
+                ),
+                dtype=np.int64,
+                count=int(counts.sum()),
+            )
+            offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            # chunk docs so the (n_shingles × 64) int64 matrix stays
+            # ≤ ~100 MB however long the batch's documents are
+            sigs: list[np.ndarray] = []
+            doc_edges = np.concatenate([offsets, [len(flat)]])
+            start_doc = 0
+            while start_doc < len(counts):
+                end_doc = start_doc
+                total = 0
+                while end_doc < len(counts) and (
+                    total == 0 or total + counts[end_doc] <= 200_000
+                ):
+                    total += counts[end_doc]
+                    end_doc += 1
+                lo, hi = doc_edges[start_doc], doc_edges[end_doc]
+                m = (flat[lo:hi, None] * A[None, :] + B[None, :]) % _MH_PRIME
+                local_off = doc_edges[start_doc:end_doc] - lo
+                sigs.append(np.minimum.reduceat(m, local_off, axis=0))
+                start_doc = end_doc
+            sig = np.concatenate(sigs)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "n_sh": counts,
+                    "sig": list(sig),
+                }
+            )
+
+    return sh.mapInPandas(run, out_schema)
+
+
+def _minhash_from_sh_expr(sh: DataFrame) -> DataFrame:
+    """Expression-form twin of :func:`_minhash_from_sh` (explode →
+    64-min hash aggregate) — kept as the JVM reference the kernel is
+    fuzz-compared against, and as the shape a SQL-only deployment would
+    use."""
     hashed = sh.select(
         "id", "n_sh", F.explode("shingles").alias("s")
     ).select(

@@ -412,3 +412,38 @@ def test_h32_spark_matches_python(spark):
     for s in strings:
         want = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
         assert got[s] == want, (s, got[s], want)
+
+
+def test_minhash_kernel_matches_expr_form(spark):
+    """The Arrow minhash-signature kernel must produce BIT-identical
+    signatures to the JVM expression form (explode → 64-min hash agg)
+    on real fixture docs plus edge shapes — same md5 base, same
+    universal transforms, same minima."""
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_project_spark.operators import dedup as D
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+
+    docs = load_fixture(spark, "/root/testdata/sf0.001", "documents").limit(
+        60
+    )
+    extra = spark.createDataFrame(
+        [
+            (100001, "one two three four five six seven"),
+            (100002, "x " * 300),  # long, repetitive
+            (100003, "unique tokens only here now ok fine yes"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = D.shingled_docs(docs.select("doc_id", "text").unionByName(extra))
+    kernel = {
+        r["id"]: (r["n_sh"], tuple(r["sig"]))
+        for r in D._minhash_from_sh(sh).collect()
+    }
+    expr = {
+        r["id"]: (r["n_sh"], tuple(r["sig"]))
+        for r in D._minhash_from_sh_expr(sh).collect()
+    }
+    assert kernel == expr and kernel
