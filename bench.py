@@ -128,6 +128,7 @@ SECONDARY = [
     "multimodal_mjpeg_frames",
     "ts_cross_correlation",
     "label_noise_centroid",
+    "multimodal_png_features",
     # embedding_kmeans / embedding_kmeans_assign are oracle-gated per
     # round but, like tokenizer_apply_bpe_counts, kept out of the
     # timing list: the 3-iteration driver loop is ~90% fixed per-job

@@ -7,11 +7,12 @@ Arrow batch shape, ``mapInPandas`` signature, partition behavior — with
 REAL pure-Python container codecs for all three fixture modalities:
 audio (RIFF/WAVE PCM16), image (24-bit uncompressed BMP), and video
 (uncompressed 24-bit AVI: RIFF header tree, DIB frame chunks, idx1
-index) — plus a real COMPRESSED path since r7: baseline JPEG
-(DCT/quant/Huffman, operators/jpeg.py) carried as MJPEG-in-AVI.
-Remaining formats (PNG/MP4/H.264), whose codecs genuinely need
-PIL/av absent from this container, remain a marked
-``NotImplementedError`` seam behind ``codec="real"``.
+index) — plus two real COMPRESSED paths since r7: baseline JPEG
+(DCT/quant/Huffman, operators/jpeg.py) carried as MJPEG-in-AVI, and
+lossless PNG (DEFLATE + scanline filters, operators/png.py).
+Remaining formats (MP4/H.264), whose codecs genuinely need PIL/av
+absent from this container, remain a marked ``NotImplementedError``
+seam behind ``codec="real"``.
 
 Layout conventions that matter at scale:
 
@@ -470,14 +471,28 @@ def _real_decode(payload: bytes) -> dict:
             "width": px.shape[1],
             "height": px.shape[0],
         }
-    # STUB: the remaining compressed formats (PNG/MP4/H.264) need
-    # PIL/av, absent from this container.  Audio (RIFF/PCM16), image
-    # (BMP), uncompressed AVI, MJPEG AVI and baseline JPEG all decode
-    # for real above; only those codecs remain a marked seam.
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from real_time_trip_processing_project_spark.operators.png import (
+            decode_png,
+        )
+
+        px = decode_png(bytes(payload))
+        return {
+            "n_bytes": len(payload),
+            "content_hash": hashlib.md5(payload).hexdigest(),
+            "frame_count": 1,
+            "width": px.shape[1],
+            "height": px.shape[0],
+        }
+    # STUB: the remaining compressed formats (MP4/H.264) need PIL/av,
+    # absent from this container.  Audio (RIFF/PCM16), image (BMP,
+    # PNG), uncompressed AVI, MJPEG AVI and baseline JPEG all decode
+    # for real above; only motion-compensated video remains a marked
+    # seam.
     raise NotImplementedError(
         "real decode supports WAV (RIFF/PCM16), BMP (24-bit BI_RGB), "
-        "uncompressed AVI, MJPEG AVI and baseline grayscale JPEG; "
-        "PNG/MP4/H.264 need PIL/av — use codec='fake'"
+        "PNG (8-bit gray/RGB), uncompressed AVI, MJPEG AVI and baseline "
+        "grayscale JPEG; MP4/H.264 need PIL/av — use codec='fake'"
     )
 
 
@@ -1033,4 +1048,94 @@ def mjpeg_frame_features(media: DataFrame, every_nth: int = 1) -> DataFrame:
 
     return media.mapInPandas(
         run, "media_id long, frame_idx long, px_sum long, px_max long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PNG: the LOSSLESS compressed path (operators/png.py holds the codec).
+# ---------------------------------------------------------------------------
+
+#: PNG image width (grayscale, one byte per pixel).
+PNG_W = 16
+
+
+def media_png_from_documents(docs: DataFrame, width: int = PNG_W) -> DataFrame:
+    """Media table whose payloads are REAL PNG bytes: each doc's text
+    bytes fill a ``width``-column grayscale grid (zero-padded to the
+    last row), DEFLATE-compressed through operators/png.py — chunk
+    framing, CRC32s, scanline filter bytes and all.  PNG is lossless,
+    so the decoded pixels equal the source bytes EXACTLY — which is
+    what lets the consumer query carry a full SQL oracle through a
+    genuinely compressed container (MJPEG, being lossy, cannot)."""
+    import numpy as np
+
+    from real_time_trip_processing_project_spark.operators.png import (
+        encode_png,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                h = max(-(-len(b) // width), 1)
+                px = np.zeros(h * width, dtype=np.uint8)
+                px[: len(b)] = b
+                payloads.append(encode_png(px.reshape(h, width)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    png = spread_small_input(docs.select("doc_id", "text")).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+    return png.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit("png-encoder").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """Decode each PNG payload (chunk walk + CRC verify + inflate +
+    unfilter) and emit exact integer pixel statistics — identical
+    output shape to the BMP featurizer, now through a compressed
+    container whose decode is bit-exact."""
+    import numpy as np
+
+    from real_time_trip_processing_project_spark.operators.png import (
+        decode_png,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, ws, hs, sums, maxs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(bytes(payload)).astype(np.int64)
+                mids.append(mid)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sums.append(int(px.sum()))
+                maxs.append(int(px.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "width": ws,
+                    "height": hs,
+                    "px_sum": sums,
+                    "px_max": maxs,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width long, height long, px_sum long, px_max long",
     )

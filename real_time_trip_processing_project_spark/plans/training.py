@@ -2901,6 +2901,44 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_features",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST({MM.PNG_W} AS BIGINT) AS width,
+               CAST(greatest((octet_length(encode(text)) + {MM.PNG_W - 1})
+                             // {MM.PNG_W}, 1) AS BIGINT) AS height,
+               CAST(coalesce(list_sum(list_transform(
+                   range(1, length(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))
+               )), 0) AS BIGINT) AS px_sum,
+               CAST(coalesce(list_max(list_transform(
+                   range(1, length(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))
+               )), 0) AS BIGINT) AS px_max
+        FROM documents
+        WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED image codec with a FULL oracle: each doc's text
+    bytes fill a 16-column grayscale grid serialized as an actual PNG
+    (operators/png.py — DEFLATE, chunk CRCs, scanline filters), then
+    the featurizer walks the chunks, verifies CRCs, inflates,
+    un-filters and computes exact integer pixel stats.  PNG is
+    LOSSLESS, so unlike the MJPEG path the decoded pixels equal the
+    source bytes bit-for-bit and the oracle recomputes the statistics
+    from the text's character codes — the hash gate covers an entire
+    compression round-trip (zlib deflate→inflate + filter/unfilter).
+    Zero-padding contributes nothing to px_sum/px_max; ASCII-guarded
+    on both sides like the BMP/audio twins."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.png_features(MM.media_png_from_documents(docs))
+
+
+@register(
     "multimodal_mjpeg_frames",
     oracle=None,
     tags=["EXT", "multimodal"],

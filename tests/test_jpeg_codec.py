@@ -172,3 +172,94 @@ def test_mjpeg_query_matches_source_byte_stats(spark):
         px_sum, px_max = got[(doc_id, frame_idx)]
         assert abs(px_sum - sum_exact) <= 256, (doc_id, frame_idx)
         assert abs(px_max - max_exact) <= 1, (doc_id, frame_idx)
+
+
+# ---------------------------------------------------------------------------
+# PNG (operators/png.py): the lossless compressed path.
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_exact_gray_and_rgb():
+    from real_time_trip_processing_project_spark.operators import png as P
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 256, (13, 29), dtype=np.uint8)
+    assert (P.decode_png(P.encode_png(g)) == g).all()
+    c = rng.randint(0, 256, (7, 11, 3), dtype=np.uint8)
+    assert (P.decode_png(P.encode_png(c)) == c).all()
+
+
+def test_png_decodes_all_five_foreign_filters():
+    """A conforming file may use any per-row filter; decode must
+    reverse Sub/Up/Average/Paeth, not just the filter-0 rows our own
+    encoder writes — pinned with an independently-written filterer."""
+    import zlib
+
+    from real_time_trip_processing_project_spark.operators import png as P
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (5, 17), dtype=np.uint8)
+    rows = []
+    prev = np.zeros(17, dtype=np.int32)
+    for r, ft in zip(range(5), [0, 1, 2, 3, 4]):
+        line = px[r].astype(np.int32)
+        f = line.copy()
+        if ft == 1:
+            for i in range(16, 0, -1):
+                f[i] = (f[i] - line[i - 1]) & 0xFF
+        elif ft == 2:
+            f = (line - prev) & 0xFF
+        elif ft == 3:
+            for i in range(16, -1, -1):
+                left = line[i - 1] if i >= 1 else 0
+                f[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(16, -1, -1):
+                a = line[i - 1] if i >= 1 else 0
+                b = int(prev[i])
+                c = int(prev[i - 1]) if i >= 1 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                f[i] = (line[i] - pred) & 0xFF
+        rows.append(bytes([ft]) + bytes(f.astype(np.uint8)))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", 17, 5, 8, 0, 0, 0, 0)
+    foreign = (
+        P._SIG
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + P._chunk(b"IEND", b"")
+    )
+    assert (P.decode_png(foreign) == px).all()
+
+
+def test_png_rejects_corruption_and_unsupported():
+    from real_time_trip_processing_project_spark.operators import png as P
+
+    g = np.zeros((4, 4), dtype=np.uint8)
+    enc = bytearray(P.encode_png(g))
+    enc[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError):
+        P.decode_png(bytes(enc))
+    # interlaced flag set -> refuse, not mis-decode
+    enc2 = bytearray(P.encode_png(g))
+    ihdr_at = enc2.find(b"IHDR")
+    body = bytearray(enc2[ihdr_at + 4 : ihdr_at + 17])
+    body[-1] = 1  # interlace = Adam7
+    import zlib as _z
+    crc = _z.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF
+    enc2[ihdr_at + 4 : ihdr_at + 17] = body
+    enc2[ihdr_at + 17 : ihdr_at + 21] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="interlace"):
+        P.decode_png(bytes(enc2))
+
+
+def test_real_decode_seam_handles_png():
+    from real_time_trip_processing_project_spark.operators import png as P
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    meta = MM._real_decode(P.encode_png(img))
+    assert (meta["frame_count"], meta["width"], meta["height"]) == (1, 8, 8)
