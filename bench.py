@@ -129,6 +129,7 @@ SECONDARY = [
     "ts_cross_correlation",
     "label_noise_centroid",
     "multimodal_png_features",
+    "multimodal_wav_mulaw",
     # embedding_kmeans / embedding_kmeans_assign are oracle-gated per
     # round but, like tokenizer_apply_bpe_counts, kept out of the
     # timing list: the 3-iteration driver loop is ~90% fixed per-job

@@ -1139,3 +1139,194 @@ def png_features(media: DataFrame) -> DataFrame:
         run,
         "media_id long, width long, height long, px_sum long, px_max long",
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law: the compressed-AUDIO path (8-bit companded, format 7).
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP14 = 8159
+
+
+def mulaw_encode(samples) -> "np.ndarray":
+    """int16 → 8-bit μ-law bytes, vectorized — bit-compatible with
+    CPython's ``audioop.lin2ulaw`` (the 14-bit-shift G.711 variant:
+    arithmetic ``s >> 2``, clip 8159, bias 33, 8 segments, inverted
+    output).  Pinned over the ENTIRE int16 domain by
+    ``test_mulaw_matches_audioop``."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    v14 = s >> 2  # arithmetic shift = floor division by 4
+    neg = v14 < 0
+    v = np.where(neg, -v14, v14)
+    # +33 bias, then saturate to 8191: audioop's seg-8 overflow branch
+    # (clip 8159 + 33 = 8192 would otherwise index past segment 7)
+    v = np.minimum(np.minimum(v, _ULAW_CLIP14) + 33, 8191)
+    seg = np.searchsorted(
+        np.array([63, 127, 255, 511, 1023, 2047, 4095]), v, side="left"
+    )
+    mant = (v >> (seg + 1)) & 0xF
+    uval = (seg << 4) | mant
+    return (uval ^ np.where(neg, 0x7F, 0xFF)).astype(np.uint8)
+
+
+def mulaw_decode(ulaw_bytes) -> "np.ndarray":
+    """8-bit μ-law → int16, vectorized (``audioop.ulaw2lin`` twin)."""
+    import numpy as np
+
+    u = np.asarray(ulaw_bytes, dtype=np.int64) ^ 0xFF
+    seg = (u >> 4) & 0x7
+    mant = u & 0xF
+    t = (((mant << 3) + _ULAW_BIAS) << seg) - _ULAW_BIAS
+    return np.where(u & 0x80, -t, t).astype(np.int16)
+
+
+def mulaw_decode_sql(byte_sql: str) -> str:
+    """DuckDB twin of decode∘encode for an int16 sample expression —
+    the full companding round trip as ONE pure-SQL integer expression,
+    so a query whose samples go through the REAL μ-law container can
+    still be hash-verified.  ``byte_sql`` must yield the int16 sample
+    (BIGINT)."""
+    s = byte_sql
+    # floor division by 4 (arithmetic >> 2) via the pmod discipline
+    v14 = f"(({s} - ((({s} % 4) + 4) % 4)) // 4)"
+    v = (
+        f"least(least(CASE WHEN {v14} < 0 THEN -{v14} ELSE {v14} END,"
+        f" {_ULAW_CLIP14}) + 33, 8191)"
+    )
+    seg = (
+        f"(CASE WHEN {v} <= 63 THEN 0 WHEN {v} <= 127 THEN 1"
+        f" WHEN {v} <= 255 THEN 2 WHEN {v} <= 511 THEN 3"
+        f" WHEN {v} <= 1023 THEN 4 WHEN {v} <= 2047 THEN 5"
+        f" WHEN {v} <= 4095 THEN 6 ELSE 7 END)"
+    )
+    two_seg1 = (
+        f"(CASE {seg} WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 8"
+        f" WHEN 3 THEN 16 WHEN 4 THEN 32 WHEN 5 THEN 64"
+        f" WHEN 6 THEN 128 ELSE 256 END)"
+    )
+    mant = f"(({v} // {two_seg1}) % 16)"
+    # decode of (seg, mant): t = ((mant*8 + BIAS) << seg) - BIAS
+    two_seg = f"({two_seg1} // 2)"
+    t = f"((({mant} * 8 + {_ULAW_BIAS}) * {two_seg}) - {_ULAW_BIAS})"
+    return f"(CASE WHEN {v14} < 0 THEN -{t} ELSE {t} END)"
+
+
+def encode_wav_mulaw(samples, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Serialize int16 mono samples as a REAL G.711 μ-law WAV
+    (WAVE_FORMAT_MULAW = 7, 8 bits per sample) — half the bytes of
+    PCM16 through actual companding, the telephony container."""
+    import numpy as np
+
+    ul = mulaw_encode(np.asarray(samples, dtype=np.int16)).tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(ul), b"WAVE",
+        b"fmt ", 16,
+        7,  # WAVE_FORMAT_MULAW
+        1, sample_rate, sample_rate, 1, 8,
+        b"data", len(ul),
+    )
+    return hdr + ul
+
+
+def decode_wav_mulaw(payload: bytes):
+    """Parse a μ-law WAV back to (int16 samples, sample_rate) — chunk
+    walk as the PCM16 decoder, then the companding expansion."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if pos + 8 + size > end:
+            raise ValueError(f"truncated chunk {cid!r}")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 7 or bits != 8 or n_channels != 1:
+        raise ValueError(
+            f"not mono 8-bit mu-law: format={audio_format}, bits={bits}"
+        )
+    return mulaw_decode(np.frombuffer(data, dtype=np.uint8)), sample_rate
+
+
+def media_mulaw_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table of REAL μ-law WAVs: each doc's text bytes become
+    full-scale int16 samples ``(byte − 128) · 256`` (so the whole
+    companding curve is exercised, all 8 segments), companded to 8-bit
+    μ-law and wrapped in a format-7 RIFF container."""
+    import numpy as np
+
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                if not len(b):
+                    b = np.zeros(1, dtype=np.uint8)
+                s = (b.astype(np.int64) - 128) * 256
+                payloads.append(encode_wav_mulaw(s.astype(np.int16)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    wav = spread_small_input(docs.select("doc_id", "text")).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+    return wav.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("audio/basic").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit("mulaw-encoder").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def mulaw_features(media: DataFrame) -> DataFrame:
+    """Decode μ-law WAV payloads and emit exact integer per-doc sample
+    statistics of the EXPANDED (decoded) signal — sum, peak magnitude,
+    count.  Deterministic integers end to end, so the consumer query
+    carries a full SQL oracle through the companding round trip."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, ns, sums, peaks = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, _rate = decode_wav_mulaw(bytes(payload))
+                a = s.astype(np.int64)
+                mids.append(mid)
+                ns.append(len(a))
+                sums.append(int(a.sum()))
+                peaks.append(int(np.abs(a).max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "n_samples": ns,
+                    "sum_decoded": sums,
+                    "peak_abs": peaks,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, n_samples long, sum_decoded long, peak_abs long",
+    )

@@ -2901,6 +2901,49 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_mulaw",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN length(text) = 0 THEN chr(0) ELSE text END
+                       AS t
+            FROM documents
+            WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+        ),
+        samp AS (
+            SELECT media_id,
+                   {MM.mulaw_decode_sql(
+                       "((ascii(substr(t, CAST(i AS INT), 1)) - 128) * 256)"
+                   )} AS d
+            FROM s, LATERAL (SELECT unnest(range(1, length(t) + 1)) AS i)
+        )
+        SELECT media_id,
+               count(*) AS n_samples,
+               CAST(sum(d) AS BIGINT) AS sum_decoded,
+               CAST(max(CASE WHEN d < 0 THEN -d ELSE d END) AS BIGINT)
+                   AS peak_abs
+        FROM samp GROUP BY media_id
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_wav_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed AUDIO with a FULL oracle: each doc's text bytes
+    become full-scale int16 samples ((byte−128)·256, exercising all 8
+    companding segments), G.711 μ-law compressed to 8-bit bytes inside
+    a format-7 RIFF/WAVE container, then decoded back and aggregated.
+    The companding curve is integer-exact — the numpy kernels are
+    bit-compatible with CPython's ``audioop`` over the ENTIRE int16
+    domain (``test_mulaw_matches_audioop``) and the oracle reproduces
+    decode∘encode as one pure-SQL CASE expression — so the driver hash
+    gate covers a real lossy-compression round trip exactly (the
+    quantization is deterministic, unlike MJPEG's float DCT)."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.mulaw_features(MM.media_mulaw_from_documents(docs))
+
+
+@register(
     "multimodal_png_features",
     oracle=f"""
         SELECT doc_id AS media_id,

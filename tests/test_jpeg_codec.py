@@ -263,3 +263,59 @@ def test_real_decode_seam_handles_png():
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     meta = MM._real_decode(P.encode_png(img))
     assert (meta["frame_count"], meta["width"], meta["height"]) == (1, 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law (operators/multimodal.py): compressed audio.
+# ---------------------------------------------------------------------------
+
+
+def test_mulaw_matches_audioop():
+    """The vectorized mu-law kernels must be bit-compatible with
+    CPython's audioop over the ENTIRE int16 domain (encode) and all
+    256 byte values (decode) — the independent reference that pins the
+    14-bit-shift G.711 variant including the segment-8 saturation."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    all16 = np.arange(-32768, 32768, dtype=np.int16)
+    ref_enc = np.frombuffer(
+        audioop.lin2ulaw(all16.tobytes(), 2), dtype=np.uint8
+    )
+    assert (MM.mulaw_encode(all16) == ref_enc).all()
+    allb = np.arange(256, dtype=np.uint8)
+    ref_dec = np.frombuffer(audioop.ulaw2lin(allb.tobytes(), 2), dtype="<i2")
+    assert (MM.mulaw_decode(allb) == ref_dec).all()
+
+
+def test_mulaw_sql_twin_full_domain():
+    """The DuckDB round-trip expression must equal the numpy
+    decode(encode(s)) path for every int16 value."""
+    import duckdb
+
+    con = duckdb.connect()
+    expr = MM.mulaw_decode_sql("s")
+    sql_out = con.execute(
+        f"SELECT {expr} FROM (SELECT unnest(range(-32768, 32768)) AS s)"
+    ).fetchnumpy()
+    sqlv = list(sql_out.values())[0].astype(np.int64)
+    all16 = np.arange(-32768, 32768, dtype=np.int16)
+    npv = MM.mulaw_decode(MM.mulaw_encode(all16)).astype(np.int64)
+    assert (sqlv == npv).all()
+
+
+def test_mulaw_wav_container_roundtrip():
+    s = ((np.arange(300) % 256) - 128).astype(np.int64) * 256
+    wav = MM.encode_wav_mulaw(s.astype(np.int16))
+    d, rate = MM.decode_wav_mulaw(wav)
+    assert rate == MM.WAV_SAMPLE_RATE and len(d) == 300
+    want = MM.mulaw_decode(MM.mulaw_encode(s))
+    assert (d == want).all()
+    # PCM16 decoder refuses the mu-law container and vice versa
+    with pytest.raises(ValueError):
+        MM.decode_wav_pcm16(wav)
+    with pytest.raises(ValueError):
+        MM.decode_wav_mulaw(MM.encode_wav_pcm16(s.astype(np.int16)))
