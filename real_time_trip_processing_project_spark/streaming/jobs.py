@@ -827,3 +827,58 @@ def rolling_zscore_stream_v2(
             timeMode="none",
         )
     )
+
+
+def enrich_stream_static(
+    stream: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup shape a
+    telemetry pipeline runs constantly (reference analogue: the
+    notebook's batch join of trip starts to ends, here with the fact
+    side unbounded).
+
+    Semantics: each micro-batch re-executes the static side's PLAN, but
+    a path-backed parquet dim pins its file listing at plan time — so
+    the slowly-changing-dimension move is a RESTART from the same
+    checkpoint with a re-read dim (free: a stream-static join holds no
+    state, and the source offsets give exactly-once across the restart
+    — pinned by the parity test), or a metastore table + REFRESH TABLE
+    for in-flight pickup.  The broadcast hint keeps each batch's join
+    shuffle-free; no watermark is needed.  At 100 TB the only scaling
+    concern is the dimension's broadcast size, exactly as in batch.
+    LEFT join so unmatched facts survive with NULL dims
+    (quarantine-friendly)."""
+    return stream.join(F.broadcast(dim), key, "left")
+
+
+def cms_sketch_stream(tokens: DataFrame) -> DataFrame:
+    """Streaming count-min sketch maintenance: the (row, bucket)
+    counter matrix as a RUNNING AGGREGATE over an unbounded token
+    stream — the insight being that an additive sketch IS a streaming
+    groupBy: Spark's incremental aggregation state holds exactly the
+    CMS_DEPTH × CMS_WIDTH counters and every micro-batch folds in
+    map-side partials.  No custom stateful operator needed, and the
+    counters are BIT-IDENTICAL to the batch sketch over the same
+    tokens at any drain point (counter additivity — asserted by the
+    parity test), so a batch consumer can hot-swap to querying the
+    live sketch.
+
+    Input: a (possibly streaming) DataFrame with one ``w`` token
+    column.  Output: (i, bucket, cnt) in update/complete mode —
+    4 × 1024 bounded state regardless of stream volume, the whole
+    point of maintaining the sketch instead of exact counts."""
+    from real_time_trip_processing_project_spark.plans.training import (
+        CMS_DEPTH,
+        _cms_bucket,
+    )
+
+    hashed = tokens.select(
+        "w",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i"),
+    ).withColumn(
+        "bucket",
+        _cms_bucket(
+            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w")))
+        ),
+    )
+    return hashed.groupBy("i", "bucket").agg(F.count("*").alias("cnt"))

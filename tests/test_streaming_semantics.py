@@ -492,3 +492,135 @@ def test_pipeline_checkpoint_resume_no_reprocess(spark, tmp_path):
     # all 50 trips present and completed exactly once
     completed = rows.filter("status = 'Completed'")
     assert completed.select("trip_id").distinct().count() == completed.count() == 50
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static join: replaying the events fixture as a stream
+    joined to a STATIC per-user dimension must equal the batch join —
+    and because the static side re-resolves per micro-batch, an
+    overwrite of the dimension between drains is picked up by the SAME
+    running query without restart (the cheap slowly-changing-dimension
+    pattern)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+    from real_time_trip_processing_project_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    events = load_fixture(spark, sf, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim_path = str(tmp_path / "dim")
+    events.groupBy("user_id").agg(
+        F.count("*").alias("user_total")
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+
+    rows = events.collect()
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], events.schema).coalesce(
+        1
+    ).write.parquet(f"{src}/b0")
+    stream = spark.readStream.schema(events.schema).parquet(src + "/b*")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            jobs.enrich_stream_static(
+                stream, spark.read.parquet(dim_path), key="user_id"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+
+    # dimension OVERWRITE between drains, picked up by a RESTART from
+    # the SAME checkpoint: a stream-static join holds no state, so the
+    # restart is free, batch 0 is NOT reprocessed (exactly-once file
+    # offsets) and only the new file joins against the new dimension —
+    # the checkpoint-compatible static-side swap the operator's
+    # docstring prescribes for path-backed dims
+    events.groupBy("user_id").agg(
+        (2 * F.count("*")).alias("user_total")
+    ).write.mode("overwrite").parquet(dim_path)
+    spark.createDataFrame(rows[half:], events.schema).coalesce(
+        1
+    ).write.parquet(f"{src}/b1")
+    drain()
+
+    got = {
+        r.event_id: r.user_total
+        for r in spark.read.parquet(sink).collect()
+    }
+    base = {r["user_id"]: 0 for r in rows}
+    for r in rows:
+        base[r["user_id"]] += 1
+    for r in rows[:half]:
+        assert got[r["event_id"]] == base[r["user_id"]], r
+    for r in rows[half:]:
+        assert got[r["event_id"]] == 2 * base[r["user_id"]], r
+
+
+def test_cms_stream_counters_equal_batch_sketch(spark, tmp_path):
+    """Streaming CMS maintenance: drain the documents' token stream in
+    chunks through the running-aggregate sketch — the final (i, bucket)
+    counters must be BIT-IDENTICAL to the batch sketch over the same
+    tokens (counter additivity is the sketch's mergeability, and
+    Spark's incremental aggregation state IS the sketch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_project_spark.functions import text as TX
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+    from real_time_trip_processing_project_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_fixture(spark, sf, "documents")
+    toks = docs.select(F.explode(TX.ws_tokens("text")).alias("w"))
+    src = str(tmp_path / "tok")
+    os.makedirs(src, exist_ok=True)
+    rows = toks.collect()
+    third = max(len(rows) // 3, 1)
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        spark.createDataFrame(chunk, toks.schema).coalesce(1).write.parquet(
+            f"{src}/c{i}"
+        )
+    stream = (
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/c*")
+    )
+    q = (
+        jobs.cms_sketch_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.i, r.bucket): r.cnt for r in spark.table("cms").collect()
+    }
+    want = {
+        (r.i, r.bucket): r.cnt
+        for r in jobs.cms_sketch_stream(toks).collect()
+    }
+    assert got == want and len(want) > 100
