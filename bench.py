@@ -130,6 +130,7 @@ SECONDARY = [
     "label_noise_centroid",
     "multimodal_png_features",
     "multimodal_wav_mulaw",
+    "variant_json_ops",
     # embedding_kmeans / embedding_kmeans_assign are oracle-gated per
     # round but, like tokenizer_apply_bpe_counts, kept out of the
     # timing list: the 3-iteration driver loop is ~90% fixed per-job

@@ -136,6 +136,8 @@ def jpeg_encode_gray(img, quant=QUANT_LUMA) -> bytes:
     if px.ndim != 2 or px.size == 0:
         raise ValueError(f"expected non-empty (h, w) grayscale, got {px.shape}")
     h, w = px.shape
+    if h > 65500 or w > 65500:  # SOF dimension fields are uint16
+        raise ValueError(f"dimensions exceed JPEG's 16-bit limit: {h}x{w}")
     q = np.asarray(quant, dtype=np.int64)
     if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
         raise ValueError("quant table must be 8x8 of 1..255")

@@ -3283,3 +3283,73 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v_a") * F.col("v_b")).alias("xcorr_num"),
         )
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_totalprice < 150000.0
+        GROUP BY o_orderpriority
+    """,
+    tags=["EXT", "A6"],
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 4 parameterized queries): the
+    injection-safe textual entry point — ``spark.sql(sql, args={...})``
+    binds ``:name`` markers as typed literals in the PARSER, not by
+    string substitution, so a user-supplied value can never change the
+    query's structure.  Same Catalyst plan as the literal form; the
+    oracle is the equivalent constant-folded SQL."""
+    view = f"orders_param_{abs(hash(sf_dir)) % 10_000}"
+    load_fixture(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS total_cents
+        FROM {view}
+        WHERE o_orderdate >= :cutoff AND o_totalprice < :cap
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": "1996-01-01", "cap": 150000.0},
+    )
+
+
+@register(
+    "variant_json_ops",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               CAST(json_extract(props, '$.missing') AS BIGINT) AS absent,
+               json_extract_string(props, '$.k') AS k_str
+        FROM events
+    """,
+    tags=["EXT", "P10"],
+)
+def variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured access (Spark 4): ``parse_json``
+    builds the binary variant ONCE per row, then ``try_variant_get``
+    path lookups extract typed values without re-parsing — the
+    schema-on-read shape that replaces per-path ``get_json_object``
+    string re-parses on wide telemetry payloads (the reference's
+    ``props`` analogue).  Missing paths yield NULL (try_ semantics),
+    matching the oracle's json_extract.  The variant column itself
+    never reaches the output (binary isn't hash-comparable) — only
+    typed projections, as a consumer would."""
+    events = load_fixture(spark, sf_dir, "events")
+    v = events.select(
+        "event_id", F.parse_json("props").alias("v")
+    )
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("absent"),
+        F.try_variant_get("v", "$.k", "string").alias("k_str"),
+    )
