@@ -447,6 +447,23 @@ def _quality(spark) -> dict:
     )
     assert mae["mx"] <= 1.0, f"mjpeg per-pixel err {mae['mx']} > 1.0"
     q["mjpeg_mean_abs_px_err"] = round(float(mae["mae"]), 5)
+
+    # Datasketches HLL mergeable-sketch floor: the merged-union estimate
+    # (the "ALL" row of the registered query) vs the exact global
+    # distinct count
+    hll = {
+        r["o_orderstatus"]: r["n_custs_est"]
+        for r in REGISTRY["hll_sketch_mergeable"].fn(spark, SF_DIR).collect()
+    }
+    exact_all = (
+        load_fixture(spark, SF_DIR, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    rel = abs(hll["ALL"] - exact_all) / max(exact_all, 1)
+    assert rel <= 0.05, f"hll merged estimate rel err {rel} > 0.05"
+    q["hll_sketch_merged_rel_err"] = round(float(rel), 5)
     return q
 
 

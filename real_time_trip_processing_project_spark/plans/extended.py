@@ -3353,3 +3353,45 @@ def variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.missing", "bigint").alias("absent"),
         F.try_variant_get("v", "$.k", "string").alias("k_str"),
     )
+
+
+@register(
+    "hll_sketch_mergeable",
+    oracle=None,  # Datasketches binary — no DuckDB twin; floors in tests
+    tags=["EXT", "A6"],
+)
+def hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch COLUMNS (Spark's Apache Datasketches
+    integration): per-status customer sketches built with
+    ``hll_sketch_agg``, merged with ``hll_union_agg``, read with
+    ``hll_sketch_estimate``.
+
+    This is a different capability from ``approx_count_distinct``'s
+    one-shot estimate: the sketch is a STORABLE binary column — the
+    incremental-rollup architecture at 100 TB keeps one sketch per
+    partition/day in the store and answers any cross-slice distinct
+    query by unioning ~bytes per slice, never rescanning the facts.
+    The union preserves the sketch's ERROR GUARANTEE (not bitwise
+    equality with a direct build — the union can settle in a different
+    internal register mode): the test pins merged-vs-whole agreement
+    and a 5%-of-exact floor on every estimate.  Rows-only by design
+    (the Datasketches binary has no DuckDB twin)."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    parts = orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count("*").alias("n_orders"),
+    )
+    per_status = parts.select(
+        "o_orderstatus",
+        "n_orders",
+        F.hll_sketch_estimate("sk").alias("n_custs_est"),
+    )
+    merged = parts.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("n_orders").alias("n_orders"),
+    ).select(
+        F.lit("ALL").alias("o_orderstatus"),
+        "n_orders",
+        F.hll_sketch_estimate("sk").alias("n_custs_est"),
+    )
+    return per_status.unionByName(merged)

@@ -1536,3 +1536,40 @@ def test_kmeans_arrow_assignment_matches_expression_twin(spark):
     b = {r["vec_id"]: r["cl"]
          for r in SIM._kmeans_assign_expr(ticks, cents).collect()}
     assert a == b and a
+
+
+def test_hll_sketch_merge_is_lossless_and_accurate(spark):
+    """The mergeable-sketch contract: (a) unioning the per-status
+    sketches estimates the whole column within the sketch's own error
+    band (the union may carry a different internal register mode than a
+    direct build, so equality is statistical, not bitwise — both
+    estimates must sit within 5% of exact), and (b) every per-slice
+    estimate is within 5% of its exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_project_spark.plans import REGISTRY
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = {
+        r.o_orderstatus: r.n_custs_est
+        for r in REGISTRY["hll_sketch_mergeable"].fn(spark, sf).collect()
+    }
+    orders = load_fixture(spark, sf, "orders")
+    whole = (
+        orders.agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(out["ALL"] - whole) / max(whole, 1) < 0.02  # merge ~ whole
+    exact = {
+        r.o_orderstatus: r.n
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = orders.select("o_custkey").distinct().count()
+    for k, est in out.items():
+        assert abs(est - exact[k]) / max(exact[k], 1) < 0.05, (k, est)
