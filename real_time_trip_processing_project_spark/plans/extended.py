@@ -3395,3 +3395,140 @@ def hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("n_custs_est"),
     )
     return per_status.unionByName(merged)
+
+
+@register(
+    "listagg_ordered",
+    oracle="""
+        SELECT o_orderstatus,
+               string_agg(o_orderpriority, '|' ORDER BY o_orderpriority)
+                   AS priorities
+        FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        GROUP BY o_orderstatus
+    """,
+    tags=["EXT", "A6"],
+)
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (``listagg`` landed in Spark 4 as the
+    ANSI form of string_agg): the WITHIN GROUP (ORDER BY …) clause
+    makes the concatenation deterministic — which is exactly what lets
+    it be hash-compared cross-engine (an unordered string_agg is
+    partial-order-dependent and could never pass the gate).  Input is
+    pre-deduplicated so the aggregate is histogram-sized."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    d = orders.select("o_orderstatus", "o_orderpriority").distinct()
+    d.createOrReplaceTempView(f"la_{abs(hash(sf_dir)) % 10_000}")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               listagg(o_orderpriority, '|')
+                   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities
+        FROM la_{abs(hash(sf_dir)) % 10_000}
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "bitmap_distinct_count",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_custs
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=["EXT", "A6"],
+)
+def bitmap_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count): keys bucket into 32k-bit bitmaps, each bucket
+    collapses to a fixed-width binary, per-bucket cardinalities sum to
+    the exact distinct count — the count-distinct architecture that
+    beats a shuffle of raw keys when keys repeat heavily (the shuffle
+    carries ≤4 KB per bucket however many duplicates exist), and the
+    stored-bitmap sibling of the HLL sketch rollup with exactness
+    retained.  Oracle is plain COUNT(DISTINCT) — the bitmaps are an
+    implementation, not a semantic."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    per_bucket = (
+        orders.select(
+            "o_orderstatus",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("c"))
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum("c").alias("n_custs")
+    )
+
+
+@register(
+    "crypto_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority AS decrypted
+        FROM orders
+        WHERE o_orderkey % 10 = 0
+    """,
+    tags=["EXT", "P10"],
+)
+def crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface (``aes_encrypt``/``aes_decrypt``):
+    the at-rest-PII pattern — encrypt on write, decrypt on read, with
+    the engine never persisting plaintext.  The query runs the full
+    roundtrip in one plan (ECB mode so the ciphertext is deterministic;
+    production uses GCM, whose random IV is precisely what makes it
+    non-oracle-able) and the oracle checks the identity — i.e. that
+    decrypt∘encrypt is lossless for the driver's hash gate."""
+    orders = load_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    key = "0123456789abcdef"
+    return orders.select(
+        "o_orderkey",
+        F.expr(
+            f"CAST(aes_decrypt(aes_encrypt(o_orderpriority, '{key}', 'ECB'),"
+            f" '{key}', 'ECB') AS STRING)"
+        ).alias("decrypted"),
+    )
+
+
+@register(
+    "xml_roundtrip",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority AS prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey % 10 = 1
+    """,
+    tags=["EXT", "P10"],
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML wire surface (Spark 4 ``to_xml``/``from_xml`` — the third
+    serialization format after JSON and CSV): struct → XML document →
+    schema-projected struct, the legacy-feed interchange shape.  The
+    oracle checks roundtrip identity on typed fields (same contract as
+    ``json_roundtrip``)."""
+    orders = load_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 1
+    )
+    xml = orders.select(
+        "o_orderkey",
+        F.expr(
+            "to_xml(named_struct('prio', o_orderpriority,"
+            " 'cents', CAST(round(o_totalprice * 100) AS BIGINT)))"
+        ).alias("doc"),
+    )
+    return xml.select(
+        "o_orderkey",
+        F.expr(
+            "from_xml(doc, 'prio STRING, cents BIGINT')"
+        ).alias("v"),
+    ).select(
+        "o_orderkey",
+        F.col("v.prio").alias("prio"),
+        F.col("v.cents").alias("cents"),
+    )
