@@ -3532,3 +3532,33 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.prio").alias("prio"),
         F.col("v.cents").alias("cents"),
     )
+
+
+@register(
+    "approx_topk_exact_regime",
+    oracle="""
+        SELECT event_type AS item,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=["EXT", "A6"],
+)
+def approx_topk_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (Spark 4's frequency-sketch top-k aggregate) in
+    its EXACT regime: with distinct items ≤ the sketch capacity the
+    counter map never evicts, so every count is exact — which is the
+    property that makes the entry oracle-able at all (beyond capacity
+    the sketch degrades to approximate heavy hitters; that regime is
+    covered by the CMS twin ``heavy_hitters_cms`` with its min-over-
+    rows bound).  The sketch's own output ordering breaks count ties
+    arbitrarily, so the array is exploded and the rows re-keyed —
+    hash comparison is over (item, count) sets, not sketch order."""
+    events = load_fixture(spark, sf_dir, "events")
+    topk = events.agg(
+        F.expr("approx_top_k(event_type, 64)").alias("tk")
+    )
+    return topk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("long").alias("n"),
+    )
