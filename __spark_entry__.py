@@ -27,28 +27,22 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: verified near the front of the window.  Maintained per round, names only
 #: advisory (unknown names warn, never break the package).
 _RECHECK_FIRST = [
-    # r7 in-round edits only (the 7 r6 HUGEINT-red oracles need no entry
-    # here — red rows lead the window automatically via `failed`):
-    # quality_score_sql gained a CAST(... AS DOUBLE) wrapper (the
-    # DESCRIBE-type allowlist gate forbids DECIMAL oracle outputs), so
-    # recheck its green consumers.
-    "text_quality",
-    "quality_calibration",
-    "seq_length_histogram",
-    "text_lang_id",
-    # r7: AVI container walk refactored into avi_raw_frames (shared
-    # with the new MJPEG decoder) — recheck its decoder consumers
-    "multimodal_video_frames",
-    "multimodal_video_motion",
-    "multimodal_frame_sample",
-    "multimodal_sampled_frame_features",
-    # r7: h32 conv rewrite consumers beyond minhash
-    "dedup_minhash_lsh",
-    "dedup_incremental",
-    # r7: simhash bit votes via conv+shift; pairs filter moved in-flight
-    "dedup_simhash",
-    "dedup_simhash_pairs",
+    # r8: the r3-stale cohort (last driver-checked five rounds ago) leads
+    # the window explicitly; the generic overdue tier in _order_names
+    # covers the r4 cohort right behind them.
+    "doc_domain_stats",
+    "mixture_weighted_sample",
+    "text_repetition",
+    "text_lm_score",
+    "embedding_quantize_int8",
+    "text_bm25_search",
+    "multimodal_features",
 ]
+
+#: A query whose last green check is older than this many rounds is
+#: "overdue" and outranks never-checked newcomers in the window — without
+#: this, every query-adding round re-starves the stale tail.
+_MAX_STALENESS = 3
 
 
 def _last_check(results_dir: str) -> tuple[dict[str, int], set[str]]:
@@ -88,10 +82,13 @@ def _order_names(
     recheck: dict[str, int],
 ) -> list[str]:
     """Pure ordering core (unit-tested for the max-staleness bound):
-    failures first, then changed-module rechecks, then never-checked,
+    failures first, then changed-module rechecks, then queries overdue by
+    more than _MAX_STALENESS rounds (stalest first), then never-checked,
     then stalest-check-first — so a fixed-size verification window of W
     slots re-checks every one of N queries at least once every ⌈N/W⌉
-    rounds and a red row always leads the very next window."""
+    rounds, a red row always leads the very next window, and a burst of
+    newly-registered queries can never starve an already-stale tail."""
+    now = max(last.values(), default=-1) + 1  # the round being ordered for
 
     def key(item: tuple[int, str]) -> tuple:
         idx, n = item
@@ -99,9 +96,11 @@ def _order_names(
             return (0, idx)
         if n in recheck:
             return (1, recheck[n])
+        if n in last and now - last[n] > _MAX_STALENESS:
+            return (2, last[n], idx)
         if n not in last:
-            return (2, idx)
-        return (3, last[n], idx)
+            return (3, idx)
+        return (4, last[n], idx)
 
     return [n for _, n in sorted(enumerate(names), key=key)]
 

@@ -65,6 +65,43 @@ def test_recheck_pins_follow_failures():
     assert ordered[:3] == ["q007", "q010", "q003"]
 
 
+def test_overdue_outranks_never_checked():
+    """A query stale by more than _MAX_STALENESS rounds outranks a burst
+    of never-checked newcomers — query-adding rounds must not re-starve
+    the stale tail (r7 verdict item #1)."""
+    old = [f"old{i:03d}" for i in range(10)]
+    new = [f"new{i:03d}" for i in range(60)]
+    # old queries last checked at round 2; one fresh check at round 7
+    # anchors "now" = 8, making the old cohort 6 rounds stale.
+    last = {n: 2 for n in old}
+    last["old000"] = 7
+    ordered = entry_mod._order_names(old + new, last, set(), {})
+    head = ordered[: len(old) - 1]
+    assert set(head) == set(old) - {"old000"}, head
+    # never-checked newcomers follow the overdue tier
+    assert ordered[len(old) - 1 : len(old) - 1 + len(new)] == new
+
+
+def test_overdue_tier_preserves_staleness_bound():
+    """The overdue tier must not break the ⌈N/W⌉ rotation bound when
+    newcomers arrive mid-rotation."""
+    names = [f"q{i:03d}" for i in range(120)]
+    last: dict[str, int] = {}
+    window = 50
+    for rnd in range(3):
+        for n in entry_mod._order_names(names, last, set(), {})[:window]:
+            last[n] = rnd
+    # 60 new queries register at round 3
+    names += [f"late{i:03d}" for i in range(60)]
+    for rnd in range(3, 12):
+        for n in entry_mod._order_names(names, last, set(), {})[:window]:
+            last[n] = rnd
+    now = 12
+    worst = max(now - last.get(n, -1) for n in names)
+    bound = math.ceil(len(names) / window) + entry_mod._MAX_STALENESS
+    assert worst <= bound, f"worst staleness {worst} > {bound}"
+
+
 def test_registry_names_resolve():
     """Every _RECHECK_FIRST pin names a registered query (typos warn at
     runtime; this keeps them from lingering)."""
