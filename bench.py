@@ -238,6 +238,17 @@ def main() -> None:
             k: round(v / probe_mean, 3) for k, v in secondary.items()
         },
     }
+    # Load-adjusted round-over-round comparison (r7 verdict item #3):
+    # bench_detail.json is committed per round, so the copy on disk at
+    # start-of-run is the previous round's record.  A query counts as
+    # regressed only if its PROBE-NORMALIZED time rose >30% — raw deltas
+    # that co-move with the probe are box load, not code.  Sub-0.15 s
+    # queries are skipped (timer noise dominates there).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    out["regressions"] = _regressions(detail_path, out["normalized"])
+
     out["quality"] = _quality(spark)
     streaming = _stream_throughput(spark)
     if streaming:
@@ -251,10 +262,7 @@ def main() -> None:
     # that stays parseable no matter how many queries the lists grow.
     print(json.dumps(out))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench_detail.json"), "w"
-        ) as f:
+        with open(detail_path, "w") as f:
             json.dump(out, f, indent=1)
     except OSError:
         pass
@@ -269,6 +277,7 @@ def main() -> None:
         "probe_start_sec": probe_start,
         "probe_end_sec": probe_end,
         "normalized_value": out["normalized"]["value"],
+        "regression_count": len(out["regressions"]),
     }
     if streaming:
         compact["streaming"] = {
@@ -287,6 +296,38 @@ def main() -> None:
         line = json.dumps(compact)
     print(line)
     spark.stop()
+
+
+def _regressions(prev_path: str, normalized: dict) -> list[dict]:
+    """Queries whose probe-normalized time rose >30% vs the previous
+    committed ``bench_detail.json``.  Returns [] when no previous record
+    exists (first run of a fresh checkout)."""
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f).get("normalized", {})
+    except (OSError, ValueError):
+        return []
+    prev_q = {**prev.get("queries", {}), **prev.get("secondary", {})}
+    now_q = {**normalized.get("queries", {}), **normalized.get("secondary", {})}
+    probe_mean = normalized.get("probe_mean_sec", 1.0) or 1.0
+    regs = []
+    for name, now_norm in now_q.items():
+        prev_norm = prev_q.get(name)
+        # skip new queries and sub-0.15 s (raw) readings — timer noise
+        if prev_norm is None or prev_norm <= 0 or now_norm * probe_mean < 0.15:
+            continue
+        ratio = now_norm / prev_norm
+        if ratio > 1.3:
+            regs.append(
+                {
+                    "query": name,
+                    "prev_norm": prev_norm,
+                    "now_norm": now_norm,
+                    "ratio": round(ratio, 2),
+                }
+            )
+    regs.sort(key=lambda r: -r["ratio"])
+    return regs
 
 
 def _quality(spark) -> dict:

@@ -1051,6 +1051,109 @@ def mjpeg_frame_features(media: DataFrame, every_nth: int = 1) -> DataFrame:
     )
 
 
+def avi_idx1_entries(payload: bytes) -> list[tuple[bytes, int, int, int]]:
+    """Parse the top-level ``idx1`` chunk of a RIFF/AVI payload into
+    ``[(fourcc, flags, offset, size)]`` — offsets relative to the
+    'movi' fourcc, exactly as both encoders write them.  Returns []
+    when the container carries no index."""
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF payload")
+    pos, end = 12, len(payload)
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if pos + 8 + size > end:
+            raise ValueError(
+                f"truncated chunk {cid!r}: declares {size} bytes, "
+                f"{end - pos - 8} remain"
+            )
+        if cid == b"idx1":
+            body = payload[pos + 8 : pos + 8 + size]
+            return [
+                struct.unpack("<4sIII", body[i : i + 16])
+                for i in range(0, len(body) - len(body) % 16, 16)
+            ]
+        pos += 8 + size + (size & 1)
+    return []
+
+
+def mjpeg_container_index(media: DataFrame) -> DataFrame:
+    """EXACT container-walk index of an MJPEG AVI — the deterministic
+    half of the MJPEG path (the pixel half goes through float DCT and
+    stays rows-only).  Per media payload:
+
+    - ``frame_count`` / ``width`` / ``height`` from the movi walk +
+      strf header;
+    - ``jpeg_ok_frames``: frames whose chunk body is marker-framed as a
+      JPEG (SOI ``FFD8`` first, EOI ``FFD9`` last) — every encoder
+      frame must qualify;
+    - ``index_consistent``: the idx1 entries cross-checked against the
+      movi walk itself (fourcc, declared size, and the recomputed
+      word-aligned offset of every chunk must all agree);
+    - ``px_count``: frames × width × height.
+
+    Everything here is byte-exact, so unlike the decoded-pixel path
+    this carries a FULL SQL oracle: frame count and pixel count derive
+    from the source text length, and the validity/consistency columns
+    are invariants of a correct container (any walk or encoder defect
+    flips them and fails the hash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, counts, ws, hs, oks, cons, pxs = [], [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pb = bytes(payload)
+                strf, bodies = avi_raw_frames(pb, every_nth=1)
+                _size, w, h, _planes, _bits, _compression = strf
+                ok = sum(
+                    1
+                    for _i, b in bodies
+                    if len(b) >= 4
+                    and b[:2] == b"\xff\xd8"
+                    and b[-2:] == b"\xff\xd9"
+                )
+                # recompute each chunk's movi-relative offset from the
+                # walked bodies and require idx1 to agree entry-for-entry
+                entries = avi_idx1_entries(pb)
+                consistent = len(entries) == len(bodies)
+                off = 4
+                for (fourcc, _flags, e_off, e_size), (_i, b) in zip(
+                    entries, bodies
+                ):
+                    if not (
+                        fourcc == b"00dc"
+                        and e_off == off
+                        and e_size == len(b)
+                    ):
+                        consistent = False
+                        break
+                    off += 8 + len(b) + (len(b) & 1)
+                mids.append(mid)
+                counts.append(len(bodies))
+                ws.append(int(w))
+                hs.append(int(h))
+                oks.append(ok)
+                cons.append(consistent)
+                pxs.append(len(bodies) * int(w) * int(h))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_count": counts,
+                    "width": ws,
+                    "height": hs,
+                    "jpeg_ok_frames": oks,
+                    "index_consistent": cons,
+                    "px_count": pxs,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, frame_count long, width long, height long, "
+        "jpeg_ok_frames long, index_consistent boolean, px_count long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # PNG: the LOSSLESS compressed path (operators/png.py holds the codec).
 # ---------------------------------------------------------------------------

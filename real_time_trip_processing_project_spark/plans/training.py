@@ -3009,6 +3009,48 @@ def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.mjpeg_frame_features(MM.media_mjpeg_from_documents(docs))
 
 
+@register(
+    "multimodal_mjpeg_index",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST(greatest((octet_length(encode(text))
+                              + {MM.MJPEG_W * MM.MJPEG_H - 1})
+                             // {MM.MJPEG_W * MM.MJPEG_H}, 1)
+                    AS BIGINT) AS frame_count,
+               CAST({MM.MJPEG_W} AS BIGINT) AS width,
+               CAST({MM.MJPEG_H} AS BIGINT) AS height,
+               CAST(greatest((octet_length(encode(text))
+                              + {MM.MJPEG_W * MM.MJPEG_H - 1})
+                             // {MM.MJPEG_W * MM.MJPEG_H}, 1)
+                    AS BIGINT) AS jpeg_ok_frames,
+               TRUE AS index_consistent,
+               CAST(greatest((octet_length(encode(text))
+                              + {MM.MJPEG_W * MM.MJPEG_H - 1})
+                             // {MM.MJPEG_W * MM.MJPEG_H}, 1)
+                    * {MM.MJPEG_W * MM.MJPEG_H} AS BIGINT) AS px_count
+        FROM documents
+        WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mjpeg_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MJPEG path's FULL-hash half (r7 verdict item #5): the pixel
+    values are lossy-float (rows-only, by design), but the CONTAINER
+    walk is byte-exact — so this query oracles it.  Frame count and
+    pixel count derive from the source text length (16×16 grayscale
+    frames, zero-padded, ≥1 per doc); every frame chunk must be
+    SOI/EOI-framed as a baseline JPEG; and the AVI's idx1 index must
+    agree entry-for-entry with offsets recomputed from the movi walk
+    (operators/multimodal.py:mjpeg_container_index).  Any defect in
+    the encoder's chunk framing, the walk's offset arithmetic, or the
+    idx1 writer flips a column and fails the driver hash — shrinking
+    the no-oracle set to pure-approximation entries."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.mjpeg_container_index(MM.media_mjpeg_from_documents(docs))
+
+
 # ---------------------------------------------------------------------------
 # Distributed iterative ML: full-corpus integer-exact k-means
 # (operators/similarity.py:kmeans_exact_ticks), hash-verified against an

@@ -114,6 +114,47 @@ def test_mjpeg_avi_roundtrip_and_sampling():
         MM.decode_avi_rgb24(avi)
 
 
+def test_avi_idx1_entries_match_movi_walk():
+    """The idx1 parser returns one entry per encoded frame, with
+    offsets that reproduce the movi chunk layout (word-aligned, 4-based)
+    and sizes equal to each JPEG body — the exact invariants
+    `mjpeg_container_index` hashes through its full oracle."""
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, (5, 16, 16), dtype=np.uint8)
+    avi = J.encode_avi_mjpeg(frames, quant=Q1)
+    entries = MM.avi_idx1_entries(avi)
+    _strf, bodies = MM.avi_raw_frames(avi)
+    assert len(entries) == len(bodies) == 5
+    off = 4
+    for (fourcc, flags, e_off, e_size), (_i, b) in zip(entries, bodies):
+        assert fourcc == b"00dc" and flags == 0x10
+        assert (e_off, e_size) == (off, len(b))
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        off += 8 + len(b) + (len(b) & 1)
+    # an indexless container yields [], not an error
+    assert MM.avi_idx1_entries(b"RIFF" + struct.pack("<I", 4) + b"AVI ") == []
+
+
+def test_mjpeg_container_index_detects_corrupted_idx1(spark):
+    """index_consistent must actually guard the index: flipping one
+    idx1 size byte turns it false while the frame walk stays intact."""
+    import pandas as pd
+
+    img = np.arange(256, dtype=np.uint8).reshape(1, 16, 16)
+    avi = bytearray(J.encode_avi_mjpeg(img, quant=Q1))
+    pos = bytes(avi).rindex(b"00dc")  # the idx1 entry (movi copy is earlier)
+    avi[pos + 12] ^= 0x01  # entry size field
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2],
+                      "payload": [bytes(J.encode_avi_mjpeg(img, quant=Q1)),
+                                  bytes(avi)]})
+    )
+    rows = {r["media_id"]: r for r in MM.mjpeg_container_index(media).collect()}
+    assert rows[1]["index_consistent"] and rows[1]["jpeg_ok_frames"] == 1
+    assert not rows[2]["index_consistent"]
+    assert rows[2]["frame_count"] == 1  # walk itself unaffected
+
+
 def test_real_decode_seam_handles_mjpeg_and_bare_jpeg():
     img = np.arange(256, dtype=np.uint8).reshape(16, 16)
     meta = MM._real_decode(J.jpeg_encode_gray(img))
