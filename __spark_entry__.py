@@ -27,16 +27,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: verified near the front of the window.  Maintained per round, names only
 #: advisory (unknown names warn, never break the package).
 _RECHECK_FIRST = [
-    # r8: the r3-stale cohort (last driver-checked five rounds ago) leads
-    # the window explicitly; the generic overdue tier in _order_names
-    # covers the r4 cohort right behind them.
-    "doc_domain_stats",
-    "mixture_weighted_sample",
-    "text_repetition",
-    "text_lm_score",
-    "embedding_quantize_int8",
-    "text_bm25_search",
-    "multimodal_features",
+    # r9: queries whose implementing module changed this round —
+    # multimodal.py (idx1 strictness) and extended.py (md5 view names).
+    "multimodal_mjpeg_index",
+    "sql_text_interface",
+    "sql_parameterized",
+    "listagg_ordered",
 ]
 
 #: A query whose last green check is older than this many rounds is

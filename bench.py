@@ -238,21 +238,37 @@ def main() -> None:
             k: round(v / probe_mean, 3) for k, v in secondary.items()
         },
     }
-    # Load-adjusted round-over-round comparison (r7 verdict item #3):
-    # bench_detail.json is committed per round, so the copy on disk at
-    # start-of-run is the previous round's record.  A query counts as
-    # regressed only if its PROBE-NORMALIZED time rose >30% — raw deltas
-    # that co-move with the probe are box load, not code.  Sub-0.15 s
-    # queries are skipped (timer noise dominates there).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
-    out["regressions"] = _regressions(detail_path, out["normalized"])
-
     out["quality"] = _quality(spark)
     streaming = _stream_throughput(spark)
     if streaming:
         out["streaming"] = streaming
+        # rates normalize the other way round: a loaded box lengthens
+        # the probe AND lowers events/sec, so rate x probe is the
+        # box-independent figure of merit
+        for k in ("steady_state_events_per_sec", "events_per_sec"):
+            if streaming.get(k):
+                out["normalized"]["streaming_" + k] = round(
+                    streaming[k] * probe_mean, 1
+                )
+
+    # Load-adjusted round-over-round comparison (r7 verdict item #3):
+    # bench_detail.json is committed per round, so the copy on disk at
+    # start-of-run is the previous round's record.  A query counts as
+    # regressed only if its PROBE-NORMALIZED time rose >30% (or its
+    # normalized streaming rate FELL >30% — r8 verdict item #2) — raw
+    # deltas that co-move with the probe are box load, not code.
+    # Sub-0.15 s queries are skipped (timer noise dominates there).
+    # The committed bench_detail.json is the CANONICAL sf0.1 record the
+    # driver compares against — a local run at another scale factor
+    # (sf0.001 smoke, sf1 scale point) writes its own per-sf file and
+    # never clobbers or compares against the canonical baseline.
+    detail_name = (
+        "bench_detail.json" if sf == 0.1 else f"bench_detail_sf{sf}.json"
+    )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), detail_name
+    )
+    out["regressions"] = _regressions(detail_path, out["normalized"], sf)
 
     # Output contract (r6 lesson): the driver captures only the LAST
     # 2,000 chars of stdout, and r6's single ever-growing JSON line
@@ -298,23 +314,36 @@ def main() -> None:
     spark.stop()
 
 
-def _regressions(prev_path: str, normalized: dict) -> list[dict]:
+def _regressions(prev_path: str, normalized: dict, sf=None) -> list[dict]:
     """Queries whose probe-normalized time rose >30% vs the previous
-    committed ``bench_detail.json``.  Returns [] when no previous record
-    exists (first run of a fresh checkout)."""
+    committed detail record at the SAME scale factor.  Returns [] when
+    no previous record exists (first run of a fresh checkout) or the
+    previous record was taken at a different sf."""
     try:
         with open(prev_path) as f:
-            prev = json.load(f).get("normalized", {})
+            prev_all = json.load(f)
+        prev = prev_all.get("normalized", {})
+        if sf is not None and prev_all.get("sf") not in (None, sf):
+            return []
     except (OSError, ValueError):
         return []
     prev_q = {**prev.get("queries", {}), **prev.get("secondary", {})}
     now_q = {**normalized.get("queries", {}), **normalized.get("secondary", {})}
     probe_mean = normalized.get("probe_mean_sec", 1.0) or 1.0
+    prev_probe = prev.get("probe_mean_sec", 1.0) or 1.0
     regs = []
     for name, now_norm in now_q.items():
         prev_norm = prev_q.get(name)
-        # skip new queries and sub-0.15 s (raw) readings — timer noise
-        if prev_norm is None or prev_norm <= 0 or now_norm * probe_mean < 0.15:
+        # skip new queries and readings where EITHER side's raw time is
+        # sub-0.15 s — timer noise dominates there, and a tiny previous
+        # reading inflates the ratio just as spuriously as a tiny
+        # current one
+        if (
+            prev_norm is None
+            or prev_norm <= 0
+            or now_norm * probe_mean < 0.15
+            or prev_norm * prev_probe < 0.15
+        ):
             continue
         ratio = now_norm / prev_norm
         if ratio > 1.3:
@@ -323,6 +352,24 @@ def _regressions(prev_path: str, normalized: dict) -> list[dict]:
                     "query": name,
                     "prev_norm": prev_norm,
                     "now_norm": now_norm,
+                    "ratio": round(ratio, 2),
+                }
+            )
+    # streaming rates (normalized as rate x probe): regression = the
+    # normalized rate FELL >30% vs the previous round
+    for name, now_rate in normalized.items():
+        if not name.startswith("streaming_"):
+            continue
+        prev_rate = prev.get(name)
+        if not prev_rate or not now_rate:
+            continue
+        ratio = prev_rate / now_rate
+        if ratio > 1.3:
+            regs.append(
+                {
+                    "query": name,
+                    "prev_norm": prev_rate,
+                    "now_norm": now_rate,
                     "ratio": round(ratio, 2),
                 }
             )

@@ -1055,9 +1055,20 @@ def avi_idx1_entries(payload: bytes) -> list[tuple[bytes, int, int, int]]:
     """Parse the top-level ``idx1`` chunk of a RIFF/AVI payload into
     ``[(fourcc, flags, offset, size)]`` — offsets relative to the
     'movi' fourcc, exactly as both encoders write them.  Returns []
-    when the container carries no index."""
-    if len(payload) < 12 or payload[:4] != b"RIFF":
-        raise ValueError("not a RIFF payload")
+    when the container carries no index.  Header and size fields are
+    untrusted (same discipline as :func:`avi_raw_frames`): a missing
+    'AVI ' form tag, a RIFF size exceeding the payload, a truncated
+    chunk, or an idx1 body that is not a whole number of 16-byte
+    entries all raise ``ValueError`` — a partially-valid index must
+    never read as consistent."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    if 8 + riff_size > len(payload):
+        raise ValueError(
+            f"truncated RIFF: declares {riff_size} bytes, "
+            f"{len(payload) - 8} remain"
+        )
     pos, end = 12, len(payload)
     while pos + 8 <= end:
         cid = payload[pos : pos + 4]
@@ -1069,9 +1080,14 @@ def avi_idx1_entries(payload: bytes) -> list[tuple[bytes, int, int, int]]:
             )
         if cid == b"idx1":
             body = payload[pos + 8 : pos + 8 + size]
+            if len(body) % 16:
+                raise ValueError(
+                    f"idx1 body is {len(body)} bytes — not a whole "
+                    "number of 16-byte entries"
+                )
             return [
                 struct.unpack("<4sIII", body[i : i + 16])
-                for i in range(0, len(body) - len(body) % 16, 16)
+                for i in range(0, len(body), 16)
             ]
         pos += 8 + size + (size & 1)
     return []
@@ -1113,9 +1129,17 @@ def mjpeg_container_index(media: DataFrame) -> DataFrame:
                     and b[-2:] == b"\xff\xd9"
                 )
                 # recompute each chunk's movi-relative offset from the
-                # walked bodies and require idx1 to agree entry-for-entry
-                entries = avi_idx1_entries(pb)
-                consistent = len(entries) == len(bodies)
+                # walked bodies and require idx1 to agree entry-for-entry;
+                # a structurally malformed index (misaligned body, bad
+                # form tag) is inconsistent, not a task failure
+                try:
+                    entries = avi_idx1_entries(pb)
+                except ValueError:
+                    entries = None
+                consistent = (
+                    entries is not None and len(entries) == len(bodies)
+                )
+                entries = entries or []
                 off = 4
                 for (fourcc, _flags, e_off, e_size), (_i, b) in zip(
                     entries, bodies

@@ -20,6 +20,15 @@ from real_time_trip_processing_project_spark.plans.core import _cents, _cents_sq
 from real_time_trip_processing_project_spark.sources.readers import load_fixture
 
 
+def _view_suffix(sf_dir: str) -> str:
+    """Deterministic per-scale-factor temp-view suffix.  md5, not
+    Python ``hash`` — the latter is salted per process, which made
+    plans non-byte-reproducible across runs (r8 verdict nit #4)."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
 # ---------------------------------------------------------------------------
 # Grouping sets / rollup / cube
 # ---------------------------------------------------------------------------
@@ -3087,7 +3096,7 @@ def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical plans), so this entry pins that a user can drive the whole
     engine from SQL strings.  The view name is scoped per scale factor
     to keep concurrent registrations from colliding."""
-    view = f"orders_sql_{abs(hash(sf_dir)) % 10_000}"
+    view = f"orders_sql_{_view_suffix(sf_dir)}"
     load_fixture(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(
         f"""
@@ -3306,7 +3315,7 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     string substitution, so a user-supplied value can never change the
     query's structure.  Same Catalyst plan as the literal form; the
     oracle is the equivalent constant-folded SQL."""
-    view = f"orders_param_{abs(hash(sf_dir)) % 10_000}"
+    view = f"orders_param_{_view_suffix(sf_dir)}"
     load_fixture(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(
         f"""
@@ -3417,13 +3426,13 @@ def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-deduplicated so the aggregate is histogram-sized."""
     orders = load_fixture(spark, sf_dir, "orders")
     d = orders.select("o_orderstatus", "o_orderpriority").distinct()
-    d.createOrReplaceTempView(f"la_{abs(hash(sf_dir)) % 10_000}")
+    d.createOrReplaceTempView(f"la_{_view_suffix(sf_dir)}")
     return spark.sql(
         f"""
         SELECT o_orderstatus,
                listagg(o_orderpriority, '|')
                    WITHIN GROUP (ORDER BY o_orderpriority) AS priorities
-        FROM la_{abs(hash(sf_dir)) % 10_000}
+        FROM la_{_view_suffix(sf_dir)}
         GROUP BY o_orderstatus
         """
     )

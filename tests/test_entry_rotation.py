@@ -102,6 +102,24 @@ def test_overdue_tier_preserves_staleness_bound():
     assert worst <= bound, f"worst staleness {worst} > {bound}"
 
 
+def test_r9_window_drains_r5_cohort():
+    """Against the repo's real CORRECTNESS history (r8 verdict item #6):
+    the 43 queries last checked in r5 cross the overdue line together at
+    r9, and every one of them must land in the 50-slot window alongside
+    the changed-module pins — nothing from the r5 cohort may spill."""
+    last, failed = entry_mod._last_check("/root/repo")
+    if not last or max(last.values()) < 8:
+        return  # history not present (fresh checkout)
+    names = list(entry_mod.queries())
+    recheck = {n: i for i, n in enumerate(entry_mod._RECHECK_FIRST)}
+    window = entry_mod._order_names(names, last, failed, recheck)[:WINDOW]
+    oldest = min(last.values())
+    cohort = {n for n in names if last.get(n) == oldest}
+    spilled = cohort - set(window)
+    assert len(cohort) <= WINDOW - len(recheck)
+    assert not spilled, f"stalest cohort spilled out of the window: {spilled}"
+
+
 def test_registry_names_resolve():
     """Every _RECHECK_FIRST pin names a registered query (typos warn at
     runtime; this keeps them from lingering)."""

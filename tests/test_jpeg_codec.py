@@ -135,6 +135,61 @@ def test_avi_idx1_entries_match_movi_walk():
     assert MM.avi_idx1_entries(b"RIFF" + struct.pack("<I", 4) + b"AVI ") == []
 
 
+def test_avi_idx1_entries_rejects_malformed_headers():
+    """The idx1 parser holds avi_raw_frames' untrusted-input line: a
+    missing 'AVI ' form tag, an over-declared RIFF size, or an idx1
+    body that is not a whole number of 16-byte entries must raise —
+    never silently return a partial index that could read as
+    consistent (r8 advisor items)."""
+    rng = np.random.RandomState(13)
+    frames = rng.randint(0, 256, (2, 16, 16), dtype=np.uint8)
+    avi = bytearray(J.encode_avi_mjpeg(frames, quant=Q1))
+
+    # wrong form tag
+    bad = bytearray(avi)
+    bad[8:12] = b"WAVE"
+    with pytest.raises(ValueError):
+        MM.avi_idx1_entries(bytes(bad))
+
+    # RIFF size declares more than the payload carries (truncation on a
+    # chunk boundary)
+    bad = bytearray(avi)
+    bad[4:8] = struct.pack("<I", len(avi))  # should be len-8
+    with pytest.raises(ValueError):
+        MM.avi_idx1_entries(bytes(bad))
+
+    # idx1 body not a multiple of 16: grow the idx1 chunk by 8 junk
+    # bytes (and the RIFF size to match) so the walk still parses
+    pos = bytes(avi).rindex(b"idx1")
+    size = struct.unpack("<I", avi[pos + 4 : pos + 8])[0]
+    bad = bytearray(avi)
+    bad[pos + 4 : pos + 8] = struct.pack("<I", size + 8)
+    bad[pos + 8 + size : pos + 8 + size] = b"\x00" * 8
+    bad[4:8] = struct.pack("<I", len(bad) - 8)
+    with pytest.raises(ValueError):
+        MM.avi_idx1_entries(bytes(bad))
+
+
+def test_mjpeg_container_index_maps_malformed_idx1_to_inconsistent(spark):
+    """A structurally malformed index (misaligned idx1 body) must turn
+    index_consistent false in the query — not kill the task."""
+    import pandas as pd
+
+    img = np.arange(256, dtype=np.uint8).reshape(1, 16, 16)
+    avi = bytearray(J.encode_avi_mjpeg(img, quant=Q1))
+    pos = bytes(avi).rindex(b"idx1")
+    size = struct.unpack("<I", avi[pos + 4 : pos + 8])[0]
+    avi[pos + 4 : pos + 8] = struct.pack("<I", size + 8)
+    avi[pos + 8 + size : pos + 8 + size] = b"\x00" * 8
+    avi[4:8] = struct.pack("<I", len(avi) - 8)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [bytes(avi)]})
+    )
+    row = MM.mjpeg_container_index(media).collect()[0]
+    assert not row["index_consistent"]
+    assert row["frame_count"] == 1  # the movi walk itself is unaffected
+
+
 def test_mjpeg_container_index_detects_corrupted_idx1(spark):
     """index_consistent must actually guard the index: flipping one
     idx1 size byte turns it false while the frame walk stays intact."""
