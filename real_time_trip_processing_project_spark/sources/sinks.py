@@ -28,6 +28,19 @@ from real_time_trip_processing_project_spark import schemas
 
 ORPHAN_STATUS = "Orphaned"
 
+#: Fault-injection seam for crash-consistency tests: when set, called at
+#: named points inside the foreachBatch sink body with ``(point,
+#: batch_id)``; raising aborts the micro-batch mid-write exactly as a
+#: driver/executor failure would (offsets WAL'd but the batch never
+#: commits, so Structured Streaming re-runs it on restart).  ``None`` in
+#: production — one predicate per batch, no other cost.
+_CRASH_HOOK = None
+
+
+def _crash_point(point: str, batch_id: int) -> None:
+    if _CRASH_HOOK is not None:
+        _CRASH_HOOK(point, batch_id)
+
 
 def append_trip_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
                       orphan_dir: str | None = None,
@@ -65,6 +78,7 @@ def append_trip_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         stamped.filter(F.col("status") != ORPHAN_STATUS).write.mode(
             "append"
         ).partitionBy("date").parquet(store_dir)
+        _crash_point("after_store_write", batch_id)
         return
     # two sinks = two actions on the same micro-batch plan; without a
     # persist the second action RE-EXECUTES the upstream stateful
@@ -75,6 +89,7 @@ def append_trip_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         orphans = stamped.filter(F.col("status") == ORPHAN_STATUS)
         trips = stamped.filter(F.col("status") != ORPHAN_STATUS)
         trips.write.mode("append").partitionBy("date").parquet(store_dir)
+        _crash_point("between_dual_writes", batch_id)
         # orphan ends have no pickup date — quarantined unpartitioned
         # (reference logs-and-drops these; trip_processor.py:60-62).
         # The emptiness probe on the persisted frame is one limit-1 job,

@@ -232,3 +232,69 @@ def test_cbo_statistics_drive_cardinality_estimates(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.conf.set("spark.sql.cbo.enabled", prev)
+
+
+def test_cbo_stats_flip_three_table_join_order(spark):
+    """What statistics BUY at 100 TB: with ANALYZE stats installed and
+    ``spark.sql.cbo.joinReorder`` on, Catalyst rewrites a 3-table join
+    written fact⋈big_dim⋈small_dim into fact⋈small_dim⋈big_dim —
+    the selective dim first, so the big dim probes a 20×-smaller
+    intermediate.  Without stats the optimizer has no cardinalities and
+    keeps the written order.  Asserted on the optimized LOGICAL tree
+    (leaf order), which is what fixes the shuffle topology regardless
+    of whether the physical join ends up broadcast or sort-merge."""
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k, "false") for k in confs}
+    tables = ("cbo_ro_fact", "cbo_ro_dim_big", "cbo_ro_dim_small")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # fact: 20k rows; fk_small spans 1000 values but only 50 exist
+        # in dim_small (5% selectivity); fk_big fully matches dim_big.
+        spark.range(20_000).selectExpr(
+            "id",
+            "cast(id % 1000 as bigint) as fk_small",
+            "cast(id % 5000 as bigint) as fk_big",
+        ).write.saveAsTable("cbo_ro_fact")
+        spark.range(5_000).selectExpr(
+            "id as k_big", "cast(id as string) as b_name"
+        ).write.saveAsTable("cbo_ro_dim_big")
+        spark.range(50).selectExpr(
+            "id as k_small", "cast(id as string) as s_name"
+        ).write.saveAsTable("cbo_ro_dim_small")
+        q = """
+            SELECT f.id, b.b_name, s.s_name
+            FROM cbo_ro_fact f
+            JOIN cbo_ro_dim_big b ON f.fk_big = b.k_big
+            JOIN cbo_ro_dim_small s ON f.fk_small = s.k_small
+        """
+
+        def leaf_order():
+            plan = str(
+                spark.sql(q)._jdf.queryExecution().optimizedPlan()
+            )
+            return plan.find("cbo_ro_dim_big"), plan.find("cbo_ro_dim_small")
+
+        big_at, small_at = leaf_order()
+        assert -1 not in (big_at, small_at)
+        assert big_at < small_at, "without stats, written order must hold"
+        for t in tables:
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        big_at, small_at = leaf_order()
+        assert -1 not in (big_at, small_at)
+        assert small_at < big_at, (
+            "with stats, the selective dim must be joined first"
+        )
+        # and the reorder is semantics-preserving: 20k fact rows, 5% of
+        # fk_small values covered → 1000 result rows either way
+        assert spark.sql(q).count() == 1_000
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        for k, v in prev.items():
+            spark.conf.set(k, v)
