@@ -28,7 +28,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: advisory (unknown names warn, never break the package).
 _RECHECK_FIRST = [
     # r9: queries whose implementing module changed this round —
-    # multimodal.py (idx1 strictness) and extended.py (md5 view names).
+    # multimodal.py (idx1 strictness, MP4/H.264 path) and extended.py
+    # (md5 view names) — plus the two brand-new MP4 queries.
+    "multimodal_mp4_index",
+    "multimodal_mp4_frames",
     "multimodal_mjpeg_index",
     "sql_text_interface",
     "sql_parameterized",

@@ -10,9 +10,11 @@ audio (RIFF/WAVE PCM16), image (24-bit uncompressed BMP), and video
 index) — plus two real COMPRESSED paths since r7: baseline JPEG
 (DCT/quant/Huffman, operators/jpeg.py) carried as MJPEG-in-AVI, and
 lossless PNG (DEFLATE + scanline filters, operators/png.py).
-Remaining formats (MP4/H.264), whose codecs genuinely need PIL/av
-absent from this container, remain a marked ``NotImplementedError``
-seam behind ``codec="real"``.
+Since r9, MP4/H.264 is real too: an I_PCM-profile encoder/decoder over
+a full ISO-BMFF container (operators/h264.py) — lossless, so its pixel
+queries are fully SQL-oracled.  The remaining marked seam behind
+``codec="real"`` narrows to PREDICTED H.264 macroblocks
+(Intra/CAVLC/CABAC, inter frames), which genuinely need PIL/av.
 
 Layout conventions that matter at scale:
 
@@ -410,10 +412,10 @@ def _real_decode(payload: bytes) -> dict:
     """Real codec for the seam: WAV (RIFF/PCM16) payloads decode fully
     via :func:`decode_wav_pcm16` (frame_count = sample frames; the
     image-only width/height stay NULL for audio); BMP, uncompressed
-    AVI, MJPEG AVI and bare baseline JPEG all decode for real.
-    Remaining media types (PNG/MP4/H.264) still need PIL/av, absent
-    from this container, so they remain the explicit
-    ``NotImplementedError`` seam."""
+    AVI, MJPEG AVI, bare baseline JPEG, PNG and MP4/H.264 (I_PCM) all
+    decode for real.  The remaining explicit ``NotImplementedError``
+    seam is predicted/entropy-coded H.264 macroblocks (needs PIL/av,
+    absent from this container)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _rate, n_channels = decode_wav_pcm16(bytes(payload))
         n_frames = len(samples) if n_channels == 1 else samples.shape[0]
@@ -484,15 +486,29 @@ def _real_decode(payload: bytes) -> dict:
             "width": px.shape[1],
             "height": px.shape[0],
         }
-    # STUB: the remaining compressed formats (MP4/H.264) need PIL/av,
-    # absent from this container.  Audio (RIFF/PCM16), image (BMP,
-    # PNG), uncompressed AVI, MJPEG AVI and baseline JPEG all decode
-    # for real above; only motion-compensated video remains a marked
-    # seam.
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from real_time_trip_processing_project_spark.operators import (
+            h264 as H,
+        )
+
+        info = H.parse_mp4(bytes(payload))
+        return {
+            "n_bytes": len(payload),
+            "content_hash": hashlib.md5(payload).hexdigest(),
+            "frame_count": len(info["samples"]),
+            "width": info["width"],
+            "height": info["height"],
+        }
+    # STUB: the remaining seam is PREDICTED H.264 macroblocks
+    # (Intra_16x16/4x4 + CAVLC/CABAC, inter frames) — the I_PCM
+    # lossless profile decodes for real above (operators/h264.py),
+    # as do audio (RIFF/PCM16, mu-law), image (BMP, PNG, baseline
+    # JPEG), uncompressed AVI and MJPEG AVI.
     raise NotImplementedError(
-        "real decode supports WAV (RIFF/PCM16), BMP (24-bit BI_RGB), "
-        "PNG (8-bit gray/RGB), uncompressed AVI, MJPEG AVI and baseline "
-        "grayscale JPEG; MP4/H.264 need PIL/av — use codec='fake'"
+        "real decode supports WAV (RIFF/PCM16 + mu-law), BMP (24-bit "
+        "BI_RGB), PNG (8-bit gray/RGB), uncompressed AVI, MJPEG AVI, "
+        "baseline grayscale JPEG and MP4/H.264 I_PCM; predicted/"
+        "entropy-coded H.264 macroblocks need PIL/av — use codec='fake'"
     )
 
 
@@ -1456,4 +1472,178 @@ def mulaw_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         run,
         "media_id long, n_samples long, sum_decoded long, peak_abs long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / H.264 (operators/h264.py): the former seam, now a real codec path
+
+MP4_W = 16
+MP4_H = 16
+
+
+def media_mp4_from_documents(
+    docs: DataFrame, width: int = MP4_W, height: int = MP4_H
+) -> DataFrame:
+    """Media table whose payloads are REAL MP4s: each doc's text bytes
+    fill consecutive ``height×width`` grayscale frames (zero-padded,
+    ≥1 frame), every frame encoded as an H.264 IDR picture of I_PCM
+    macroblocks inside an ISO-BMFF container with full sample tables
+    (operators/h264.py:encode_mp4_h264).  I_PCM is the profile's
+    lossless mode, so — unlike the MJPEG float-DCT path — the decoded
+    pixels here are BIT-EXACT and the consumer queries carry FULL SQL
+    oracles."""
+    import numpy as np
+
+    from real_time_trip_processing_project_spark.operators import h264 as H
+
+    frame_bytes = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                n_frames = max(-(-len(b) // frame_bytes), 1)
+                px = np.zeros(n_frames * frame_bytes, dtype=np.uint8)
+                px[: len(b)] = b
+                payloads.append(
+                    H.encode_mp4_h264(px.reshape(n_frames, height, width))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    mp4 = spread_small_input(docs.select("doc_id", "text")).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+    return mp4.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit("h264-encoder").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def mp4_container_index(media: DataFrame) -> DataFrame:
+    """EXACT box-tree index of an MP4/H.264 payload — the container
+    sibling of :func:`mjpeg_container_index`, byte-exact and fully
+    SQL-oracled.  Per payload:
+
+    - ``frame_count`` / ``width`` / ``height`` from the sample table
+      and the avc1 entry, cross-checked against the PARSED SPS (a
+      mismatch between container and bitstream dims flips
+      ``index_consistent``);
+    - ``idr_ok_frames``: samples whose length-prefixed NAL is an IDR
+      slice (type 5) starting at macroblock 0 — every encoder sample
+      must qualify;
+    - ``index_consistent``: stsc×stco×stsz resolve to exactly
+      stsz.sample_count samples, all inside mdat, each holding exactly
+      its length-prefixed NALs, stts covering each sample once
+      (operators/h264.py:parse_mp4);
+    - ``px_count``: frames × width × height."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from real_time_trip_processing_project_spark.operators import (
+            h264 as H,
+        )
+
+        for pdf in batches:
+            mids, counts, ws, hs, oks, cons, pxs = [], [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pb = bytes(payload)
+                try:
+                    info = H.parse_mp4(pb)
+                except ValueError:
+                    mids.append(mid)
+                    counts.append(0)
+                    ws.append(0)
+                    hs.append(0)
+                    oks.append(0)
+                    cons.append(False)
+                    pxs.append(0)
+                    continue
+                consistent = info["index_consistent"] and (
+                    info["width"] == info["sps"]["width"]
+                    and info["height"] == info["sps"]["height"]
+                )
+                ls = info["length_size"]
+                ok = 0
+                for off, size in info["samples"]:
+                    if size >= ls + 1:
+                        ln = int.from_bytes(pb[off : off + ls], "big")
+                        nal0 = pb[off + ls] if ln >= 1 else 0
+                        if nal0 & 0x1F == 5:
+                            ok += 1
+                mids.append(mid)
+                counts.append(len(info["samples"]))
+                ws.append(info["width"])
+                hs.append(info["height"])
+                oks.append(ok)
+                cons.append(bool(consistent))
+                pxs.append(
+                    len(info["samples"]) * info["width"] * info["height"]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_count": counts,
+                    "width": ws,
+                    "height": hs,
+                    "idr_ok_frames": oks,
+                    "index_consistent": cons,
+                    "px_count": pxs,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, frame_count long, width long, height long, "
+        "idr_ok_frames long, index_consistent boolean, px_count long",
+    )
+
+
+def mp4_frame_features(media: DataFrame, every_nth: int = 1) -> DataFrame:
+    """Decode MP4/H.264 payloads and emit per-frame pixel statistics.
+    Every sample is a self-contained IDR, so sampling skips unsampled
+    frames by TABLE lookup (stsz/stco arithmetic) — no decode cost for
+    skipped frames.  I_PCM decode is lossless, so px_sum/px_max are
+    exact integers and the consumer query carries a FULL SQL oracle —
+    the first compressed-container VIDEO path in the repo whose pixel
+    values hash-verify cross-engine."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from real_time_trip_processing_project_spark.operators import (
+            h264 as H,
+        )
+
+        for pdf in batches:
+            mids, idxs, sums, maxs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _sps, frames = H.decode_mp4_h264(bytes(payload), every_nth)
+                for i, frame in frames:
+                    a = frame.astype(np.int64)
+                    mids.append(mid)
+                    idxs.append(i)
+                    sums.append(int(a.sum()))
+                    maxs.append(int(a.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": idxs,
+                    "px_sum": sums,
+                    "px_max": maxs,
+                }
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, frame_idx long, px_sum long, px_max long"
     )

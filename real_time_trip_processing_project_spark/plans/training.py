@@ -3165,3 +3165,103 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_id, i, centroid_tick, n_members)."""
     emb = load_fixture(spark, sf_dir, "embeddings")
     return SIM.kmeans_exact_ticks(emb, k=8, iters=3, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# MP4/H.264: the former codec seam, closed in r9 (operators/h264.py)
+
+_MP4_FRAME_BYTES = MM.MP4_W * MM.MP4_H  # grayscale, one byte per pixel
+
+
+@register(
+    "multimodal_mp4_index",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    AS BIGINT) AS frame_count,
+               CAST({MM.MP4_W} AS BIGINT) AS width,
+               CAST({MM.MP4_H} AS BIGINT) AS height,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    AS BIGINT) AS idr_ok_frames,
+               TRUE AS index_consistent,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    * {_MP4_FRAME_BYTES} AS BIGINT) AS px_count
+        FROM documents
+        WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact MP4 container index (r8 verdict stretch item — the
+    MJPEG discipline applied to ISO BMFF): encode each doc as a real
+    MP4 (H.264 IDR/I_PCM samples, full stsd/stts/stsc/stsz/stco
+    tables), then walk the box tree back and emit invariants a correct
+    container must satisfy — sample count and pixel count derived from
+    text length, container dims ≡ parsed-SPS dims, every sample an
+    IDR NAL, the stsc×stco×stsz resolution landing every sample inside
+    mdat with exact length-prefix coverage
+    (operators/h264.py:parse_mp4).  Any encoder or walker defect flips
+    a column and fails the driver hash."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.mp4_container_index(MM.media_mp4_from_documents(docs))
+
+
+def _mp4_frames_oracle(where: str = "") -> str:
+    return f"""
+        WITH s AS (
+            SELECT doc_id AS media_id, text AS t,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n
+            FROM documents
+            WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+        ),
+        fr AS (
+            SELECT media_id, t, n,
+                   unnest(range(0, greatest((n + {_MP4_FRAME_BYTES - 1})
+                                            // {_MP4_FRAME_BYTES}, 1)))
+                       AS frame_idx
+            FROM s
+        )
+        SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(coalesce(list_sum(list_transform(
+                   range(CAST(frame_idx * {_MP4_FRAME_BYTES} + 1 AS INT),
+                         CAST(least((frame_idx + 1) * {_MP4_FRAME_BYTES}, n)
+                              + 1 AS INT)),
+                   i -> ascii(substr(t, CAST(i AS INT), 1))
+               )), 0) AS BIGINT) AS px_sum,
+               CAST(coalesce(list_max(list_transform(
+                   range(CAST(frame_idx * {_MP4_FRAME_BYTES} + 1 AS INT),
+                         CAST(least((frame_idx + 1) * {_MP4_FRAME_BYTES}, n)
+                              + 1 AS INT)),
+                   i -> ascii(substr(t, CAST(i AS INT), 1))
+               )), 0) AS BIGINT) AS px_max
+        FROM fr {where}
+    """
+
+
+@register(
+    "multimodal_mp4_frames",
+    oracle=_mp4_frames_oracle(),
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame pixel statistics through the FULL compressed-video
+    stack: text → frames → H.264 IDR/I_PCM NALs (emulation-prevention
+    bytes, Exp-Golomb headers) → MP4 sample tables → box walk →
+    bitstream parse → pixels.  I_PCM is lossless, so unlike the MJPEG
+    float-DCT twin this pixel path hash-verifies END-TO-END against
+    the text-derived SQL oracle — the strongest correctness statement
+    a codec path can carry.  Every sample is self-contained IDR, so
+    frame sampling costs table arithmetic only (the keyframe-seek
+    ideal; multimodal.py:mp4_frame_features)."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.mp4_frame_features(MM.media_mp4_from_documents(docs))
