@@ -132,6 +132,7 @@ SECONDARY = [
     "multimodal_wav_mulaw",
     "variant_json_ops",
     "bitmap_distinct_count",
+    "multimodal_mp4_frames",
     # embedding_kmeans / embedding_kmeans_assign are oracle-gated per
     # round but, like tokenizer_apply_bpe_counts, kept out of the
     # timing list: the 3-iteration driver loop is ~90% fixed per-job

@@ -31,6 +31,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from real_time_trip_processing_project_spark.sources.readers import (
+    spread_small_input as _spread,
+)
+
 #: Hyperplane-LSH index shape: L independent tables × b bits per table.
 #: Collision prob for angle θ per table: (1 - θ/π)^b; union over tables
 #: and radius-2 multi-probes sets the recall/candidate-count trade-off.
@@ -78,7 +82,12 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # the Q·N cosine scoring is the CPU-heavy stage; a one-file local
+    # fixture would serialize it onto 1-2 input splits (no-op at real
+    # split counts — see spread_small_input)
+    c = _spread(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -189,8 +198,8 @@ def ann_topk(
     partitions; index size is ANN_TABLES× the corpus, the classic
     LSH space-for-recall trade."""
     planes = _planes(dim)
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    corpus = _spread(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     )
     qvecs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -330,8 +339,10 @@ def ivf_topk(
     standard IVF recall/cost trade (probe more cells → higher recall).
     """
     centroids = kmeans_fit(emb, k=n_cells, vec_col=vec_col, id_col=id_col)
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    # cell assignment + in-cell cosine re-rank are the CPU-heavy
+    # stages; spread a few-split local fixture (no-op at real scale)
+    corpus = _spread(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     ).withColumn(
         "cell", F.element_at(_assign_udf(centroids, 1)(F.col("cv")), 1)
     )
@@ -814,8 +825,10 @@ def build_ivf_index(
     """
     spark = emb.sparkSession
     centroids = kmeans_fit(emb, k=n_cells, vec_col=vec_col, id_col=id_col)
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    # cell assignment + in-cell cosine re-rank are the CPU-heavy
+    # stages; spread a few-split local fixture (no-op at real scale)
+    corpus = _spread(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     ).withColumn(
         "cell", F.element_at(_assign_udf(centroids, 1)(F.col("cv")), 1)
     )
@@ -1316,8 +1329,8 @@ def pq_topk(
     floor-asserted in bench quality."""
     books = pq_train_codebooks(emb, m, ks, dim, vec_col, id_col)
     dsub = dim // m
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    corpus = _spread(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     )
     enc = corpus.withColumn("codes", _pq_encode_udf(books)("cv")).select(
         "neighbor_id", "codes"
@@ -1516,7 +1529,9 @@ def ivfpq_topk(
     dsub = dim // m
 
     C64 = cents.astype(np.float64)
-    enc = emb.mapInPandas(
+    # encode + ADC scan are the CPU-heavy stages; spread a few-split
+    # local fixture across cores (no-op at real split counts)
+    enc = _spread(emb).mapInPandas(
         _ivfpq_encoder(C64, books, dsub, id_col, vec_col),
         "neighbor_id long, cell int, codes array<int>",
     )
