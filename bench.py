@@ -662,6 +662,11 @@ def _stream_throughput(spark) -> dict | None:
                 os.path.join(root, "waves-ckpt"),
                 key_groups=16, available_now=True,
                 max_files_per_trigger=8, evict_completed_after=2,
+                # r9 knee sweep (tools/stream_knee.py, SCALE.md): HDFS vs
+                # RocksDB medians are indistinguishable at this state size
+                # (17.1k vs 17.1k ev/s over 12 paired runs), so the
+                # default provider stands; RocksDB remains the documented
+                # larger-than-memory escalation, one arg away.
             )
             pq.await_termination()
         finally:
