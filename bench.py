@@ -124,6 +124,13 @@ SECONDARY = [
     "tpch_q19_disjunctive_predicates",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
+    # round-9 additions: TPC-H batch 3 — the derived-partsupp five,
+    # completing 22/22 (plans/tpch.py)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q20_potential_promotion",
     "join_skew_salted",
     "multimodal_mjpeg_frames",
     "ts_cross_correlation",

@@ -15,7 +15,10 @@ Fixture adaptations (the driver's TPC-H-ish tables lack some columns —
 no partsupp table, no l_shipmode/l_commitdate/l_receiptdate, no
 c_phone/o_comment): each query keeps its canonical PLAN SHAPE but
 rewrites the predicate onto available columns; the adaptation is noted
-per query.  Q2/Q9/Q11/Q16/Q20 need partsupp and are out of scope.
+per query.  Q2/Q9/Q11/Q16/Q20 need partsupp, which the fixture lacks —
+batch 3 (r9, end of this module) closes them with a DERIVED partsupp
+computed by identical integer arithmetic in both engines, completing
+TPC-H 22/22.
 
 Exactness disciplines as everywhere in the catalogue: money flows as
 exact integer cents (plans/core.py:_cents), ratios as integer ppm, and
@@ -642,4 +645,418 @@ def tpch_q22_global_sales_opportunity(
             F.count("*").alias("numcust"),
             F.sum("bal_c").alias("totacctbal_cents"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3 (r9): the five partsupp queries — TPC-H 22/22.
+#
+# The fixture ships no partsupp table, so these five shapes were "out of
+# scope" through r8.  dbgen itself derives partsupp deterministically
+# from the part/supplier key spaces (4 suppliers per part via modular
+# arithmetic); the same move works here: a derived partsupp computed by
+# IDENTICAL integer arithmetic in both engines, so every query keeps a
+# full hash oracle.  0-based adaptation of dbgen's formula, with
+# availqty/supplycost as deterministic integer functions of the keys:
+#
+#   S  = count(supplier)                     (scalar, 1-row broadcast)
+#   ps_suppkey(p, i)      = (p + i·(S div 4 + p div S)) mod S,  i ∈ 0..3
+#   ps_availqty(p, i)     = (7p + 11i) mod 9999 + 1
+#   ps_supplycost_cents   = (419p + 73·ps_suppkey) mod 80001 + 10000
+#
+# Supplycost flows as exact integer cents like every money column in
+# the catalogue.  Plan shape: partsupp is |part|×4 rows — dim-sized, so
+# it broadcasts wherever a dim would; at 100 TB (where real partsupp is
+# fact-sized) the same queries run with the derivation replaced by a
+# parquet scan and AQE picking shuffle joins — the query bodies below
+# never assume the derivation.
+# ---------------------------------------------------------------------------
+
+#: DuckDB CTEs for the derived partsupp — prefix for the five oracles.
+_PARTSUPP_SQL = """
+        scnt AS (SELECT CAST(count(*) AS BIGINT) AS s FROM supplier),
+        partsupp AS (
+            SELECT p_partkey AS ps_partkey,
+                   CAST((p_partkey + t.i * (s // 4 + p_partkey // s)) % s
+                        AS BIGINT) AS ps_suppkey,
+                   CAST((p_partkey * 7 + t.i * 11) % 9999 + 1
+                        AS BIGINT) AS ps_availqty,
+                   CAST((p_partkey * 419
+                         + ((p_partkey + t.i * (s // 4 + p_partkey // s)) % s)
+                           * 73) % 80001 + 10000
+                        AS BIGINT) AS ps_supplycost_cents
+            FROM part, scnt, range(4) t(i)
+        )"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp (see module comment): 4 rows per part, exact
+    integer columns, bit-identical to the oracle CTE.  The supplier
+    count attaches as a 1-ROW broadcast cross join — the catalogue's
+    standard no-driver-collect scalar attachment (the Q22 / corpus-
+    scalar class; the BNLJ build side is one row at any scale)."""
+    part = load_fixture(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("ps_partkey")
+    )
+    s_cnt = load_fixture(spark, sf_dir, "supplier").agg(
+        F.count("*").cast("long").alias("s_total")
+    )
+    rows = (
+        part.crossJoin(F.broadcast(s_cnt))
+        .select(
+            "ps_partkey",
+            "s_total",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i0"),
+        )
+        .withColumn("i", F.col("i0").cast("long"))
+    )
+    sk = (
+        F.col("ps_partkey")
+        + F.col("i")
+        * (F.expr("s_total div 4") + F.expr("ps_partkey div s_total"))
+    ) % F.col("s_total")
+    return rows.select(
+        "ps_partkey",
+        sk.cast("long").alias("ps_suppkey"),
+        ((F.col("ps_partkey") * 7 + F.col("i") * 11) % 9999 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+        ((F.col("ps_partkey") * 419 + sk * 73) % 80001 + 10000)
+        .cast("long")
+        .alias("ps_supplycost_cents"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL},
+        eps AS (
+            SELECT ps_partkey, ps_supplycost_cents, s_name, s_acctbal, n_name
+            FROM partsupp
+            JOIN supplier ON s_suppkey = ps_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        mn AS (
+            SELECT ps_partkey,
+                   CAST(min(ps_supplycost_cents) AS BIGINT) AS min_cost
+            FROM eps GROUP BY ps_partkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               ps_supplycost_cents
+        FROM eps
+        JOIN mn USING (ps_partkey)
+        JOIN part ON p_partkey = ps_partkey
+        WHERE p_size IN (5, 15, 25, 45)
+          AND ps_supplycost_cents = min_cost
+    """,
+    tags=["EXT", "J3", "A6"],
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the region-local supplier(s) offering it at minimum cost — the
+    correlated-scalar-min pattern, written decorrelated (per-part min
+    aggregate joined back on the part key, the only plan CBO or a human
+    would pick).  (Adaptations: no p_mfgr → p_brand in the output; the
+    type/size predicate becomes a size IN-list over fixture values.)
+
+    Exactness: min over exact integer cents — cross-engine tie
+    semantics are value-equality, and ALL tied suppliers surface (no
+    LIMIT: a limit without a total order is nondeterministic across
+    engines).  Plan at scale: region/nation/supplier broadcast into the
+    partsupp scan, the min-aggregate shuffles on ps_partkey and its
+    exchange is reused by the probe join (same key); with a real
+    fact-sized partsupp both sides sort-merge on ps_partkey — one
+    shuffle each, no re-partition."""
+    supplier = load_fixture(spark, sf_dir, "supplier")
+    nation = load_fixture(spark, sf_dir, "nation")
+    region = load_fixture(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    part = load_fixture(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25, 45)
+    )
+    eps = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(
+            supplier.join(
+                F.broadcast(nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+        ), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("ps_partkey", "ps_supplycost_cents", "s_name", "s_acctbal",
+                "n_name")
+    )
+    mn = eps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("min_cost")
+    )
+    return (
+        eps.join(mn, "ps_partkey")
+        .filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                "ps_supplycost_cents")
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL}
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum({_REV_SQL}
+                        - ps_supplycost_cents
+                          * CAST(round(l_quantity) AS BIGINT))
+                    AS BIGINT) AS profit_cents
+        FROM lineitem
+        JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """,
+    tags=["EXT", "J3", "A6"],
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit by supplier nation
+    and order year over parts matching a name pattern — the widest join
+    tree in the suite (lineitem ⋈ partsupp ⋈ part ⋈ supplier ⋈ nation ⋈
+    orders) with a non-sargable LIKE that still prunes via the part
+    dim.  (Adaptation: '%green%' → '%red%' over fixture part names.)
+
+    Exactness: profit = revenue cents − supplycost cents × integral
+    quantity, all int64.  Plan at scale: part(filtered), partsupp,
+    supplier, nation broadcast; lineitem ⋈ orders is the single big
+    shuffle on orderkey.  With a real fact-sized partsupp the
+    (partkey, suppkey) probe becomes the second big shuffle and AQE
+    picks sort-merge — the query body is join-order-neutral, which is
+    exactly what the CBO reorder test pins stats can exploit."""
+    part = load_fixture(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supplier = load_fixture(spark, sf_dir, "supplier")
+    nation = load_fixture(spark, sf_dir, "nation")
+    orders = load_fixture(spark, sf_dir, "orders")
+    lineitem = load_fixture(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(_partsupp(spark, sf_dir)),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                _rev_cents()
+                - F.col("ps_supplycost_cents")
+                * F.round(F.col("l_quantity")).cast("long")
+            ).alias("profit_cents")
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL},
+        nps AS (
+            SELECT ps_partkey,
+                   ps_supplycost_cents * ps_availqty AS v
+            FROM partsupp
+            JOIN supplier ON s_suppkey = ps_suppkey
+            WHERE s_nationkey = 7
+        )
+        SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+        FROM nps
+        GROUP BY ps_partkey
+        HAVING 1000 * CAST(sum(v) AS BIGINT)
+               > (SELECT CAST(sum(v) AS BIGINT) FROM nps)
+    """,
+    tags=["EXT", "J1", "A6", "A7"],
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose stock value at one
+    nation's suppliers exceeds a fraction of that nation's total — a
+    grouped aggregate HAVING-compared against a global scalar over the
+    SAME relation.  (Adaptation: nation key 7; fraction 1/1000.)
+
+    Exactness: ``1000·Σ_part > Σ_total`` in int64 — no double fraction.
+    Spark form: the global total rides a single-partition window over
+    the already-aggregated per-part relation (|parts| rows — the Q15
+    discipline), so the nation-filtered partsupp is scanned ONCE and
+    aggregated once; the oracle's scalar subquery re-reads the CTE,
+    same values.  Plan at scale: supplier(nation-filtered) broadcasts;
+    one shuffle on ps_partkey; the window adds a 1-partition exchange
+    of pre-aggregated rows only."""
+    supplier = load_fixture(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 7
+    )
+    nps = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(supplier), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    per_part = nps.groupBy("ps_partkey").agg(F.sum("v").alias("value_cents"))
+    w = Window.partitionBy()
+    return (
+        per_part.withColumn("total", F.sum("value_cents").over(w))
+        .filter(F.lit(1000) * F.col("value_cents") > F.col("total"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@register(
+    "tpch_q16_parts_supplier_relationship",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL}
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 15, 22, 28, 35, 49)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=["EXT", "J2", "A6"],
+)
+def tpch_q16_parts_supplier_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    counts per (brand, type, size) bucket, excluding a brand/type slice
+    and a supplier denylist — the NOT-IN-subquery pattern, which must
+    plan as a LEFT ANTI join, never a per-row subquery.  (Adaptations:
+    the complaints comment-scan becomes the negative-balance suppliers;
+    brand/type/size literals map onto fixture values.)
+
+    Plan at scale: part(filtered) broadcasts into the partsupp scan;
+    the denylist is dim-sized → broadcast anti-join (zero extra
+    shuffles); count(DISTINCT) shuffles on the grouping key with the
+    distinct expand — the one aggregate in the suite that genuinely
+    needs the two-phase distinct plan."""
+    part = load_fixture(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 15, 22, 28, 35, 49)
+    )
+    bad = load_fixture(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL},
+        shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(round(l_quantity)) AS BIGINT) AS sq
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (
+              SELECT ps_suppkey
+              FROM partsupp
+              JOIN shipped ON l_partkey = ps_partkey
+                          AND l_suppkey = ps_suppkey
+              WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_name LIKE 'red%')
+                AND 2 * ps_availqty > sq)
+    """,
+    tags=["EXT", "J2", "A6"],
+)
+def tpch_q20_potential_promotion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    region holding excess stock (availqty > ½ of what they shipped in a
+    year) of parts in a name class — the nested double-semi-join
+    pattern: IN(parts) inside IN(partsupp⋈shipped) probed by the
+    supplier scan.  (Adaptations: nation → region EUROPE; 'forest%' →
+    'red%'.)
+
+    Exactness: the half threshold is ``2·availqty > Σqty`` in int64.
+    Plan at scale: the year-filtered lineitem aggregate is the one big
+    shuffle (keyed (partkey, suppkey)); the part name-class semi-join
+    broadcasts; the outer membership is a LEFT SEMI to the supplier
+    dim.  Both IN subqueries decorrelate to semi-joins — no per-row
+    execution anywhere."""
+    lineitem = load_fixture(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round("l_quantity")).cast("long").alias("sq")
+    )
+    red_parts = load_fixture(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    excess = (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(red_parts),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.lit(2) * F.col("ps_availqty") > F.col("sq"))
+        .select("ps_suppkey")
+    )
+    nation = load_fixture(spark, sf_dir, "nation")
+    region = load_fixture(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    return (
+        load_fixture(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(excess),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
     )

@@ -98,6 +98,14 @@ def test_no_cartesian_products_in_catalogue(spark):
         # 1-row broadcast of the (n, sum) balance scalar — the Q22
         # scalar-subquery threshold, same class as the corpus scalars
         "tpch_q22_global_sales_opportunity",
+        # batch-3 partsupp queries: the DERIVED partsupp attaches the
+        # 1-row supplier-count scalar the same way (plans/tpch.py
+        # _partsupp) — the BNLJ build side is one row at any scale
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_product_type_profit",
+        "tpch_q11_important_stock",
+        "tpch_q16_parts_supplier_relationship",
+        "tpch_q20_potential_promotion",
     }
     for name in REGISTRY:
         if name in allowed:
