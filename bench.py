@@ -131,6 +131,9 @@ SECONDARY = [
     "tpch_q11_important_stock",
     "tpch_q16_parts_supplier_relationship",
     "tpch_q20_potential_promotion",
+    # round-9 additions: training-pipeline curation pair
+    "embedding_hard_negatives",
+    "curation_importance_resample",
     "join_skew_salted",
     "multimodal_mjpeg_frames",
     "ts_cross_correlation",

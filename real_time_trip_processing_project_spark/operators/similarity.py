@@ -1775,3 +1775,69 @@ def ivfpq_topk_indexed(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def _tick(x):
+    """Micro-tick quantization: ``floor(x·1e6 + ½)`` as int64 — the
+    catalogue's standard exact-embedding discipline (label_noise /
+    centroid class)."""
+    return F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+
+
+def _d2_ticks(a, b):
+    """Exact squared L2 distance between two vectors in integer
+    micro-ticks: Σ (tick(aᵢ) − tick(bᵢ))² as int64, strict sequential
+    order.  64 dims × (~1e6 ticks)² stays far under 2^63, and integer
+    accumulation cannot reorder-wobble — the property that makes a
+    nearest-neighbor argmin hash-stable across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _tick(x) - _tick(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    single NEAREST neighbor carrying a DIFFERENT label — the pair a
+    metric-learning / embedding-training pipeline feeds as its hardest
+    negative (closest point the model must push away).
+
+    Exactness: distances are exact int64 tick sums (:func:`_d2_ticks`),
+    so the argmin with an (d2, neg_id) tie-break is deterministic in
+    both engines.  Shape: the bounded query workload broadcasts and the
+    corpus is scanned ONCE (the sim_cosine_topk class — quadratic in
+    |queries|·|corpus| by design as the exactness twin; the ANN tier
+    with a post-filter on label is the 100 TB serving path).  Only
+    (query, best-negative) rows shuffle — one row per query survives
+    the per-partition rank."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = _spread(
+        emb.select(
+            F.col(id_col).alias("neg_id"),
+            F.col(label_col).alias("neg_label"),
+            F.col(vec_col).alias("cv"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_label") != F.col("neg_label"))
+        .withColumn("d2", _d2_ticks(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "query_label", "neg_id", "neg_label", "d2")
+    )

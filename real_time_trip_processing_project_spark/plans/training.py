@@ -3285,3 +3285,169 @@ def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike(_ASCII_ONLY)
     )
     return MM.mp4_frame_features(MM.media_mp4_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# r9 additions: contrastive hard-negative mining + DSIR-style importance
+# resampling — two curation steps every large-scale training pipeline
+# runs that the catalogue did not yet name as first-class queries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle="""
+        WITH t AS (
+            SELECT vec_id, label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS i,
+                   CAST(floor(unnest(list_transform(embedding,
+                        v -> CAST(v AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+                       AS tick
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM t WHERE vec_id % 100 = 0),
+        d AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+                   CAST(sum((q.tick - c.tick) * (q.tick - c.tick))
+                        AS BIGINT) AS d2
+            FROM q JOIN t c ON c.i = q.i AND c.label <> q.label
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, neg_id, d2,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, neg_id) AS rk
+            FROM d
+        )
+        SELECT r.query_id, ql.label AS query_label,
+               r.neg_id, nl.label AS neg_label, r.d2
+        FROM ranked r
+        JOIN embeddings ql ON ql.vec_id = r.query_id
+        JOIN embeddings nl ON nl.vec_id = r.neg_id
+        WHERE r.rk = 1
+    """,
+    tags=["EXT", "similarity", "curation"],
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector (the
+    fixed :func:`_ann_queries` workload, ≡ ``vec_id % 100 = 0`` at
+    driver scales), the nearest neighbor with a DIFFERENT label — the
+    hardest negative a metric-learning objective trains against.
+    Exact int64 tick distances (argmin cannot wobble); the corpus scan
+    is the sim_cosine_topk exactness-twin class, with the label-
+    filtered ANN tier as the documented serving path at 100 TB."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    return SIM.hard_negatives(emb, _ann_queries(emb))
+
+
+@register(
+    "curation_importance_resample",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, source = 'src0' AS is_target,
+                   string_split_regex(trim(text), '\s+') AS ws
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, is_target,
+                   {CU.bloom_pos_sql("md5(ws[i] || ' ' || ws[i + 1])", 0, 4096)}
+                       AS b
+            FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        ),
+        stats AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nt,
+                   CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END)
+                        AS BIGINT) AS ns
+            FROM feat GROUP BY b
+        ),
+        tots AS (
+            SELECT CAST(sum(nt) AS BIGINT) AS tt,
+                   CAST(sum(ns) AS BIGINT) AS ts
+            FROM stats
+        ),
+        llr AS (
+            SELECT b,
+                   CAST(floor(ln(
+                       (CAST(nt + 1 AS DOUBLE) * (ts + 4096))
+                     / (CAST(ns + 1 AS DOUBLE) * (tt + 4096))
+                   ) * 1e6 + 0.5) AS BIGINT) AS w
+            FROM stats CROSS JOIN tots
+        )
+        SELECT f.doc_id,
+               CAST(count(*) AS BIGINT) AS n_features,
+               CAST(sum(l.w) AS BIGINT) AS score_tick,
+               CAST(sum(l.w) AS BIGINT) > 0 AS selected
+        FROM feat f JOIN llr l ON l.b = f.b
+        WHERE NOT f.is_target
+        GROUP BY f.doc_id
+    """,
+    tags=["EXT", "text", "curation"],
+)
+def curation_importance_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, integer-weight
+    variant): score every POOL document by how target-domain-like its
+    hashed-bigram features are, where the target sample is the
+    ``source = 'src0'`` slice of the corpus itself.  Per 4096-bucket
+    hashed bigram, the weight is the add-one-smoothed log-likelihood
+    ratio ``ln(P̂_target(b) / P̂_pool(b))`` quantized to integer
+    micro-ticks (single ln per BUCKET — the bigram-LM discipline: the
+    per-doc sum is integer, so accumulation order cannot move it); a
+    document's score is the sum over its bigram instances, and
+    ``selected`` marks target-leaning docs (the deterministic-threshold
+    stand-in for DSIR's Gumbel resampling — no RNG crosses engines).
+
+    Scale: two corpus scans (bucket stats; scoring), one 4096-row
+    broadcast of the weight table, one shuffle per aggregate.  The
+    feature space is fixed-width by construction (the hashing trick),
+    so vocabulary growth never resizes the weight table — at 100 TB
+    the weight side stays kilobytes while the pool streams through
+    map-side."""
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    docs = spread_small_input(load_fixture(spark, sf_dir, "documents"))
+    feats = docs.select(
+        "doc_id",
+        (F.col("source") == "src0").alias("is_target"),
+        F.explode(DD.word_bigrams(F.col("text"))).alias("g"),
+    ).select(
+        "doc_id",
+        "is_target",
+        CU._bloom_pos(F.md5(F.col("g")), 0, 4096).alias("b"),
+    )
+    stats = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("ns"),
+    )
+    tots = stats.agg(
+        F.sum("nt").alias("tt"), F.sum("ns").alias("ts")
+    )
+    llr = stats.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("nt") + 1).cast("double") * (F.col("ts") + 4096))
+                / ((F.col("ns") + 1).cast("double") * (F.col("tt") + 4096))
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    return (
+        feats.filter(~F.col("is_target"))
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("w").alias("score_tick"),
+        )
+        .withColumn("selected", F.col("score_tick") > 0)
+    )

@@ -106,6 +106,11 @@ def test_no_cartesian_products_in_catalogue(spark):
         "tpch_q11_important_stock",
         "tpch_q16_parts_supplier_relationship",
         "tpch_q20_potential_promotion",
+        # bounded-query-set × corpus scan by design (sim_cosine_topk
+        # class; label-filtered ANN is the serving path at scale)
+        "embedding_hard_negatives",
+        # 1-row broadcast of the (T, S) feature-total scalar
+        "curation_importance_resample",
     }
     for name in REGISTRY:
         if name in allowed:

@@ -510,15 +510,18 @@ def test_real_decode_avi_frame_count():
     feats = MM._real_decode(MM.encode_avi_rgb24(fr))
     assert feats["frame_count"] == 2
     assert (feats["width"], feats["height"]) == (4, 4)
-    # JPEG and PNG are REAL since r7 (operators/jpeg.py, operators/
-    # png.py): a malformed stream is a decode error, not a stub; the
-    # marked seam shrank to motion-compensated video (MP4/H.264)
+    # JPEG, PNG and MP4/H.264 I_PCM are REAL codecs (operators/jpeg.py,
+    # operators/png.py, operators/h264.py since r9): a malformed stream
+    # is a decode error, not a stub; the marked seam shrank to
+    # predicted/entropy-coded H.264 macroblocks
     with pytest.raises(ValueError):
         MM._real_decode(b"\xff\xd8\xff\xe0 jpeg-ish")
     with pytest.raises(ValueError):
         MM._real_decode(b"\x89PNG\r\n\x1a\n not-a-real-png")
-    with pytest.raises(NotImplementedError, match="MP4"):
+    with pytest.raises(ValueError, match="missing"):
         MM._real_decode(b"\x00\x00\x00\x18ftypmp42 rest-of-mp4")
+    with pytest.raises(NotImplementedError, match="I_PCM"):
+        MM._real_decode(b"not-any-known-container at all............")
 
 
 def test_real_decode_bmp_dimensions():
