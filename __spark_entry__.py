@@ -27,15 +27,22 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: verified near the front of the window.  Maintained per round, names only
 #: advisory (unknown names warn, never break the package).
 _RECHECK_FIRST = [
-    # r9: queries whose implementing module changed this round —
-    # multimodal.py (idx1 strictness, MP4/H.264 path) and extended.py
-    # (md5 view names) — plus the two brand-new MP4 queries.
+    # r10 lead: the six queries registered in r9 that the driver has
+    # never checked (VERDICT r9 item 2)...
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q20_potential_promotion",
+    "embedding_hard_negatives",
+    "curation_importance_resample",
+    # ...then queries whose implementation/oracle changed in r10:
+    # the derived-partsupp PK fix (plans/tpch.py) also feeds q2, and
+    # the ANN-stride oracle parameterization touched sim_cosine_topk;
+    # h264.py's tkhd layout fix sits under both MP4 queries.
+    "tpch_q2_min_cost_supplier",
+    "sim_cosine_topk",
     "multimodal_mp4_index",
     "multimodal_mp4_frames",
-    "multimodal_mjpeg_index",
-    "sql_text_interface",
-    "sql_parameterized",
-    "listagg_ordered",
 ]
 
 #: A query whose last green check is older than this many rounds is

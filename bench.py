@@ -134,6 +134,8 @@ SECONDARY = [
     # round-9 additions: training-pipeline curation pair
     "embedding_hard_negatives",
     "curation_importance_resample",
+    # round-10 additions
+    "embedding_hard_negatives_ann",
     "join_skew_salted",
     "multimodal_mjpeg_frames",
     "ts_cross_correlation",
@@ -169,14 +171,25 @@ def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _probe(spark) -> float:
+#: Timed queries between interleaved probe samples.  r9's gate had TWO
+#: probes bracketing a ~70-query run and they disagreed by 33% — a
+#: mid-run load excursion was invisible and 25 queries got flagged on
+#: drift.  ~1 sample per 10 queries bounds the window any excursion can
+#: silently poison to 10 queries.
+PROBE_EVERY = 10
+
+
+def _probe(spark, reps: int = 3) -> float:
     """Fixed calibration workload: a pinned ``spark.range`` aggregate
     whose plan never changes round-over-round.  Its runtime tracks box
     load, not repo code — query regressions that co-move with the probe
     are environmental; regressions against a stable probe are real.
-    Min-of-3 to shed codegen/JIT like the query timings."""
+    Min-of-3 to shed codegen/JIT on the first sample; interleaved
+    samples use min-of-2 (JIT is warm — min still reflects SUSTAINED
+    load, which is what normalization should charge for, while shedding
+    one-off scheduler blips)."""
     best = None
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         spark.range(500_000_000).selectExpr(
             "sum(id * 2654435761 % 1000003) AS s"
@@ -201,6 +214,18 @@ def main() -> None:
     ).split():
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1).collect()
 
+    # Interleaved probe tape: (position, seconds) samples threaded
+    # through the run — one every PROBE_EVERY timed queries — so each
+    # query normalizes against the probe NEAREST it in time instead of
+    # one run-wide mean (r9: two bracketing probes 33% apart could not
+    # see mid-run load, and 25 queries got flagged on drift).
+    seq = {"n": 0}
+    probe_samples: list[tuple[int, float]] = []
+    positions: dict[str, int] = {}
+
+    def _sample_probe(reps: int = 2) -> None:
+        probe_samples.append((seq["n"], _probe(spark, reps=reps)))
+
     def _time(names: list[str], reps: int = REPS) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
@@ -214,12 +239,23 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
+            positions[name] = seq["n"]
+            seq["n"] += 1
+            if seq["n"] % PROBE_EVERY == 0:
+                _sample_probe()
         return timings
 
-    probe_start = _probe(spark)
+    _sample_probe(reps=3)  # first sample also sheds probe codegen/JIT
     timings = _time(HEADLINE, reps=HEADLINE_REPS)
     secondary = _time(SECONDARY)
-    probe_end = _probe(spark)
+    if probe_samples[-1][0] != seq["n"]:
+        _sample_probe()
+    probe_start = probe_samples[0][1]
+    probe_end = probe_samples[-1][1]
+
+    def _nearest_probe(name: str) -> float:
+        pos = positions.get(name, 0)
+        return min(probe_samples, key=lambda s: abs(s[0] - (pos + 0.5)))[1]
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -235,18 +271,25 @@ def main() -> None:
         # moved, query deltas of the same ratio are box noise
         "probe_start_sec": probe_start,
         "probe_end_sec": probe_end,
+        "probe_samples": [[p, s] for p, s in probe_samples],
     }
-    # probe-normalized timings (seconds per second of probe): divide by
-    # the mean probe so round-over-round comparison doesn't need manual
-    # probe eyeballing — equal normalized values on boxes of different
-    # load are the same code-speed
-    probe_mean = (probe_start + probe_end) / 2 or 1.0
+    # probe-normalized timings (seconds per second of probe): each query
+    # divides by the interleaved probe sample NEAREST its run position,
+    # so a mid-run load excursion only distorts the ≤PROBE_EVERY queries
+    # around it instead of silently skewing the whole run (r10; was one
+    # run-wide mean from two bracketing probes).  probe_mean_sec stays
+    # the all-sample mean for the headline value and cross-round compare.
+    probe_mean = (
+        sum(s for _, s in probe_samples) / len(probe_samples)
+    ) or 1.0
     out["normalized"] = {
         "probe_mean_sec": round(probe_mean, 3),
         "value": round(out["value"] / probe_mean, 3),
-        "queries": {k: round(v / probe_mean, 3) for k, v in timings.items()},
+        "queries": {
+            k: round(v / _nearest_probe(k), 3) for k, v in timings.items()
+        },
         "secondary": {
-            k: round(v / probe_mean, 3) for k, v in secondary.items()
+            k: round(v / _nearest_probe(k), 3) for k, v in secondary.items()
         },
     }
     out["quality"] = _quality(spark)
@@ -426,6 +469,30 @@ def _quality(spark) -> dict:
         rec = round(len(bf & ann) / max(len(bf), 1), 4)
         assert rec >= floor, f"{name} recall {rec} < floor {floor}"
         q[f"{name}_recall_at_10"] = rec
+
+    # Hard-negative serving path: match-rate@1 vs the exact twin (same
+    # (d2, neg_id) argmin — a row matches iff the ANN probe found the
+    # true nearest different-label neighbor in a probed cell)
+    exact_neg = {
+        r.query_id: r.neg_id
+        for r in REGISTRY["embedding_hard_negatives"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    ann_neg = {
+        r.query_id: r.neg_id
+        for r in REGISTRY["embedding_hard_negatives_ann"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    match = round(
+        sum(
+            1 for k, v in exact_neg.items() if ann_neg.get(k) == v
+        ) / max(len(exact_neg), 1),
+        4,
+    )
+    assert match >= 0.85, f"hard_negatives_ann match@1 {match} < floor 0.85"
+    q["embedding_hard_negatives_ann_match_at_1"] = match
 
     # MinHash-LSH recall vs the exact PPJoin pair set (planted ~0.99-
     # Jaccard dups collide with prob ≈ 1-1e-22, so this should be ≈ 1)

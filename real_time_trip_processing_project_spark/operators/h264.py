@@ -412,7 +412,9 @@ def encode_mp4_h264(frames: np.ndarray, fps: int = MP4_FPS) -> bytes:
     tkhd = _full(
         b"tkhd", 0, 3,
         struct.pack(">IIIII", 0, 0, 1, 0, duration)
-        + b"\x00" * 12
+        # ISO 14496-12 v0: reserved[2] (8) + layer/alternate_group (4) +
+        # volume=0 for video + reserved (4) — 16 bytes before the matrix.
+        + b"\x00" * 16
         + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", w << 16, h << 16),
     )
@@ -500,7 +502,20 @@ def parse_mp4(payload: bytes) -> dict:
     Returns sps/pps dicts, per-sample (offset, size) resolved from
     stsc×stco×stsz, the mdat payload bounds, and ``index_consistent``:
     every stsz size must be length-prefix-consistent and every resolved
-    sample must fall inside mdat."""
+    sample must fall inside mdat.
+
+    Truncated/crafted payloads can hit ``struct.unpack_from`` past the
+    buffer (stsz/stco/stsc reads) or index past the avcC walk; both are
+    malformed-container conditions, normalized to ``ValueError`` so
+    callers (mp4_container_index's per-row sentinel path) need exactly
+    one except clause and a single bad row never fails a Spark task."""
+    try:
+        return _parse_mp4_strict(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed mp4: {exc}") from exc
+
+
+def _parse_mp4_strict(payload: bytes) -> dict:
     found: dict[bytes, tuple[int, int]] = {}
 
     def recurse(start: int, end: int) -> None:

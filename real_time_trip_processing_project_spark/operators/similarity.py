@@ -1813,8 +1813,9 @@ def hard_negatives(
     so the argmin with an (d2, neg_id) tie-break is deterministic in
     both engines.  Shape: the bounded query workload broadcasts and the
     corpus is scanned ONCE (the sim_cosine_topk class — quadratic in
-    |queries|·|corpus| by design as the exactness twin; the ANN tier
-    with a post-filter on label is the 100 TB serving path).  Only
+    |queries|·|corpus| by design as the exactness twin;
+    :func:`hard_negatives_ann` is the label-filtered IVF serving path
+    at 100 TB, floored against this twin in bench.py).  Only
     (query, best-negative) rows shuffle — one row per query survives
     the per-partition rank."""
     q = queries.select(
@@ -1832,6 +1833,61 @@ def hard_negatives(
     scored = (
         F.broadcast(q)
         .crossJoin(c)
+        .filter(F.col("query_label") != F.col("neg_label"))
+        .withColumn("d2", _d2_ticks(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "query_label", "neg_id", "neg_label", "d2")
+    )
+
+
+def hard_negatives_ann(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_cells: int = IVF_CELLS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """Label-filtered ANN hard-negative mining — the 100 TB serving
+    path :func:`hard_negatives`'s docstring promises: route queries
+    through the IVF index (k-means cells + multi-cell probe), apply the
+    different-label post-filter INSIDE the probed cells, and re-rank by
+    the same exact int64 tick distance as the exact twin.
+
+    Same output schema and the same deterministic (d2, neg_id) argmin —
+    whenever the true nearest negative lives in a probed cell the row
+    is IDENTICAL to the twin's, so bench.py floors match-rate@1
+    directly.  Shape at scale: corpus assigned + stored
+    ``partitionBy(cell)``, bounded query workload broadcast, a probe
+    touches n_probes/n_cells of the data instead of all of it — the
+    cost model that keeps per-query mining sub-linear in corpus size."""
+    centroids = kmeans_fit(
+        emb, k=n_cells, vec_col=vec_col, id_col=id_col
+    )
+    corpus = _spread(
+        emb.select(
+            F.col(id_col).alias("neg_id"),
+            F.col(label_col).alias("neg_label"),
+            F.col(vec_col).alias("cv"),
+        )
+    ).withColumn(
+        "cell", F.element_at(_assign_udf(centroids, 1)(F.col("cv")), 1)
+    )
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+    ).withColumn(
+        "cell", F.explode(_assign_udf(centroids, n_probes)(F.col("qv")))
+    )
+    scored = (
+        F.broadcast(qp)
+        .join(corpus, "cell")
         .filter(F.col("query_label") != F.col("neg_label"))
         .withColumn("d2", _d2_ticks(F.col("qv"), F.col("cv")))
     )

@@ -660,9 +660,16 @@ def tpch_q22_global_sales_opportunity(
 # availqty/supplycost as deterministic integer functions of the keys:
 #
 #   S  = count(supplier)                     (scalar, 1-row broadcast)
-#   ps_suppkey(p, i)      = (p + i·(S div 4 + p div S)) mod S,  i ∈ 0..3
+#   ps_suppkey(p, i)      = (p·(S div 4 + 1) + i) mod S,  i ∈ 0..3
 #   ps_availqty(p, i)     = (7p + 11i) mod 9999 + 1
 #   ps_supplycost_cents   = (419p + 73·ps_suppkey) mod 80001 + 10000
+#
+# The i-term is ADDITIVE, so the four suppkeys of a part are consecutive
+# mod S — distinct for any S ≥ 4, upholding the (ps_partkey, ps_suppkey)
+# primary key dbgen guarantees (a stride-form i·step can collide at small
+# S, e.g. S=10 step=5 pairs i=0/2 and i=1/3, which would double-count
+# lineitem matches in Q9 and emit duplicate rows in Q2); the
+# multiplicative p-term scatters parts across the supplier space.
 #
 # Supplycost flows as exact integer cents like every money column in
 # the catalogue.  Plan shape: partsupp is |part|×4 rows — dim-sized, so
@@ -675,17 +682,19 @@ def tpch_q22_global_sales_opportunity(
 #: DuckDB CTEs for the derived partsupp — prefix for the five oracles.
 _PARTSUPP_SQL = """
         scnt AS (SELECT CAST(count(*) AS BIGINT) AS s FROM supplier),
-        partsupp AS (
+        partsupp0 AS (
             SELECT p_partkey AS ps_partkey,
-                   CAST((p_partkey + t.i * (s // 4 + p_partkey // s)) % s
+                   CAST((p_partkey * (s // 4 + 1) + t.i) % s
                         AS BIGINT) AS ps_suppkey,
                    CAST((p_partkey * 7 + t.i * 11) % 9999 + 1
-                        AS BIGINT) AS ps_availqty,
-                   CAST((p_partkey * 419
-                         + ((p_partkey + t.i * (s // 4 + p_partkey // s)) % s)
-                           * 73) % 80001 + 10000
-                        AS BIGINT) AS ps_supplycost_cents
+                        AS BIGINT) AS ps_availqty
             FROM part, scnt, range(4) t(i)
+        ),
+        partsupp AS (
+            SELECT ps_partkey, ps_suppkey, ps_availqty,
+                   CAST((ps_partkey * 419 + ps_suppkey * 73) % 80001 + 10000
+                        AS BIGINT) AS ps_supplycost_cents
+            FROM partsupp0
         )"""
 
 
@@ -711,9 +720,8 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("i", F.col("i0").cast("long"))
     )
     sk = (
-        F.col("ps_partkey")
+        F.col("ps_partkey") * (F.expr("s_total div 4") + F.lit(1))
         + F.col("i")
-        * (F.expr("s_total div 4") + F.expr("ps_partkey div s_total"))
     ) % F.col("s_total")
     return rows.select(
         "ps_partkey",

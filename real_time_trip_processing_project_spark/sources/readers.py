@@ -15,6 +15,8 @@ distributed scans using explicit schemas:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from real_time_trip_processing_project_spark import schemas
@@ -81,7 +83,14 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     input splits than half the cores — a single local parquet file
     otherwise serializes CPU-heavy per-row work (shingling, codecs) onto
     one task.  At real scale the source has ≫ cores splits and this is
-    a no-op (the repartition of raw rows would be a pure tax there)."""
+    a no-op (the repartition of raw rows would be a pure tax there).
+
+    ``SPARK_GRAFT_NO_SPREAD=1`` turns it into an unconditional no-op —
+    the paired-A/B switch tools/ab_spread.py uses to attribute a query's
+    delta to THIS repartition vs box load (r9: sim_ann_lsh +30% raw was
+    flagged the round this path landed)."""
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        return df
     cores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, cores // 2):
         return df.repartition(cores)

@@ -88,14 +88,59 @@ def test_mp4_roundtrip_and_sampling():
 
 def test_parse_mp4_flags_corruption():
     payload = bytearray(H.encode_mp4_h264(_frames(2)))
-    # corrupt the stsz entry of sample 0: resolved samples no longer
-    # tile mdat with exact length-prefix coverage
+    # corrupt the stsz entry of sample 0 (entries start at at+16, after
+    # version/flags + sample_size + sample_count): resolved samples no
+    # longer tile mdat with exact length-prefix coverage
     at = payload.find(b"stsz")
     assert at > 0
-    n0 = struct.unpack_from(">I", payload, at + 12)[0]
-    struct.pack_into(">I", payload, at + 12, n0 + 4)
+    n0 = struct.unpack_from(">I", payload, at + 16)[0]
+    struct.pack_into(">I", payload, at + 16, n0 + 4)
     info = H.parse_mp4(bytes(payload))
     assert not info["index_consistent"]
+
+
+def test_parse_mp4_flags_inflated_sample_count():
+    payload = bytearray(H.encode_mp4_h264(_frames(2)))
+    # inflate stsz.sample_count (at+12): si != n_samples path.  The
+    # count points past the real entry table, so the strict parser reads
+    # junk/past-buffer — normalized to ValueError, OR flags inconsistent.
+    at = payload.find(b"stsz")
+    n0 = struct.unpack_from(">I", payload, at + 12)[0]
+    struct.pack_into(">I", payload, at + 12, n0 + 4)
+    try:
+        info = H.parse_mp4(bytes(payload))
+    except ValueError:
+        pass
+    else:
+        assert not info["index_consistent"]
+
+
+def test_parse_mp4_truncation_normalizes_to_valueerror():
+    # hard truncation mid-sample-table: struct.error/IndexError inside
+    # the strict parser must surface as ValueError (the one exception
+    # mp4_container_index's sentinel path handles)
+    payload = H.encode_mp4_h264(_frames(2))
+    at = payload.find(b"stsz")
+    for cut in (at + 14, at + 6, len(payload) - 3):
+        with pytest.raises(ValueError):
+            H.parse_mp4(payload[:cut])
+
+
+def test_tkhd_box_byte_layout():
+    # ISO 14496-12 v0 tkhd: after 4 (version/flags) + 20 (times, track,
+    # reserved, duration) come exactly 16 reserved/layer/volume bytes,
+    # then the 36-byte identity matrix, then width/height as 16.16.
+    payload = H.encode_mp4_h264(_frames(1))
+    at = payload.find(b"tkhd")
+    assert at > 0
+    size = struct.unpack_from(">I", payload, at - 4)[0]
+    assert size == 8 + 4 + 20 + 16 + 36 + 8
+    body = at + 4 + 4  # past type + version/flags
+    assert payload[body + 20 : body + 36] == b"\x00" * 16
+    matrix = struct.unpack_from(">9I", payload, body + 36)
+    assert matrix == (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    w, h = struct.unpack_from(">II", payload, body + 72)
+    assert (w >> 16, h >> 16) == (16, 32)
 
 
 def test_parse_mp4_rejects_missing_boxes():

@@ -492,3 +492,32 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_derived_partsupp_primary_key(spark, sf_smoke):
+    """The derived partsupp must uphold dbgen's (ps_partkey, ps_suppkey)
+    primary key — the additive-i suppkey formula guarantees four
+    DISTINCT suppkeys per part for any supplier count S >= 4.  A
+    stride-form i*step collides at small S (S=10, step=5 pairs i=0/2
+    and i=1/3), double-counting lineitem matches in Q9 and emitting
+    duplicate rows in Q2."""
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_project_spark.plans.tpch import _partsupp
+
+    ps = _partsupp(spark, sf_smoke)
+    total = ps.count()
+    distinct = ps.select("ps_partkey", "ps_suppkey").distinct().count()
+    assert total == distinct and total > 0
+    # exactly 4 suppliers per part, all within [0, S)
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+
+    s_total = load_fixture(spark, sf_smoke, "supplier").count()
+    per_part = ps.groupBy("ps_partkey").count().select("count").distinct()
+    assert [r["count"] for r in per_part.collect()] == [4]
+    bad = ps.filter(
+        (F.col("ps_suppkey") < 0) | (F.col("ps_suppkey") >= s_total)
+    ).count()
+    assert bad == 0
