@@ -136,6 +136,7 @@ SECONDARY = [
     "curation_importance_resample",
     # round-10 additions
     "embedding_hard_negatives_ann",
+    "curation_dsir_pipeline",
     "join_skew_salted",
     "multimodal_mjpeg_frames",
     "ts_cross_correlation",

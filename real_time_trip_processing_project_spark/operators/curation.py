@@ -73,6 +73,25 @@ def bloom_pos_sql(h: str, group: int, bits: int) -> str:
     return f"(({terms}) % {bits})"
 
 
+def _hex_prefix16(hash_col):
+    """16-bit integer value of the first 4 hex chars of an md5 column —
+    the seedless uniform u16 every deterministic accept/reject sampler
+    in the catalogue draws from (split_expr compares the same prefix as
+    a string; this is the arithmetic form for threshold-per-row
+    acceptance, e.g. the DSIR resampler's log-space test)."""
+    return F.conv(F.substring(hash_col, 1, 4), 16, 10).cast("long")
+
+
+def hex_prefix16_sql(h: str) -> str:
+    """DuckDB twin of :func:`_hex_prefix16` (strpos-nibble arithmetic,
+    the bloom_pos_sql discipline)."""
+    terms = " + ".join(
+        f"(strpos('{_HEXD}', substr({h}, {1 + i}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"({terms})"
+
+
 def build_bloom_index(
     docs: DataFrame,
     path: str,

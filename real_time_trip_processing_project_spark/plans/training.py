@@ -3299,6 +3299,87 @@ def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs that the catalogue did not yet name as first-class queries.
 # ---------------------------------------------------------------------------
 
+#: Shared DuckDB CTE prefix for the DSIR queries (hashed-bigram
+#: features → per-bucket target/pool counts → add-one-smoothed LLR
+#: weight ticks) — one definition so the scoring and the resampling
+#: pipeline cannot drift apart.
+_DSIR_CTES = rf"""t AS (
+            SELECT doc_id, source = 'src0' AS is_target,
+                   string_split_regex(trim(text), '\s+') AS ws
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, is_target,
+                   {CU.bloom_pos_sql("md5(ws[i] || ' ' || ws[i + 1])", 0, 4096)}
+                       AS b
+            FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        ),
+        stats AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nt,
+                   CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END)
+                        AS BIGINT) AS ns
+            FROM feat GROUP BY b
+        ),
+        tots AS (
+            SELECT CAST(sum(nt) AS BIGINT) AS tt,
+                   CAST(sum(ns) AS BIGINT) AS ts
+            FROM stats
+        ),
+        llr AS (
+            SELECT b,
+                   CAST(floor(ln(
+                       (CAST(nt + 1 AS DOUBLE) * (ts + 4096))
+                     / (CAST(ns + 1 AS DOUBLE) * (tt + 4096))
+                   ) * 1e6 + 0.5) AS BIGINT) AS w
+            FROM stats CROSS JOIN tots
+        )"""
+
+
+def _dsir_pool_scores(docs: DataFrame) -> DataFrame:
+    """doc_id → (n_features, score_tick) for every POOL (non-target)
+    document with ≥1 hashed-bigram feature — the shared scoring core of
+    ``curation_importance_resample`` and ``curation_dsir_pipeline``
+    (Spark twin of :data:`_DSIR_CTES`).  Two corpus scans (bucket
+    stats; scoring), one 4096-row broadcast weight table."""
+    feats = docs.select(
+        "doc_id",
+        (F.col("source") == "src0").alias("is_target"),
+        F.explode(DD.word_bigrams(F.col("text"))).alias("g"),
+    ).select(
+        "doc_id",
+        "is_target",
+        CU._bloom_pos(F.md5(F.col("g")), 0, 4096).alias("b"),
+    )
+    stats = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("ns"),
+    )
+    tots = stats.agg(F.sum("nt").alias("tt"), F.sum("ns").alias("ts"))
+    llr = stats.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("nt") + 1).cast("double") * (F.col("ts") + 4096))
+                / ((F.col("ns") + 1).cast("double") * (F.col("tt") + 4096))
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    return (
+        feats.filter(~F.col("is_target"))
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("w").alias("score_tick"),
+        )
+    )
+
 
 @register(
     "embedding_hard_negatives",
@@ -3371,39 +3452,8 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "curation_importance_resample",
-    oracle=rf"""
-        WITH t AS (
-            SELECT doc_id, source = 'src0' AS is_target,
-                   string_split_regex(trim(text), '\s+') AS ws
-            FROM documents
-        ),
-        feat AS (
-            SELECT doc_id, is_target,
-                   {CU.bloom_pos_sql("md5(ws[i] || ' ' || ws[i + 1])", 0, 4096)}
-                       AS b
-            FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
-        ),
-        stats AS (
-            SELECT b,
-                   CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END)
-                        AS BIGINT) AS nt,
-                   CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END)
-                        AS BIGINT) AS ns
-            FROM feat GROUP BY b
-        ),
-        tots AS (
-            SELECT CAST(sum(nt) AS BIGINT) AS tt,
-                   CAST(sum(ns) AS BIGINT) AS ts
-            FROM stats
-        ),
-        llr AS (
-            SELECT b,
-                   CAST(floor(ln(
-                       (CAST(nt + 1 AS DOUBLE) * (ts + 4096))
-                     / (CAST(ns + 1 AS DOUBLE) * (tt + 4096))
-                   ) * 1e6 + 0.5) AS BIGINT) AS w
-            FROM stats CROSS JOIN tots
-        )
+    oracle=f"""
+        WITH {_DSIR_CTES}
         SELECT f.doc_id,
                CAST(count(*) AS BIGINT) AS n_features,
                CAST(sum(l.w) AS BIGINT) AS score_tick,
@@ -3440,42 +3490,92 @@ def curation_importance_resample(
     )
 
     docs = spread_small_input(load_fixture(spark, sf_dir, "documents"))
-    feats = docs.select(
-        "doc_id",
-        (F.col("source") == "src0").alias("is_target"),
-        F.explode(DD.word_bigrams(F.col("text"))).alias("g"),
-    ).select(
-        "doc_id",
-        "is_target",
-        CU._bloom_pos(F.md5(F.col("g")), 0, 4096).alias("b"),
+    return _dsir_pool_scores(docs).withColumn(
+        "selected", F.col("score_tick") > 0
     )
-    stats = feats.groupBy("b").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("nt"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("ns"),
+
+
+@register(
+    "curation_dsir_pipeline",
+    oracle=f"""
+        WITH {_DSIR_CTES},
+        scored AS (
+            SELECT f.doc_id, CAST(sum(l.w) AS BIGINT) AS score_tick
+            FROM feat f JOIN llr l ON l.b = f.b
+            WHERE NOT f.is_target
+            GROUP BY f.doc_id
+        ),
+        resampled AS (
+            SELECT doc_id, score_tick
+            FROM scored
+            WHERE CAST(floor(ln(
+                      ({CU.hex_prefix16_sql("md5(CAST(doc_id AS VARCHAR))")}
+                       + 1) / 65536.0) * 1e6 + 0.5) AS BIGINT)
+                  < score_tick
+        )
+        SELECT CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                         < 'cccc'
+                    THEN 'train' ELSE 'eval' END AS split,
+               d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({TX.ws_token_count_sql('d.text')}) AS BIGINT)
+                   AS n_tokens,
+               CAST(sum(r.score_tick) AS BIGINT) AS sum_score_tick
+        FROM resampled r JOIN documents d ON d.doc_id = r.doc_id
+        GROUP BY 1, 2
+    """,
+    tags=["EXT", "text", "curation"],
+)
+def curation_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR completed END-TO-END (r10, closing r9-verdict item 4):
+    score → RESAMPLE → train-mix accounting as one declarative plan.
+
+    ``curation_importance_resample`` stops at scores + a threshold;
+    actual DSIR *resamples* the pool with acceptance probability
+    ``min(1, w_doc)``.  This stage does exactly that, seedlessly: draw
+    the doc's u16 md5 prefix ``h`` (the catalogue's deterministic
+    uniform — :func:`operators.curation._hex_prefix16`), accept iff
+    ``ln((h+1)/65536) < score`` — in log space ``P[accept] =
+    P[ln u < s] = min(1, e^s)``, the exact acceptance-sampling
+    equivalent of DSIR's importance resampling with no RNG crossing
+    engines (both sides quantize the SAME 65536 possible log values to
+    integer micro-ticks, then compare integers; parity over all 65536
+    prefixes is pinned in tests/test_training_tier.py).  Accepted docs
+    then flow through the existing deterministic split machinery
+    (CU.split_expr — the mixture_weighted_sample md5-prefix family)
+    into per-(split, lang) corpus accounting.
+
+    Docs with zero bigram features are unscored and excluded from the
+    pool on BOTH sides (they have no importance weight to resample by).
+    Scale: the scoring scans (see ``_dsir_pool_scores``) + one map-side
+    accept filter + one doc_id equi-join back to the corpus + a
+    histogram-sized groupBy — nothing grows with corpus size except the
+    streamed scans."""
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
     )
-    tots = stats.agg(
-        F.sum("nt").alias("tt"), F.sum("ns").alias("ts")
-    )
-    llr = stats.crossJoin(F.broadcast(tots)).select(
-        "b",
+
+    docs = spread_small_input(load_fixture(spark, sf_dir, "documents"))
+    scored = _dsir_pool_scores(docs).select("doc_id", "score_tick")
+    h = CU._hex_prefix16(F.md5(F.col("doc_id").cast("string")))
+    log_tick = (
         F.floor(
-            F.log(
-                ((F.col("nt") + 1).cast("double") * (F.col("ts") + 4096))
-                / ((F.col("ns") + 1).cast("double") * (F.col("tt") + 4096))
-            )
+            F.log((h + F.lit(1)).cast("double") / F.lit(65536.0))
             * 1e6
             + F.lit(0.5)
         )
         .cast("long")
-        .alias("w"),
     )
+    resampled = scored.filter(log_tick < F.col("score_tick"))
     return (
-        feats.filter(~F.col("is_target"))
-        .join(F.broadcast(llr), "b")
-        .groupBy("doc_id")
+        resampled.join(docs.select("doc_id", "lang", "text"), "doc_id")
+        .withColumn("split", CU.split_expr())
+        .groupBy("split", "lang")
         .agg(
-            F.count("*").alias("n_features"),
-            F.sum("w").alias("score_tick"),
+            F.count("*").alias("n_docs"),
+            F.sum(TX.ws_token_count_expr("text"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum("score_tick").alias("sum_score_tick"),
         )
-        .withColumn("selected", F.col("score_tick") > 0)
     )

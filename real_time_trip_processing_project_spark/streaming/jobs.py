@@ -270,6 +270,16 @@ class PipelineQueries:
                 q.stop()
 
 
+#: Drain-mode trigger size (r10): the r9 knee sweep (SCALE.md) measured
+#: steady-state throughput near-linear in events/batch up to ≥2× the
+#: operating batch, i.e. per-micro-batch fixed machinery dominates at
+#: maxFilesPerTrigger=8.  4× the steady trigger is the executable form
+#: of the sweep's documented backlog escalation — bigger batches, bit-
+#: identical semantics (the correlator folds per trip regardless of how
+#: waves land in micro-batches; parity test in test_streaming_grouped).
+DRAIN_MAX_FILES_PER_TRIGGER = 32
+
+
 def start_trip_pipeline(
     spark: SparkSession,
     start_dir: str,
@@ -286,6 +296,7 @@ def start_trip_pipeline(
     key_groups: int | None = None,
     max_files_per_trigger: int | None = None,
     evict_completed_after: int | None = C.EVICT_COMPLETED_AFTER,
+    drain_mode: bool = False,
 ) -> PipelineQueries:
     """Wire the full pipeline and start it.
 
@@ -302,6 +313,13 @@ def start_trip_pipeline(
     reference's 100 s trigger window (T1).  ``quarantine_dir`` (when set)
     starts a second query writing malformed source records (T5) as
     parquet rows instead of swallowing them.
+
+    ``drain_mode=True`` applies the backlog-drain preset: trigger size
+    raised to :data:`DRAIN_MAX_FILES_PER_TRIGGER` (the knee sweep's
+    throughput dial), everything else — state semantics, sink
+    idempotency, per-trip fold — identical, so the converged store is
+    bit-for-bit the steady config's.  Mutually exclusive with an
+    explicit ``max_files_per_trigger`` (the preset IS a trigger size).
 
     ``state_store="rocksdb"`` switches the correlator's keyed state to
     the RocksDB provider (see :data:`ROCKSDB_PROVIDER`) — the 100 TB
@@ -333,6 +351,13 @@ def start_trip_pipeline(
             "state_ttl_ms needs per-trip state keys (key_groups=None): a "
             "key group's timer would reset on any member trip's event"
         )
+    if drain_mode:
+        if max_files_per_trigger is not None:
+            raise ValueError(
+                "drain_mode IS a trigger-size preset; pass either "
+                "drain_mode=True or an explicit max_files_per_trigger"
+            )
+        max_files_per_trigger = DRAIN_MAX_FILES_PER_TRIGGER
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         ROCKSDB_PROVIDER if state_store == "rocksdb" else HDFS_PROVIDER,
@@ -557,6 +582,7 @@ def run_pipeline_to_completion(
     quarantine_dir: str | None = None,
     state_store: str = "hdfs",
     key_groups: int | None = None,
+    drain_mode: bool = False,
 ) -> None:
     """Drain the stream dirs synchronously (test/backfill entry point)."""
     pq = start_trip_pipeline(
@@ -571,6 +597,7 @@ def run_pipeline_to_completion(
         quarantine_dir=quarantine_dir,
         state_store=state_store,
         key_groups=key_groups,
+        drain_mode=drain_mode,
     )
     pq.await_termination()
 

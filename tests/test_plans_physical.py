@@ -111,6 +111,7 @@ def test_no_cartesian_products_in_catalogue(spark):
         "embedding_hard_negatives",
         # 1-row broadcast of the (T, S) feature-total scalar
         "curation_importance_resample",
+        "curation_dsir_pipeline",  # same scalar via _dsir_pool_scores
     }
     for name in REGISTRY:
         if name in allowed:

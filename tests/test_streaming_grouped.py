@@ -352,3 +352,66 @@ def test_group_state_accepts_legacy_r5_blob():
     assert b["__v"] == 2
     # legacy completed entry (stampless -> generation 0) aged out
     assert "t0001" not in b["trips"]
+
+
+def test_drain_mode_converges_to_identical_store(spark, tmp_path):
+    """drain_mode=True (the r10 backlog preset: 4x trigger size per the
+    knee sweep) must converge to the bit-identical store as the steady
+    maxFilesPerTrigger=8 config over the SAME adversarially-ordered
+    backlog — the preset changes only how many files land per
+    micro-batch, never the per-trip fold or sink idempotency."""
+    rng = random.Random(42)
+    n = 120
+    starts = [_start_event(i) for i in range(n)]
+    ends = [_end_event(i) for i in range(n)]
+    # adversarial interleave: shuffle both sides so many ends precede
+    # their starts across micro-batch boundaries at either trigger size
+    rng.shuffle(starts)
+    rng.shuffle(ends)
+
+    stores = {}
+    for arm, kwargs in (
+        ("steady", {"max_files_per_trigger": 8}),
+        ("drain", {"drain_mode": True}),
+    ):
+        base = tmp_path / arm
+        start_dir, end_dir = str(base / "start"), str(base / "end")
+        store, orphans = str(base / "store"), str(base / "orphans")
+        ckpt = str(base / "ckpt")
+        # 40 files per side: 5 micro-batches steady, 2 in drain mode
+        producer.write_stream_files(starts, start_dir, n_files=40)
+        producer.write_stream_files(ends, end_dir, n_files=40)
+        pq = jobs.start_trip_pipeline(
+            spark, start_dir, end_dir, store, orphans, ckpt,
+            mode="buffer", key_groups=GROUPS, available_now=True,
+            **kwargs,
+        )
+        pq.await_termination()
+        rows = sinks.current_trips(spark, store).collect()
+        # updated_at is the sink's processing-time stamp — the one
+        # column that legitimately differs between two physical runs
+        stores[arm] = sorted(
+            tuple(
+                sorted(
+                    (k, v)
+                    for k, v in r.asDict().items()
+                    if k != "updated_at"
+                )
+            )
+            for r in rows
+        )
+
+    assert stores["steady"] == stores["drain"]
+    assert len(stores["steady"]) == n
+    statuses = {dict(t)["status"] for t in stores["steady"]}
+    assert statuses == {"Completed"}
+
+
+def test_drain_mode_rejects_explicit_trigger(spark, tmp_path):
+    base = tmp_path / "x"
+    with pytest.raises(ValueError, match="drain_mode"):
+        jobs.start_trip_pipeline(
+            spark, str(base / "s"), str(base / "e"), str(base / "st"),
+            str(base / "o"), str(base / "c"),
+            available_now=True, drain_mode=True, max_files_per_trigger=4,
+        )

