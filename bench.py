@@ -137,6 +137,7 @@ SECONDARY = [
     # round-10 additions
     "embedding_hard_negatives_ann",
     "curation_dsir_pipeline",
+    "multimodal_mp4_i16_stats",
     "join_skew_salted",
     "multimodal_mjpeg_frames",
     "ts_cross_correlation",
@@ -615,6 +616,23 @@ def _quality(spark) -> dict:
     )
     assert mae["mx"] <= 1.0, f"mjpeg per-pixel err {mae['mx']} > 1.0"
     q["mjpeg_mean_abs_px_err"] = round(float(mae["mae"]), 5)
+
+    # Intra_16x16+CAVLC video tier (r10): quantizer distortion floors —
+    # the codec chain is integer-deterministic, so these are stable
+    # bounds, not statistical ones (qp=12 measures mean 0.48 / max 4)
+    i16 = (
+        REGISTRY["multimodal_mp4_i16_stats"]
+        .fn(spark, SF_DIR)
+        .agg(
+            (F.sum("sum_abs_err") / F.sum("px_count")).alias("mean_err"),
+            F.max("max_abs_err").alias("max_err"),
+        )
+        .collect()[0]
+    )
+    assert i16["mean_err"] <= 1.0, f"i16 mean px err {i16['mean_err']}"
+    assert i16["max_err"] <= 8, f"i16 max px err {i16['max_err']}"
+    q["mp4_i16_mean_abs_px_err"] = round(float(i16["mean_err"]), 5)
+    q["mp4_i16_max_abs_px_err"] = int(i16["max_err"])
 
     # Datasketches HLL mergeable-sketch floor: the merged-union estimate
     # (the "ALL" row of the registered query) vs the exact global

@@ -26,11 +26,14 @@ Scope, stated precisely:
   stsc×stco×stsz, and cross-checks them against mdat bounds — the
   same byte-exact container-index discipline as
   ``mjpeg_container_index``.
-- **Out of scope** (the narrowed seam): predicted macroblocks
-  (Intra_16x16/Intra_4x4 + CAVLC/CABAC entropy coding) and inter
-  frames.  Those need nothing new architecturally — the Spark-side
-  plumbing (schema, mapInPandas batch shape, sample-then-decode) is
-  identical — only more codec tables.
+- **Predicted macroblocks** (r10): Intra_16x16 + CAVLC lives in
+  ``h264_intra.py`` / ``h264_cavlc.py`` — spatial prediction
+  (V/H/DC/Plane), the 4x4 integer transform with the DC Hadamard
+  hierarchy, spec quantization, the full CAVLC table set, and a
+  per-MB I_PCM rate fallback; :func:`decode_mp4_h264` dispatches per
+  macroblock, so mixed slices decode.  The remaining seam is
+  Intra_4x4 / CABAC / inter frames — more tables and reference
+  pictures, nothing new architecturally.
 
 At 100 TB: encode/decode are row-local Arrow-batched work inside
 ``mapInPandas`` (multimodal.py wires them), scaling with scan
@@ -245,9 +248,13 @@ def parse_sps(nal: bytes) -> dict:
     }
 
 
-def encode_pps() -> bytes:
-    """Minimal CAVLC PPS (the I_PCM path never reaches entropy
-    decoding, but the flag must still say CAVLC)."""
+def encode_pps(deblocking_control: bool = False) -> bytes:
+    """Minimal CAVLC PPS.  ``deblocking_control=True`` sets
+    deblocking_filter_control_present_flag so the slice header can
+    write ``disable_deblocking_filter_idc = 1`` — the Intra_16x16 tier
+    (h264_intra.py) uses it to make its unfiltered reconstruction the
+    conformant decoder output; the I_PCM path keeps the flag off (PCM
+    samples are exempt from the in-loop filter by spec)."""
     w = BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
@@ -261,7 +268,7 @@ def encode_pps() -> bytes:
     w.se(0)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
     w.se(0)  # chroma_qp_index_offset
-    w.u(0, 1)  # deblocking_filter_control_present_flag
+    w.u(1 if deblocking_control else 0, 1)  # deblocking_filter_control
     w.u(0, 1)  # constrained_intra_pred_flag
     w.u(0, 1)  # redundant_pic_cnt_present_flag
     w.rbsp_trailing_bits()
@@ -279,6 +286,19 @@ def parse_pps(nal: bytes) -> dict:
     }
     if out["entropy_coding_mode"]:
         raise ValueError("CABAC not supported")
+    r.u(1)  # bottom_field_pic_order_in_frame_present_flag
+    if r.ue() != 0:
+        raise ValueError("slice groups not supported")
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.u(1)  # weighted_pred_flag
+    r.u(2)  # weighted_bipred_idc
+    out["pic_init_qp"] = 26 + r.se()
+    r.se()  # pic_init_qs_minus26
+    out["chroma_qp_index_offset"] = r.se()
+    out["deblocking_control"] = bool(r.u(1))
+    r.u(1)  # constrained_intra_pred_flag
+    r.u(1)  # redundant_pic_cnt_present_flag
     return out
 
 
@@ -378,21 +398,42 @@ MP4_TIMESCALE = 1000
 MP4_FPS = 10
 
 
-def encode_mp4_h264(frames: np.ndarray, fps: int = MP4_FPS) -> bytes:
+def encode_mp4_h264(
+    frames: np.ndarray,
+    fps: int = MP4_FPS,
+    codec: str = "i_pcm",
+    qp: int = 26,
+) -> bytes:
     """Real MP4: ftyp + mdat (length-prefixed IDR NALs) + moov with the
     full stsd(avc1+avcC)/stts/stsc/stsz/stco sample-table chain.
 
-    ``frames``: uint8 array (n, H, W), H and W multiples of 16."""
+    ``frames``: uint8 array (n, H, W), H and W multiples of 16.
+    ``codec``: ``"i_pcm"`` (lossless, the FULL-oracle path) or
+    ``"i16"`` (Intra_16x16 + CAVLC at ``qp`` — the predicted tier,
+    h264_intra.py; its PPS carries deblocking control so the slices
+    can turn the in-loop filter off)."""
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim != 3:
         raise ValueError("frames must be (n, h, w)")
     n, h, w = frames.shape
-    sps, pps = encode_sps(w, h), encode_pps()
+    if codec == "i_pcm":
+        enc = lambda f, i: encode_idr_frame(f, idr_pic_id=i % 2)  # noqa: E731
+        pps = encode_pps()
+    elif codec == "i16":
+        from real_time_trip_processing_project_spark.operators import (
+            h264_intra as HI,
+        )
+
+        enc = lambda f, i: HI.encode_idr_frame_i16(  # noqa: E731
+            f, qp=qp, idr_pic_id=i % 2
+        )
+        pps = encode_pps(deblocking_control=True)
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    sps = encode_sps(w, h)
     samples = [
         struct.pack(">I", len(nal)) + nal
-        for nal in (
-            encode_idr_frame(f, idr_pic_id=i % 2) for i, f in enumerate(frames)
-        )
+        for nal in (enc(f, i) for i, f in enumerate(frames))
     ]
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomavc1")
     mdat_payload = b"".join(samples)
@@ -641,13 +682,21 @@ def _parse_mp4_strict(payload: bytes) -> dict:
 
 
 def decode_mp4_h264(payload: bytes, every_nth: int = 1):
-    """Decode an I_PCM MP4: ``(sps, [(frame_idx, frame_array), ...])``.
+    """Decode an MP4 of IDR samples (I_PCM and/or Intra_16x16 slices):
+    ``(sps, [(frame_idx, frame_array), ...])``.
 
     ``every_nth`` skips samples by TABLE lookup — an unsampled frame
     costs nothing (every sample is an IDR, the ideal random-access
-    case; a P/B stream would need keyframe-aware seeking)."""
+    case; a P/B stream would need keyframe-aware seeking).  Dispatch is
+    per MACROBLOCK, not per file: the auto slice decoder
+    (h264_intra.decode_idr_frame_auto) handles mixed PCM/predicted
+    slices, so pure-PCM containers decode bit-identically to before."""
+    from real_time_trip_processing_project_spark.operators import (
+        h264_intra as HI,
+    )
+
     info = parse_mp4(bytes(payload))
-    sps, ls = info["sps"], info["length_size"]
+    sps, pps, ls = info["sps"], info["pps"], info["length_size"]
     out = []
     for i, (off, size) in enumerate(info["samples"]):
         if i % every_nth:
@@ -658,5 +707,7 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
             nal = payload[pos + ls : pos + ls + ln]
             pos += ls + ln
             if nal and nal[0] & 0x1F == 5:
-                out.append((i, decode_idr_frame(bytes(nal), sps)))
+                out.append(
+                    (i, HI.decode_idr_frame_auto(bytes(nal), sps, pps))
+                )
     return sps, out

@@ -499,16 +499,17 @@ def _real_decode(payload: bytes) -> dict:
             "width": info["width"],
             "height": info["height"],
         }
-    # STUB: the remaining seam is PREDICTED H.264 macroblocks
-    # (Intra_16x16/4x4 + CAVLC/CABAC, inter frames) — the I_PCM
-    # lossless profile decodes for real above (operators/h264.py),
-    # as do audio (RIFF/PCM16, mu-law), image (BMP, PNG, baseline
-    # JPEG), uncompressed AVI and MJPEG AVI.
+    # STUB: the remaining seam is Intra_4x4 / CABAC / inter-frame
+    # H.264 — I_PCM and Intra_16x16+CAVLC decode for real
+    # (operators/h264.py, h264_intra.py as of r10), as do audio
+    # (RIFF/PCM16, mu-law), image (BMP, PNG, baseline JPEG),
+    # uncompressed AVI and MJPEG AVI.
     raise NotImplementedError(
         "real decode supports WAV (RIFF/PCM16 + mu-law), BMP (24-bit "
         "BI_RGB), PNG (8-bit gray/RGB), uncompressed AVI, MJPEG AVI, "
-        "baseline grayscale JPEG and MP4/H.264 I_PCM; predicted/"
-        "entropy-coded H.264 macroblocks need PIL/av — use codec='fake'"
+        "baseline grayscale JPEG, MP4/H.264 I_PCM and Intra_16x16+"
+        "CAVLC; Intra_4x4/CABAC/inter H.264 needs PIL/av — use "
+        "codec='fake'"
     )
 
 
@@ -1646,4 +1647,75 @@ def mp4_frame_features(media: DataFrame, every_nth: int = 1) -> DataFrame:
 
     return media.mapInPandas(
         run, "media_id long, frame_idx long, px_sum long, px_max long"
+    )
+
+
+def mp4_i16_frame_stats(
+    docs: DataFrame,
+    width: int = MP4_W,
+    height: int = MP4_H,
+    qp: int = 12,
+) -> DataFrame:
+    """PREDICTED-macroblock video tier end-to-end (r10): the same
+    deterministic text→frames pixels as :func:`media_mp4_from_documents`
+    encoded as **Intra_16x16 + CAVLC** at ``qp`` (operators/
+    h264_intra.py — real spatial prediction, 4x4 integer transform +
+    DC Hadamard, spec quant, CAVLC entropy coding), containered as MP4,
+    then DECODED back through the full parse path; emits per-frame
+    distortion stats vs the source pixels plus the compressed size.
+
+    Lossy by quantizer (unlike the I_PCM twin), so the registered query
+    is rows-only with bench floors on mean/max pixel error — the MJPEG
+    discipline.  The whole pipeline is INTEGER-deterministic (no float
+    DCT), so the stats themselves are stable across runs/machines and
+    golden-pinned in tests.  Arrow-batched ``mapInPandas``; row-local,
+    nothing shuffles at any scale."""
+    import numpy as np
+
+    frame_bytes = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from real_time_trip_processing_project_spark.operators import (
+            h264 as H,
+        )
+
+        for pdf in batches:
+            mids, idxs, sads, mxs, szs, pxs = [], [], [], [], [], []
+            for mid, t in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                n_frames = max(-(-len(b) // frame_bytes), 1)
+                px = np.zeros(n_frames * frame_bytes, dtype=np.uint8)
+                px[: len(b)] = b
+                src = px.reshape(n_frames, height, width)
+                payload = H.encode_mp4_h264(src, codec="i16", qp=qp)
+                _sps, decoded = H.decode_mp4_h264(payload)
+                for i, frame in decoded:
+                    err = np.abs(
+                        frame.astype(np.int64) - src[i].astype(np.int64)
+                    )
+                    mids.append(mid)
+                    idxs.append(i)
+                    sads.append(int(err.sum()))
+                    mxs.append(int(err.max()))
+                    szs.append(len(payload))
+                    pxs.append(frame_bytes)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": idxs,
+                    "sum_abs_err": sads,
+                    "max_abs_err": mxs,
+                    "mp4_bytes": szs,
+                    "px_count": pxs,
+                }
+            )
+
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    return spread_small_input(docs.select("doc_id", "text")).mapInPandas(
+        run,
+        "media_id long, frame_idx long, sum_abs_err long, "
+        "max_abs_err long, mp4_bytes long, px_count long",
     )

@@ -3293,6 +3293,29 @@ def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.mp4_frame_features(MM.media_mp4_from_documents(docs))
 
 
+@register(
+    "multimodal_mp4_i16_stats",
+    oracle=None,  # lossy by quantizer — rows-only; px-err floors in bench
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_i16_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREDICTED-macroblock H.264 end-to-end (r10, the r9-verdict
+    stretch): the same deterministic text→frames pixels encoded as
+    Intra_16x16 + CAVLC at qp=12 — real spatial prediction (V/H/DC/
+    Plane), 4x4 integer transform with the DC Hadamard hierarchy, spec
+    quantization, CAVLC entropy tables, per-MB I_PCM rate fallback —
+    inside the full MP4 container, decoded back, per-frame distortion
+    + compressed size emitted (operators/multimodal.py:
+    mp4_i16_frame_stats; codec in operators/h264_intra.py +
+    h264_cavlc.py).  The codec chain is integer-deterministic, so
+    the stats are machine-stable; bench floors mean/max pixel error
+    and the compression ratio vs the I_PCM twin."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    return MM.mp4_i16_frame_stats(docs)
+
+
 # ---------------------------------------------------------------------------
 # r9 additions: contrastive hard-negative mining + DSIR-style importance
 # resampling — two curation steps every large-scale training pipeline

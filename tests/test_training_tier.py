@@ -1642,3 +1642,26 @@ def test_dsir_pipeline_resample_semantics(spark):
     # the very-positive-score docs are all kept (e^s >= 1 accepts
     # unconditionally except the h=65535 tie, excluded by s > 0)
     assert all(d in expect_keep for d, s in scores.items() if s > 0)
+
+
+def test_mp4_i16_stats_deterministic_and_bounded(spark):
+    """The Intra_16x16+CAVLC video query is integer-deterministic:
+    identical stats across runs, bounded quantizer distortion (qp=12
+    measures mean 0.48 / max 4 px err on text-derived frames), and the
+    frame inventory matches the lossless I_PCM twin's (same container
+    sampling semantics)."""
+    sf = "/root/testdata/sf0.001"
+    a = REGISTRY["multimodal_mp4_i16_stats"].fn(spark, sf).collect()
+    b = REGISTRY["multimodal_mp4_i16_stats"].fn(spark, sf).collect()
+    key = lambda r: (r.media_id, r.frame_idx)  # noqa: E731
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+    total_px = sum(r.px_count for r in a)
+    total_err = sum(r.sum_abs_err for r in a)
+    assert total_err / total_px <= 1.0
+    assert max(r.max_abs_err for r in a) <= 8
+    pcm = {
+        (r.media_id, r.frame_idx)
+        for r in REGISTRY["multimodal_mp4_frames"].fn(spark, sf).collect()
+    }
+    assert {key(r) for r in a} == pcm
