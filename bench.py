@@ -626,13 +626,24 @@ def _quality(spark) -> dict:
         .agg(
             (F.sum("sum_abs_err") / F.sum("px_count")).alias("mean_err"),
             F.max("max_abs_err").alias("max_err"),
+            F.avg("sample_bytes").alias("mean_sample_bytes"),
+            F.max("sample_bytes").alias("max_sample_bytes"),
         )
         .collect()[0]
     )
     assert i16["mean_err"] <= 1.0, f"i16 mean px err {i16['mean_err']}"
     assert i16["max_err"] <= 8, f"i16 max px err {i16['max_err']}"
+    # rate gate: the per-MB I_PCM fallback bounds any 16x16-frame
+    # sample at ~398 B (length prefix + slice header + ue(25) + align
+    # + 384 raw bytes); a CAVLC rate regression would break this ceiling
+    assert i16["max_sample_bytes"] <= 400, (
+        f"i16 sample {i16['max_sample_bytes']} B exceeds the PCM bound"
+    )
     q["mp4_i16_mean_abs_px_err"] = round(float(i16["mean_err"]), 5)
     q["mp4_i16_max_abs_px_err"] = int(i16["max_err"])
+    q["mp4_i16_mean_sample_bytes"] = round(
+        float(i16["mean_sample_bytes"]), 1
+    )
 
     # Datasketches HLL mergeable-sketch floor: the merged-union estimate
     # (the "ALL" row of the registered query) vs the exact global

@@ -192,9 +192,23 @@ def _write_coeff_token(bw: BitWriter, nc: int, t1: int, tc: int) -> None:
     bw.u(code, length)
 
 
+#: Inverse {(len, code): key} maps, built ONCE at import — decode is
+#: the hot loop of the timed multimodal_mp4_i16_stats query, and
+#: rebuilding a ~62-entry dict per residual-block read would dominate.
+_REV: dict[int, dict[tuple[int, int], object]] = {}
+
+
+def _rev(tbl: dict) -> dict:
+    m = _REV.get(id(tbl))
+    if m is None:
+        m = {(ln, code): k for k, (ln, code) in tbl.items()}
+        _REV[id(tbl)] = m
+    return m
+
+
 def _read_vlc(br: BitReader, tbl: dict) -> tuple:
     """Bit-serial prefix-code read against a {key: (len, code)} table."""
-    by_code = {(ln, code): k for k, (ln, code) in tbl.items()}
+    by_code = _rev(tbl)
     acc, n = 0, 0
     while n < 20:
         acc = (acc << 1) | br.u(1)

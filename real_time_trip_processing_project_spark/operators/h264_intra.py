@@ -495,7 +495,7 @@ def _encode_mb_i16(
     rec.ue(mb_type)
     rec.ue(0)  # intra_chroma_pred_mode: DC
     rec.se(0)  # mb_qp_delta
-    nz_updates: list[tuple] = []
+    nz_updates: dict[tuple, int] = {}
     # Intra16x16DCLevel: nC of the blkIdx-0 4x4 position
     nc = nz_y.nc(4 * mby, 4 * mbx)
     CV.write_residual_block(rec, _zigzag_read(dc_levels), nc, 16)
@@ -508,7 +508,7 @@ def _encode_mb_i16(
             tc = CV.write_residual_block(rec, scan, nc, 15)
         else:
             tc = 0
-        nz_updates.append((0, by4, bx4, tc))
+        nz_updates[(0, by4, bx4)] = tc
     for comp in range(2):
         if cbp_chroma >= 1:
             dcs = c_dc_levels[comp]
@@ -524,19 +524,19 @@ def _encode_mb_i16(
                 tc = CV.write_residual_block(rec, scan, nc, 15)
             else:
                 tc = 0
-            nz_updates.append((comp + 1, by2, bx2, tc))
+            nz_updates[(comp + 1, by2, bx2)] = tc
     return rec_y, rec_c, nz_updates
 
 
-def _nc_pending(ctx: _NzCtx, pending: list[tuple], plane: int,
+def _nc_pending(ctx: _NzCtx, pending: dict, plane: int,
                 by: int, bx: int) -> int:
     """nC lookup that sees this macroblock's own not-yet-committed
-    TotalCoeffs (left/top neighbors inside the same MB)."""
-    vals = {(p, y, x): tc for p, y, x, tc in pending}
-    na = vals.get((plane, by, bx - 1))
+    TotalCoeffs (left/top neighbors inside the same MB) — ``pending``
+    is the {(plane, by, bx): tc} map the caller fills as it codes."""
+    na = pending.get((plane, by, bx - 1))
     if na is None:
         na = ctx.m[by, bx - 1] if bx > 0 else -1
-    nb = vals.get((plane, by - 1, bx))
+    nb = pending.get((plane, by - 1, bx))
     if nb is None:
         nb = ctx.m[by - 1, bx] if by > 0 else -1
     na, nb = int(na), int(nb)
@@ -636,7 +636,7 @@ def encode_idr_frame_i16(
                     recon_c[comp][
                         mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
                     ] = rec_c[comp]
-                for plane, by, bx, tc in nz_updates:
+                for (plane, by, bx), tc in nz_updates.items():
                     (nz_y if plane == 0 else nz_c[plane - 1]).set(by, bx, tc)
     bw.rbsp_trailing_bits()
     nal = b"\x65" + rbsp_to_ebsp(bw.getvalue())

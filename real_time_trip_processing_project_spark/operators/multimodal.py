@@ -40,6 +40,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def _text_frames(text: str, frame_bytes: int):
+    """UTF-8 bytes → a flat zero-padded array holding ≥1 frames of
+    ``frame_bytes`` each — THE deterministic text→pixels mapping every
+    synthetic media encoder shares (AVI RGB24, MJPEG, MP4 I_PCM, MP4
+    Intra_16x16).  One definition so frame inventories stay
+    bit-identical across codecs: the MP4 SQL oracles and the i16-vs-
+    I_PCM parity test both assume identical frame counts per doc."""
+    import numpy as np
+
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n_frames = max(-(-len(b) // frame_bytes), 1)
+    px = np.zeros(n_frames * frame_bytes, dtype=np.uint8)
+    px[: len(b)] = b
+    return px
+
+
 #: Default sample rate for generated WAV fixtures (plain 16 kHz mono).
 WAV_SAMPLE_RATE = 16_000
 
@@ -806,10 +823,8 @@ def media_avi_from_documents(
         for pdf in batches:
             payloads = []
             for t in pdf["text"]:
-                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                n_frames = max(-(-len(b) // frame_bytes), 1)
-                px = np.zeros(n_frames * frame_bytes, dtype=np.uint8)
-                px[: len(b)] = b
+                px = _text_frames(t, frame_bytes)
+                n_frames = len(px) // frame_bytes
                 payloads.append(
                     encode_avi_rgb24(
                         px.reshape(n_frames, height, width, 3)
@@ -998,10 +1013,8 @@ def media_mjpeg_from_documents(
         for pdf in batches:
             payloads = []
             for t in pdf["text"]:
-                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                n_frames = max(-(-len(b) // frame_bytes), 1)
-                px = np.zeros(n_frames * frame_bytes, dtype=np.uint8)
-                px[: len(b)] = b
+                px = _text_frames(t, frame_bytes)
+                n_frames = len(px) // frame_bytes
                 payloads.append(
                     J.encode_avi_mjpeg(
                         px.reshape(n_frames, height, width), quant=quant
@@ -1504,10 +1517,8 @@ def media_mp4_from_documents(
         for pdf in batches:
             payloads = []
             for t in pdf["text"]:
-                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                n_frames = max(-(-len(b) // frame_bytes), 1)
-                px = np.zeros(n_frames * frame_bytes, dtype=np.uint8)
-                px[: len(b)] = b
+                px = _text_frames(t, frame_bytes)
+                n_frames = len(px) // frame_bytes
                 payloads.append(
                     H.encode_mp4_h264(px.reshape(n_frames, height, width))
                 )
@@ -1680,14 +1691,15 @@ def mp4_i16_frame_stats(
         )
 
         for pdf in batches:
-            mids, idxs, sads, mxs, szs, pxs = [], [], [], [], [], []
+            mids, idxs, sads, mxs, nals, szs, pxs = (
+                [], [], [], [], [], [], [],
+            )
             for mid, t in zip(pdf["doc_id"], pdf["text"]):
-                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                n_frames = max(-(-len(b) // frame_bytes), 1)
-                px = np.zeros(n_frames * frame_bytes, dtype=np.uint8)
-                px[: len(b)] = b
-                src = px.reshape(n_frames, height, width)
+                px = _text_frames(t, frame_bytes)
+                src = px.reshape(-1, height, width)
                 payload = H.encode_mp4_h264(src, codec="i16", qp=qp)
+                info = H.parse_mp4(payload)
+                sample_sizes = [sz for _off, sz in info["samples"]]
                 _sps, decoded = H.decode_mp4_h264(payload)
                 for i, frame in decoded:
                     err = np.abs(
@@ -1697,6 +1709,10 @@ def mp4_i16_frame_stats(
                     idxs.append(i)
                     sads.append(int(err.sum()))
                     mxs.append(int(err.max()))
+                    # per-FRAME coded size (length-prefixed NAL sample)
+                    # — the rate figure; mp4_bytes is the whole-file
+                    # size repeated per row (container amortization)
+                    nals.append(int(sample_sizes[i]))
                     szs.append(len(payload))
                     pxs.append(frame_bytes)
             yield pd.DataFrame(
@@ -1705,6 +1721,7 @@ def mp4_i16_frame_stats(
                     "frame_idx": idxs,
                     "sum_abs_err": sads,
                     "max_abs_err": mxs,
+                    "sample_bytes": nals,
                     "mp4_bytes": szs,
                     "px_count": pxs,
                 }
@@ -1717,5 +1734,6 @@ def mp4_i16_frame_stats(
     return spread_small_input(docs.select("doc_id", "text")).mapInPandas(
         run,
         "media_id long, frame_idx long, sum_abs_err long, "
-        "max_abs_err long, mp4_bytes long, px_count long",
+        "max_abs_err long, sample_bytes long, mp4_bytes long, "
+        "px_count long",
     )

@@ -3309,7 +3309,10 @@ def multimodal_mp4_i16_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp4_i16_frame_stats; codec in operators/h264_intra.py +
     h264_cavlc.py).  The codec chain is integer-deterministic, so
     the stats are machine-stable; bench floors mean/max pixel error
-    and the compression ratio vs the I_PCM twin."""
+    and ceilings the per-frame coded sample size at the I_PCM fallback
+    bound (``sample_bytes`` — the rate gate the per-MB fallback
+    guarantees; ``mp4_bytes`` is the whole file repeated per row, so
+    rate math must use sample_bytes, never sum(mp4_bytes))."""
     docs = load_fixture(spark, sf_dir, "documents").filter(
         F.col("text").rlike(_ASCII_ONLY)
     )

@@ -89,7 +89,12 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     the paired-A/B switch tools/ab_spread.py uses to attribute a query's
     delta to THIS repartition vs box load (r9: sim_ann_lsh +30% raw was
     flagged the round this path landed)."""
-    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+    # explicit value check: "0"/"false" must mean spread STAYS ON — a
+    # truthiness test would silently flip the A/B arm for the operator
+    # who exports NO_SPREAD=0 to force spreading
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD", "").lower() in (
+        "1", "true", "yes",
+    ):
         return df
     cores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, cores // 2):
