@@ -138,6 +138,7 @@ SECONDARY = [
     "embedding_hard_negatives_ann",
     "curation_dsir_pipeline",
     "multimodal_mp4_i16_stats",
+    "multimodal_mp4_intra_stats",
     "join_skew_salted",
     "multimodal_mjpeg_frames",
     "ts_cross_correlation",
@@ -643,6 +644,27 @@ def _quality(spark) -> dict:
     q["mp4_i16_max_abs_px_err"] = int(i16["max_err"])
     q["mp4_i16_mean_sample_bytes"] = round(
         float(i16["mean_sample_bytes"]), 1
+    )
+
+    # Full-intra tier (I4x4/I16/PCM mode decision): same floors, and
+    # the mode decision must never code WORSE than the PCM rate bound
+    intra = (
+        REGISTRY["multimodal_mp4_intra_stats"]
+        .fn(spark, SF_DIR)
+        .agg(
+            (F.sum("sum_abs_err") / F.sum("px_count")).alias("mean_err"),
+            F.max("max_abs_err").alias("max_err"),
+            F.avg("sample_bytes").alias("mean_sample_bytes"),
+            F.max("sample_bytes").alias("max_sample_bytes"),
+        )
+        .collect()[0]
+    )
+    assert intra["mean_err"] <= 1.0, f"intra mean err {intra['mean_err']}"
+    assert intra["max_err"] <= 8, f"intra max err {intra['max_err']}"
+    assert intra["max_sample_bytes"] <= 400
+    q["mp4_intra_mean_abs_px_err"] = round(float(intra["mean_err"]), 5)
+    q["mp4_intra_mean_sample_bytes"] = round(
+        float(intra["mean_sample_bytes"]), 1
     )
 
     # Datasketches HLL mergeable-sketch floor: the merged-union estimate

@@ -26,14 +26,16 @@ Scope, stated precisely:
   stsc×stco×stsz, and cross-checks them against mdat bounds — the
   same byte-exact container-index discipline as
   ``mjpeg_container_index``.
-- **Predicted macroblocks** (r10): Intra_16x16 + CAVLC lives in
-  ``h264_intra.py`` / ``h264_cavlc.py`` — spatial prediction
-  (V/H/DC/Plane), the 4x4 integer transform with the DC Hadamard
-  hierarchy, spec quantization, the full CAVLC table set, and a
-  per-MB I_PCM rate fallback; :func:`decode_mp4_h264` dispatches per
-  macroblock, so mixed slices decode.  The remaining seam is
-  Intra_4x4 / CABAC / inter frames — more tables and reference
-  pictures, nothing new architecturally.
+- **Predicted macroblocks** (r10): the FULL baseline intra tier lives
+  in ``h264_intra.py`` / ``h264_cavlc.py`` — Intra_16x16
+  (V/H/DC/Plane) AND Intra_4x4 (all nine directional modes,
+  most-probable-mode signaling, CodedBlockPattern me(v)), the 4x4
+  integer transform with the DC Hadamard hierarchy, spec
+  quantization, the full CAVLC table set, and a per-MB
+  I4x4/I16/I_PCM min-bits mode decision; :func:`decode_mp4_h264`
+  dispatches per macroblock, so mixed slices decode.  The remaining
+  seam is CABAC entropy coding and inter (P/B) frames — reference
+  pictures and more tables, nothing new architecturally.
 
 At 100 TB: encode/decode are row-local Arrow-batched work inside
 ``mapInPandas`` (multimodal.py wires them), scaling with scan
@@ -419,14 +421,17 @@ def encode_mp4_h264(
     if codec == "i_pcm":
         enc = lambda f, i: encode_idr_frame(f, idr_pic_id=i % 2)  # noqa: E731
         pps = encode_pps()
-    elif codec == "i16":
+    elif codec in ("i16", "intra"):
         from real_time_trip_processing_project_spark.operators import (
             h264_intra as HI,
         )
 
-        enc = lambda f, i: HI.encode_idr_frame_i16(  # noqa: E731
-            f, qp=qp, idr_pic_id=i % 2
+        fn = (
+            HI.encode_idr_frame_i16
+            if codec == "i16"
+            else HI.encode_idr_frame_intra  # per-MB I4x4/I16/PCM decision
         )
+        enc = lambda f, i: fn(f, qp=qp, idr_pic_id=i % 2)  # noqa: E731
         pps = encode_pps(deblocking_control=True)
     else:
         raise ValueError(f"unknown codec {codec!r}")

@@ -1,14 +1,17 @@
-"""H.264 Intra_16x16 + CAVLC I-frame codec (predicted-macroblock tier).
+"""H.264 FULL baseline-intra CAVLC codec (predicted-macroblock tier).
 
-Closes the seam ``h264.py`` documents as out of scope: real PREDICTED
-macroblocks — Intra_16x16 luma prediction (V/H/DC/Plane), the 4x4
-integer core transform with the luma-DC Hadamard hierarchy, spec
-quantization/rescale, and CAVLC entropy coding (``h264_cavlc.py``) —
-alongside the existing lossless I_PCM profile.  Every decode path is
-the normative inverse (§8.3 prediction, §8.5 transform/scaling, §9.2
-CAVLC), so the decoder reconstructs BIT-EXACTLY what the encoder's own
-reconstruction loop produced; distortion vs the source is the
-quantizer's, floored in tests/bench like the MJPEG float-DCT path.
+Closes the seam ``h264.py`` documented as out of scope: real PREDICTED
+macroblocks — Intra_16x16 (V/H/DC/Plane) AND Intra_4x4 (all nine
+directional modes with most-probable-mode signaling and the me(v)
+CodedBlockPattern mapping), the 4x4 integer core transform with the
+luma-DC Hadamard hierarchy, spec quantization/rescale, CAVLC entropy
+coding (``h264_cavlc.py``), and a per-macroblock I4x4/I16/I_PCM
+min-bits mode decision — alongside the lossless I_PCM profile.  Every
+decode path is the normative inverse (§8.3 prediction, §8.5
+transform/scaling, §9.2 CAVLC), so the decoder reconstructs BIT-EXACTLY
+what the encoder's own reconstruction loop produced; distortion vs the
+source is the quantizer's, floored in tests/bench like the MJPEG
+float-DCT path.
 
 Spec conformance notes (ITU-T H.264):
 
@@ -382,6 +385,85 @@ def _sad(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.abs(a.astype(np.int64) - b).sum())
 
 
+def _chroma_analyze(src_c, recon_c, mby, mbx, qpc):
+    """Shared chroma side of every predicted MB type (I16 and I4x4 use
+    identical chroma syntax): DC-mode prediction, 4x4 transforms, 2x2
+    DC Hadamard, quant → (dc_levels, ac_levels, preds, cbp_chroma)."""
+    c_dc_levels, c_ac_levels, c_preds = [], [], []
+    for comp in range(2):
+        cy0, cx0 = mby * 8, mbx * 8
+        cblock = src_c[comp][cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64)
+        cpred = predict_chroma(recon_c[comp], cy0, cx0, 0)
+        cdiff = cblock - cpred
+        Wc = np.empty((2, 2, 4, 4), dtype=np.int64)
+        for by in range(2):
+            for bx in range(2):
+                Wc[by, bx] = fwd4x4(
+                    cdiff[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4]
+                )
+        c_dc_levels.append(chroma_dc_fwd(Wc[:, :, 0, 0], qpc))
+        acs = np.empty_like(Wc)
+        for by in range(2):
+            for bx in range(2):
+                acs[by, bx] = quant4x4(Wc[by, bx], qpc, skip_dc=True)
+        c_ac_levels.append(acs)
+        c_preds.append(cpred)
+    any_dc = any(np.any(d) for d in c_dc_levels)
+    any_ac = any(np.any(a) for a in c_ac_levels)
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+    return c_dc_levels, c_ac_levels, c_preds, cbp_chroma
+
+
+def _chroma_recon(c_dc_levels, c_ac_levels, c_preds, cbp_chroma, qpc):
+    rec_c = []
+    for comp in range(2):
+        dc2 = (
+            chroma_dc_inv(c_dc_levels[comp], qpc)
+            if cbp_chroma >= 1
+            else np.zeros((2, 2), dtype=np.int64)
+        )
+        out = np.empty((8, 8), dtype=np.uint8)
+        for by in range(2):
+            for bx in range(2):
+                d = (
+                    dequant4x4(c_ac_levels[comp][by, bx], qpc)
+                    if cbp_chroma == 2
+                    else np.zeros((4, 4), dtype=np.int64)
+                )
+                d[0, 0] = dc2[by, bx]
+                r = inv4x4(d)
+                out[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] = np.clip(
+                    c_preds[comp][4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4]
+                    + r,
+                    0,
+                    255,
+                )
+        rec_c.append(out)
+    return rec_c
+
+
+def _chroma_write(rec, c_dc_levels, c_ac_levels, cbp_chroma,
+                  nz_c, nz_updates, mby, mbx):
+    for comp in range(2):
+        if cbp_chroma >= 1:
+            dcs = c_dc_levels[comp]
+            scan = [int(dcs[0, 0]), int(dcs[0, 1]),
+                    int(dcs[1, 0]), int(dcs[1, 1])]
+            CV.write_residual_block(rec, scan, -1, 4)
+    for comp in range(2):
+        for blk in range(4):
+            x, y = blk % 2, blk // 2
+            by2, bx2 = 2 * mby + y, 2 * mbx + x
+            if cbp_chroma == 2:
+                scan = _zigzag_read(c_ac_levels[comp][y, x])[1:]
+                nc = _nc_pending(nz_c[comp], nz_updates, comp + 1, by2, bx2)
+                tc = CV.write_residual_block(rec, scan, nc, 15)
+            else:
+                tc = 0
+            nz_updates[(comp + 1, by2, bx2)] = tc
+
+
+
 def _encode_mb_i16(
     rec,
     src_y: np.ndarray,
@@ -427,28 +509,9 @@ def _encode_mb_i16(
     cbp_luma = 15 if np.any(ac_levels) else 0
 
     qpc = chroma_qp(qp)
-    c_dc_levels, c_ac_levels, c_preds = [], [], []
-    for comp in range(2):
-        cy0, cx0 = mby * 8, mbx * 8
-        cblock = src_c[comp][cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64)
-        cpred = predict_chroma(recon_c[comp], cy0, cx0, 0)
-        cdiff = cblock - cpred
-        Wc = np.empty((2, 2, 4, 4), dtype=np.int64)
-        for by in range(2):
-            for bx in range(2):
-                Wc[by, bx] = fwd4x4(
-                    cdiff[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4]
-                )
-        c_dc_levels.append(chroma_dc_fwd(Wc[:, :, 0, 0], qpc))
-        acs = np.empty_like(Wc)
-        for by in range(2):
-            for bx in range(2):
-                acs[by, bx] = quant4x4(Wc[by, bx], qpc, skip_dc=True)
-        c_ac_levels.append(acs)
-        c_preds.append(cpred)
-    any_c_dc = any(np.any(d) for d in c_dc_levels)
-    any_c_ac = any(np.any(a) for a in c_ac_levels)
-    cbp_chroma = 2 if any_c_ac else (1 if any_c_dc else 0)
+    c_dc_levels, c_ac_levels, c_preds, cbp_chroma = _chroma_analyze(
+        src_c, recon_c, mby, mbx, qpc
+    )
 
     # --- reconstruction (must equal the decoder's bit-for-bit)
     dc_deq = luma_dc_inv(dc_levels, qp)
@@ -465,30 +528,7 @@ def _encode_mb_i16(
             rec_y[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] = np.clip(
                 pred[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] + r, 0, 255
             )
-    rec_c = []
-    for comp in range(2):
-        dc2 = (
-            chroma_dc_inv(c_dc_levels[comp], qpc)
-            if cbp_chroma >= 1
-            else np.zeros((2, 2), dtype=np.int64)
-        )
-        out = np.empty((8, 8), dtype=np.uint8)
-        for by in range(2):
-            for bx in range(2):
-                d = (
-                    dequant4x4(c_ac_levels[comp][by, bx], qpc)
-                    if cbp_chroma == 2
-                    else np.zeros((4, 4), dtype=np.int64)
-                )
-                d[0, 0] = dc2[by, bx]
-                r = inv4x4(d)
-                out[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] = np.clip(
-                    c_preds[comp][4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4]
-                    + r,
-                    0,
-                    255,
-                )
-        rec_c.append(out)
+    rec_c = _chroma_recon(c_dc_levels, c_ac_levels, c_preds, cbp_chroma, qpc)
 
     # --- syntax
     mb_type = 1 + mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
@@ -509,22 +549,8 @@ def _encode_mb_i16(
         else:
             tc = 0
         nz_updates[(0, by4, bx4)] = tc
-    for comp in range(2):
-        if cbp_chroma >= 1:
-            dcs = c_dc_levels[comp]
-            scan = [int(dcs[0, 0]), int(dcs[0, 1]), int(dcs[1, 0]), int(dcs[1, 1])]
-            CV.write_residual_block(rec, scan, -1, 4)
-    for comp in range(2):
-        for blk in range(4):
-            x, y = blk % 2, blk // 2
-            by2, bx2 = 2 * mby + y, 2 * mbx + x
-            if cbp_chroma == 2:
-                scan = _zigzag_read(c_ac_levels[comp][y, x])[1:]
-                nc = _nc_pending(nz_c[comp], nz_updates, comp + 1, by2, bx2)
-                tc = CV.write_residual_block(rec, scan, nc, 15)
-            else:
-                tc = 0
-            nz_updates[(comp + 1, by2, bx2)] = tc
+    _chroma_write(rec, c_dc_levels, c_ac_levels, cbp_chroma,
+                  nz_c, nz_updates, mby, mbx)
     return rec_y, rec_c, nz_updates
 
 
@@ -677,6 +703,9 @@ def decode_idr_frame_auto(
     ]
     nz_y = _NzCtx(h_mbs, w_mbs, 4)
     nz_c = [_NzCtx(h_mbs, w_mbs, 2) for _ in range(2)]
+    i4_modes = np.full((h_mbs * 4, w_mbs * 4), -1, dtype=np.int64)
+    decoded4 = np.zeros((h_mbs * 4, w_mbs * 4), dtype=bool)
+    w4 = w_mbs * 4
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
             mb_type = r.ue()
@@ -698,6 +727,93 @@ def decode_idr_frame_auto(
                     for y in range(2):
                         for x in range(2):
                             nz_c[comp].set(2 * mby + y, 2 * mbx + x, 16)
+                decoded4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = True
+                continue
+            if mb_type == 0:  # I_NxN → Intra_4x4 (baseline: no 8x8)
+                modes16 = np.full(16, -1, dtype=np.int64)
+                for blk in range(16):
+                    pm = _i4_pred_mode_overlay(
+                        i4_modes, modes16, blk, mby, mbx
+                    )
+                    if r.u(1):
+                        modes16[blk] = pm
+                    else:
+                        rem = r.u(3)
+                        modes16[blk] = rem if rem < pm else rem + 1
+                chroma_mode = r.ue()
+                code_num = r.ue()
+                if code_num >= len(CBP_INTRA_ME):
+                    raise ValueError("coded_block_pattern out of range")
+                cbp = CBP_INTRA_ME[code_num]
+                cbp_luma_bits, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp:
+                    qp += r.se()
+                qpc = chroma_qp(qp)
+                levels16 = np.zeros((16, 4, 4), dtype=np.int64)
+                for blk in range(16):
+                    x, y = _BLK_XY[blk]
+                    by4, bx4 = 4 * mby + y, 4 * mbx + x
+                    if cbp_luma_bits & (1 << (blk // 4)):
+                        nc = nz_y.nc(by4, bx4)
+                        scan, tc = CV.read_residual_block(r, nc, 16)
+                        levels16[blk] = _zigzag_write(scan)
+                        nz_y.set(by4, bx4, tc)
+                    else:
+                        nz_y.set(by4, bx4, 0)
+                c_dc = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
+                for comp in range(2):
+                    if cbp_chroma >= 1:
+                        scan, _ = CV.read_residual_block(r, -1, 4)
+                        c_dc[comp] = np.array(
+                            [[scan[0], scan[1]], [scan[2], scan[3]]],
+                            dtype=np.int64,
+                        )
+                c_ac = [
+                    np.zeros((2, 2, 4, 4), dtype=np.int64)
+                    for _ in range(2)
+                ]
+                for comp in range(2):
+                    for blk in range(4):
+                        x, y = blk % 2, blk // 2
+                        by2, bx2 = 2 * mby + y, 2 * mbx + x
+                        if cbp_chroma == 2:
+                            nc = nz_c[comp].nc(by2, bx2)
+                            scan, tc = CV.read_residual_block(r, nc, 15)
+                            c_ac[comp][y, x] = _zigzag_write([0] + scan)
+                            nz_c[comp].set(by2, bx2, tc)
+                        else:
+                            nz_c[comp].set(by2, bx2, 0)
+                # luma reconstruction in coding order (prediction reads
+                # the growing recon + decoded4, exactly as the encoder)
+                for blk in range(16):
+                    x, y = _BLK_XY[blk]
+                    by4, bx4 = 4 * mby + y, 4 * mbx + x
+                    py, px = 4 * by4, 4 * bx4
+                    left_ok = bx4 > 0
+                    top_ok = by4 > 0
+                    tr_ok = (
+                        top_ok
+                        and bx4 + 1 < w4
+                        and bool(decoded4[by4 - 1, bx4 + 1])
+                    )
+                    pred = predict_i4(
+                        recon_y, py, px, int(modes16[blk]),
+                        left_ok, top_ok, tr_ok,
+                    )
+                    r4 = inv4x4(dequant4x4(levels16[blk], qp))
+                    recon_y[py : py + 4, px : px + 4] = np.clip(
+                        pred + r4, 0, 255
+                    )
+                    decoded4[by4, bx4] = True
+                    i4_modes[by4, bx4] = modes16[blk]
+                cy0, cx0 = mby * 8, mbx * 8
+                c_preds = [
+                    predict_chroma(recon_c[comp], cy0, cx0, chroma_mode)
+                    for comp in range(2)
+                ]
+                rec_c = _chroma_recon(c_dc, c_ac, c_preds, cbp_chroma, qpc)
+                for comp in range(2):
+                    recon_c[comp][cy0 : cy0 + 8, cx0 : cx0 + 8] = rec_c[comp]
                 continue
             if not 1 <= mb_type <= 24:
                 raise ValueError(
@@ -797,6 +913,448 @@ def decode_idr_frame_auto(
                             0,
                             255,
                         )
+            decoded4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = True
     if r.u(1) != 1:
         raise ValueError("missing rbsp_stop_one_bit")
     return recon_y
+
+
+# ---------------------------------------------------------------------------
+# Intra_4x4 (§8.3.1, §8.3.2) — the 9 directional 4x4 modes, MPM-coded
+
+
+#: Table 9-4 (ChromaArrayType=1), Intra_4x4 column: codeNum →
+#: coded_block_pattern for the me(v) mapping.  Asserted to be a
+#: permutation of 0..47 in tests.
+CBP_INTRA_ME = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(CBP_INTRA_ME)}
+
+#: mode ids (Table 8-2): 0 V, 1 H, 2 DC, 3 DDL, 4 DDR, 5 VR, 6 HD,
+#: 7 VL, 8 HU
+
+
+def predict_i4(
+    recon: np.ndarray,
+    y0: int,
+    x0: int,
+    mode: int,
+    left_ok: bool,
+    top_ok: bool,
+    tr_ok: bool,
+) -> np.ndarray:
+    """One 4x4 intra prediction (§8.3.1.2) from reconstructed samples.
+    ``tr_ok``: the 4 top-right samples' block is decoded; when False
+    but top is available, they substitute as p[3,-1] replicated (the
+    spec's rule)."""
+    p_l = recon[y0 : y0 + 4, x0 - 1].astype(np.int64) if left_ok else None
+    p_t = recon[y0 - 1, x0 : x0 + 4].astype(np.int64) if top_ok else None
+    if top_ok:
+        if tr_ok:
+            p_tr = recon[y0 - 1, x0 + 4 : x0 + 8].astype(np.int64)
+        else:
+            p_tr = np.full(4, int(p_t[3]), dtype=np.int64)
+    else:
+        p_tr = None
+    p_c = int(recon[y0 - 1, x0 - 1]) if (left_ok and top_ok) else None
+    out = np.empty((4, 4), dtype=np.int64)
+    if mode == 0:  # Vertical
+        if not top_ok:
+            raise ValueError("mode 0 needs top")
+        return np.tile(p_t, (4, 1))
+    if mode == 1:  # Horizontal
+        if not left_ok:
+            raise ValueError("mode 1 needs left")
+        return np.tile(p_l[:, None], (1, 4))
+    if mode == 2:  # DC
+        if top_ok and left_ok:
+            dc = (int(p_t.sum()) + int(p_l.sum()) + 4) >> 3
+        elif top_ok:
+            dc = (int(p_t.sum()) + 2) >> 2
+        elif left_ok:
+            dc = (int(p_l.sum()) + 2) >> 2
+        else:
+            dc = 128
+        out[:] = dc
+        return out
+    if mode == 3:  # Diagonal-Down-Left
+        if not top_ok:
+            raise ValueError("mode 3 needs top")
+        t = np.concatenate([p_t, p_tr])
+        for y in range(4):
+            for x in range(4):
+                i = x + y
+                if i == 6:
+                    out[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    out[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return out
+    if mode == 4:  # Diagonal-Down-Right
+        if not (top_ok and left_ok):
+            raise ValueError("mode 4 needs top+left")
+        for y in range(4):
+            for x in range(4):
+                d = x - y
+                if d > 0:
+                    out[y, x] = (
+                        p_t[d - 2] + 2 * p_t[d - 1] + p_t[d] + 2
+                        if d >= 2
+                        else p_c + 2 * p_t[0] + p_t[1] + 2
+                    ) >> 2 if d >= 2 else (p_c + 2 * p_t[0] + p_t[1] + 2) >> 2
+                elif d < 0:
+                    dd = -d
+                    out[y, x] = (
+                        (p_l[dd - 2] + 2 * p_l[dd - 1] + p_l[dd] + 2) >> 2
+                        if dd >= 2
+                        else (p_c + 2 * p_l[0] + p_l[1] + 2) >> 2
+                    )
+                else:
+                    out[y, x] = (p_t[0] + 2 * p_c + p_l[0] + 2) >> 2
+        return out
+    if mode == 5:  # Vertical-Right (§8.3.1.2.6)
+        if not (top_ok and left_ok):
+            raise ValueError("mode 5 needs top+left")
+
+        def _t5(i):  # p[i, -1] with i == -1 the corner
+            return p_c if i < 0 else int(p_t[i])
+
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                i = x - (y >> 1)
+                if z >= 0 and z % 2 == 0:
+                    out[y, x] = (_t5(i - 1) + _t5(i) + 1) >> 1
+                elif z >= 0:
+                    out[y, x] = (
+                        _t5(i - 2) + 2 * _t5(i - 1) + _t5(i) + 2
+                    ) >> 2
+                elif z == -1:
+                    out[y, x] = (p_l[0] + 2 * p_c + p_t[0] + 2) >> 2
+                else:  # z in {-2, -3} → x == 0, left column walk
+                    a = p_c if y - 3 < 0 else int(p_l[y - 3])
+                    out[y, x] = (
+                        int(p_l[y - 1]) + 2 * int(p_l[y - 2]) + a + 2
+                    ) >> 2
+        return out
+    if mode == 6:  # Horizontal-Down (§8.3.1.2.7)
+        if not (top_ok and left_ok):
+            raise ValueError("mode 6 needs top+left")
+
+        def _l6(i):  # p[-1, i] with i == -1 the corner
+            return p_c if i < 0 else int(p_l[i])
+
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                i = y - (x >> 1)
+                if z >= 0 and z % 2 == 0:
+                    out[y, x] = (_l6(i - 1) + _l6(i) + 1) >> 1
+                elif z >= 0:
+                    out[y, x] = (
+                        _l6(i - 2) + 2 * _l6(i - 1) + _l6(i) + 2
+                    ) >> 2
+                elif z == -1:
+                    out[y, x] = (p_l[0] + 2 * p_c + p_t[0] + 2) >> 2
+                else:  # z in {-2, -3} → y == 0, top row walk
+                    a = p_c if x - 3 < 0 else int(p_t[x - 3])
+                    out[y, x] = (
+                        int(p_t[x - 1]) + 2 * int(p_t[x - 2]) + a + 2
+                    ) >> 2
+        return out
+    if mode == 7:  # Vertical-Left
+        if not top_ok:
+            raise ValueError("mode 7 needs top")
+        t = np.concatenate([p_t, p_tr])
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    out[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return out
+    if mode == 8:  # Horizontal-Up
+        if not left_ok:
+            raise ValueError("mode 8 needs left")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z > 5:
+                    out[y, x] = p_l[3]
+                elif z == 5:
+                    out[y, x] = (p_l[2] + 3 * p_l[3] + 2) >> 2
+                elif z % 2 == 0:
+                    i = y + (x >> 1)
+                    out[y, x] = (p_l[i] + p_l[i + 1] + 1) >> 1
+                else:
+                    i = y + (x >> 1)
+                    out[y, x] = (
+                        p_l[i] + 2 * p_l[i + 1] + p_l[i + 2] + 2
+                    ) >> 2
+        return out
+    raise ValueError(f"bad Intra_4x4 mode {mode}")
+
+
+# ---------------------------------------------------------------------------
+# Intra_4x4 macroblock layer
+
+#: mode-availability requirements: per mode id, (needs_top, needs_left)
+_I4_NEEDS = {
+    0: (True, False), 1: (False, True), 2: (False, False),
+    3: (True, False), 4: (True, True), 5: (True, True),
+    6: (True, True), 7: (True, False), 8: (False, True),
+}
+
+
+def _encode_mb_i4(
+    rec,
+    src_y: np.ndarray,
+    recon_y: np.ndarray,
+    src_c: list[np.ndarray],
+    recon_c: list[np.ndarray],
+    mby: int,
+    mbx: int,
+    qp: int,
+    nz_y: _NzCtx,
+    nz_c: list[_NzCtx],
+    i4_modes: np.ndarray,
+    decoded4: np.ndarray,
+):
+    """Encode one I_4x4 (I_NxN) macroblock: 16 directionally-predicted
+    4x4 blocks coded in §6.4.3 order, modes signaled via the
+    most-probable-mode scheme, CodedBlockPatternLuma per 8x8 group
+    through the me(v) Table 9-4 mapping.  Prediction runs on a WORKING
+    COPY of the reconstruction so the trial mutates nothing; the caller
+    commits recon/nnz/mode/decoded updates only if this MB type wins."""
+    y0, x0 = mby * MB, mbx * MB
+    work = recon_y.copy()  # trial recon: in-MB neighbors must be recon
+    h4, w4 = decoded4.shape
+    modes_out = np.empty(16, dtype=np.int64)
+    flags, rems = [], []
+    levels = np.zeros((16, 4, 4), dtype=np.int64)
+    tcs = [0] * 16
+    dec_local = decoded4.copy()
+    for blk in range(16):
+        x, y = _BLK_XY[blk]
+        by4, bx4 = 4 * mby + y, 4 * mbx + x
+        py, px = y0 + 4 * y, x0 + 4 * x
+        left_ok = bx4 > 0
+        top_ok = by4 > 0
+        tr_ok = (
+            top_ok
+            and bx4 + 1 < w4
+            and bool(dec_local[by4 - 1, bx4 + 1])
+        )
+        cands = [
+            m
+            for m, (nt, nl) in _I4_NEEDS.items()
+            if (top_ok or not nt) and (left_ok or not nl)
+        ]
+        block = src_y[py : py + 4, px : px + 4].astype(np.int64)
+        best = None
+        for m in sorted(cands):
+            p = predict_i4(work, py, px, m, left_ok, top_ok, tr_ok)
+            cost = _sad(block, p)
+            if best is None or cost < best[0]:
+                best = (cost, m, p)
+        _, mode, pred = best
+        modes_out[blk] = mode
+        # MPM from the committed grid with in-MB neighbors overlaid
+        pm = _i4_pred_mode_overlay(i4_modes, modes_out, blk, mby, mbx)
+        if mode == pm:
+            flags.append(1)
+            rems.append(None)
+        else:
+            flags.append(0)
+            rems.append(mode if mode < pm else mode - 1)
+        lv = quant4x4(fwd4x4(block - pred), qp, skip_dc=False)
+        levels[blk] = lv
+        tcs[blk] = int(np.count_nonzero(lv))
+        r4 = inv4x4(dequant4x4(lv, qp))
+        work[py : py + 4, px : px + 4] = np.clip(pred + r4, 0, 255)
+        dec_local[by4, bx4] = True
+    # CBP: 8x8 group bit = any nonzero level among its 4 blocks; a zero
+    # group's blocks are DROPPED from the stream (decoder zeros them),
+    # so the working recon must be rebuilt for dropped blocks — but a
+    # zero group means all its levels are zero, so recon is unchanged.
+    cbp_luma = 0
+    for g in range(4):
+        if any(tcs[4 * g + k] for k in range(4)):
+            cbp_luma |= 1 << g
+    qpc = chroma_qp(qp)
+    c_dc_levels, c_ac_levels, c_preds, cbp_chroma = _chroma_analyze(
+        src_c, recon_c, mby, mbx, qpc
+    )
+    cbp = cbp_luma | (cbp_chroma << 4)
+
+    # --- syntax
+    rec.ue(0)  # mb_type: I_NxN (Intra_4x4 — no transform_8x8 in baseline)
+    for blk in range(16):
+        if flags[blk]:
+            rec.u(1, 1)
+        else:
+            rec.u(0, 1)
+            rec.u(int(rems[blk]), 3)
+    rec.ue(0)  # intra_chroma_pred_mode: DC
+    rec.ue(_CBP_INTRA_INV[cbp])  # coded_block_pattern me(v)
+    if cbp:
+        rec.se(0)  # mb_qp_delta
+    nz_updates: dict[tuple, int] = {}
+    for blk in range(16):
+        x, y = _BLK_XY[blk]
+        by4, bx4 = 4 * mby + y, 4 * mbx + x
+        g = blk // 4
+        if cbp_luma & (1 << g):
+            scan = _zigzag_read(levels[blk].reshape(4, 4))
+            nc = _nc_pending(nz_y, nz_updates, 0, by4, bx4)
+            tc = CV.write_residual_block(rec, scan, nc, 16)
+            nz_updates[(0, by4, bx4)] = tc
+        else:
+            nz_updates[(0, by4, bx4)] = 0
+    _chroma_write(rec, c_dc_levels, c_ac_levels, cbp_chroma,
+                  nz_c, nz_updates, mby, mbx)
+    rec_y = work[y0 : y0 + MB, x0 : x0 + MB].copy()
+    rec_c = _chroma_recon(c_dc_levels, c_ac_levels, c_preds, cbp_chroma, qpc)
+    return rec_y, rec_c, nz_updates, modes_out
+
+
+def _i4_pred_mode_overlay(
+    i4_modes: np.ndarray, modes_out: np.ndarray, blk: int,
+    mby: int, mbx: int,
+) -> int:
+    """MPM with in-MB overlay: left/top neighbors that live inside the
+    current (uncommitted) macroblock read from ``modes_out``."""
+    x, y = _BLK_XY[blk]
+    by4, bx4 = 4 * mby + y, 4 * mbx + x
+
+    def grid(byy, bxx):
+        # inside this MB and already coded? look up the local order
+        if 4 * mby <= byy < 4 * mby + 4 and 4 * mbx <= bxx < 4 * mbx + 4:
+            lx, ly = bxx - 4 * mbx, byy - 4 * mby
+            idx = _BLK_XY.index((lx, ly))
+            if idx < blk:
+                return int(modes_out[idx])
+            return -2  # not yet coded — cannot happen for left/top
+        return int(i4_modes[byy, bxx])
+
+    if bx4 == 0 or by4 == 0:
+        return 2
+    a = grid(by4, bx4 - 1)
+    b = grid(by4 - 1, bx4)
+    a = a if a >= 0 else 2
+    b = b if b >= 0 else 2
+    return min(a, b)
+
+
+def encode_idr_frame_intra(
+    frame: np.ndarray,
+    qp: int = 26,
+    idr_pic_id: int = 0,
+    pcm_fallback: bool = True,
+    return_recon: bool = False,
+):
+    """Full intra IDR NAL: per macroblock the encoder trial-encodes
+    BOTH Intra_16x16 and Intra_4x4 (each against the committed
+    reconstruction state), keeps whichever costs fewer bits, and falls
+    back to I_PCM when both exceed the raw-macroblock bound — the
+    complete baseline intra mode decision, producing mixed
+    I4x4/I16/PCM slices the auto decoder consumes."""
+    frame = np.asarray(frame)
+    h, w = frame.shape
+    if h % MB or w % MB:
+        raise ValueError("frame dimensions must be multiples of 16")
+    if frame.dtype != np.uint8:
+        raise ValueError("frame must be uint8")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp out of range")
+    h_mbs, w_mbs = h // MB, w // MB
+    recon_y = np.zeros((h, w), dtype=np.uint8)
+    src_c = [np.full((h // 2, w // 2), 128, dtype=np.uint8)] * 2
+    recon_c = [np.zeros((h // 2, w // 2), dtype=np.uint8) for _ in range(2)]
+    nz_y = _NzCtx(h_mbs, w_mbs, 4)
+    nz_c = [_NzCtx(h_mbs, w_mbs, 2) for _ in range(2)]
+    i4_modes = np.full((h_mbs * 4, w_mbs * 4), -1, dtype=np.int64)
+    decoded4 = np.zeros((h_mbs * 4, w_mbs * 4), dtype=bool)
+
+    bw = BitWriter()
+    bw.ue(0)
+    bw.ue(7)
+    bw.ue(0)
+    bw.u(0, 4)
+    bw.ue(idr_pic_id)
+    bw.u(0, 1)
+    bw.u(0, 1)
+    bw.se(qp - 26)
+    bw.ue(1)  # disable_deblocking_filter_idc
+
+    pcm_bits = 9 + 7 + 384 * 8
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            rec16 = _Recorder()
+            out16 = _encode_mb_i16(
+                rec16, frame, recon_y, src_c, recon_c,
+                mby, mbx, qp, nz_y, nz_c,
+            )
+            rec4 = _Recorder()
+            out4 = _encode_mb_i4(
+                rec4, frame, recon_y, src_c, recon_c,
+                mby, mbx, qp, nz_y, nz_c, i4_modes, decoded4,
+            )
+            if rec4.nbits < rec16.nbits:
+                rec, (rec_y, rec_c, nz_up), modes = (
+                    rec4, out4[:3], out4[3]
+                )
+            else:
+                rec, (rec_y, rec_c, nz_up), modes = (
+                    rec16, out16, None
+                )
+            y4, x4 = 4 * mby, 4 * mbx
+            if pcm_fallback and rec.nbits > pcm_bits:
+                bw.ue(I_PCM_MB_TYPE)
+                bw.align_zero()
+                block = frame[
+                    mby * MB : (mby + 1) * MB, mbx * MB : (mbx + 1) * MB
+                ]
+                bw.raw_bytes(block.tobytes())
+                bw.raw_bytes(b"\x80" * 128)
+                recon_y[
+                    mby * MB : (mby + 1) * MB, mbx * MB : (mbx + 1) * MB
+                ] = block
+                for comp in range(2):
+                    recon_c[comp][
+                        mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+                    ] = 128
+                for y in range(4):
+                    for x in range(4):
+                        nz_y.set(y4 + y, x4 + x, 16)
+                for comp in range(2):
+                    for y in range(2):
+                        for x in range(2):
+                            nz_c[comp].set(2 * mby + y, 2 * mbx + x, 16)
+                i4_modes[y4 : y4 + 4, x4 : x4 + 4] = -1
+            else:
+                rec.replay(bw)
+                recon_y[
+                    mby * MB : (mby + 1) * MB, mbx * MB : (mbx + 1) * MB
+                ] = rec_y
+                for comp in range(2):
+                    recon_c[comp][
+                        mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+                    ] = rec_c[comp]
+                for (plane, by, bx), tc in nz_up.items():
+                    (nz_y if plane == 0 else nz_c[plane - 1]).set(by, bx, tc)
+                if modes is not None:
+                    for blk in range(16):
+                        bx_, by_ = _BLK_XY[blk]
+                        i4_modes[y4 + by_, x4 + bx_] = modes[blk]
+                else:
+                    i4_modes[y4 : y4 + 4, x4 : x4 + 4] = -1
+            decoded4[y4 : y4 + 4, x4 : x4 + 4] = True
+    bw.rbsp_trailing_bits()
+    nal = b"\x65" + rbsp_to_ebsp(bw.getvalue())
+    if return_recon:
+        return nal, recon_y
+    return nal

@@ -516,17 +516,17 @@ def _real_decode(payload: bytes) -> dict:
             "width": info["width"],
             "height": info["height"],
         }
-    # STUB: the remaining seam is Intra_4x4 / CABAC / inter-frame
-    # H.264 — I_PCM and Intra_16x16+CAVLC decode for real
-    # (operators/h264.py, h264_intra.py as of r10), as do audio
-    # (RIFF/PCM16, mu-law), image (BMP, PNG, baseline JPEG),
-    # uncompressed AVI and MJPEG AVI.
+    # STUB: the remaining seam is CABAC / inter-frame H.264 — the full
+    # baseline INTRA tier (I_PCM, Intra_16x16, Intra_4x4 + CAVLC)
+    # decodes for real (operators/h264.py, h264_intra.py as of r10),
+    # as do audio (RIFF/PCM16, mu-law), image (BMP, PNG, baseline
+    # JPEG), uncompressed AVI and MJPEG AVI.
     raise NotImplementedError(
         "real decode supports WAV (RIFF/PCM16 + mu-law), BMP (24-bit "
         "BI_RGB), PNG (8-bit gray/RGB), uncompressed AVI, MJPEG AVI, "
-        "baseline grayscale JPEG, MP4/H.264 I_PCM and Intra_16x16+"
-        "CAVLC; Intra_4x4/CABAC/inter H.264 needs PIL/av — use "
-        "codec='fake'"
+        "baseline grayscale JPEG, and MP4/H.264 full baseline intra "
+        "(I_PCM, Intra_16x16, Intra_4x4 + CAVLC); CABAC/inter H.264 "
+        "needs PIL/av — use codec='fake'"
     )
 
 
@@ -1666,6 +1666,7 @@ def mp4_i16_frame_stats(
     width: int = MP4_W,
     height: int = MP4_H,
     qp: int = 12,
+    codec: str = "i16",
 ) -> DataFrame:
     """PREDICTED-macroblock video tier end-to-end (r10): the same
     deterministic text→frames pixels as :func:`media_mp4_from_documents`
@@ -1697,7 +1698,7 @@ def mp4_i16_frame_stats(
             for mid, t in zip(pdf["doc_id"], pdf["text"]):
                 px = _text_frames(t, frame_bytes)
                 src = px.reshape(-1, height, width)
-                payload = H.encode_mp4_h264(src, codec="i16", qp=qp)
+                payload = H.encode_mp4_h264(src, codec=codec, qp=qp)
                 info = H.parse_mp4(payload)
                 sample_sizes = [sz for _off, sz in info["samples"]]
                 _sps, decoded = H.decode_mp4_h264(payload)

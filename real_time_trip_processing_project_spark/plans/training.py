@@ -3319,6 +3319,29 @@ def multimodal_mp4_i16_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.mp4_i16_frame_stats(docs)
 
 
+@register(
+    "multimodal_mp4_intra_stats",
+    oracle=None,  # lossy by quantizer — rows-only; px-err floors in bench
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_intra_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL baseline intra H.264 (r10): per-macroblock the encoder
+    trial-codes Intra_4x4 (nine directional modes, most-probable-mode
+    signaling, CodedBlockPattern me(v)) AND Intra_16x16, keeps the
+    cheaper, and falls back to I_PCM — mixed-mb_type slices through the
+    same MP4 container and auto decoder
+    (operators/h264_intra.py:encode_idr_frame_intra).  Runs on the
+    deterministic doc_id%4 quarter-slice: the per-MB double trial costs
+    ~2.2× the pure-I16 path, and the mode-decision coverage doesn't
+    need the whole corpus — the full-corpus distortion story is
+    ``multimodal_mp4_i16_stats``'s.  Same stats schema and bench
+    floors (px err + the PCM-bound sample_bytes rate gate)."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY) & (F.col("doc_id") % 4 == 0)
+    )
+    return MM.mp4_i16_frame_stats(docs, codec="intra")
+
+
 # ---------------------------------------------------------------------------
 # r9 additions: contrastive hard-negative mining + DSIR-style importance
 # resampling — two curation steps every large-scale training pipeline

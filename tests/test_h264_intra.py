@@ -294,3 +294,107 @@ def test_bad_qp_and_dims_rejected():
         HI.encode_idr_frame_i16(np.zeros((15, 16), dtype=np.uint8))
     with pytest.raises(ValueError):
         H.encode_mp4_h264(np.zeros((1, 16, 16), dtype=np.uint8), codec="x")
+
+
+# ---------------------------------------------------------------------------
+# Intra_4x4 tier
+
+
+def test_cbp_intra_me_table_is_permutation():
+    assert sorted(HI.CBP_INTRA_ME) == list(range(48))
+
+
+def test_i4_modes_exact_along_own_direction():
+    """Each directional mode must reproduce a pattern constant along
+    its own prediction direction to within interpolation rounding —
+    the invariant that catches transposed/shifted spec formulas (it
+    caught three index bugs in VR/HD during development).  Mode 8's
+    z>5 positions CLAMP to the last left sample by spec, so HU is
+    checked only on its unclamped region."""
+    yy, xx = np.mgrid[0:12, 0:12]
+    dirs = {0: xx, 1: yy, 3: xx + yy, 4: xx - yy,
+            5: 2 * xx - yy, 6: 2 * yy - xx, 7: 2 * xx + yy,
+            8: xx + 2 * yy}
+    y0 = x0 = 4
+    for m, d in dirs.items():
+        recon = (50 + 6 * (d - d.min()) % 200).astype(np.uint8)
+        truth = recon[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64)
+        pred = HI.predict_i4(recon, y0, x0, m, True, True, True)
+        dev = np.abs(pred - truth)
+        if m == 8:
+            # z==5 is already the (l2+3*l3)/4 blend INTO the clamp —
+            # only z<=4 is pure directional interpolation
+            zz = (np.arange(4)[None, :] + 2 * np.arange(4)[:, None])
+            dev = dev[zz <= 4]
+        assert dev.max() <= 2, (m, dev.max())
+    # DC on constant neighborhood is exact
+    flat = np.full((12, 12), 77, dtype=np.uint8)
+    assert np.all(HI.predict_i4(flat, 4, 4, 2, True, True, True) == 77)
+
+
+def test_intra_combined_parity_and_rate():
+    """encode_idr_frame_intra (per-MB I4x4/I16/PCM decision): decoder
+    output == encoder reconstruction at every qp on every content
+    class, and the combined encoder never codes WORSE than i16-only
+    (the mode decision is min-bits by construction) — strictly better
+    on directional content."""
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:48, 0:64]
+    frames = {
+        "gradient": (xx * 2 + yy).astype(np.uint8),
+        "noise": rng.integers(0, 256, (48, 64)).astype(np.uint8),
+        "diag": ((xx + yy * 3) % 256).astype(np.uint8),
+    }
+    sps = _sps(64, 48)
+    for name, f in frames.items():
+        for qp in (0, 4, 17, 26, 35, 44, 51):
+            nal, recon = HI.encode_idr_frame_intra(
+                f, qp=qp, return_recon=True
+            )
+            dec = HI.decode_idr_frame_auto(nal, sps, PPS_I16)
+            assert np.array_equal(recon, dec), (name, qp)
+        nal_c = HI.encode_idr_frame_intra(f, qp=10)
+        nal_16 = HI.encode_idr_frame_i16(f, qp=10)
+        # slight slack: PCM-fallback threshold interactions can cost a
+        # few bytes on noise, never on structured content
+        assert len(nal_c) <= len(nal_16) + 8, name
+    grad = frames["gradient"]
+    assert len(HI.encode_idr_frame_intra(grad, qp=10)) < len(
+        HI.encode_idr_frame_i16(grad, qp=10)
+    )
+
+
+def test_mp4_intra_codec_roundtrip():
+    yy, xx = np.mgrid[0:32, 0:48]
+    frames = np.stack(
+        [((xx * 3 + yy * 2 + 29 * i) % 256).astype(np.uint8)
+         for i in range(4)]
+    )
+    payload = H.encode_mp4_h264(frames, codec="intra", qp=10)
+    info = H.parse_mp4(payload)
+    assert info["index_consistent"]
+    _sps_d, decoded = H.decode_mp4_h264(payload)
+    assert [i for i, _ in decoded] == list(range(4))
+    for i, dec in decoded:
+        _, recon = HI.encode_idr_frame_intra(
+            frames[i], qp=10, idr_pic_id=i % 2, return_recon=True
+        )
+        assert np.array_equal(dec, recon)
+
+
+def test_i4_mpm_signaling_roundtrips_every_mode():
+    """Frames engineered so different blocks pick different directional
+    modes exercise both MPM hit (flag=1) and rem_intra4x4_pred_mode
+    paths; parity proves the decoder recovers the exact mode choices."""
+    rng = np.random.default_rng(3)
+    # patchwork of directional textures
+    yy, xx = np.mgrid[0:32, 0:32]
+    f = np.zeros((32, 32), dtype=np.uint8)
+    f[:16, :16] = (xx[:16, :16] * 9).astype(np.uint8)          # vertical
+    f[:16, 16:] = (yy[:16, :16] * 9).astype(np.uint8)          # horizontal
+    f[16:, :16] = ((xx[:16, :16] + yy[:16, :16]) * 7).astype(np.uint8)
+    f[16:, 16:] = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    for qp in (4, 20, 38):
+        nal, recon = HI.encode_idr_frame_intra(f, qp=qp, return_recon=True)
+        dec = HI.decode_idr_frame_auto(nal, _sps(32, 32), PPS_I16)
+        assert np.array_equal(recon, dec), qp
