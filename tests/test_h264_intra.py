@@ -398,3 +398,27 @@ def test_i4_mpm_signaling_roundtrips_every_mode():
         nal, recon = HI.encode_idr_frame_intra(f, qp=qp, return_recon=True)
         dec = HI.decode_idr_frame_auto(nal, _sps(32, 32), PPS_I16)
         assert np.array_equal(recon, dec), qp
+
+
+def test_corrupted_intra_stream_never_hangs_or_leaks():
+    """Bit-flip fuzz over a full intra slice: every corruption must
+    either decode to SOME frame or raise ValueError — never IndexError/
+    struct.error (the parse_mp4 normalization contract) and never an
+    unbounded loop (the CAVLC readers carry explicit overrun bounds)."""
+    import random
+
+    rng = np.random.default_rng(7)
+    pyrng = random.Random(7)
+    frame = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    sps = _sps(32, 32)
+    nal = bytearray(HI.encode_idr_frame_intra(frame, qp=18))
+    for _ in range(120):
+        b = bytearray(nal)
+        for _ in range(pyrng.randint(1, 4)):
+            i = pyrng.randrange(1, len(b))
+            b[i] ^= 1 << pyrng.randrange(8)
+        try:
+            out = HI.decode_idr_frame_auto(bytes(b), sps, PPS_I16)
+            assert out.shape == (32, 32)
+        except ValueError:
+            pass
