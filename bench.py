@@ -139,6 +139,7 @@ SECONDARY = [
     "curation_dsir_pipeline",
     "multimodal_mp4_i16_stats",
     "multimodal_mp4_intra_stats",
+    "curation_span_corruption",
     "join_skew_salted",
     "multimodal_mjpeg_frames",
     "ts_cross_correlation",

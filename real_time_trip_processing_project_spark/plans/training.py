@@ -3628,3 +3628,131 @@ def curation_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score_tick").alias("sum_score_tick"),
         )
     )
+
+
+@register(
+    "curation_span_corruption",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> len(x) > 0) AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, len(t) AS n_tokens,
+                   CAST(g.i AS BIGINT) - 1 AS p,
+                   md5(CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(g.i - 1 AS VARCHAR)) AS h
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) g
+            WHERE len(t) > 0
+        ),
+        marked AS (
+            SELECT doc_id, n_tokens, p,
+                   {CU.hex_prefix16_sql('h')} < 3277 AS is_start,
+                   1 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) % 3
+                       AS span_len
+            FROM pos
+        ),
+        covered AS (
+            SELECT doc_id, n_tokens, p, is_start,
+                   (is_start
+                    OR coalesce(lag(is_start, 1) OVER w
+                                AND lag(span_len, 1) OVER w > 1, FALSE)
+                    OR coalesce(lag(is_start, 2) OVER w
+                                AND lag(span_len, 2) OVER w > 2, FALSE))
+                       AS is_corrupted
+            FROM marked
+            WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        )
+        SELECT doc_id,
+               CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_spans,
+               CAST(sum(CASE WHEN is_corrupted THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corrupted,
+               CAST((1000000 * sum(CASE WHEN is_corrupted THEN 1 ELSE 0
+                                   END)) // max(n_tokens) AS BIGINT)
+                   AS corrupt_ppm
+        FROM covered
+        GROUP BY doc_id
+    """,
+    tags=["EXT", "text", "curation"],
+)
+def curation_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PREP (r10): deterministic, seedless
+    selection of the denoising objective's corrupted spans.  Token
+    position p STARTS a span iff the u16 prefix of md5(doc_id ':' p)
+    falls under 3277/65536 (≈5% start rate — the
+    [[md5-cross-engine-determinism]] family, zero RNG state), with span
+    length 1 + (5th md5 nibble mod 3) ∈ {1,2,3}; a token is corrupted
+    iff any span covering it starts at p, p−1 (len>1) or p−2 (len>2) —
+    the 2-deep lag window both engines evaluate identically.
+    Overlapping starts each count as a span (sentinels merge at
+    materialization time; the COUNTS here are the objective's
+    bookkeeping: expected corruption mass ≈ 5%·E[len] ≈ 10%).
+
+    Scale: one split + posexplode per doc, two lag windows partitioned
+    by doc_id (narrow int rows — token TEXT never shuffles), one
+    per-doc aggregate.  Ratio emitted as integer ppm (the derived-
+    double discipline)."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    pos = (
+        docs.select("doc_id", toks.alias("t"))
+        .withColumn("n_tokens", F.size("t"))
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.posexplode("t").alias("p", "tok"),
+        )
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("p").cast("string"),
+                )
+            ),
+        )
+    )
+    marked = pos.select(
+        "doc_id",
+        "n_tokens",
+        "p",
+        (CU._hex_prefix16(F.col("h")) < 3277).alias("is_start"),
+        (
+            1 + F.conv(F.substring("h", 5, 1), 16, 10).cast("long") % 3
+        ).alias("span_len"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    covered = marked.withColumn(
+        "is_corrupted",
+        F.col("is_start")
+        | F.coalesce(
+            F.lag("is_start", 1).over(w) & (F.lag("span_len", 1).over(w) > 1),
+            F.lit(False),
+        )
+        | F.coalesce(
+            F.lag("is_start", 2).over(w) & (F.lag("span_len", 2).over(w) > 2),
+            F.lit(False),
+        ),
+    )
+    return covered.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("is_start"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans"),
+        F.sum(F.when(F.col("is_corrupted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupted"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN is_corrupted THEN 1 ELSE 0 END))"
+            " div max(n_tokens) AS LONG)"
+        ).alias("corrupt_ppm"),
+    )
