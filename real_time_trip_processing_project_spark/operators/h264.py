@@ -114,6 +114,11 @@ class BitReader:
         self.pos = 0  # bit position
 
     def u(self, nbits: int) -> int:
+        # EOF must surface as ValueError: malformed/truncated streams
+        # are a data condition callers handle per row, not a raw
+        # IndexError escaping a Spark task (the parse_mp4 contract)
+        if self.pos + nbits > 8 * len(self._data):
+            raise ValueError("RBSP exhausted mid-symbol")
         v = 0
         for _ in range(nbits):
             byte = self._data[self.pos >> 3]
@@ -410,10 +415,11 @@ def encode_mp4_h264(
     full stsd(avc1+avcC)/stts/stsc/stsz/stco sample-table chain.
 
     ``frames``: uint8 array (n, H, W), H and W multiples of 16.
-    ``codec``: ``"i_pcm"`` (lossless, the FULL-oracle path) or
-    ``"i16"`` (Intra_16x16 + CAVLC at ``qp`` — the predicted tier,
-    h264_intra.py; its PPS carries deblocking control so the slices
-    can turn the in-loop filter off)."""
+    ``codec``: ``"i_pcm"`` (lossless, the FULL-oracle path),
+    ``"i16"`` (Intra_16x16 + CAVLC at ``qp``), or ``"intra"`` (full
+    baseline intra: per-MB Intra_4x4/Intra_16x16/I_PCM min-bits mode
+    decision) — both predicted tiers live in h264_intra.py and use the
+    deblocking-control PPS so the slices turn the in-loop filter off."""
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim != 3:
         raise ValueError("frames must be (n, h, w)")

@@ -586,89 +586,20 @@ def encode_idr_frame_i16(
     pcm_fallback: bool = True,
     return_recon: bool = False,
 ):
-    """One IDR NAL of Intra_16x16 macroblocks (grayscale source; chroma
-    planes constant 128, same convention as the I_PCM path).  Per MB the
-    encoder falls back to I_PCM when the entropy-coded form is larger —
-    a real rate decision, and it exercises mixed-mb_type slices.
+    """One IDR NAL of Intra_16x16 macroblocks (chroma constant 128,
+    per-MB I_PCM fallback) — :func:`_encode_idr_frame` with the
+    Intra_4x4 trial disabled.  Kept as the pure-I16 tier the
+    ``multimodal_mp4_i16_stats`` query and its floors are pinned to."""
+    return _encode_idr_frame(
+        frame, qp, idr_pic_id, pcm_fallback, return_recon, allow_i4=False
+    )
 
-    Pair with ``encode_pps(deblocking_control=True)``: the slice header
-    writes ``disable_deblocking_filter_idc = 1`` so this module's
-    reconstruction is the conformant decoder output."""
-    frame = np.asarray(frame)
-    h, w = frame.shape
-    if h % MB or w % MB:
-        raise ValueError("frame dimensions must be multiples of 16")
-    if frame.dtype != np.uint8:
-        raise ValueError("frame must be uint8")
+
+def _check_qp(qp: int) -> None:
+    """Corrupted qp deltas must fail as data errors (ValueError), not
+    as an IndexError off the chroma-qp table — the fuzz contract."""
     if not 0 <= qp <= 51:
-        raise ValueError("qp out of range")
-    h_mbs, w_mbs = h // MB, w // MB
-    recon_y = np.zeros((h, w), dtype=np.uint8)
-    src_c = [np.full((h // 2, w // 2), 128, dtype=np.uint8)] * 2
-    recon_c = [
-        np.zeros((h // 2, w // 2), dtype=np.uint8) for _ in range(2)
-    ]
-    nz_y = _NzCtx(h_mbs, w_mbs, 4)
-    nz_c = [_NzCtx(h_mbs, w_mbs, 2) for _ in range(2)]
-
-    bw = BitWriter()
-    bw.ue(0)  # first_mb_in_slice
-    bw.ue(7)  # slice_type 7: I
-    bw.ue(0)  # pic_parameter_set_id
-    bw.u(0, 4)  # frame_num
-    bw.ue(idr_pic_id)
-    bw.u(0, 1)  # no_output_of_prior_pics_flag
-    bw.u(0, 1)  # long_term_reference_flag
-    bw.se(qp - 26)  # slice_qp_delta (pic_init_qp 26)
-    bw.ue(1)  # disable_deblocking_filter_idc: filter off
-
-    for mby in range(h_mbs):
-        for mbx in range(w_mbs):
-            rec = _Recorder()
-            rec_y, rec_c, nz_updates = _encode_mb_i16(
-                rec, frame, recon_y, src_c, recon_c,
-                mby, mbx, qp, nz_y, nz_c,
-            )
-            # I_PCM cost: ue(25) + ≤7 alignment bits + 384 bytes
-            pcm_bits = 9 + 7 + 384 * 8
-            if pcm_fallback and rec.nbits > pcm_bits:
-                bw.ue(I_PCM_MB_TYPE)
-                bw.align_zero()
-                block = frame[
-                    mby * MB : (mby + 1) * MB, mbx * MB : (mbx + 1) * MB
-                ]
-                bw.raw_bytes(block.tobytes())
-                bw.raw_bytes(b"\x80" * 128)
-                recon_y[
-                    mby * MB : (mby + 1) * MB, mbx * MB : (mbx + 1) * MB
-                ] = block
-                for comp in range(2):
-                    recon_c[comp][
-                        mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
-                    ] = 128
-                for y in range(4):
-                    for x in range(4):
-                        nz_y.set(4 * mby + y, 4 * mbx + x, 16)
-                for comp in range(2):
-                    for y in range(2):
-                        for x in range(2):
-                            nz_c[comp].set(2 * mby + y, 2 * mbx + x, 16)
-            else:
-                rec.replay(bw)
-                recon_y[
-                    mby * MB : (mby + 1) * MB, mbx * MB : (mbx + 1) * MB
-                ] = rec_y
-                for comp in range(2):
-                    recon_c[comp][
-                        mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
-                    ] = rec_c[comp]
-                for (plane, by, bx), tc in nz_updates.items():
-                    (nz_y if plane == 0 else nz_c[plane - 1]).set(by, bx, tc)
-    bw.rbsp_trailing_bits()
-    nal = b"\x65" + rbsp_to_ebsp(bw.getvalue())
-    if return_recon:
-        return nal, recon_y
-    return nal
+        raise ValueError(f"qp {qp} out of range after delta")
 
 
 def decode_idr_frame_auto(
@@ -690,6 +621,7 @@ def decode_idr_frame_auto(
         raise ValueError("poc_type 0 slice headers not supported")
     r.u(2)  # dec_ref_pic_marking
     qp = 26 + r.se()
+    _check_qp(qp)
     if pps.get("deblocking_control"):
         idc = r.ue()
         if idc != 1:
@@ -748,6 +680,7 @@ def decode_idr_frame_auto(
                 cbp_luma_bits, cbp_chroma = cbp & 15, cbp >> 4
                 if cbp:
                     qp += r.se()
+                    _check_qp(qp)
                 qpc = chroma_qp(qp)
                 levels16 = np.zeros((16, 4, 4), dtype=np.int64)
                 for blk in range(16):
@@ -825,6 +758,7 @@ def decode_idr_frame_auto(
             mode = mt % 4
             chroma_mode = r.ue()
             qp += r.se()  # mb_qp_delta
+            _check_qp(qp)
             qpc = chroma_qp(qp)
             y0, x0 = mby * MB, mbx * MB
 
@@ -1000,10 +934,10 @@ def predict_i4(
                 d = x - y
                 if d > 0:
                     out[y, x] = (
-                        p_t[d - 2] + 2 * p_t[d - 1] + p_t[d] + 2
+                        (p_t[d - 2] + 2 * p_t[d - 1] + p_t[d] + 2) >> 2
                         if d >= 2
-                        else p_c + 2 * p_t[0] + p_t[1] + 2
-                    ) >> 2 if d >= 2 else (p_c + 2 * p_t[0] + p_t[1] + 2) >> 2
+                        else (p_c + 2 * p_t[0] + p_t[1] + 2) >> 2
+                    )
                 elif d < 0:
                     dd = -d
                     out[y, x] = (
@@ -1130,13 +1064,22 @@ def _encode_mb_i4(
     COPY of the reconstruction so the trial mutates nothing; the caller
     commits recon/nnz/mode/decoded updates only if this MB type wins."""
     y0, x0 = mby * MB, mbx * MB
-    work = recon_y.copy()  # trial recon: in-MB neighbors must be recon
+    # Trial writes are confined to THIS macroblock's 16x16 region (the
+    # halo is only READ), so instead of copying the whole frame per MB
+    # (O(frame_area * n_mbs)) we write into recon_y directly and
+    # restore the region before returning — the caller re-commits the
+    # winner's pixels afterwards.
+    work = recon_y
+    saved = recon_y[y0 : y0 + MB, x0 : x0 + MB].copy()
     h4, w4 = decoded4.shape
     modes_out = np.empty(16, dtype=np.int64)
     flags, rems = [], []
     levels = np.zeros((16, 4, 4), dtype=np.int64)
     tcs = [0] * 16
-    dec_local = decoded4.copy()
+    dec_region = decoded4[
+        4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+    ].copy()
+    dec_local = decoded4  # in-place, restored below
     for blk in range(16):
         x, y = _BLK_XY[blk]
         by4, bx4 = 4 * mby + y, 4 * mbx + x
@@ -1189,6 +1132,12 @@ def _encode_mb_i4(
         src_c, recon_c, mby, mbx, qpc
     )
     cbp = cbp_luma | (cbp_chroma << 4)
+    rec_y = work[y0 : y0 + MB, x0 : x0 + MB].copy()
+    # restore the trial's in-place writes (region-local by construction)
+    recon_y[y0 : y0 + MB, x0 : x0 + MB] = saved
+    decoded4[
+        4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+    ] = dec_region
 
     # --- syntax
     rec.ue(0)  # mb_type: I_NxN (Intra_4x4 — no transform_8x8 in baseline)
@@ -1216,7 +1165,6 @@ def _encode_mb_i4(
             nz_updates[(0, by4, bx4)] = 0
     _chroma_write(rec, c_dc_levels, c_ac_levels, cbp_chroma,
                   nz_c, nz_updates, mby, mbx)
-    rec_y = work[y0 : y0 + MB, x0 : x0 + MB].copy()
     rec_c = _chroma_recon(c_dc_levels, c_ac_levels, c_preds, cbp_chroma, qpc)
     return rec_y, rec_c, nz_updates, modes_out
 
@@ -1257,11 +1205,29 @@ def encode_idr_frame_intra(
     return_recon: bool = False,
 ):
     """Full intra IDR NAL: per macroblock the encoder trial-encodes
-    BOTH Intra_16x16 and Intra_4x4 (each against the committed
-    reconstruction state), keeps whichever costs fewer bits, and falls
-    back to I_PCM when both exceed the raw-macroblock bound — the
-    complete baseline intra mode decision, producing mixed
-    I4x4/I16/PCM slices the auto decoder consumes."""
+    BOTH Intra_16x16 and Intra_4x4 against the committed
+    reconstruction, keeps whichever costs fewer bits, and falls back
+    to I_PCM past the raw-macroblock bound — the complete baseline
+    intra mode decision, producing mixed I4x4/I16/PCM slices."""
+    return _encode_idr_frame(
+        frame, qp, idr_pic_id, pcm_fallback, return_recon, allow_i4=True
+    )
+
+
+def _encode_idr_frame(
+    frame: np.ndarray,
+    qp: int,
+    idr_pic_id: int,
+    pcm_fallback: bool,
+    return_recon: bool,
+    allow_i4: bool,
+):
+    """Shared IDR-slice driver: ONE copy of the slice header, the
+    per-MB trial/commit loop, the I_PCM fallback block and the
+    nC/mode/decoded bookkeeping — the i16-only and full-intra entry
+    points differ ONLY in whether the Intra_4x4 trial runs, so the
+    slice syntax and the PCM bound can never desynchronize between
+    them (mixed streams decode through one auto decoder either way)."""
     frame = np.asarray(frame)
     h, w = frame.shape
     if h % MB or w % MB:
@@ -1280,15 +1246,15 @@ def encode_idr_frame_intra(
     decoded4 = np.zeros((h_mbs * 4, w_mbs * 4), dtype=bool)
 
     bw = BitWriter()
-    bw.ue(0)
-    bw.ue(7)
-    bw.ue(0)
-    bw.u(0, 4)
+    bw.ue(0)  # first_mb_in_slice
+    bw.ue(7)  # slice_type 7: I
+    bw.ue(0)  # pic_parameter_set_id
+    bw.u(0, 4)  # frame_num
     bw.ue(idr_pic_id)
-    bw.u(0, 1)
-    bw.u(0, 1)
-    bw.se(qp - 26)
-    bw.ue(1)  # disable_deblocking_filter_idc
+    bw.u(0, 1)  # no_output_of_prior_pics_flag
+    bw.u(0, 1)  # long_term_reference_flag
+    bw.se(qp - 26)  # slice_qp_delta (pic_init_qp 26)
+    bw.ue(1)  # disable_deblocking_filter_idc: filter off
 
     pcm_bits = 9 + 7 + 384 * 8
     for mby in range(h_mbs):
@@ -1298,19 +1264,17 @@ def encode_idr_frame_intra(
                 rec16, frame, recon_y, src_c, recon_c,
                 mby, mbx, qp, nz_y, nz_c,
             )
-            rec4 = _Recorder()
-            out4 = _encode_mb_i4(
-                rec4, frame, recon_y, src_c, recon_c,
-                mby, mbx, qp, nz_y, nz_c, i4_modes, decoded4,
-            )
-            if rec4.nbits < rec16.nbits:
-                rec, (rec_y, rec_c, nz_up), modes = (
-                    rec4, out4[:3], out4[3]
+            rec, (rec_y, rec_c, nz_up), modes = rec16, out16, None
+            if allow_i4:
+                rec4 = _Recorder()
+                out4 = _encode_mb_i4(
+                    rec4, frame, recon_y, src_c, recon_c,
+                    mby, mbx, qp, nz_y, nz_c, i4_modes, decoded4,
                 )
-            else:
-                rec, (rec_y, rec_c, nz_up), modes = (
-                    rec16, out16, None
-                )
+                if rec4.nbits < rec16.nbits:
+                    rec, (rec_y, rec_c, nz_up), modes = (
+                        rec4, out4[:3], out4[3]
+                    )
             y4, x4 = 4 * mby, 4 * mbx
             if pcm_fallback and rec.nbits > pcm_bits:
                 bw.ue(I_PCM_MB_TYPE)

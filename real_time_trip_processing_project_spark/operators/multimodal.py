@@ -1676,9 +1676,12 @@ def mp4_i16_frame_stats(
     then DECODED back through the full parse path; emits per-frame
     distortion stats vs the source pixels plus the compressed size.
 
-    Lossy by quantizer (unlike the I_PCM twin), so the registered query
-    is rows-only with bench floors on mean/max pixel error — the MJPEG
-    discipline.  The whole pipeline is INTEGER-deterministic (no float
+    ``codec`` selects the slice encoder: ``"i16"`` (pure Intra_16x16,
+    the default the i16 query's floors are pinned to) or ``"intra"``
+    (per-MB Intra_4x4/I16/PCM mode decision — the full-baseline-intra
+    query's path).  Lossy by quantizer (unlike the I_PCM twin), so the
+    registered queries are rows-only with bench floors on mean/max
+    pixel error and the PCM-bound sample size — the MJPEG discipline.  The whole pipeline is INTEGER-deterministic (no float
     DCT), so the stats themselves are stable across runs/machines and
     golden-pinned in tests.  Arrow-batched ``mapInPandas``; row-local,
     nothing shuffles at any scale."""
