@@ -62,6 +62,11 @@ class BitWriter:
         self._acc = 0
         self._nbits = 0
 
+    @property
+    def bit_position(self) -> int:
+        """Total bits written so far (the next bit's stream offset)."""
+        return len(self._bytes) * 8 + self._nbits
+
     def u(self, value: int, nbits: int) -> None:
         if value < 0 or (nbits < 64 and value >> nbits):
             raise ValueError(f"u({value},{nbits}) out of range")

@@ -390,6 +390,11 @@ def read_residual_block(
     if pos >= max_coeffs:
         raise ValueError("total_zeros overruns the block")
     for k in range(tc):
+        if pos < 0:
+            # corrupt run_before data (zerosLeft>6 ladder) can drive the
+            # scan index negative; without this guard Python's negative
+            # indexing would silently wrap writes to the block tail
+            raise ValueError("run_before overruns the block")
         coeffs[pos] = levels[k]
         if k == tc - 1:
             break

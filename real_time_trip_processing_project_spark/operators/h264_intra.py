@@ -1079,7 +1079,63 @@ def _encode_mb_i4(
     dec_region = decoded4[
         4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
     ].copy()
-    dec_local = decoded4  # in-place, restored below
+    dec_local = decoded4  # in-place, restored in the finally below
+    try:
+        rec_y, cbp, c_dc_levels, c_ac_levels, c_preds, cbp_chroma = (
+            _i4_trial(
+                work, dec_local, src_y, src_c, recon_c, mby, mbx, qp,
+                y0, x0, w4, modes_out, flags, rems, levels, tcs, i4_modes,
+            )
+        )
+    finally:
+        # ALWAYS undo the trial's in-place writes — an exception mid-trial
+        # must not leave the caller's frame state corrupted
+        recon_y[y0 : y0 + MB, x0 : x0 + MB] = saved
+        decoded4[
+            4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+        ] = dec_region
+    qpc = chroma_qp(qp)
+
+    # --- syntax
+    rec.ue(0)  # mb_type: I_NxN (Intra_4x4 — no transform_8x8 in baseline)
+    for blk in range(16):
+        if flags[blk]:
+            rec.u(1, 1)
+        else:
+            rec.u(0, 1)
+            rec.u(int(rems[blk]), 3)
+    rec.ue(0)  # intra_chroma_pred_mode: DC
+    rec.ue(_CBP_INTRA_INV[cbp])  # coded_block_pattern me(v)
+    if cbp:
+        rec.se(0)  # mb_qp_delta
+    nz_updates: dict[tuple, int] = {}
+    cbp_luma = cbp & 0xF
+    for blk in range(16):
+        x, y = _BLK_XY[blk]
+        by4, bx4 = 4 * mby + y, 4 * mbx + x
+        g = blk // 4
+        if cbp_luma & (1 << g):
+            scan = _zigzag_read(levels[blk].reshape(4, 4))
+            nc = _nc_pending(nz_y, nz_updates, 0, by4, bx4)
+            tc = CV.write_residual_block(rec, scan, nc, 16)
+            nz_updates[(0, by4, bx4)] = tc
+        else:
+            nz_updates[(0, by4, bx4)] = 0
+    _chroma_write(rec, c_dc_levels, c_ac_levels, cbp_chroma,
+                  nz_c, nz_updates, mby, mbx)
+    rec_c = _chroma_recon(c_dc_levels, c_ac_levels, c_preds, cbp_chroma, qpc)
+    return rec_y, rec_c, nz_updates, modes_out
+
+
+def _i4_trial(
+    work, dec_local, src_y, src_c, recon_c, mby, mbx, qp,
+    y0, x0, w4, modes_out, flags, rems, levels, tcs, i4_modes,
+):
+    """The mutating half of :func:`_encode_mb_i4`: run the 16-block
+    Intra_4x4 prediction/quant trial against the working reconstruction
+    (in-place writes, region-local by construction) and the chroma
+    analysis.  Factored out so the caller can wrap it in try/finally and
+    guarantee the in-place trial writes are always restored."""
     for blk in range(16):
         x, y = _BLK_XY[blk]
         by4, bx4 = 4 * mby + y, 4 * mbx + x
@@ -1133,40 +1189,7 @@ def _encode_mb_i4(
     )
     cbp = cbp_luma | (cbp_chroma << 4)
     rec_y = work[y0 : y0 + MB, x0 : x0 + MB].copy()
-    # restore the trial's in-place writes (region-local by construction)
-    recon_y[y0 : y0 + MB, x0 : x0 + MB] = saved
-    decoded4[
-        4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
-    ] = dec_region
-
-    # --- syntax
-    rec.ue(0)  # mb_type: I_NxN (Intra_4x4 — no transform_8x8 in baseline)
-    for blk in range(16):
-        if flags[blk]:
-            rec.u(1, 1)
-        else:
-            rec.u(0, 1)
-            rec.u(int(rems[blk]), 3)
-    rec.ue(0)  # intra_chroma_pred_mode: DC
-    rec.ue(_CBP_INTRA_INV[cbp])  # coded_block_pattern me(v)
-    if cbp:
-        rec.se(0)  # mb_qp_delta
-    nz_updates: dict[tuple, int] = {}
-    for blk in range(16):
-        x, y = _BLK_XY[blk]
-        by4, bx4 = 4 * mby + y, 4 * mbx + x
-        g = blk // 4
-        if cbp_luma & (1 << g):
-            scan = _zigzag_read(levels[blk].reshape(4, 4))
-            nc = _nc_pending(nz_y, nz_updates, 0, by4, bx4)
-            tc = CV.write_residual_block(rec, scan, nc, 16)
-            nz_updates[(0, by4, bx4)] = tc
-        else:
-            nz_updates[(0, by4, bx4)] = 0
-    _chroma_write(rec, c_dc_levels, c_ac_levels, cbp_chroma,
-                  nz_c, nz_updates, mby, mbx)
-    rec_c = _chroma_recon(c_dc_levels, c_ac_levels, c_preds, cbp_chroma, qpc)
-    return rec_y, rec_c, nz_updates, modes_out
+    return rec_y, cbp, c_dc_levels, c_ac_levels, c_preds, cbp_chroma
 
 
 def _i4_pred_mode_overlay(
@@ -1256,9 +1279,15 @@ def _encode_idr_frame(
     bw.se(qp - 26)  # slice_qp_delta (pic_init_qp 26)
     bw.ue(1)  # disable_deblocking_filter_idc: filter off
 
-    pcm_bits = 9 + 7 + 384 * 8
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
+            # true I_PCM cost FROM THE CURRENT BIT POSITION: ue(25)
+            # mb_type (9 bits), pcm_alignment_zero_bit padding to the
+            # next byte boundary, 384 raw sample bytes — the exact rate
+            # the fallback branch below would write (was a fixed
+            # worst-case 7-bit pad, which could keep an entropy-coded MB
+            # up to 7 bits past the actual PCM cost)
+            pcm_bits = 9 + (-(bw.bit_position + 9)) % 8 + 384 * 8
             rec16 = _Recorder()
             out16 = _encode_mb_i16(
                 rec16, frame, recon_y, src_c, recon_c,
