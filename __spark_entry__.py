@@ -27,22 +27,19 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: verified near the front of the window.  Maintained per round, names only
 #: advisory (unknown names warn, never break the package).
 _RECHECK_FIRST = [
-    # r10 lead: the six queries registered in r9 that the driver has
-    # never checked (VERDICT r9 item 2)...
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q20_potential_promotion",
-    "embedding_hard_negatives",
-    "curation_importance_resample",
-    # ...then queries whose implementation/oracle changed in r10:
-    # the derived-partsupp PK fix (plans/tpch.py) also feeds q2, and
-    # the ANN-stride oracle parameterization touched sim_cosine_topk;
-    # h264.py's tkhd layout fix sits under both MP4 queries.
-    "tpch_q2_min_cost_supplier",
-    "sim_cosine_topk",
-    "multimodal_mp4_index",
-    "multimodal_mp4_frames",
+    # r11: the ten r10 pins all greened in CORRECTNESS_r10 and are
+    # cleared (r10-verdict item 1).  Pin policy going forward (r10
+    # verdict item 4): pins rank BELOW the overdue tier (see
+    # _order_names) and should be drawn from queries whose implementing
+    # module changed since their last check — preferably ones already
+    # in the stale cohort so pins don't compete with rotation.
+    # r11 changed modules:
+    # - plans/training.py DSIR calibration (de-vacuated resample filter)
+    "curation_dsir_pipeline",
+    # - h264_intra.py/h264_cavlc.py hardening + the true-position PCM
+    #   rate bound (ADVICE r10) sit under both lossy MP4 stats queries
+    "multimodal_mp4_i16_stats",
+    "multimodal_mp4_intra_stats",
 ]
 
 #: A query whose last green check is older than this many rounds is
@@ -88,22 +85,30 @@ def _order_names(
     recheck: dict[str, int],
 ) -> list[str]:
     """Pure ordering core (unit-tested for the max-staleness bound):
-    failures first, then changed-module rechecks, then queries overdue by
-    more than _MAX_STALENESS rounds (stalest first), then never-checked,
-    then stalest-check-first — so a fixed-size verification window of W
-    slots re-checks every one of N queries at least once every ⌈N/W⌉
-    rounds, a red row always leads the very next window, and a burst of
-    newly-registered queries can never starve an already-stale tail."""
+    failures first, then queries overdue by more than _MAX_STALENESS
+    rounds (stalest first), then changed-module rechecks, then
+    never-checked, then stalest-check-first — so a fixed-size
+    verification window of W slots re-checks every one of N queries at
+    least once every ⌈N/W⌉ rounds, a red row always leads the very next
+    window, and neither a burst of newly-registered queries nor a long
+    pin list can starve an already-stale tail (r10 verdict item 1: pins
+    used to outrank the overdue tier, and 10 pins + a 45-query stale
+    cohort overflowed the 50-slot window — the overdue tier now ranks
+    ABOVE rechecks, so staleness is bounded no matter how many pins a
+    round carries).  Ladder projection (r10 verdict item 4): r11 drains
+    the 45-query r7 cohort; at r12 the 49-query r8 cohort crosses the
+    overdue line and fills the window first — with cohort sizes ≤ W the
+    ladder sustains ⌈N/W⌉-round freshness indefinitely."""
     now = max(last.values(), default=-1) + 1  # the round being ordered for
 
     def key(item: tuple[int, str]) -> tuple:
         idx, n = item
         if n in failed:
             return (0, idx)
-        if n in recheck:
-            return (1, recheck[n])
         if n in last and now - last[n] > _MAX_STALENESS:
-            return (2, last[n], idx)
+            return (1, last[n], idx)
+        if n in recheck:
+            return (2, recheck[n])
         if n not in last:
             return (3, idx)
         return (4, last[n], idx)

@@ -57,12 +57,31 @@ def test_failures_always_first():
 
 
 def test_recheck_pins_follow_failures():
-    """Changed-module pins come right after failures, in pin order."""
+    """Changed-module pins come right after failures (and the overdue
+    tier, empty here), in pin order."""
     names = [f"q{i:03d}" for i in range(20)]
     ordered = entry_mod._order_names(
         names, {n: 1 for n in names}, {"q007"}, {"q010": 0, "q003": 1}
     )
     assert ordered[:3] == ["q007", "q010", "q003"]
+
+
+def test_overdue_outranks_recheck_pins():
+    """r10 verdict item 1: a stale cohort must land in the window even
+    when a long pin list is present — the overdue tier ranks ABOVE
+    changed-module rechecks, so pins can never push an overdue query
+    past the window edge."""
+    overdue = [f"old{i:03d}" for i in range(45)]
+    fresh = [f"fresh{i:03d}" for i in range(60)]
+    last = {n: 2 for n in overdue}
+    last.update({n: 9 for n in fresh})
+    pins = {f"fresh{i:03d}": i for i in range(10)}
+    ordered = entry_mod._order_names(overdue + fresh, last, set(), pins)
+    # the full overdue cohort precedes every pin
+    assert set(ordered[: len(overdue)]) == set(overdue)
+    assert ordered[len(overdue) : len(overdue) + 10] == sorted(
+        pins, key=pins.get
+    )
 
 
 def test_overdue_outranks_never_checked():
@@ -103,10 +122,11 @@ def test_overdue_tier_preserves_staleness_bound():
 
 
 def test_r9_window_drains_r5_cohort():
-    """Against the repo's real CORRECTNESS history (r8 verdict item #6):
-    the 43 queries last checked in r5 cross the overdue line together at
-    r9, and every one of them must land in the 50-slot window alongside
-    the changed-module pins — nothing from the r5 cohort may spill."""
+    """Against the repo's real CORRECTNESS history (r8 verdict item #6,
+    re-armed per round): the stalest cohort crosses the overdue line
+    together, and every one of them must land in the 50-slot window —
+    pins rank BELOW the overdue tier (r10 verdict item 1), so the only
+    way the cohort can spill is by itself outgrowing the window."""
     last, failed = entry_mod._last_check("/root/repo")
     if not last or max(last.values()) < 8:
         return  # history not present (fresh checkout)
@@ -116,8 +136,15 @@ def test_r9_window_drains_r5_cohort():
     oldest = min(last.values())
     cohort = {n for n in names if last.get(n) == oldest}
     spilled = cohort - set(window)
-    assert len(cohort) <= WINDOW - len(recheck)
+    assert len(cohort) <= WINDOW, (
+        f"stalest cohort ({len(cohort)}) outgrew the window itself"
+    )
     assert not spilled, f"stalest cohort spilled out of the window: {spilled}"
+    # pins that aren't already stale must still fit AFTER the cohort
+    assert len(cohort) + len(set(recheck) - cohort) <= WINDOW, (
+        "pin list pushes past the window edge — draw pins from the "
+        "stale cohort instead (see _RECHECK_FIRST policy note)"
+    )
 
 
 def test_registry_names_resolve():
