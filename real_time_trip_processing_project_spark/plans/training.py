@@ -3554,13 +3554,18 @@ def curation_importance_resample(
             WHERE NOT f.is_target
             GROUP BY f.doc_id
         ),
+        cal AS (
+            SELECT CAST(floor(CAST(sum(score_tick) AS DOUBLE)
+                              / count(*)) AS BIGINT) AS cal_tick
+            FROM scored
+        ),
         resampled AS (
             SELECT doc_id, score_tick
-            FROM scored
+            FROM scored, cal
             WHERE CAST(floor(ln(
                       ({CU.hex_prefix16_sql("md5(CAST(doc_id AS VARCHAR))")}
                        + 1) / 65536.0) * 1e6 + 0.5) AS BIGINT)
-                  < score_tick
+                  < score_tick - cal_tick
         )
         SELECT CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
                          < 'cccc'
@@ -3584,12 +3589,24 @@ def curation_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``min(1, w_doc)``.  This stage does exactly that, seedlessly: draw
     the doc's u16 md5 prefix ``h`` (the catalogue's deterministic
     uniform — :func:`operators.curation._hex_prefix16`), accept iff
-    ``ln((h+1)/65536) < score`` — in log space ``P[accept] =
+    ``ln((h+1)/65536) < score - cal`` — in log space ``P[accept] =
     P[ln u < s] = min(1, e^s)``, the exact acceptance-sampling
     equivalent of DSIR's importance resampling with no RNG crossing
     engines (both sides quantize the SAME 65536 possible log values to
     integer micro-ticks, then compare integers; parity over all 65536
-    prefixes is pinned in tests/test_training_tier.py).  Accepted docs
+    prefixes is pinned in tests/test_training_tier.py).
+
+    ``cal`` is the SELF-NORMALIZATION offset (r10 verdict item 2):
+    raw LLR sums sit far below ``ln(1/65536)`` at fixture scale, so the
+    uncalibrated filter accepted nothing and the driver's green row was
+    a vacuous 0-vs-0 — standard DSIR practice normalizes the importance
+    weights, here by centering scores on the pool mean
+    (``cal = floor(sum(score_tick)/n_pool)``, an exact integer both
+    engines derive identically: the BIGINT sum is < 2^53 so the
+    double division and floor are bit-identical IEEE ops).  A doc at
+    the pool mean accepts with probability ≈1, docs below decay as
+    ``e^s`` — a meaningful fraction of the pool survives to exercise
+    the join/split/accounting stages downstream.  Accepted docs
     then flow through the existing deterministic split machinery
     (CU.split_expr — the mixture_weighted_sample md5-prefix family)
     into per-(split, lang) corpus accounting.
@@ -3606,6 +3623,11 @@ def curation_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread_small_input(load_fixture(spark, sf_dir, "documents"))
     scored = _dsir_pool_scores(docs).select("doc_id", "score_tick")
+    cal = scored.agg(
+        F.floor(F.sum("score_tick").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("cal_tick")
+    )
     h = CU._hex_prefix16(F.md5(F.col("doc_id").cast("string")))
     log_tick = (
         F.floor(
@@ -3615,7 +3637,9 @@ def curation_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
     )
-    resampled = scored.filter(log_tick < F.col("score_tick"))
+    resampled = scored.crossJoin(F.broadcast(cal)).filter(
+        log_tick < F.col("score_tick") - F.col("cal_tick")
+    )
     return (
         resampled.join(docs.select("doc_id", "lang", "text"), "doc_id")
         .withColumn("split", CU.split_expr())
