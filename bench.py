@@ -149,6 +149,10 @@ SECONDARY = [
     "variant_json_ops",
     "bitmap_distinct_count",
     "multimodal_mp4_frames",
+    # round-11 additions: the deterministic halves of the lossy-codec
+    # tier under FULL oracles
+    "multimodal_mp4_i16_index",
+    "multimodal_mp4_intra_index",
     # embedding_kmeans / embedding_kmeans_assign are oracle-gated per
     # round but, like tokenizer_apply_bpe_counts, kept out of the
     # timing list: the 3-iteration driver loop is ~90% fixed per-job

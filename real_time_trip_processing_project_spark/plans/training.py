@@ -3240,6 +3240,85 @@ def multimodal_mp4_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.mp4_container_index(MM.media_mp4_from_documents(docs))
 
 
+def _mp4_lossy_index_oracle(where: str = "") -> str:
+    """Text-derived oracle for the LOSSY-codec container indexes (r10
+    verdict item 6): the container walk, sample counts, dims, IDR NAL
+    typing, stsc×stco×stsz consistency and the per-sample I_PCM rate
+    bound are all integer-deterministic — only pixel VALUES carry
+    quantizer loss, and this query never decodes pixels."""
+    fc = f"""greatest((octet_length(encode(text))
+                       + {_MP4_FRAME_BYTES - 1})
+                      // {_MP4_FRAME_BYTES}, 1)"""
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST({fc} AS BIGINT) AS frame_count,
+               CAST({MM.MP4_W} AS BIGINT) AS width,
+               CAST({MM.MP4_H} AS BIGINT) AS height,
+               CAST({fc} AS BIGINT) AS idr_ok_frames,
+               TRUE AS index_consistent,
+               CAST({fc} * {_MP4_FRAME_BYTES} AS BIGINT) AS px_count,
+               TRUE AS within_rate_bound
+        FROM documents
+        WHERE regexp_matches(text, '^[\\x00-\\x7F]*$') {where}
+    """
+
+
+#: Per-sample coded-size ceiling for a 16x16 frame (one MB): 4-byte
+#: length prefix + NAL header + slice header + the I_PCM fallback's
+#: ue(25) + alignment + 384 raw bytes ≈ 398 B — the per-MB min-bits
+#: mode decision guarantees no entropy-coded MB exceeds its PCM cost,
+#: so 400 is a STATIC bound, not a statistical one (bench pins the
+#: same ceiling on the stats queries' sample_bytes).
+_MP4_SAMPLE_RATE_BOUND = 400
+
+
+@register(
+    "multimodal_mp4_i16_index",
+    oracle=_mp4_lossy_index_oracle(),
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_i16_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC half of the Intra_16x16 tier under a FULL hash
+    oracle (r10 verdict item 6): encode every ASCII doc as a real
+    Intra_16x16+CAVLC MP4 at qp=12 and walk the box tree back —
+    sample count, dims ≡ parsed SPS, every sample an IDR slice, exact
+    stsc×stco×stsz mdat coverage, and every coded sample within the
+    I_PCM rate bound the per-MB fallback guarantees.  Only pixel
+    VALUES are lossy in this tier; everything this query emits is
+    integer-exact from the text length, so the no-oracle set shrinks
+    to the truly-lossy minimum (the px-err stats queries keep their
+    bench floors)."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    media = MM.media_mp4_from_documents(docs, codec="i16", qp=12)
+    return MM.mp4_container_index(
+        media, rate_bound_bytes=_MP4_SAMPLE_RATE_BOUND
+    )
+
+
+@register(
+    "multimodal_mp4_intra_index",
+    oracle=_mp4_lossy_index_oracle(where="AND doc_id % 4 = 0"),
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_intra_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_mp4_i16_index``'s full-baseline-intra twin: the
+    per-MB Intra_4x4/Intra_16x16/I_PCM mode-decision encoder
+    (operators/h264_intra.py:encode_idr_frame_intra) under the same
+    FULL container-invariant oracle, on the deterministic doc_id%4
+    quarter-slice the intra stats query uses (the double-trial encoder
+    costs ~2.2× the pure-I16 path; mode-decision coverage doesn't need
+    the whole corpus)."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY) & (F.col("doc_id") % 4 == 0)
+    )
+    media = MM.media_mp4_from_documents(docs, codec="intra", qp=12)
+    return MM.mp4_container_index(
+        media, rate_bound_bytes=_MP4_SAMPLE_RATE_BOUND
+    )
+
+
 def _mp4_frames_oracle(where: str = "") -> str:
     return f"""
         WITH s AS (
