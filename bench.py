@@ -207,6 +207,57 @@ def _probe(spark, reps: int = 3) -> float:
     return round(best, 3)
 
 
+def _probe_py_kernel(batches):
+    """Fixed numpy workload per Arrow batch — module-level so the
+    pickled closure is identical every run."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        x = pdf["id"].to_numpy()
+        for _ in range(16):
+            x = (x * 1103515245 + 12345) % 2147483648
+        yield pd.DataFrame({"s": [int(x.sum())]})
+
+
+def _probe_py(spark, reps: int = 2) -> float:
+    """Python-WORKER calibration probe (r10 verdict item 3b): a pinned
+    ``mapInPandas`` kernel over a fixed ``spark.range``.  The JVM probe
+    above is blind to Python-worker-pool contention — r10's driver run
+    had fast JVM probes while all 22 of its flags landed on
+    pandas_udf/mapInPandas-heavy queries.  This probe's runtime tracks
+    exactly that pool (Arrow transfer + numpy throughput across the
+    worker fleet), so codec/curation/text kernels normalize against the
+    resource they actually consume."""
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.range(0, 8_000_000, 1, CPUS).mapInPandas(
+            _probe_py_kernel, "s long"
+        ).selectExpr("sum(s) AS s").collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+#: Physical-plan node names that put a query's hot path in the Python
+#: worker pool (Arrow/pandas evaluation) rather than JVM codegen.
+_PY_PLAN_NODE = re.compile(r"InPandas|EvalPython|InArrow")
+
+
+def _probe_flavor(df) -> str:
+    """Classify a query's normalization basis by inspecting its PHYSICAL
+    plan: any pandas/Arrow evaluation node → the Python-worker probe;
+    pure-JVM plans → the spark.range probe.  Automatic (no hand-kept
+    query list) and exact — plan inspection costs planning only, no
+    execution."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return "jvm"
+    return "py" if _PY_PLAN_NODE.search(plan) else "jvm"
+
+
 def main() -> None:
     from real_time_trip_processing_project_spark.plans import REGISTRY
     from real_time_trip_processing_project_spark.session import get_spark
@@ -229,10 +280,13 @@ def main() -> None:
     # see mid-run load, and 25 queries got flagged on drift).
     seq = {"n": 0}
     probe_samples: list[tuple[int, float]] = []
+    probe_py_samples: list[tuple[int, float]] = []
     positions: dict[str, int] = {}
+    flavors: dict[str, str] = {}
 
     def _sample_probe(reps: int = 2) -> None:
         probe_samples.append((seq["n"], _probe(spark, reps=reps)))
+        probe_py_samples.append((seq["n"], _probe_py(spark, reps=reps)))
 
     def _time(names: list[str], reps: int = REPS) -> dict[str, float]:
         timings: dict[str, float] = {}
@@ -241,9 +295,12 @@ def main() -> None:
             if qdef is None:
                 continue
             best = None
-            for _ in range(reps):
+            for rep in range(reps):
+                df = qdef.fn(spark, SF_DIR)
+                if rep == 0 and name not in flavors:
+                    flavors[name] = _probe_flavor(df)
                 t0 = time.perf_counter()
-                _run(qdef.fn(spark, SF_DIR))
+                _run(df)
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
@@ -262,8 +319,18 @@ def main() -> None:
     probe_end = probe_samples[-1][1]
 
     def _nearest_probe(name: str) -> float:
+        # each query normalizes against the NEAREST sample of the tape
+        # matching its plan flavor: Python-worker-heavy queries against
+        # the mapInPandas probe, pure-JVM queries against spark.range
+        # (r10 verdict item 3b — the JVM tape is blind to Python-pool
+        # contention and mis-flagged 22 pandas-heavy queries)
+        tape = (
+            probe_py_samples
+            if flavors.get(name) == "py"
+            else probe_samples
+        )
         pos = positions.get(name, 0)
-        return min(probe_samples, key=lambda s: abs(s[0] - (pos + 0.5)))[1]
+        return min(tape, key=lambda s: abs(s[0] - (pos + 0.5)))[1]
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -280,6 +347,7 @@ def main() -> None:
         "probe_start_sec": probe_start,
         "probe_end_sec": probe_end,
         "probe_samples": [[p, s] for p, s in probe_samples],
+        "probe_py_samples": [[p, s] for p, s in probe_py_samples],
     }
     # probe-normalized timings (seconds per second of probe): each query
     # divides by the interleaved probe sample NEAREST its run position,
@@ -290,8 +358,12 @@ def main() -> None:
     probe_mean = (
         sum(s for _, s in probe_samples) / len(probe_samples)
     ) or 1.0
+    probe_py_mean = (
+        sum(s for _, s in probe_py_samples) / len(probe_py_samples)
+    ) or 1.0
     out["normalized"] = {
         "probe_mean_sec": round(probe_mean, 3),
+        "probe_py_mean_sec": round(probe_py_mean, 3),
         "value": round(out["value"] / probe_mean, 3),
         "queries": {
             k: round(v / _nearest_probe(k), 3) for k, v in timings.items()
@@ -299,6 +371,10 @@ def main() -> None:
         "secondary": {
             k: round(v / _nearest_probe(k), 3) for k, v in secondary.items()
         },
+        # normalization basis per query ("jvm" | "py") — _regressions
+        # only compares a query against a previous record taken on the
+        # SAME basis (a basis switch gets one comparison-free round)
+        "flavors": flavors,
     }
     out["quality"] = _quality(spark)
     streaming = _stream_throughput(spark)
@@ -331,6 +407,52 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     out["regressions"] = _regressions(detail_path, out["normalized"], sf)
+
+    # Reproduce-or-drop (r10 verdict item 3a): three same-code bench
+    # runs produced 9/22/10 flags with near-disjoint sets — a flag that
+    # does not reproduce within the SAME session is load churn, not a
+    # regression.  Each flagged query is re-timed min-of-3 against a
+    # FRESH probe sample of its own flavor; only flags still >1.3x
+    # their previous normalized reading survive.  Streaming flags re-run
+    # the replay once under the same rule.
+    if out["regressions"]:
+        survivors = []
+        dropped = []
+        fresh_probe: dict[str, float] = {}
+
+        def _fresh(flavor: str) -> float:
+            if flavor not in fresh_probe:
+                fn = _probe_py if flavor == "py" else _probe
+                fresh_probe[flavor] = fn(spark, reps=2)
+            return fresh_probe[flavor]
+
+        restream = None
+        for reg in out["regressions"]:
+            name = reg["query"]
+            if name.startswith("streaming_"):
+                if restream is None:
+                    restream = _stream_throughput(spark) or {}
+                rate = restream.get(name.removeprefix("streaming_"))
+                retest = (rate or 0.0) * _fresh("jvm")
+                ratio2 = reg["prev_norm"] / retest if retest else 0.0
+            else:
+                qdef = REGISTRY.get(name)
+                if qdef is None:
+                    continue
+                best = None
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _run(qdef.fn(spark, SF_DIR))
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                flavor = flavors.get(name, "jvm")
+                retest = round(best / _fresh(flavor), 3)
+                ratio2 = retest / reg["prev_norm"]
+            reg["retest_norm"] = round(retest, 3)
+            reg["retest_ratio"] = round(ratio2, 2)
+            (survivors if ratio2 > 1.3 else dropped).append(reg)
+        out["regressions"] = survivors
+        out["regressions_unreproduced"] = dropped
 
     # Output contract (r6 lesson): the driver captures only the LAST
     # 2,000 chars of stdout, and r6's single ever-growing JSON line
@@ -391,11 +513,24 @@ def _regressions(prev_path: str, normalized: dict, sf=None) -> list[dict]:
         return []
     prev_q = {**prev.get("queries", {}), **prev.get("secondary", {})}
     now_q = {**normalized.get("queries", {}), **normalized.get("secondary", {})}
-    probe_mean = normalized.get("probe_mean_sec", 1.0) or 1.0
-    prev_probe = prev.get("probe_mean_sec", 1.0) or 1.0
+    now_flavors = normalized.get("flavors", {})
+    prev_flavors = prev.get("flavors", {})
+
+    def _mean(rec: dict, flavor: str) -> float:
+        if flavor == "py":
+            return rec.get("probe_py_mean_sec", 1.0) or 1.0
+        return rec.get("probe_mean_sec", 1.0) or 1.0
+
     regs = []
     for name, now_norm in now_q.items():
         prev_norm = prev_q.get(name)
+        flavor = now_flavors.get(name, "jvm")
+        # a query is only comparable against a record normalized on the
+        # SAME probe basis — a flavor switch (e.g. the py tape's first
+        # round, where the previous record was jvm-normalized) gets one
+        # comparison-free round and a clean baseline next round
+        if prev_flavors.get(name, "jvm") != flavor:
+            continue
         # skip new queries and readings where EITHER side's raw time is
         # sub-0.15 s — timer noise dominates there, and a tiny previous
         # reading inflates the ratio just as spuriously as a tiny
@@ -403,8 +538,8 @@ def _regressions(prev_path: str, normalized: dict, sf=None) -> list[dict]:
         if (
             prev_norm is None
             or prev_norm <= 0
-            or now_norm * probe_mean < 0.15
-            or prev_norm * prev_probe < 0.15
+            or now_norm * _mean(normalized, flavor) < 0.15
+            or prev_norm * _mean(prev, flavor) < 0.15
         ):
             continue
         ratio = now_norm / prev_norm
@@ -499,7 +634,11 @@ def _quality(spark) -> dict:
         ) / max(len(exact_neg), 1),
         4,
     )
-    assert match >= 0.85, f"hard_negatives_ann match@1 {match} < floor 0.85"
+    # floor raised 0.85 -> 0.95 (r10 verdict item 7) after two rounds of
+    # stability: match@1 measured 1.0 at sf0.01 AND sf0.1 in r10 (builder
+    # gate run + driver BENCH_r10 + judge re-run) and again in r11 — a
+    # routing regression can no longer hide under the old floor
+    assert match >= 0.95, f"hard_negatives_ann match@1 {match} < floor 0.95"
     q["embedding_hard_negatives_ann_match_at_1"] = match
 
     # MinHash-LSH recall vs the exact PPJoin pair set (planted ~0.99-
