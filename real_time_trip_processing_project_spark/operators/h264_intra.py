@@ -464,8 +464,7 @@ def _chroma_write(rec, c_dc_levels, c_ac_levels, cbp_chroma,
 
 
 
-def _encode_mb_i16(
-    rec,
+def _analyze_mb_i16(
     src_y: np.ndarray,
     recon_y: np.ndarray,
     src_c: list[np.ndarray],
@@ -473,12 +472,14 @@ def _encode_mb_i16(
     mby: int,
     mbx: int,
     qp: int,
-    nz_y: _NzCtx,
-    nz_c: list[_NzCtx],
-) -> tuple[np.ndarray, list[np.ndarray], list[tuple]]:
-    """Encode one Intra_16x16 macroblock into ``rec``; returns the
-    reconstructed luma/chroma blocks plus the deferred nC-map updates —
-    the caller commits them only if the predicted form beats I_PCM."""
+) -> tuple:
+    """The entropy-coder-independent half of Intra_16x16 macroblock
+    encoding: mode selection, forward transform + quantization, and
+    the decoder-exact reconstruction.  Returns ``(mode, cbp_luma,
+    dc_levels, ac_levels, c_dc_levels, c_ac_levels, c_preds,
+    cbp_chroma, rec_y, rec_c)`` — the CAVLC writer below and the CABAC
+    writer (operators/h264_cabac.py) both serialize exactly this model
+    state, so their decoded pixels are bit-identical by construction."""
     y0, x0 = mby * MB, mbx * MB
     block = src_y[y0 : y0 + MB, x0 : x0 + MB].astype(np.int64)
     cands = [2]
@@ -529,6 +530,32 @@ def _encode_mb_i16(
                 pred[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] + r, 0, 255
             )
     rec_c = _chroma_recon(c_dc_levels, c_ac_levels, c_preds, cbp_chroma, qpc)
+    return (
+        mode, cbp_luma, dc_levels, ac_levels,
+        c_dc_levels, c_ac_levels, c_preds, cbp_chroma, rec_y, rec_c,
+    )
+
+
+def _encode_mb_i16(
+    rec,
+    src_y: np.ndarray,
+    recon_y: np.ndarray,
+    src_c: list[np.ndarray],
+    recon_c: list[np.ndarray],
+    mby: int,
+    mbx: int,
+    qp: int,
+    nz_y: _NzCtx,
+    nz_c: list[_NzCtx],
+) -> tuple[np.ndarray, list[np.ndarray], list[tuple]]:
+    """Encode one Intra_16x16 macroblock into ``rec`` (CAVLC syntax);
+    returns the reconstructed luma/chroma blocks plus the deferred
+    nC-map updates — the caller commits them only if the predicted
+    form beats I_PCM."""
+    (
+        mode, cbp_luma, dc_levels, ac_levels,
+        c_dc_levels, c_ac_levels, c_preds, cbp_chroma, rec_y, rec_c,
+    ) = _analyze_mb_i16(src_y, recon_y, src_c, recon_c, mby, mbx, qp)
 
     # --- syntax
     mb_type = 1 + mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
