@@ -260,17 +260,20 @@ def parse_sps(nal: bytes) -> dict:
     }
 
 
-def encode_pps(deblocking_control: bool = False) -> bytes:
-    """Minimal CAVLC PPS.  ``deblocking_control=True`` sets
+def encode_pps(deblocking_control: bool = False, cabac: bool = False) -> bytes:
+    """Minimal PPS.  ``deblocking_control=True`` sets
     deblocking_filter_control_present_flag so the slice header can
     write ``disable_deblocking_filter_idc = 1`` — the Intra_16x16 tier
     (h264_intra.py) uses it to make its unfiltered reconstruction the
     conformant decoder output; the I_PCM path keeps the flag off (PCM
-    samples are exempt from the in-loop filter by spec)."""
+    samples are exempt from the in-loop filter by spec).
+    ``cabac=True`` sets entropy_coding_mode_flag for the arithmetic
+    tier (h264_cabac.py) — the slice DECODER dispatches on the parsed
+    flag, so containers carry either entropy coder transparently."""
     w = BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
-    w.u(0, 1)  # entropy_coding_mode_flag: CAVLC
+    w.u(1 if cabac else 0, 1)  # entropy_coding_mode_flag
     w.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
     w.ue(0)  # num_slice_groups_minus1
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
@@ -296,8 +299,6 @@ def parse_pps(nal: bytes) -> dict:
         "sps_id": r.ue(),
         "entropy_coding_mode": r.u(1),
     }
-    if out["entropy_coding_mode"]:
-        raise ValueError("CABAC not supported")
     r.u(1)  # bottom_field_pic_order_in_frame_present_flag
     if r.ue() != 0:
         raise ValueError("slice groups not supported")
@@ -444,6 +445,15 @@ def encode_mp4_h264(
         )
         enc = lambda f, i: fn(f, qp=qp, idr_pic_id=i % 2)  # noqa: E731
         pps = encode_pps(deblocking_control=True)
+    elif codec == "i16_cabac":
+        from real_time_trip_processing_project_spark.operators import (
+            h264_cabac as HC,
+        )
+
+        enc = lambda f, i: HC.encode_idr_frame_i16_cabac(  # noqa: E731
+            f, qp=qp, idr_pic_id=i % 2
+        )
+        pps = encode_pps(deblocking_control=True, cabac=True)
     else:
         raise ValueError(f"unknown codec {codec!r}")
     sps = encode_sps(w, h)
@@ -713,6 +723,14 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
 
     info = parse_mp4(bytes(payload))
     sps, pps, ls = info["sps"], info["pps"], info["length_size"]
+    if pps.get("entropy_coding_mode"):
+        from real_time_trip_processing_project_spark.operators import (
+            h264_cabac as HC,
+        )
+
+        slice_decode = HC.decode_idr_frame_cabac
+    else:
+        slice_decode = HI.decode_idr_frame_auto
     out = []
     for i, (off, size) in enumerate(info["samples"]):
         if i % every_nth:
@@ -723,7 +741,5 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
             nal = payload[pos + ls : pos + ls + ln]
             pos += ls + ln
             if nal and nal[0] & 0x1F == 5:
-                out.append(
-                    (i, HI.decode_idr_frame_auto(bytes(nal), sps, pps))
-                )
+                out.append((i, slice_decode(bytes(nal), sps, pps)))
     return sps, out

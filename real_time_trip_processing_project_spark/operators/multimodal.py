@@ -431,9 +431,10 @@ def _real_decode(payload: bytes) -> dict:
     image-only width/height stay NULL for audio); BMP, uncompressed
     AVI, MJPEG AVI, bare baseline JPEG, PNG and MP4/H.264 full baseline
     intra (I_PCM, Intra_16x16, Intra_4x4 + CAVLC — operators/h264.py,
-    h264_intra.py) all decode for real.  The remaining explicit
-    ``NotImplementedError`` seam is CABAC / inter-predicted H.264
-    (needs PIL/av, absent from this container)."""
+    h264_intra.py — plus CABAC Intra_16x16, h264_cabac.py) all decode
+    for real.  The remaining explicit ``NotImplementedError`` seam is
+    inter-predicted H.264 (needs PIL/av, absent from this
+    container)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _rate, n_channels = decode_wav_pcm16(bytes(payload))
         n_frames = len(samples) if n_channels == 1 else samples.shape[0]
@@ -517,17 +518,18 @@ def _real_decode(payload: bytes) -> dict:
             "width": info["width"],
             "height": info["height"],
         }
-    # STUB: the remaining seam is CABAC / inter-frame H.264 — the full
-    # baseline INTRA tier (I_PCM, Intra_16x16, Intra_4x4 + CAVLC)
-    # decodes for real (operators/h264.py, h264_intra.py as of r10),
-    # as do audio (RIFF/PCM16, mu-law), image (BMP, PNG, baseline
-    # JPEG), uncompressed AVI and MJPEG AVI.
+    # STUB: the remaining seam is inter-frame (P/B) H.264 — the full
+    # baseline INTRA tier (I_PCM, Intra_16x16, Intra_4x4 + CAVLC as of
+    # r10; CABAC Intra_16x16 as of r11) decodes for real
+    # (operators/h264.py, h264_intra.py, h264_cabac.py), as do audio
+    # (RIFF/PCM16, mu-law), image (BMP, PNG, baseline JPEG),
+    # uncompressed AVI and MJPEG AVI.
     raise NotImplementedError(
         "real decode supports WAV (RIFF/PCM16 + mu-law), BMP (24-bit "
         "BI_RGB), PNG (8-bit gray/RGB), uncompressed AVI, MJPEG AVI, "
         "baseline grayscale JPEG, and MP4/H.264 full baseline intra "
-        "(I_PCM, Intra_16x16, Intra_4x4 + CAVLC); CABAC/inter H.264 "
-        "needs PIL/av — use codec='fake'"
+        "(I_PCM, Intra_16x16, Intra_4x4 + CAVLC; CABAC Intra_16x16); "
+        "inter-predicted H.264 needs PIL/av — use codec='fake'"
     )
 
 
@@ -1710,9 +1712,11 @@ def mp4_i16_frame_stats(
     distortion stats vs the source pixels plus the compressed size.
 
     ``codec`` selects the slice encoder: ``"i16"`` (pure Intra_16x16,
-    the default the i16 query's floors are pinned to) or ``"intra"``
+    the default the i16 query's floors are pinned to), ``"intra"``
     (per-MB Intra_4x4/I16/PCM mode decision — the full-baseline-intra
-    query's path).  Lossy by quantizer (unlike the I_PCM twin), so the
+    query's path) or ``"i16_cabac"`` (the same I16 analysis under the
+    arithmetic entropy coder, h264_cabac.py — identical distortion
+    stats by construction, different rate).  Lossy by quantizer (unlike the I_PCM twin), so the
     registered queries are rows-only with bench floors on mean/max
     pixel error and the PCM-bound sample size — the MJPEG discipline.  The whole pipeline is INTEGER-deterministic (no float
     DCT), so the stats themselves are stable across runs/machines and
