@@ -811,6 +811,43 @@ def _quality(spark) -> dict:
         float(intra["mean_sample_bytes"]), 1
     )
 
+    # CABAC tier (r11): the arithmetic coder serializes the SAME i16
+    # analysis, so on any doc slice its distortion stats must EQUAL the
+    # CAVLC run's exactly (cross-entropy-coder conformance with no
+    # external decoder); the rate ratio is recorded and ceilinged —
+    # single-MB 16x16 samples pay the per-slice flush, so the bound is
+    # a guard against catastrophic regression, not a win claim.
+    from real_time_trip_processing_project_spark.operators import (
+        multimodal as _MM,
+    )
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture as _lf,
+    )
+
+    cab_docs = _lf(spark, SF_DIR, "documents").filter(
+        F.col("text").rlike(r"^[\x00-\x7F]*$") & (F.col("doc_id") % 16 == 0)
+    )
+    pair = {}
+    for codec in ("i16", "i16_cabac"):
+        pair[codec] = (
+            _MM.mp4_i16_frame_stats(cab_docs, codec=codec)
+            .agg(
+                F.sum("sum_abs_err").alias("err"),
+                F.max("max_abs_err").alias("mx"),
+                F.sum("sample_bytes").alias("rate"),
+                F.count("*").alias("n"),
+            )
+            .collect()[0]
+        )
+    assert pair["i16"]["n"] == pair["i16_cabac"]["n"]
+    assert pair["i16"]["err"] == pair["i16_cabac"]["err"], (
+        "CABAC distortion diverged from CAVLC — shared analysis broken"
+    )
+    assert pair["i16"]["mx"] == pair["i16_cabac"]["mx"]
+    cab_ratio = pair["i16_cabac"]["rate"] / max(pair["i16"]["rate"], 1)
+    assert cab_ratio <= 1.25, f"CABAC/CAVLC rate ratio {cab_ratio}"
+    q["mp4_cabac_rate_vs_cavlc"] = round(float(cab_ratio), 4)
+
     # Datasketches HLL mergeable-sketch floor: the merged-union estimate
     # (the "ALL" row of the registered query) vs the exact global
     # distinct count
