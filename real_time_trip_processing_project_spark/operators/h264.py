@@ -192,7 +192,7 @@ def ebsp_to_rbsp(ebsp: bytes) -> bytes:
 # SPS / PPS
 
 
-def encode_sps(width: int, height: int) -> bytes:
+def encode_sps(width: int, height: int, max_ref: int = 0) -> bytes:
     """Baseline SPS for frame_mbs_only 4:2:0 video, dimensions in whole
     macroblocks (the encoder keeps frames multiple-of-16 like the MJPEG
     path, so no frame cropping).  Returns the NAL (header byte 0x67 +
@@ -205,8 +205,8 @@ def encode_sps(width: int, height: int) -> bytes:
     w.u(30, 8)  # level_idc 3.0
     w.ue(0)  # seq_parameter_set_id
     w.ue(0)  # log2_max_frame_num_minus4 → frame_num is u(4)
-    w.ue(2)  # pic_order_cnt_type 2: order = decode order (IDR-only)
-    w.ue(0)  # max_num_ref_frames
+    w.ue(2)  # pic_order_cnt_type 2: order = decode order
+    w.ue(max_ref)  # max_num_ref_frames (1 for the P-GOP tier)
     w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
     w.ue(width // MB - 1)  # pic_width_in_mbs_minus1
     w.ue(height // MB - 1)  # pic_height_in_map_units_minus1
@@ -454,9 +454,34 @@ def encode_mp4_h264(
             f, qp=qp, idr_pic_id=i % 2
         )
         pps = encode_pps(deblocking_control=True, cabac=True)
+    elif codec == "i16p":
+        # GOP tier (h264_inter.py): IDR(Intra_16x16) + P+; the encoder
+        # closure carries the reference picture exactly as the decoder
+        # will reconstruct it
+        from real_time_trip_processing_project_spark.operators import (
+            h264_inter as HP,
+            h264_intra as HI,
+        )
+
+        ref: dict = {}
+
+        def enc(f, i):
+            if i == 0:
+                nal, ry, rc = HI.encode_idr_frame_i16(
+                    f, qp=qp, idr_pic_id=0,
+                    return_recon=True, return_chroma=True,
+                )
+            else:
+                nal, ry, rc = HP.encode_p_frame(
+                    f, ref["y"], ref["c"], qp=qp, frame_num=i
+                )
+            ref["y"], ref["c"] = ry, rc
+            return nal
+
+        pps = encode_pps(deblocking_control=True)
     else:
         raise ValueError(f"unknown codec {codec!r}")
-    sps = encode_sps(w, h)
+    sps = encode_sps(w, h, max_ref=1 if codec == "i16p" else 0)
     samples = [
         struct.pack(">I", len(nal)) + nal
         for nal in (enc(f, i) for i, f in enumerate(frames))
@@ -525,7 +550,24 @@ def encode_mp4_h264(
         + b"".join(struct.pack(">I", len(s)) for s in samples),
     )
     stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    # stss sync-sample table: written only when some samples are NOT
+    # sync (the P-GOP tier) — all-IDR containers omit it, per ISO
+    # 14496-12 "absent means every sample is a sync sample"
+    sync = [
+        i + 1
+        for i, s in enumerate(samples)
+        if len(s) > 4 and s[4] & 0x1F == 5
+    ]
+    stss = (
+        b""
+        if len(sync) == n
+        else _full(
+            b"stss", 0, 0,
+            struct.pack(">I", len(sync))
+            + b"".join(struct.pack(">I", x) for x in sync),
+        )
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
     vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
     dref = _full(
         b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")
@@ -695,6 +737,21 @@ def _parse_mp4_strict(payload: bytes) -> dict:
     )
     if stts_count != n_samples:
         consistent = False
+    # stss sync-sample table (absent → every sample is a sync sample,
+    # per ISO 14496-12); the GOP tier (codec="i16p") writes one
+    if b"stss" in found:
+        s, e = found[b"stss"]
+        n_sync = struct.unpack_from(">I", payload, s + 4)[0]
+        sync_samples = sorted(
+            struct.unpack_from(">I", payload, s + 8 + 4 * i)[0] - 1
+            for i in range(n_sync)
+        )
+        if not sync_samples or sync_samples[0] != 0:
+            consistent = False  # a decodable stream must start at sync
+        if any(x < 0 or x >= n_samples for x in sync_samples):
+            consistent = False
+    else:
+        sync_samples = list(range(n_samples))
     return {
         "sps": sps,
         "pps": pps,
@@ -702,21 +759,26 @@ def _parse_mp4_strict(payload: bytes) -> dict:
         "height": int(se_h),
         "length_size": length_size,
         "samples": samples,
+        "sync_samples": sync_samples,
         "mdat": (mdat_s, mdat_e),
         "index_consistent": bool(consistent),
     }
 
 
 def decode_mp4_h264(payload: bytes, every_nth: int = 1):
-    """Decode an MP4 of IDR samples (I_PCM and/or Intra_16x16 slices):
+    """Decode an MP4 of H.264 samples:
     ``(sps, [(frame_idx, frame_array), ...])``.
 
-    ``every_nth`` skips samples by TABLE lookup — an unsampled frame
-    costs nothing (every sample is an IDR, the ideal random-access
-    case; a P/B stream would need keyframe-aware seeking).  Dispatch is
-    per MACROBLOCK, not per file: the auto slice decoder
-    (h264_intra.decode_idr_frame_auto) handles mixed PCM/predicted
-    slices, so pure-PCM containers decode bit-identically to before."""
+    All-sync containers (no stss box — the I_PCM/i16/intra/CABAC
+    tiers): ``every_nth`` skips samples by TABLE lookup, so an
+    unsampled frame costs nothing (every sample is an IDR, the ideal
+    random-access case).  GOP containers (stss present — the i16p
+    tier, h264_inter.py): samples decode SEQUENTIALLY carrying the
+    reference picture, and ``every_nth`` selects which frames are
+    EMITTED — sampling then costs the GOP prefix, the honest price of
+    temporal prediction.  Dispatch is per macroblock within I slices
+    (mixed PCM/predicted slices decode) and per NAL type across the
+    stream; the PPS entropy_coding_mode_flag selects CAVLC/CABAC."""
     from real_time_trip_processing_project_spark.operators import (
         h264_intra as HI,
     )
@@ -731,15 +793,47 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
         slice_decode = HC.decode_idr_frame_cabac
     else:
         slice_decode = HI.decode_idr_frame_auto
-    out = []
-    for i, (off, size) in enumerate(info["samples"]):
-        if i % every_nth:
-            continue
+
+    def _nals(off, size):
         pos, end = off, off + size
         while pos + ls <= end:
             ln = int.from_bytes(payload[pos : pos + ls], "big")
             nal = payload[pos + ls : pos + ls + ln]
             pos += ls + ln
-            if nal and nal[0] & 0x1F == 5:
-                out.append((i, slice_decode(bytes(nal), sps, pps)))
+            yield bytes(nal)
+
+    out = []
+    if len(info["sync_samples"]) == len(info["samples"]):
+        # all-sync fast path: unsampled frames cost table arithmetic only
+        for i, (off, size) in enumerate(info["samples"]):
+            if i % every_nth:
+                continue
+            for nal in _nals(off, size):
+                if nal and nal[0] & 0x1F == 5:
+                    out.append((i, slice_decode(nal, sps, pps)))
+        return sps, out
+
+    # GOP path: sequential decode carrying the reference picture
+    from real_time_trip_processing_project_spark.operators import (
+        h264_inter as HP,
+    )
+
+    ref_y = ref_c = None
+    for i, (off, size) in enumerate(info["samples"]):
+        for nal in _nals(off, size):
+            if not nal:
+                continue
+            ntype = nal[0] & 0x1F
+            if ntype == 5:
+                ref_y, ref_c = HI.decode_idr_frame_auto(
+                    nal, sps, pps, return_chroma=True
+                )
+            elif ntype == 1:
+                if ref_y is None:
+                    raise ValueError("P slice before any IDR")
+                ref_y, ref_c = HP.decode_p_frame(nal, sps, pps, ref_y, ref_c)
+            else:
+                continue
+            if i % every_nth == 0:
+                out.append((i, ref_y))
     return sps, out

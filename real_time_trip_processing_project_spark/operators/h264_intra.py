@@ -389,11 +389,22 @@ def _chroma_analyze(src_c, recon_c, mby, mbx, qpc):
     """Shared chroma side of every predicted MB type (I16 and I4x4 use
     identical chroma syntax): DC-mode prediction, 4x4 transforms, 2x2
     DC Hadamard, quant → (dc_levels, ac_levels, preds, cbp_chroma)."""
+    cy0, cx0 = mby * 8, mbx * 8
+    preds = [
+        predict_chroma(recon_c[comp], cy0, cx0, 0) for comp in range(2)
+    ]
+    return _chroma_analyze_from_pred(src_c, preds, mby, mbx, qpc)
+
+
+def _chroma_analyze_from_pred(src_c, preds, mby, mbx, qpc):
+    """Chroma transform/quant against a GIVEN prediction — the
+    spatial-prediction (intra) and motion-compensated (inter,
+    h264_inter.py) paths share everything below the predictor."""
     c_dc_levels, c_ac_levels, c_preds = [], [], []
     for comp in range(2):
         cy0, cx0 = mby * 8, mbx * 8
         cblock = src_c[comp][cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64)
-        cpred = predict_chroma(recon_c[comp], cy0, cx0, 0)
+        cpred = preds[comp]
         cdiff = cblock - cpred
         Wc = np.empty((2, 2, 4, 4), dtype=np.int64)
         for by in range(2):
@@ -612,13 +623,17 @@ def encode_idr_frame_i16(
     idr_pic_id: int = 0,
     pcm_fallback: bool = True,
     return_recon: bool = False,
+    return_chroma: bool = False,
 ):
     """One IDR NAL of Intra_16x16 macroblocks (chroma constant 128,
     per-MB I_PCM fallback) — :func:`_encode_idr_frame` with the
     Intra_4x4 trial disabled.  Kept as the pure-I16 tier the
-    ``multimodal_mp4_i16_stats`` query and its floors are pinned to."""
+    ``multimodal_mp4_i16_stats`` query and its floors are pinned to.
+    ``return_chroma`` appends the chroma reconstruction to the
+    return (the inter tier needs the full reference picture)."""
     return _encode_idr_frame(
-        frame, qp, idr_pic_id, pcm_fallback, return_recon, allow_i4=False
+        frame, qp, idr_pic_id, pcm_fallback, return_recon,
+        allow_i4=False, return_chroma=return_chroma,
     )
 
 
@@ -630,10 +645,12 @@ def _check_qp(qp: int) -> None:
 
 
 def decode_idr_frame_auto(
-    nal: bytes, sps: dict, pps: dict
-) -> np.ndarray:
+    nal: bytes, sps: dict, pps: dict, return_chroma: bool = False
+):
     """Decode an IDR slice of Intra_16x16 and/or I_PCM macroblocks —
-    the normative §8.3/§8.5/§9.2 inverse.  Returns the luma plane."""
+    the normative §8.3/§8.5/§9.2 inverse.  Returns the luma plane
+    (plus the chroma planes when ``return_chroma`` — the inter tier's
+    reference picture)."""
     if not nal or nal[0] & 0x1F != 5:
         raise ValueError("not an IDR slice NAL")
     r = BitReader(ebsp_to_rbsp(nal[1:]))
@@ -877,6 +894,8 @@ def decode_idr_frame_auto(
             decoded4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = True
     if r.u(1) != 1:
         raise ValueError("missing rbsp_stop_one_bit")
+    if return_chroma:
+        return recon_y, recon_c
     return recon_y
 
 
@@ -1271,6 +1290,7 @@ def _encode_idr_frame(
     pcm_fallback: bool,
     return_recon: bool,
     allow_i4: bool,
+    return_chroma: bool = False,
 ):
     """Shared IDR-slice driver: ONE copy of the slice header, the
     per-MB trial/commit loop, the I_PCM fallback block and the
@@ -1375,6 +1395,8 @@ def _encode_idr_frame(
             decoded4[y4 : y4 + 4, x4 : x4 + 4] = True
     bw.rbsp_trailing_bits()
     nal = b"\x65" + rbsp_to_ebsp(bw.getvalue())
+    if return_recon and return_chroma:
+        return nal, recon_y, recon_c
     if return_recon:
         return nal, recon_y
     return nal
