@@ -848,6 +848,41 @@ def _quality(spark) -> dict:
     assert cab_ratio <= 1.25, f"CABAC/CAVLC rate ratio {cab_ratio}"
     q["mp4_cabac_rate_vs_cavlc"] = round(float(cab_ratio), 4)
 
+    # Inter tier (r11): on a deterministic moving sequence (a rolled
+    # 64x64 base frame — doc frames are unrelated text chunks, where
+    # temporal prediction rightly buys nothing), the P-GOP container
+    # must beat all-intra decisively AND decode back within the same
+    # distortion bound.  Driver-side pure-Python: one tiny encode pair.
+    import numpy as _np
+
+    from real_time_trip_processing_project_spark.operators import (
+        h264 as _H,
+    )
+
+    _base = _np.add.outer(
+        _np.arange(64, dtype=_np.int64) * 5,
+        _np.arange(64, dtype=_np.int64) * 3,
+    ) % 251
+    _gop_frames = _np.stack(
+        [
+            _np.roll(_np.roll(_base, 2 * k, 0), 4 * k, 1).astype(_np.uint8)
+            for k in range(8)
+        ]
+    )
+    _gop = _H.encode_mp4_h264(_gop_frames, codec="i16p", qp=12)
+    _alli = _H.encode_mp4_h264(_gop_frames, codec="i16", qp=12)
+    gop_ratio = len(_gop) / len(_alli)
+    assert gop_ratio <= 0.7, f"GOP/all-I rate ratio {gop_ratio}"
+    _, _dec = _H.decode_mp4_h264(_gop)
+    assert len(_dec) == 8
+    _gop_err = max(
+        int(_np.abs(f.astype(_np.int64) - _gop_frames[i].astype(_np.int64)).max())
+        for i, f in _dec
+    )
+    assert _gop_err <= 8, f"GOP decode max px err {_gop_err}"
+    q["mp4_gop_rate_vs_alli"] = round(gop_ratio, 4)
+    q["mp4_gop_max_abs_px_err"] = _gop_err
+
     # Datasketches HLL mergeable-sketch floor: the merged-union estimate
     # (the "ALL" row of the registered query) vs the exact global
     # distinct count
