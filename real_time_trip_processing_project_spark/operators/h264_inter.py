@@ -15,14 +15,14 @@ Scope, stated precisely:
   4x4 luma residuals (no DC hierarchy — that is Intra_16x16-only) and
   the shared chroma DC-Hadamard/AC pipeline against the
   motion-compensated prediction.
-- **Motion**: integer-pel, EVEN-component vectors (mv quarter-pel
-  values are multiples of 8).  This keeps BOTH planes free of
-  sub-pel interpolation: luma needs the 6-tap half-pel filter at
-  mv%4 != 0, chroma needs bilinear at mv%8 != 0 — a
-  rate-distortion optimization, not a decode-correctness surface; the
-  decoder enforces the restriction with ValueError so the seam is
-  explicit.  Reference sampling clamps coordinates at picture
-  boundaries (the spec's edge extension for integer positions).
+- **Motion**: full QUARTER-sample precision (8.4.2.2): the 6-tap
+  (1,-5,20,20,-5,1) half-sample filter with the center position
+  filtered on unrounded intermediates, the 12 quarter positions as
+  rounded averages per Table 8-12, and eighth-sample bilinear chroma
+  (8.4.2.2.2).  The encoder searches integer-pel SAD then refines
+  half- then quarter-sample around the best candidate.  Reference
+  sampling clamps coordinates at picture boundaries (the spec's edge
+  extension).
 - **GOP containers**: ``h264.encode_mp4_h264(codec="i16p")`` writes
   IDR(Intra_16x16) + P+ with a real ``stss`` sync-sample table;
   ``decode_mp4_h264`` switches to sequential reference-carrying
@@ -75,25 +75,98 @@ P_L0_16X16 = 0  # mb_type, P slices (Table 7-13)
 
 
 # ---------------------------------------------------------------------------
-# Motion compensation (integer-pel, boundary-clamped)
+# Motion compensation (quarter-pel luma / eighth-pel chroma,
+# boundary-clamped — spec 8.4.2.2)
+
+
+def _hfilt(w: np.ndarray, axis: int) -> np.ndarray:
+    """The 6-tap half-sample filter (1, -5, 20, 20, -5, 1) along
+    ``axis``, UN-normalized (callers round per position — the center
+    'j' position filters the intermediates before any rounding)."""
+    if axis == 1:
+        return (
+            w[:, :-5] - 5 * w[:, 1:-4] + 20 * w[:, 2:-3]
+            + 20 * w[:, 3:-2] - 5 * w[:, 4:-1] + w[:, 5:]
+        )
+    return (
+        w[:-5, :] - 5 * w[1:-4, :] + 20 * w[2:-3, :]
+        + 20 * w[3:-2, :] - 5 * w[4:-1, :] + w[5:, :]
+    )
 
 
 def _mc_luma(ref_y: np.ndarray, y0: int, x0: int, mv: tuple) -> np.ndarray:
-    dy, dx = mv[0] // 4, mv[1] // 4
+    """16x16 luma prediction at quarter-sample ``mv`` (8.4.2.2.1 /
+    Table 8-12): integer grid, 6-tap half-sample planes b (half-x),
+    h (half-y) and j (center, filtered on unrounded intermediates),
+    and the 12 quarter positions as rounded averages.  Reference
+    coordinates clamp at picture boundaries (the spec's edge
+    extension)."""
+    iy, ix = mv[0] >> 2, mv[1] >> 2  # floor division toward -inf
+    fy, fx = mv[0] & 3, mv[1] & 3
     h, w = ref_y.shape
-    rows = np.clip(np.arange(y0 + dy, y0 + dy + MB), 0, h - 1)
-    cols = np.clip(np.arange(x0 + dx, x0 + dx + MB), 0, w - 1)
-    return ref_y[np.ix_(rows, cols)].astype(np.int64)
+    if fy == 0 and fx == 0:
+        rows = np.clip(np.arange(y0 + iy, y0 + iy + MB), 0, h - 1)
+        cols = np.clip(np.arange(x0 + ix, x0 + ix + MB), 0, w - 1)
+        return ref_y[np.ix_(rows, cols)].astype(np.int64)
+    # padded window: rows y-2 .. y+MB+3, cols likewise (6-tap support
+    # for a (MB+1)-sized plane grid so m and s neighbors exist)
+    rows = np.clip(np.arange(y0 + iy - 2, y0 + iy + MB + 4), 0, h - 1)
+    cols = np.clip(np.arange(x0 + ix - 2, x0 + ix + MB + 4), 0, w - 1)
+    W = ref_y[np.ix_(rows, cols)].astype(np.int64)  # (MB+6, MB+6)
+    n = MB + 1
+    ints = W[2 : 2 + n, 2 : 2 + n]
+    b1 = _hfilt(W, axis=1)  # (MB+6, MB+1)
+    b = np.clip((b1[2 : 2 + n, :] + 16) >> 5, 0, 255)
+    h1 = _hfilt(W, axis=0)  # (MB+1, MB+6)
+    hp = np.clip((h1[:, 2 : 2 + n] + 16) >> 5, 0, 255)
+    j1 = _hfilt(b1, axis=0)  # (MB+1, MB+1)
+    j = np.clip((j1 + 512) >> 10, 0, 255)
+
+    def avg(a, b_):
+        return (a + b_ + 1) >> 1
+
+    g0 = ints[:MB, :MB]
+    right = ints[:MB, 1 : MB + 1]
+    below = ints[1 : MB + 1, :MB]
+    bb, hh, jj = b[:MB, :MB], hp[:MB, :MB], j[:MB, :MB]
+    mm = hp[:MB, 1 : MB + 1]  # half-y one column right
+    ss = b[1 : MB + 1, :MB]  # half-x one row below
+    table = {
+        (1, 0): avg(g0, bb), (2, 0): bb, (3, 0): avg(right, bb),
+        (0, 1): avg(g0, hh), (1, 1): avg(bb, hh), (2, 1): avg(bb, jj),
+        (3, 1): avg(bb, mm),
+        (0, 2): hh, (1, 2): avg(hh, jj), (2, 2): jj, (3, 2): avg(jj, mm),
+        (0, 3): avg(below, hh), (1, 3): avg(hh, ss), (2, 3): avg(jj, ss),
+        (3, 3): avg(mm, ss),
+    }
+    return table[(fx, fy)]
 
 
 def _mc_chroma(ref_c: list, mby: int, mbx: int, mv: tuple) -> list:
-    dy, dx = mv[0] // 8, mv[1] // 8
+    """8x8 chroma prediction at eighth-sample precision (8.4.2.2.2):
+    bilinear over the four surrounding integer samples with clamped
+    coordinates.  The chroma vector is the luma vector in eighth-pel
+    chroma units (mv quarter-pel luma / 2)."""
+    iy, ix = mv[0] >> 3, mv[1] >> 3
+    fy, fx = mv[0] & 7, mv[1] & 7
     out = []
     for comp in range(2):
         h, w = ref_c[comp].shape
-        rows = np.clip(np.arange(8 * mby + dy, 8 * mby + dy + 8), 0, h - 1)
-        cols = np.clip(np.arange(8 * mbx + dx, 8 * mbx + dx + 8), 0, w - 1)
-        out.append(ref_c[comp][np.ix_(rows, cols)].astype(np.int64))
+        rows = np.clip(np.arange(8 * mby + iy, 8 * mby + iy + 9), 0, h - 1)
+        cols = np.clip(np.arange(8 * mbx + ix, 8 * mbx + ix + 9), 0, w - 1)
+        W = ref_c[comp][np.ix_(rows, cols)].astype(np.int64)
+        a, b_ = W[:8, :8], W[:8, 1:9]
+        c, d = W[1:9, :8], W[1:9, 1:9]
+        out.append(
+            (
+                (8 - fx) * (8 - fy) * a
+                + fx * (8 - fy) * b_
+                + (8 - fx) * fy * c
+                + fx * fy * d
+                + 32
+            )
+            >> 6
+        )
     return out
 
 
@@ -209,26 +282,43 @@ def _search_mv(
     pskip: tuple,
     search_range: int = 8,
 ) -> tuple:
-    """Integer-pel SAD search over even displacements in
-    ±``search_range`` luma pels, always including (0,0) and the P_Skip
-    vector.  Deterministic tie-break: first minimum in scan order."""
+    """Motion search: integer-pel SAD over ±``search_range`` luma pels
+    (always including (0,0) and the P_Skip vector), then half- and
+    quarter-sample refinement around the running best.  Deterministic
+    tie-break: first minimum in scan order."""
     y0, x0 = mby * MB, mbx * MB
     block = frame[y0 : y0 + MB, x0 : x0 + MB].astype(np.int64)
-    cands = [(0, 0), (pskip[0] // 4, pskip[1] // 4)]
-    for dy in range(-search_range, search_range + 1, 2):
-        for dx in range(-search_range, search_range + 1, 2):
-            cands.append((dy, dx))
+
+    def sad(mv):
+        return int(np.abs(block - _mc_luma(ref_y, y0, x0, mv)).sum())
+
+    cands = [(0, 0), pskip]
+    for dy in range(-search_range, search_range + 1):
+        for dx in range(-search_range, search_range + 1):
+            cands.append((4 * dy, 4 * dx))
     best, best_sad = None, None
     seen = set()
-    for dy, dx in cands:
-        if (dy, dx) in seen or dy % 2 or dx % 2:
+    for mv in cands:
+        if mv in seen:
             continue
-        seen.add((dy, dx))
-        sad = int(
-            np.abs(block - _mc_luma(ref_y, y0, x0, (4 * dy, 4 * dx))).sum()
-        )
-        if best_sad is None or sad < best_sad:
-            best, best_sad = (4 * dy, 4 * dx), sad
+        seen.add(mv)
+        s_ = sad(mv)
+        if best_sad is None or s_ < best_sad:
+            best, best_sad = mv, s_
+    for step in (2, 1):  # half- then quarter-sample refinement
+        improved = True
+        while improved:
+            improved = False
+            for dy in (-step, 0, step):
+                for dx in (-step, 0, step):
+                    mv = (best[0] + dy, best[1] + dx)
+                    if mv in seen:
+                        continue
+                    seen.add(mv)
+                    s_ = sad(mv)
+                    if s_ < best_sad:
+                        best, best_sad = mv, s_
+                        improved = True
     return best
 
 
@@ -418,11 +508,6 @@ def decode_p_frame(
         mvd_x = r.se()
         mvd_y = r.se()
         mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
-        if mv[0] % 8 or mv[1] % 8:
-            raise ValueError(
-                "sub-pel motion vectors not supported (even integer-pel "
-                "tier — see module docstring)"
-            )
         if abs(mv[0]) > 4 * h or abs(mv[1]) > 4 * w:
             raise ValueError("motion vector out of range")
         mvs[mby, mbx] = mv

@@ -432,9 +432,10 @@ def _real_decode(payload: bytes) -> dict:
     AVI, MJPEG AVI, bare baseline JPEG, PNG and MP4/H.264 full baseline
     intra (I_PCM, Intra_16x16, Intra_4x4 + CAVLC — operators/h264.py,
     h264_intra.py — plus CABAC Intra_16x16, h264_cabac.py, and
-    integer-pel P-frame GOPs, h264_inter.py) all decode for real.  The
-    remaining explicit ``NotImplementedError`` seam is sub-pel motion
-    / B-frame H.264 (needs PIL/av, absent from this container)."""
+    quarter-pel P-frame GOPs, h264_inter.py) all decode for real.
+    The remaining explicit ``NotImplementedError`` seam is B-frame /
+    multi-reference H.264 (needs PIL/av, absent from this
+    container)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _rate, n_channels = decode_wav_pcm16(bytes(payload))
         n_frames = len(samples) if n_channels == 1 else samples.shape[0]
@@ -518,11 +519,12 @@ def _real_decode(payload: bytes) -> dict:
             "width": info["width"],
             "height": info["height"],
         }
-    # STUB: the remaining seam is sub-pel-motion / B-frame H.264 — the
-    # full baseline INTRA tier (I_PCM, Intra_16x16, Intra_4x4 + CAVLC
-    # as of r10; CABAC Intra_16x16 as of r11) and integer-pel P-frame
-    # GOPs (h264_inter.py, r11) decode for real (operators/h264.py,
-    # h264_intra.py, h264_cabac.py, h264_inter.py), as do audio
+    # STUB: the remaining seam is B-frame / multi-reference H.264 —
+    # the full baseline INTRA tier (I_PCM, Intra_16x16, Intra_4x4 +
+    # CAVLC as of r10; CABAC Intra_16x16 as of r11) and quarter-pel
+    # P-frame GOPs (h264_inter.py, r11) decode for real
+    # (operators/h264.py, h264_intra.py, h264_cabac.py,
+    # h264_inter.py), as do audio
     # (RIFF/PCM16, mu-law), image (BMP, PNG, baseline JPEG),
     # uncompressed AVI and MJPEG AVI.
     raise NotImplementedError(
@@ -530,8 +532,8 @@ def _real_decode(payload: bytes) -> dict:
         "BI_RGB), PNG (8-bit gray/RGB), uncompressed AVI, MJPEG AVI, "
         "baseline grayscale JPEG, and MP4/H.264 full baseline intra "
         "(I_PCM, Intra_16x16, Intra_4x4 + CAVLC; CABAC Intra_16x16) "
-        "and integer-pel P-frame GOPs; sub-pel motion / B frames need "
-        "PIL/av — use codec='fake'"
+        "and quarter-pel P-frame GOPs; B frames / multi-reference "
+        "need PIL/av — use codec='fake'"
     )
 
 

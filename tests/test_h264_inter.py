@@ -141,6 +141,51 @@ def test_gop_mp4_container_and_sampling():
     assert H.parse_mp4(alli)["sync_samples"] == list(range(len(frames)))
 
 
+def test_quarter_pel_interpolation_positions():
+    """Every fractional luma position (16) and chroma position (64)
+    produces an in-range prediction, the center 'j' position filters
+    unrounded intermediates (distinct from rounding-then-filtering),
+    and sub-pel motion codes a half-pel-shifted smooth sequence far
+    below the IDR rate."""
+    rng = np.random.default_rng(33)
+    ref = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    for fy in range(4):
+        for fx in range(4):
+            p = HP._mc_luma(ref, 16, 16, (8 + fy, 12 + fx))
+            assert p.shape == (16, 16)
+            assert p.min() >= 0 and p.max() <= 255
+    for fy in range(8):
+        for fx in range(8):
+            c = HP._mc_chroma([ref[:24, :32]] * 2, 0, 0, (fy, fx))
+            assert c[0].shape == (8, 8) and 0 <= c[0].min() <= c[0].max() <= 255
+    # j != round-then-filter on a ramp-free random block (regression
+    # guard for the unrounded-intermediate requirement)
+    W = ref[14:36, 28:50].astype(np.int64)
+    b1 = HP._hfilt(W, axis=1)
+    j_spec = np.clip((HP._hfilt(b1, axis=0) + 512) >> 10, 0, 255)
+    b_rounded = np.clip((b1 + 16) >> 5, 0, 255)
+    j_wrong = np.clip((HP._hfilt(b_rounded, axis=0) + 16) >> 5, 0, 255)
+    assert not np.array_equal(j_spec, j_wrong)
+    # half-pel content: frame k = bilinear half-shift of frame k-1
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = ((np.sin(yy / 6.0) + np.cos(xx / 7.0)) * 60 + 128).astype(
+        np.uint8
+    )
+    prev = base.astype(np.int64)
+    nxt = np.clip((prev + np.roll(prev, 1, axis=1) + 1) // 2, 0, 255).astype(
+        np.uint8
+    )
+    nal0, ry, rc = HI.encode_idr_frame_i16(
+        base, qp=12, return_recon=True, return_chroma=True
+    )
+    nal1, ry1, _ = HP.encode_p_frame(nxt, ry, rc, qp=12)
+    sps, pps = _sps_pps(64, 48)
+    dy, _ = HP.decode_p_frame(nal1, sps, pps, ry, rc)
+    assert np.array_equal(dy, ry1)
+    assert len(nal1) * 3 < len(nal0)
+    assert np.abs(ry1.astype(int) - nxt.astype(int)).max() <= 4
+
+
 def test_decoder_rejects_out_of_scope_streams():
     frames = _moving_frames(2)
     sps, pps = _sps_pps(64, 48)
