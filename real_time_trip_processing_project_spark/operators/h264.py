@@ -445,13 +445,13 @@ def encode_mp4_h264(
         )
         enc = lambda f, i: fn(f, qp=qp, idr_pic_id=i % 2)  # noqa: E731
         pps = encode_pps(deblocking_control=True)
-    elif codec == "i16_cabac":
+    elif codec in ("i16_cabac", "intra_cabac"):
         from real_time_trip_processing_project_spark.operators import (
             h264_cabac as HC,
         )
 
-        enc = lambda f, i: HC.encode_idr_frame_i16_cabac(  # noqa: E731
-            f, qp=qp, idr_pic_id=i % 2
+        enc = lambda f, i: HC.encode_idr_frame_cabac(  # noqa: E731
+            f, qp=qp, idr_pic_id=i % 2, allow_i4=codec == "intra_cabac"
         )
         pps = encode_pps(deblocking_control=True, cabac=True)
     elif codec == "i16p":

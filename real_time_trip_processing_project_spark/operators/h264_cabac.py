@@ -1,4 +1,4 @@
-"""CABAC entropy coding for H.264 Intra_16x16 I slices (spec clause 9.3).
+"""CABAC entropy coding for H.264 baseline-intra I slices (clause 9.3).
 
 Closes the entropy-coding half of the codec seam the r10 verdict named
 (CABAC / inter prediction): the CAVLC tier (``h264_cavlc.py`` /
@@ -24,10 +24,16 @@ Conformance stance, stated precisely:
 - SYNTAX structure (binarizations, context index layout, significance
   map + reverse-scan level coding, per-block coded_block_flag,
   end_of_slice_flag via terminate) follows 9.3.2/9.3.3.1 for the
-  I-slice elements this tier emits: mb_type (Intra_16x16 rows of
-  Table 9-36), intra_chroma_pred_mode, mb_qp_delta, and the residual
-  block categories 0 (Intra16x16DC), 1 (Intra16x16AC),
-  3 (ChromaDC) and 4 (ChromaAC).
+  I-slice elements this tier emits: mb_type (the I_NxN and
+  Intra_16x16 rows of Table 9-36, with the terminate-coded I_PCM
+  bin), prev/rem_intra4x4_pred_mode, intra_chroma_pred_mode, the six
+  coded_block_pattern bins with their neighbor contexts, mb_qp_delta,
+  and the residual block categories 0 (Intra16x16DC),
+  1 (Intra16x16AC), 2 (Luma4x4), 3 (ChromaDC) and 4 (ChromaAC).
+  Mode decision between I_NxN and Intra_16x16 runs per macroblock at
+  exact arithmetic-coder bit cost from the live engine/context state
+  (:func:`_trial_bits`) — the CABAC analogue of the CAVLC tier's
+  recorder-bits decision, greedy per-MB like it.
 - Context INITIALIZATION is the one documented simplification: every
   context starts at the uniform state ``(pStateIdx=0, valMPS=0)``
   (the spec's (m,n) = (0, 64) row) rather than the per-element
@@ -38,7 +44,8 @@ Conformance stance, stated precisely:
   would create silent-wrongness risk with zero testable benefit.
 - No I_PCM fallback in this tier (PCM inside CABAC slices re-inits
   the engine; the CAVLC tier keeps the rate-bound role), and the
-  remaining seam is now exactly inter (P/B) prediction.
+  remaining CABAC seam is the inter macroblock types (the CAVLC
+  inter tier lives in h264_inter.py).
 
 Reference parity note: the reference pipeline
 (Real-Time-Trip-Processing-Project) has no media processing at all —
@@ -110,6 +117,10 @@ N_CTX = 277
 _CTX_MB_TYPE = 3  # + inc 0..7
 _CTX_QP_DELTA = 60  # + inc 0..3
 _CTX_CHROMA_MODE = 64  # + inc 0..3
+_CTX_I4_PREV = 68  # prev_intra4x4_pred_mode_flag
+_CTX_I4_REM = 69  # rem_intra4x4_pred_mode (all 3 FL bins)
+_CTX_CBP_LUMA = 73  # + inc 0..3
+_CTX_CBP_CHROMA = 77  # + inc 0..3 (bin 0), + 4 + inc (bin 1)
 _CTX_CBF = 85  # + 4*cat + inc
 _CTX_SIG = 105  # + catBase + inc
 _CTX_LAST = 166  # + catBase + inc
@@ -418,14 +429,86 @@ class _CbfMap:
 
 class _MbCtx:
     """Per-frame CABAC neighbor state: cbf maps for every residual
-    category plus the prev-mb_qp_delta flag."""
+    category, the mb_type / coded_block_pattern neighbor maps, and the
+    prev-mb_qp_delta flag."""
 
     def __init__(self, h_mbs: int, w_mbs: int) -> None:
+        self.h_mbs, self.w_mbs = h_mbs, w_mbs
         self.dc_y = _CbfMap(h_mbs, w_mbs)
         self.ac_y = _CbfMap(4 * h_mbs, 4 * w_mbs)
         self.dc_c = [_CbfMap(h_mbs, w_mbs) for _ in range(2)]
         self.ac_c = [_CbfMap(2 * h_mbs, 2 * w_mbs) for _ in range(2)]
+        #: 1 = coded I_NxN, 0 = coded Intra_16x16, -1 = not coded yet
+        self.is_nxn = np.full((h_mbs, w_mbs), -1, dtype=np.int8)
+        #: per-8x8-block luma cbp bit (for the cbp-luma bin contexts)
+        self.cbp8 = np.zeros((2 * h_mbs, 2 * w_mbs), dtype=np.int8)
+        #: per-MB chroma cbp value 0/1/2
+        self.cbpc = np.zeros((h_mbs, w_mbs), dtype=np.int8)
         self.prev_qp_delta_nz = 0
+
+    def clone(self) -> "_MbCtx":
+        """Deep copy for exact-bit mode-decision trials."""
+        c = _MbCtx.__new__(_MbCtx)
+        c.h_mbs, c.w_mbs = self.h_mbs, self.w_mbs
+        for name in ("dc_y", "ac_y"):
+            m = _CbfMap.__new__(_CbfMap)
+            m.m = getattr(self, name).m.copy()
+            setattr(c, name, m)
+        for name in ("dc_c", "ac_c"):
+            lst = []
+            for src in getattr(self, name):
+                m = _CbfMap.__new__(_CbfMap)
+                m.m = src.m.copy()
+                lst.append(m)
+            setattr(c, name, lst)
+        c.is_nxn = self.is_nxn.copy()
+        c.cbp8 = self.cbp8.copy()
+        c.cbpc = self.cbpc.copy()
+        c.prev_qp_delta_nz = self.prev_qp_delta_nz
+        return c
+
+    def mb_type_inc(self, mby: int, mbx: int) -> int:
+        """ctxIdxInc for the first mb_type bin: condTermFlagN = 1 when
+        the neighbor is available and NOT coded as I_NxN."""
+        a = self.is_nxn[mby, mbx - 1] if mbx > 0 else -1
+        b = self.is_nxn[mby - 1, mbx] if mby > 0 else -1
+        return (1 if a == 0 else 0) + (1 if b == 0 else 0)
+
+    def cbp_luma_inc(self, mby: int, mbx: int, g: int,
+                     pending: dict) -> int:
+        """ctxIdxInc for cbp-luma bin ``g``: condTermFlagN = 1 when the
+        neighboring 8x8 block exists and its cbp bit is 0 (within-MB
+        neighbors come from ``pending``, the bits coded so far)."""
+        gy, gx = 2 * mby + g // 2, 2 * mbx + g % 2
+
+        def bit(y, x):
+            if y < 0 or x < 0:
+                return -1
+            if (y, x) in pending:
+                return pending[(y, x)]
+            if y // 2 == mby and x // 2 == mbx:
+                return -1  # this MB, not yet coded
+            return int(self.cbp8[y, x])
+
+        a = bit(gy, gx - 1)
+        b = bit(gy - 1, gx)
+        return (1 if a == 0 else 0) + 2 * (1 if b == 0 else 0)
+
+    def cbp_chroma_inc(self, mby: int, mbx: int, bin1: bool) -> int:
+        a = self.cbpc[mby, mbx - 1] if mbx > 0 else 0
+        b = self.cbpc[mby - 1, mbx] if mby > 0 else 0
+        if bin1:
+            return 4 + (1 if a == 2 else 0) + 2 * (1 if b == 2 else 0)
+        return (1 if a != 0 else 0) + 2 * (1 if b != 0 else 0)
+
+    def commit_mb(self, mby: int, mbx: int, is_nxn: int,
+                  cbp_luma_bits: int, cbp_chroma: int) -> None:
+        self.is_nxn[mby, mbx] = is_nxn
+        for g in range(4):
+            self.cbp8[2 * mby + g // 2, 2 * mbx + g % 2] = (
+                (cbp_luma_bits >> g) & 1
+            )
+        self.cbpc[mby, mbx] = cbp_chroma
 
 
 # ---------------------------------------------------------------------------
@@ -448,12 +531,9 @@ def _code_mb_i16(
     if writing:
         (mode, cbp_luma, dc_levels, ac_levels,
          c_dc, c_ac, _c_preds, cbp_chroma, _ry, _rc) = model
-        # mb_type: prefix "1" (not I_NxN), terminate 0 (not I_PCM),
-        # then cbp-luma flag, cbp-chroma TU, 2 FL pred-mode bins —
-        # positional ctxIdxInc 3,4,5,6,7 capped by the bins present
-        inc = (1 if mbx > 0 else 0) + (1 if mby > 0 else 0)
-        coder.decision(_CTX_MB_TYPE + inc, 1)
-        coder.terminate(0)
+        # mb_type suffix (the "1" prefix bin + I_PCM terminate are the
+        # frame loop's): cbp-luma flag, cbp-chroma TU, 2 FL pred-mode
+        # bins — positional ctxIdxInc 3,4,5,6,7 capped by bins present
         coder.decision(_CTX_MB_TYPE + 3, 1 if cbp_luma else 0)
         if cbp_chroma == 0:
             coder.decision(_CTX_MB_TYPE + 4, 0)
@@ -474,11 +554,6 @@ def _code_mb_i16(
         ctx.prev_qp_delta_nz = 0
     else:
         dec = coder
-        inc = (1 if mbx > 0 else 0) + (1 if mby > 0 else 0)
-        if not dec.decision(_CTX_MB_TYPE + inc):
-            raise ValueError("CABAC I_NxN macroblocks not supported")
-        if dec.terminate():
-            raise ValueError("CABAC I_PCM macroblocks not supported")
         cbp_luma = 15 if dec.decision(_CTX_MB_TYPE + 3) else 0
         if dec.decision(_CTX_MB_TYPE + 4):
             cbp_chroma = 2 if dec.decision(_CTX_MB_TYPE + 5) else 1
@@ -546,6 +621,7 @@ def _code_mb_i16(
                 else:
                     cbf = 0
                 ctx.ac_c[comp].set(by, bx, cbf)
+        ctx.commit_mb(mby, mbx, 0, 15 if cbp_luma else 0, cbp_chroma)
         return None
 
     dec = coder
@@ -587,8 +663,232 @@ def _code_mb_i16(
             else:
                 cbf = 0
             ctx.ac_c[comp].set(by, bx, cbf)
+    ctx.commit_mb(mby, mbx, 0, cbp_luma, cbp_chroma)
     return mode, cbp_luma, cbp_chroma, qp_delta, dc_levels, ac_levels, \
         c_dc, c_ac
+
+
+def _code_mb_i4(
+    coder,
+    writing: bool,
+    mby: int,
+    mbx: int,
+    ctx: _MbCtx,
+    model: tuple | None,
+):
+    """Shared encode/decode driver for one I_NxN (Intra_4x4)
+    macroblock's CABAC syntax (the "0" mb_type prefix bin is the frame
+    loop's): per-4x4 prev/rem pred-mode bins, intra_chroma_pred_mode,
+    the six coded_block_pattern bins with their neighbor contexts,
+    mb_qp_delta when cbp != 0, and category-2 luma residuals.  When
+    reading, returns ``(flags, rems, cbp_luma_bits, cbp_chroma,
+    qp_delta, levels16, c_dc, c_ac)`` — the caller derives the actual
+    prediction modes from flags/rems via the MPM overlay."""
+    if writing:
+        (modes, flags, rems, levels16, cbp,
+         c_dc, c_ac, _c_preds, cbp_chroma, _ry, _rc) = model
+        cbp_luma_bits = cbp & 0xF
+        for blk in range(16):
+            if flags[blk]:
+                coder.decision(_CTX_I4_PREV, 1)
+            else:
+                coder.decision(_CTX_I4_PREV, 0)
+                rem = int(rems[blk])
+                for j in range(3):  # 3 FL bins, LSB first (spec order)
+                    coder.decision(_CTX_I4_REM, (rem >> j) & 1)
+        coder.decision(_CTX_CHROMA_MODE, 0)  # DC chroma, nbr inc 0
+        pending: dict = {}
+        for g in range(4):
+            bit = (cbp_luma_bits >> g) & 1
+            coder.decision(
+                _CTX_CBP_LUMA + ctx.cbp_luma_inc(mby, mbx, g, pending),
+                bit,
+            )
+            pending[(2 * mby + g // 2, 2 * mbx + g % 2)] = bit
+        coder.decision(
+            _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, False),
+            1 if cbp_chroma > 0 else 0,
+        )
+        if cbp_chroma > 0:
+            coder.decision(
+                _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, True),
+                1 if cbp_chroma == 2 else 0,
+            )
+        if cbp:
+            coder.decision(_CTX_QP_DELTA + ctx.prev_qp_delta_nz, 0)
+        ctx.prev_qp_delta_nz = 0
+    else:
+        dec = coder
+        flags = []
+        rems = []
+        for _blk in range(16):
+            if dec.decision(_CTX_I4_PREV):
+                flags.append(1)
+                rems.append(None)
+            else:
+                flags.append(0)
+                rem = 0
+                for j in range(3):
+                    rem |= dec.decision(_CTX_I4_REM) << j
+                if rem > 7:
+                    raise ValueError("rem_intra4x4_pred_mode out of range")
+                rems.append(rem)
+        if dec.decision(_CTX_CHROMA_MODE):
+            raise ValueError(
+                "CABAC chroma prediction modes other than DC not "
+                "supported"
+            )
+        cbp_luma_bits = 0
+        pending = {}
+        for g in range(4):
+            bit = dec.decision(
+                _CTX_CBP_LUMA + ctx.cbp_luma_inc(mby, mbx, g, pending)
+            )
+            cbp_luma_bits |= bit << g
+            pending[(2 * mby + g // 2, 2 * mbx + g % 2)] = bit
+        cbp_chroma = 0
+        if dec.decision(
+            _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, False)
+        ):
+            cbp_chroma = 2 if dec.decision(
+                _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, True)
+            ) else 1
+        qp_delta = 0
+        if cbp_luma_bits or cbp_chroma:
+            if dec.decision(_CTX_QP_DELTA + ctx.prev_qp_delta_nz):
+                k = 1
+                while dec.decision(
+                    _CTX_QP_DELTA + (2 if k == 1 else 3)
+                ):
+                    k += 1
+                    if k > 104:
+                        raise ValueError("mb_qp_delta out of range")
+                qp_delta = (k + 1) // 2 if k & 1 else -(k // 2)
+        ctx.prev_qp_delta_nz = 1 if qp_delta else 0
+
+    # --- residuals: 16 luma 4x4 blocks (category 2) in coding order,
+    # then the shared chroma tail
+    by0, bx0 = 4 * mby, 4 * mbx
+    if writing:
+        for blk in range(16):
+            x, y = HI._BLK_XY[blk]
+            by, bx = by0 + y, bx0 + x
+            if cbp_luma_bits & (1 << (blk // 4)):
+                scan = HI._zigzag_read(levels16[blk].reshape(4, 4))
+                cbf = _write_residual(
+                    coder, 2, scan, ctx.ac_y.inc(by, bx)
+                )
+            else:
+                cbf = 0
+            ctx.ac_y.set(by, bx, cbf)
+        for comp in range(2):
+            if cbp_chroma >= 1:
+                d = c_dc[comp]
+                scan = [int(d[0, 0]), int(d[0, 1]), int(d[1, 0]),
+                        int(d[1, 1])]
+                cbf = _write_residual(
+                    coder, 3, scan, ctx.dc_c[comp].inc(mby, mbx)
+                )
+            else:
+                cbf = 0
+            ctx.dc_c[comp].set(mby, mbx, cbf)
+        for comp in range(2):
+            for blk in range(4):
+                x, y = blk % 2, blk // 2
+                by, bx = 2 * mby + y, 2 * mbx + x
+                if cbp_chroma == 2:
+                    scan = HI._zigzag_read(c_ac[comp][y, x])[1:]
+                    cbf = _write_residual(
+                        coder, 4, scan, ctx.ac_c[comp].inc(by, bx)
+                    )
+                else:
+                    cbf = 0
+                ctx.ac_c[comp].set(by, bx, cbf)
+        # the luma-DC cbf map records "no separate DC block" for I_NxN
+        ctx.dc_y.set(mby, mbx, 0)
+        ctx.commit_mb(mby, mbx, 1, cbp_luma_bits, cbp_chroma)
+        return None
+
+    dec = coder
+    levels16 = np.zeros((16, 4, 4), dtype=np.int64)
+    for blk in range(16):
+        x, y = HI._BLK_XY[blk]
+        by, bx = by0 + y, bx0 + x
+        if cbp_luma_bits & (1 << (blk // 4)):
+            scan, cbf = _read_residual(dec, 2, ctx.ac_y.inc(by, bx))
+            levels16[blk] = HI._zigzag_write(scan)
+        else:
+            cbf = 0
+        ctx.ac_y.set(by, bx, cbf)
+    c_dc = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
+    for comp in range(2):
+        if cbp_chroma >= 1:
+            scan, cbf = _read_residual(
+                dec, 3, ctx.dc_c[comp].inc(mby, mbx)
+            )
+            c_dc[comp] = np.array(
+                [[scan[0], scan[1]], [scan[2], scan[3]]], dtype=np.int64
+            )
+        else:
+            cbf = 0
+        ctx.dc_c[comp].set(mby, mbx, cbf)
+    c_ac = [np.zeros((2, 2, 4, 4), dtype=np.int64) for _ in range(2)]
+    for comp in range(2):
+        for blk in range(4):
+            x, y = blk % 2, blk // 2
+            by, bx = 2 * mby + y, 2 * mbx + x
+            if cbp_chroma == 2:
+                scan, cbf = _read_residual(
+                    dec, 4, ctx.ac_c[comp].inc(by, bx)
+                )
+                c_ac[comp][y, x] = HI._zigzag_write([0] + scan)
+            else:
+                cbf = 0
+            ctx.ac_c[comp].set(by, bx, cbf)
+    ctx.dc_y.set(mby, mbx, 0)
+    ctx.commit_mb(mby, mbx, 1, cbp_luma_bits, cbp_chroma)
+    return flags, rems, cbp_luma_bits, cbp_chroma, qp_delta, levels16, \
+        c_dc, c_ac
+
+
+class _BitCount:
+    """Bit sink for exact-bit mode-decision trials: counts instead of
+    storing (the CabacEncoder's writer interface)."""
+
+    def __init__(self) -> None:
+        self.nbits = 0
+
+    def u(self, _value: int, nbits: int) -> None:
+        self.nbits += nbits
+
+
+def _trial_bits(enc: CabacEncoder, ctx: _MbCtx, fn) -> float:
+    """CABAC bit cost of encoding ``fn(trial_enc, trial_ctx)`` from the
+    CURRENT engine/context state, without mutating either — the
+    arithmetic-coder analogue of the CAVLC tier's _Recorder.nbits mode
+    decision.  Counts emitted + outstanding bits plus the FRACTIONAL
+    information still held in the range register
+    (log2(range_start/range_end) — comparable across trials from the
+    same start state; without it sub-bit differences are invisible).
+    Still greedy per-MB: the winning type changes the reconstruction
+    and context trail later MBs see, so the decision is locally, not
+    globally, optimal — same property as the CAVLC tier."""
+    import math
+
+    t = CabacEncoder.__new__(CabacEncoder)
+    t.bw = _BitCount()
+    t.state = list(enc.state)
+    t.mps = list(enc.mps)
+    t.low = enc.low
+    t.range = enc.range
+    t.outstanding = enc.outstanding
+    t.first_bit = enc.first_bit
+    fn(t, ctx.clone())
+    return (
+        t.bw.nbits
+        + (t.outstanding - enc.outstanding)
+        + math.log2(enc.range / t.range)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -598,12 +898,40 @@ def _code_mb_i16(
 def encode_idr_frame_i16_cabac(
     frame: np.ndarray, qp: int = 26, idr_pic_id: int = 0
 ) -> bytes:
-    """One IDR NAL of Intra_16x16 macroblocks, CABAC entropy-coded.
-    Identical slice header to the CAVLC tier (Exp-Golomb — headers are
-    never CABAC'd), then cabac_alignment_one_bit and the arithmetic
-    slice data with per-MB end_of_slice_flag.  Shares
-    :func:`h264_intra._analyze_mb_i16` with the CAVLC writer, so the
-    decoded pixels are bit-identical across entropy coders."""
+    """One IDR NAL of Intra_16x16 macroblocks, CABAC entropy-coded —
+    :func:`encode_idr_frame_cabac` with the Intra_4x4 trial disabled
+    (the CABAC twin of ``h264_intra.encode_idr_frame_i16``)."""
+    return encode_idr_frame_cabac(frame, qp, idr_pic_id, allow_i4=False)
+
+
+def encode_idr_frame_intra_cabac(
+    frame: np.ndarray, qp: int = 26, idr_pic_id: int = 0
+) -> bytes:
+    """Full baseline intra under CABAC: per macroblock the encoder
+    trial-codes I_NxN (nine directional modes, MPM signaling) AND
+    Intra_16x16 at EXACT arithmetic-coder bit cost from the live
+    engine/context state (:func:`_trial_bits`) and keeps the cheaper —
+    the CABAC twin of ``h264_intra.encode_idr_frame_intra`` (which
+    decides by CAVLC recorder bits).  No I_PCM fallback in this tier
+    (PCM inside CABAC slices re-initializes the engine; the CAVLC tier
+    keeps the rate-bound role)."""
+    return encode_idr_frame_cabac(frame, qp, idr_pic_id, allow_i4=True)
+
+
+def encode_idr_frame_cabac(
+    frame: np.ndarray,
+    qp: int = 26,
+    idr_pic_id: int = 0,
+    allow_i4: bool = False,
+) -> bytes:
+    """One IDR NAL of Intra_16x16 (and, with ``allow_i4``, Intra_4x4)
+    macroblocks, CABAC entropy-coded.  Identical slice header to the
+    CAVLC tier (Exp-Golomb — headers are never CABAC'd), then
+    cabac_alignment_one_bit and the arithmetic slice data with per-MB
+    end_of_slice_flag.  Shares ``_analyze_mb_i16``/``_analyze_mb_i4``
+    with the CAVLC writers, so for a FIXED mb-type choice the decoded
+    pixels are bit-identical across entropy coders (pinned in tests
+    for the pure-I16 tier, where the choice is degenerate)."""
     frame = np.asarray(frame)
     h, w = frame.shape
     if h % MB or w % MB:
@@ -633,13 +961,48 @@ def encode_idr_frame_i16_cabac(
 
     enc = CabacEncoder(bw)
     ctx = _MbCtx(h_mbs, w_mbs)
+    i4_modes = np.full((h_mbs * 4, w_mbs * 4), -1, dtype=np.int64)
+    decoded4 = np.zeros((h_mbs * 4, w_mbs * 4), dtype=bool)
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
-            model = HI._analyze_mb_i16(
+            model16 = HI._analyze_mb_i16(
                 frame, recon_y, src_c, recon_c, mby, mbx, qp
             )
-            _code_mb_i16(enc, True, mby, mbx, ctx, model)
-            rec_y, rec_c = model[8], model[9]
+            inc = ctx.mb_type_inc(mby, mbx)
+            use_i4 = False
+            if allow_i4:
+                model4 = HI._analyze_mb_i4(
+                    frame, recon_y, src_c, recon_c, mby, mbx, qp,
+                    i4_modes, decoded4,
+                )
+
+                def _enc16(t, c):
+                    t.decision(_CTX_MB_TYPE + inc, 1)
+                    t.terminate(0)
+                    _code_mb_i16(t, True, mby, mbx, c, model16)
+
+                def _enc4(t, c):
+                    t.decision(_CTX_MB_TYPE + inc, 0)
+                    _code_mb_i4(t, True, mby, mbx, c, model4)
+
+                # exact-bit mode decision; ties go to Intra_16x16
+                use_i4 = _trial_bits(enc, ctx, _enc4) < _trial_bits(
+                    enc, ctx, _enc16
+                )
+            y4, x4 = 4 * mby, 4 * mbx
+            if use_i4:
+                enc.decision(_CTX_MB_TYPE + inc, 0)
+                _code_mb_i4(enc, True, mby, mbx, ctx, model4)
+                rec_y, rec_c = model4[9], model4[10]
+                for blk in range(16):
+                    bx_, by_ = HI._BLK_XY[blk]
+                    i4_modes[y4 + by_, x4 + bx_] = model4[0][blk]
+            else:
+                enc.decision(_CTX_MB_TYPE + inc, 1)
+                enc.terminate(0)  # not I_PCM
+                _code_mb_i16(enc, True, mby, mbx, ctx, model16)
+                rec_y, rec_c = model16[8], model16[9]
+                i4_modes[y4 : y4 + 4, x4 : x4 + 4] = -1
             recon_y[
                 mby * MB : (mby + 1) * MB, mbx * MB : (mbx + 1) * MB
             ] = rec_y
@@ -647,6 +1010,7 @@ def encode_idr_frame_i16_cabac(
                 recon_c[comp][
                     mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
                 ] = rec_c[comp]
+            decoded4[y4 : y4 + 4, x4 : x4 + 4] = True
             last = mby == h_mbs - 1 and mbx == w_mbs - 1
             enc.terminate(1 if last else 0)
     bw.align_zero()  # flush's trailing 1 is the rbsp stop bit
@@ -686,47 +1050,117 @@ def decode_idr_frame_cabac(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
 
     h, w = sps["height"], sps["width"]
     h_mbs, w_mbs = h // MB, w // MB
+    w4 = w_mbs * 4
     recon_y = np.zeros((h, w), dtype=np.uint8)
     recon_c = [np.zeros((h // 2, w // 2), dtype=np.uint8) for _ in range(2)]
     ctx = _MbCtx(h_mbs, w_mbs)
+    i4_modes = np.full((h_mbs * 4, w_mbs * 4), -1, dtype=np.int64)
+    decoded4 = np.zeros((h_mbs * 4, w_mbs * 4), dtype=bool)
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
-            (mode, cbp_luma, cbp_chroma, qp_delta,
-             dc_levels, ac_levels, c_dc, c_ac) = _code_mb_i16(
-                dec, False, mby, mbx, ctx, None
-            )
-            qp += qp_delta
-            HI._check_qp(qp)
-            qpc = HI.chroma_qp(qp)
             y0, x0 = mby * MB, mbx * MB
-            pred = HI.predict_i16(recon_y, y0, x0, mode)
-            dc_deq = HI.luma_dc_inv(dc_levels, qp)
-            for by in range(4):
-                for bx in range(4):
-                    d = (
-                        HI.dequant4x4(ac_levels[by, bx], qp)
-                        if cbp_luma
+            y4, x4 = 4 * mby, 4 * mbx
+            cy0, cx0 = mby * 8, mbx * 8
+            if not dec.decision(_CTX_MB_TYPE + ctx.mb_type_inc(mby, mbx)):
+                # --- I_NxN
+                (flags, rems, cbp_luma_bits, cbp_chroma, qp_delta,
+                 levels16, c_dc, c_ac) = _code_mb_i4(
+                    dec, False, mby, mbx, ctx, None
+                )
+                qp += qp_delta
+                HI._check_qp(qp)
+                qpc = HI.chroma_qp(qp)
+                modes16 = np.full(16, -1, dtype=np.int64)
+                for blk in range(16):
+                    pm = HI._i4_pred_mode_overlay(
+                        i4_modes, modes16, blk, mby, mbx
+                    )
+                    if flags[blk]:
+                        modes16[blk] = pm
+                    else:
+                        rem = rems[blk]
+                        modes16[blk] = rem if rem < pm else rem + 1
+                for blk in range(16):
+                    bx_, by_ = HI._BLK_XY[blk]
+                    by4, bx4 = y4 + by_, x4 + bx_
+                    py, px = 4 * by4, 4 * bx4
+                    left_ok = bx4 > 0
+                    top_ok = by4 > 0
+                    tr_ok = (
+                        top_ok
+                        and bx4 + 1 < w4
+                        and bool(decoded4[by4 - 1, bx4 + 1])
+                    )
+                    pred4 = HI.predict_i4(
+                        recon_y, py, px, int(modes16[blk]),
+                        left_ok, top_ok, tr_ok,
+                    )
+                    r4 = (
+                        HI.inv4x4(HI.dequant4x4(levels16[blk], qp))
+                        if cbp_luma_bits & (1 << (blk // 4))
                         else np.zeros((4, 4), dtype=np.int64)
                     )
-                    d[0, 0] = dc_deq[by, bx]
-                    rblk = HI.inv4x4(d)
-                    recon_y[
-                        y0 + 4 * by : y0 + 4 * by + 4,
-                        x0 + 4 * bx : x0 + 4 * bx + 4,
-                    ] = np.clip(
-                        pred[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4]
-                        + rblk,
-                        0,
-                        255,
+                    recon_y[py : py + 4, px : px + 4] = np.clip(
+                        pred4 + r4, 0, 255
                     )
-            cy0, cx0 = mby * 8, mbx * 8
-            c_preds = [
-                HI.predict_chroma(recon_c[comp], cy0, cx0, 0)
-                for comp in range(2)
-            ]
-            rec_c = HI._chroma_recon(c_dc, c_ac, c_preds, cbp_chroma, qpc)
-            for comp in range(2):
-                recon_c[comp][cy0 : cy0 + 8, cx0 : cx0 + 8] = rec_c[comp]
+                    decoded4[by4, bx4] = True
+                    i4_modes[by4, bx4] = modes16[blk]
+                c_preds = [
+                    HI.predict_chroma(recon_c[comp], cy0, cx0, 0)
+                    for comp in range(2)
+                ]
+                rec_c = HI._chroma_recon(
+                    c_dc, c_ac, c_preds, cbp_chroma, qpc
+                )
+                for comp in range(2):
+                    recon_c[comp][cy0 : cy0 + 8, cx0 : cx0 + 8] = rec_c[
+                        comp
+                    ]
+            else:
+                if dec.terminate():
+                    raise ValueError(
+                        "CABAC I_PCM macroblocks not supported"
+                    )
+                (mode, cbp_luma, cbp_chroma, qp_delta,
+                 dc_levels, ac_levels, c_dc, c_ac) = _code_mb_i16(
+                    dec, False, mby, mbx, ctx, None
+                )
+                qp += qp_delta
+                HI._check_qp(qp)
+                qpc = HI.chroma_qp(qp)
+                pred = HI.predict_i16(recon_y, y0, x0, mode)
+                dc_deq = HI.luma_dc_inv(dc_levels, qp)
+                for by in range(4):
+                    for bx in range(4):
+                        d = (
+                            HI.dequant4x4(ac_levels[by, bx], qp)
+                            if cbp_luma
+                            else np.zeros((4, 4), dtype=np.int64)
+                        )
+                        d[0, 0] = dc_deq[by, bx]
+                        rblk = HI.inv4x4(d)
+                        recon_y[
+                            y0 + 4 * by : y0 + 4 * by + 4,
+                            x0 + 4 * bx : x0 + 4 * bx + 4,
+                        ] = np.clip(
+                            pred[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4]
+                            + rblk,
+                            0,
+                            255,
+                        )
+                c_preds = [
+                    HI.predict_chroma(recon_c[comp], cy0, cx0, 0)
+                    for comp in range(2)
+                ]
+                rec_c = HI._chroma_recon(
+                    c_dc, c_ac, c_preds, cbp_chroma, qpc
+                )
+                for comp in range(2):
+                    recon_c[comp][cy0 : cy0 + 8, cx0 : cx0 + 8] = rec_c[
+                        comp
+                    ]
+                i4_modes[y4 : y4 + 4, x4 : x4 + 4] = -1
+                decoded4[y4 : y4 + 4, x4 : x4 + 4] = True
             eos = dec.terminate()
             last = mby == h_mbs - 1 and mbx == w_mbs - 1
             if eos != (1 if last else 0):

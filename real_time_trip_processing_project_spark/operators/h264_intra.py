@@ -1089,8 +1089,7 @@ _I4_NEEDS = {
 }
 
 
-def _encode_mb_i4(
-    rec,
+def _analyze_mb_i4(
     src_y: np.ndarray,
     recon_y: np.ndarray,
     src_c: list[np.ndarray],
@@ -1098,17 +1097,15 @@ def _encode_mb_i4(
     mby: int,
     mbx: int,
     qp: int,
-    nz_y: _NzCtx,
-    nz_c: list[_NzCtx],
     i4_modes: np.ndarray,
     decoded4: np.ndarray,
-):
-    """Encode one I_4x4 (I_NxN) macroblock: 16 directionally-predicted
-    4x4 blocks coded in §6.4.3 order, modes signaled via the
-    most-probable-mode scheme, CodedBlockPatternLuma per 8x8 group
-    through the me(v) Table 9-4 mapping.  Prediction runs on a WORKING
-    COPY of the reconstruction so the trial mutates nothing; the caller
-    commits recon/nnz/mode/decoded updates only if this MB type wins."""
+) -> tuple:
+    """The entropy-coder-independent half of I_NxN macroblock encoding
+    (the Intra_4x4 twin of :func:`_analyze_mb_i16`): run the 16-block
+    directional trial with the save/restore choreography and return
+    ``(modes_out, flags, rems, levels, cbp, c_dc_levels, c_ac_levels,
+    c_preds, cbp_chroma, rec_y, rec_c)``.  The CAVLC writer below and
+    the CABAC writer (h264_cabac.py) both serialize exactly this."""
     y0, x0 = mby * MB, mbx * MB
     # Trial writes are confined to THIS macroblock's 16x16 region (the
     # halo is only READ), so instead of copying the whole frame per MB
@@ -1140,7 +1137,42 @@ def _encode_mb_i4(
         decoded4[
             4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
         ] = dec_region
-    qpc = chroma_qp(qp)
+    rec_c = _chroma_recon(
+        c_dc_levels, c_ac_levels, c_preds, cbp_chroma, chroma_qp(qp)
+    )
+    return (
+        modes_out, flags, rems, levels, cbp,
+        c_dc_levels, c_ac_levels, c_preds, cbp_chroma, rec_y, rec_c,
+    )
+
+
+def _encode_mb_i4(
+    rec,
+    src_y: np.ndarray,
+    recon_y: np.ndarray,
+    src_c: list[np.ndarray],
+    recon_c: list[np.ndarray],
+    mby: int,
+    mbx: int,
+    qp: int,
+    nz_y: _NzCtx,
+    nz_c: list[_NzCtx],
+    i4_modes: np.ndarray,
+    decoded4: np.ndarray,
+):
+    """Encode one I_4x4 (I_NxN) macroblock (CAVLC syntax): 16
+    directionally-predicted 4x4 blocks coded in §6.4.3 order, modes
+    signaled via the most-probable-mode scheme, CodedBlockPatternLuma
+    per 8x8 group through the me(v) Table 9-4 mapping.  The trial runs
+    on a working view of the reconstruction and mutates nothing; the
+    caller commits recon/nnz/mode/decoded updates only if this MB type
+    wins."""
+    (
+        modes_out, flags, rems, levels, cbp,
+        c_dc_levels, c_ac_levels, _c_preds, cbp_chroma, rec_y, rec_c,
+    ) = _analyze_mb_i4(
+        src_y, recon_y, src_c, recon_c, mby, mbx, qp, i4_modes, decoded4
+    )
 
     # --- syntax
     rec.ue(0)  # mb_type: I_NxN (Intra_4x4 — no transform_8x8 in baseline)
@@ -1169,7 +1201,6 @@ def _encode_mb_i4(
             nz_updates[(0, by4, bx4)] = 0
     _chroma_write(rec, c_dc_levels, c_ac_levels, cbp_chroma,
                   nz_c, nz_updates, mby, mbx)
-    rec_c = _chroma_recon(c_dc_levels, c_ac_levels, c_preds, cbp_chroma, qpc)
     return rec_y, rec_c, nz_updates, modes_out
 
 
