@@ -33,9 +33,18 @@ Scope, stated precisely:
   integer transform with the DC Hadamard hierarchy, spec
   quantization, the full CAVLC table set, and a per-MB
   I4x4/I16/I_PCM min-bits mode decision; :func:`decode_mp4_h264`
-  dispatches per macroblock, so mixed slices decode.  The remaining
-  seam is CABAC entropy coding and inter (P/B) frames — reference
-  pictures and more tables, nothing new architecturally.
+  dispatches per macroblock, so mixed slices decode.
+- **CABAC** (r11): ``h264_cabac.py`` adds the arithmetic entropy
+  coder — full baseline intra (Intra_16x16 + Intra_4x4 with exact-bit
+  per-MB mode decision) AND P slices — over the same analysis; the
+  PPS entropy_coding_mode_flag selects the slice decoder.
+- **Inter prediction** (r11): ``h264_inter.py`` adds P slices
+  (P_L0_16x16 + P_Skip, median MV prediction, QUARTER-sample motion
+  compensation — the 6-tap half-sample filter and eighth-sample
+  bilinear chroma of 8.4.2.2) and GOP containers with a real stss
+  sync table (codec="i16p" / "i16p_cabac").  The remaining seams,
+  each explicitly ValueError-gated: B frames, multi-reference lists,
+  and CABAC I_PCM.
 
 At 100 TB: encode/decode are row-local Arrow-batched work inside
 ``mapInPandas`` (multimodal.py wires them), scaling with scan
@@ -454,22 +463,33 @@ def encode_mp4_h264(
             f, qp=qp, idr_pic_id=i % 2, allow_i4=codec == "intra_cabac"
         )
         pps = encode_pps(deblocking_control=True, cabac=True)
-    elif codec == "i16p":
-        # GOP tier (h264_inter.py): IDR(Intra_16x16) + P+; the encoder
-        # closure carries the reference picture exactly as the decoder
-        # will reconstruct it
+    elif codec in ("i16p", "i16p_cabac"):
+        # GOP tier (h264_inter.py / h264_cabac.py): IDR(Intra_16x16) +
+        # P+; the encoder closure carries the reference picture exactly
+        # as the decoder will reconstruct it
         from real_time_trip_processing_project_spark.operators import (
+            h264_cabac as HC,
             h264_inter as HP,
             h264_intra as HI,
         )
 
+        cab = codec == "i16p_cabac"
         ref: dict = {}
 
         def enc(f, i):
             if i == 0:
-                nal, ry, rc = HI.encode_idr_frame_i16(
-                    f, qp=qp, idr_pic_id=0,
-                    return_recon=True, return_chroma=True,
+                if cab:
+                    nal, ry, rc = HC.encode_idr_frame_cabac(
+                        f, qp=qp, idr_pic_id=0, return_recon=True
+                    )
+                else:
+                    nal, ry, rc = HI.encode_idr_frame_i16(
+                        f, qp=qp, idr_pic_id=0,
+                        return_recon=True, return_chroma=True,
+                    )
+            elif cab:
+                nal, ry, rc = HC.encode_p_frame_cabac(
+                    f, ref["y"], ref["c"], qp=qp, frame_num=i
                 )
             else:
                 nal, ry, rc = HP.encode_p_frame(
@@ -478,10 +498,12 @@ def encode_mp4_h264(
             ref["y"], ref["c"] = ry, rc
             return nal
 
-        pps = encode_pps(deblocking_control=True)
+        pps = encode_pps(deblocking_control=True, cabac=cab)
     else:
         raise ValueError(f"unknown codec {codec!r}")
-    sps = encode_sps(w, h, max_ref=1 if codec == "i16p" else 0)
+    sps = encode_sps(
+        w, h, max_ref=1 if codec in ("i16p", "i16p_cabac") else 0
+    )
     samples = [
         struct.pack(">I", len(nal)) + nal
         for nal in (enc(f, i) for i, f in enumerate(frames))
@@ -818,6 +840,11 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
         h264_inter as HP,
     )
 
+    cabac = bool(pps.get("entropy_coding_mode"))
+    if cabac:
+        from real_time_trip_processing_project_spark.operators import (
+            h264_cabac as HC,
+        )
     ref_y = ref_c = None
     for i, (off, size) in enumerate(info["samples"]):
         for nal in _nals(off, size):
@@ -825,13 +852,25 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
                 continue
             ntype = nal[0] & 0x1F
             if ntype == 5:
-                ref_y, ref_c = HI.decode_idr_frame_auto(
-                    nal, sps, pps, return_chroma=True
-                )
+                if cabac:
+                    ref_y, ref_c = HC.decode_idr_frame_cabac(
+                        nal, sps, pps, return_chroma=True
+                    )
+                else:
+                    ref_y, ref_c = HI.decode_idr_frame_auto(
+                        nal, sps, pps, return_chroma=True
+                    )
             elif ntype == 1:
                 if ref_y is None:
                     raise ValueError("P slice before any IDR")
-                ref_y, ref_c = HP.decode_p_frame(nal, sps, pps, ref_y, ref_c)
+                if cabac:
+                    ref_y, ref_c = HC.decode_p_frame_cabac(
+                        nal, sps, pps, ref_y, ref_c
+                    )
+                else:
+                    ref_y, ref_c = HP.decode_p_frame(
+                        nal, sps, pps, ref_y, ref_c
+                    )
             else:
                 continue
             if i % every_nth == 0:

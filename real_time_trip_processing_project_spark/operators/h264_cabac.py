@@ -42,10 +42,15 @@ Conformance stance, stated precisely:
   contexts adapt within tens of bins — and transcribing ~300
   published (m,n) pairs with no external decoder to validate against
   would create silent-wrongness risk with zero testable benefit.
+- **P slices** (bottom of this module): mb_skip_flag bins with
+  not-skipped neighbor contexts, the P_L0_16x16 mb_type prefix, mvd
+  under the UEG3 binarization with |mvd|-sum contexts, and the same
+  CBP/residual machinery — sharing h264_inter.py's motion search,
+  predictors and analysis, so CABAC P streams decode to pixels
+  bit-identical to CAVLC P streams (pinned in tests).
 - No I_PCM fallback in this tier (PCM inside CABAC slices re-inits
-  the engine; the CAVLC tier keeps the rate-bound role), and the
-  remaining CABAC seam is the inter macroblock types (the CAVLC
-  inter tier lives in h264_inter.py).
+  the engine; the CAVLC tier keeps the rate-bound role).  The
+  remaining CABAC seam is I_PCM and the sub-16x16 P partition types.
 
 Reference parity note: the reference pipeline
 (Real-Time-Trip-Processing-Project) has no media processing at all —
@@ -280,9 +285,9 @@ class CabacDecoder:
 # Binarization helpers
 
 
-def _enc_eg0(enc: CabacEncoder, v: int) -> None:
-    """Exp-Golomb order-0 suffix in bypass bins (the UEG0 tail)."""
-    k = 0
+def _enc_eg0(enc: CabacEncoder, v: int, k: int = 0) -> None:
+    """Exp-Golomb order-``k`` suffix in bypass bins (the UEGk tail —
+    k=0 for coefficient levels, k=3 for mvd)."""
     while v >= (1 << k):
         enc.bypass(1)
         v -= 1 << k
@@ -292,9 +297,8 @@ def _enc_eg0(enc: CabacEncoder, v: int) -> None:
         enc.bypass((v >> j) & 1)
 
 
-def _dec_eg0_value(dec: CabacDecoder) -> int:
-    """Decode the UEG0 suffix: leading ones choose k, then k raw bits."""
-    k = 0
+def _dec_eg0_value(dec: CabacDecoder, k: int = 0) -> int:
+    """Decode the UEGk suffix: leading ones grow k, then k raw bits."""
     base = 0
     while dec.bypass():
         base += 1 << k
@@ -923,7 +927,8 @@ def encode_idr_frame_cabac(
     qp: int = 26,
     idr_pic_id: int = 0,
     allow_i4: bool = False,
-) -> bytes:
+    return_recon: bool = False,
+):
     """One IDR NAL of Intra_16x16 (and, with ``allow_i4``, Intra_4x4)
     macroblocks, CABAC entropy-coded.  Identical slice header to the
     CAVLC tier (Exp-Golomb — headers are never CABAC'd), then
@@ -1014,13 +1019,19 @@ def encode_idr_frame_cabac(
             last = mby == h_mbs - 1 and mbx == w_mbs - 1
             enc.terminate(1 if last else 0)
     bw.align_zero()  # flush's trailing 1 is the rbsp stop bit
-    return b"\x65" + rbsp_to_ebsp(bw.getvalue())
+    nal = b"\x65" + rbsp_to_ebsp(bw.getvalue())
+    if return_recon:
+        return nal, recon_y, recon_c
+    return nal
 
 
-def decode_idr_frame_cabac(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
-    """Decode a CABAC Intra_16x16 IDR slice; returns the luma plane.
-    The normative inverse of :func:`encode_idr_frame_i16_cabac` —
-    same contract as ``h264_intra.decode_idr_frame_auto``."""
+def decode_idr_frame_cabac(
+    nal: bytes, sps: dict, pps: dict, return_chroma: bool = False
+):
+    """Decode a CABAC baseline-intra IDR slice; returns the luma plane
+    (plus chroma when ``return_chroma`` — the inter tier's reference
+    picture).  The normative inverse of :func:`encode_idr_frame_cabac`
+    — same contract as ``h264_intra.decode_idr_frame_auto``."""
     if not nal or nal[0] & 0x1F != 5:
         raise ValueError("not an IDR slice NAL")
     rbsp = ebsp_to_rbsp(nal[1:])
@@ -1165,4 +1176,464 @@ def decode_idr_frame_cabac(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
             last = mby == h_mbs - 1 and mbx == w_mbs - 1
             if eos != (1 if last else 0):
                 raise ValueError("end_of_slice_flag out of place")
+    if return_chroma:
+        return recon_y, recon_c
     return recon_y
+
+
+# ---------------------------------------------------------------------------
+# P slices under CABAC (r11): the arithmetic twin of h264_inter.py —
+# mb_skip_flag bins instead of mb_skip_run, mb_type P prefix bins, mvd
+# with the UEG3 binarization and |mvd|-sum neighbor contexts, the same
+# six-bin CBP coding as I_NxN, and category-2 luma residuals.  The
+# MOTION/ANALYSIS layer is h264_inter's verbatim (shared _analyze_mb_p,
+# _search_mv, predictor and P_Skip rules), so a CABAC P stream decodes
+# to pixels bit-identical to the CAVLC P stream for the same mb/mv
+# choices.
+
+_CTX_MB_SKIP = 11  # + inc 0..2 (P slices)
+_CTX_MB_TYPE_P = 14  # prefix bins 14/15/16 (P_L0_16x16 = "000")
+_CTX_MVD_X = 40  # + inc (b0: 0..2 by |mvd| sum; b1..: 3,4,5,6)
+_CTX_MVD_Y = 47
+
+
+def _mvd_inc0(amvd_sum: int) -> int:
+    if amvd_sum < 3:
+        return 0
+    if amvd_sum <= 32:
+        return 1
+    return 2
+
+
+def _code_mvd(coder, writing: bool, base: int, inc0: int, mvd: int = 0):
+    """mvd component: TU(uCoff=9) prefix ctx-coded, EG3 bypass suffix,
+    bypass sign (9.3.2.3)."""
+    if writing:
+        a = abs(mvd)
+        if a == 0:
+            coder.decision(base + inc0, 0)
+            return None
+        coder.decision(base + inc0, 1)
+        pre = min(a, 9)
+        for j in range(1, pre):
+            coder.decision(base + min(j + 2, 6), 1)
+        if a < 9:
+            coder.decision(base + min(pre + 2, 6), 0)
+        else:
+            _enc_eg0(coder, a - 9, k=3)
+        coder.bypass(1 if mvd < 0 else 0)
+        return None
+    dec = coder
+    if not dec.decision(base + inc0):
+        return 0
+    a = 1
+    while a < 9 and dec.decision(base + min(a + 2, 6)):
+        a += 1
+    if a == 9:
+        a += _dec_eg0_value(dec, k=3)
+    return -a if dec.bypass() else a
+
+
+def encode_p_frame_cabac(
+    frame: np.ndarray,
+    ref_y: np.ndarray,
+    ref_c: list,
+    qp: int = 26,
+    frame_num: int = 1,
+    search_range: int = 8,
+) -> tuple:
+    """One CABAC P-slice NAL (type 1) predicting from ``(ref_y,
+    ref_c)``: the arithmetic twin of ``h264_inter.encode_p_frame``,
+    sharing its motion search, predictors and residual analysis.
+    Returns ``(nal, recon_y, recon_c)``."""
+    from real_time_trip_processing_project_spark.operators import (
+        h264_inter as HP,
+    )
+
+    frame = np.asarray(frame)
+    h, w = frame.shape
+    if h % MB or w % MB:
+        raise ValueError("frame dimensions must be multiples of 16")
+    if frame.dtype != np.uint8:
+        raise ValueError("frame must be uint8")
+    HI._check_qp(qp)
+    h_mbs, w_mbs = h // MB, w // MB
+
+    src_c = [np.full((h // 2, w // 2), 128, dtype=np.uint8)] * 2
+    recon_y = np.zeros((h, w), dtype=np.uint8)
+    recon_c = [np.zeros((h // 2, w // 2), dtype=np.uint8) for _ in range(2)]
+    mvs = np.zeros((h_mbs, w_mbs, 2), dtype=np.int64)
+    mvds = np.zeros((h_mbs, w_mbs, 2), dtype=np.int64)
+    skipped = np.zeros((h_mbs, w_mbs), dtype=bool)
+
+    bw = BitWriter()
+    bw.ue(0)  # first_mb_in_slice
+    bw.ue(5)  # slice_type 5: P (all slices)
+    bw.ue(0)  # pic_parameter_set_id
+    bw.u(frame_num & 15, 4)  # frame_num
+    bw.u(0, 1)  # num_ref_idx_active_override_flag
+    bw.u(0, 1)  # ref_pic_list_modification_flag_l0
+    bw.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+    bw.ue(0)  # cabac_init_idc (present for CABAC non-I slices)
+    bw.se(qp - 26)  # slice_qp_delta
+    bw.ue(1)  # disable_deblocking_filter_idc: filter off
+    while bw.bit_position % 8:
+        bw.u(1, 1)  # cabac_alignment_one_bit
+
+    enc = CabacEncoder(bw)
+    ctx = _MbCtx(h_mbs, w_mbs)
+
+    def _skip_inc(mby, mbx):
+        a = mbx > 0 and not skipped[mby, mbx - 1]
+        b = mby > 0 and not skipped[mby - 1, mbx]
+        return (1 if a else 0) + (1 if b else 0)
+
+    def _amvd(mby, mbx, comp):
+        s = 0
+        if mbx > 0:
+            s += abs(int(mvds[mby, mbx - 1, comp]))
+        if mby > 0:
+            s += abs(int(mvds[mby - 1, mbx, comp]))
+        return s
+
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            pskip = HP._pskip_mv(mvs, mby, mbx, w_mbs)
+            mv = HP._search_mv(frame, ref_y, mby, mbx, pskip, search_range)
+            (cbp_luma_bits, levels16, c_dc, c_ac, cbp_chroma,
+             rec_y, rec_c) = HP._analyze_mb_p(
+                frame, src_c, ref_y, ref_c, mby, mbx, qp, mv
+            )
+            cbp = cbp_luma_bits | (cbp_chroma << 4)
+            is_skip = cbp == 0 and mv == pskip
+            enc.decision(
+                _CTX_MB_SKIP + _skip_inc(mby, mbx), 1 if is_skip else 0
+            )
+            skipped[mby, mbx] = is_skip
+            if is_skip:
+                mvs[mby, mbx] = mv
+                mvds[mby, mbx] = (0, 0)
+                HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+                ctx.commit_mb(mby, mbx, 0, 0, 0)
+                ctx.prev_qp_delta_nz = 0
+                _zero_mb_cbf(ctx, mby, mbx)
+            else:
+                # mb_type P_L0_16x16 = "000"
+                enc.decision(_CTX_MB_TYPE_P, 0)
+                enc.decision(_CTX_MB_TYPE_P + 1, 0)
+                enc.decision(_CTX_MB_TYPE_P + 2, 0)
+                mvp = HP._mv_pred(mvs, mby, mbx, w_mbs)
+                mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
+                _code_mvd(
+                    enc, True, _CTX_MVD_X, _mvd_inc0(_amvd(mby, mbx, 1)),
+                    mvd[1],
+                )
+                _code_mvd(
+                    enc, True, _CTX_MVD_Y, _mvd_inc0(_amvd(mby, mbx, 0)),
+                    mvd[0],
+                )
+                mvs[mby, mbx] = mv
+                mvds[mby, mbx] = (mvd[0], mvd[1])
+                pending: dict = {}
+                for g in range(4):
+                    bit = (cbp_luma_bits >> g) & 1
+                    enc.decision(
+                        _CTX_CBP_LUMA
+                        + ctx.cbp_luma_inc(mby, mbx, g, pending),
+                        bit,
+                    )
+                    pending[(2 * mby + g // 2, 2 * mbx + g % 2)] = bit
+                enc.decision(
+                    _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, False),
+                    1 if cbp_chroma > 0 else 0,
+                )
+                if cbp_chroma > 0:
+                    enc.decision(
+                        _CTX_CBP_CHROMA
+                        + ctx.cbp_chroma_inc(mby, mbx, True),
+                        1 if cbp_chroma == 2 else 0,
+                    )
+                if cbp:
+                    enc.decision(
+                        _CTX_QP_DELTA + ctx.prev_qp_delta_nz, 0
+                    )
+                ctx.prev_qp_delta_nz = 0
+                _code_p_residuals(
+                    enc, True, mby, mbx, ctx,
+                    cbp_luma_bits, cbp_chroma, levels16, c_dc, c_ac,
+                )
+                ctx.commit_mb(mby, mbx, 0, cbp_luma_bits, cbp_chroma)
+                HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+            last = mby == h_mbs - 1 and mbx == w_mbs - 1
+            enc.terminate(1 if last else 0)
+    bw.align_zero()
+    return b"\x61" + rbsp_to_ebsp(bw.getvalue()), recon_y, recon_c
+
+
+def _zero_mb_cbf(ctx: _MbCtx, mby: int, mbx: int) -> None:
+    """Skipped MBs carry no residual blocks: every cbf neighbor map
+    records 0 for their positions."""
+    ctx.dc_y.set(mby, mbx, 0)
+    for y in range(4):
+        for x in range(4):
+            ctx.ac_y.set(4 * mby + y, 4 * mbx + x, 0)
+    for comp in range(2):
+        ctx.dc_c[comp].set(mby, mbx, 0)
+        for y in range(2):
+            for x in range(2):
+                ctx.ac_c[comp].set(2 * mby + y, 2 * mbx + x, 0)
+
+
+def _code_p_residuals(
+    coder, writing, mby, mbx, ctx,
+    cbp_luma_bits, cbp_chroma, levels16, c_dc, c_ac,
+):
+    """Inter residuals: 16 category-2 luma blocks + the shared chroma
+    tail (identical block order to the I_NxN path)."""
+    by0, bx0 = 4 * mby, 4 * mbx
+    if writing:
+        for blk in range(16):
+            x, y = HI._BLK_XY[blk]
+            by, bx = by0 + y, bx0 + x
+            if cbp_luma_bits & (1 << (blk // 4)):
+                scan = HI._zigzag_read(levels16[blk].reshape(4, 4))
+                cbf = _write_residual(coder, 2, scan, ctx.ac_y.inc(by, bx))
+            else:
+                cbf = 0
+            ctx.ac_y.set(by, bx, cbf)
+        for comp in range(2):
+            if cbp_chroma >= 1:
+                d = c_dc[comp]
+                scan = [int(d[0, 0]), int(d[0, 1]), int(d[1, 0]),
+                        int(d[1, 1])]
+                cbf = _write_residual(
+                    coder, 3, scan, ctx.dc_c[comp].inc(mby, mbx)
+                )
+            else:
+                cbf = 0
+            ctx.dc_c[comp].set(mby, mbx, cbf)
+        for comp in range(2):
+            for blk in range(4):
+                x, y = blk % 2, blk // 2
+                by, bx = 2 * mby + y, 2 * mbx + x
+                if cbp_chroma == 2:
+                    scan = HI._zigzag_read(c_ac[comp][y, x])[1:]
+                    cbf = _write_residual(
+                        coder, 4, scan, ctx.ac_c[comp].inc(by, bx)
+                    )
+                else:
+                    cbf = 0
+                ctx.ac_c[comp].set(by, bx, cbf)
+        ctx.dc_y.set(mby, mbx, 0)
+        return None
+    dec = coder
+    levels16 = np.zeros((16, 4, 4), dtype=np.int64)
+    for blk in range(16):
+        x, y = HI._BLK_XY[blk]
+        by, bx = by0 + y, bx0 + x
+        if cbp_luma_bits & (1 << (blk // 4)):
+            scan, cbf = _read_residual(dec, 2, ctx.ac_y.inc(by, bx))
+            levels16[blk] = HI._zigzag_write(scan)
+        else:
+            cbf = 0
+        ctx.ac_y.set(by, bx, cbf)
+    c_dc = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
+    for comp in range(2):
+        if cbp_chroma >= 1:
+            scan, cbf = _read_residual(
+                dec, 3, ctx.dc_c[comp].inc(mby, mbx)
+            )
+            c_dc[comp] = np.array(
+                [[scan[0], scan[1]], [scan[2], scan[3]]], dtype=np.int64
+            )
+        else:
+            cbf = 0
+        ctx.dc_c[comp].set(mby, mbx, cbf)
+    c_ac = [np.zeros((2, 2, 4, 4), dtype=np.int64) for _ in range(2)]
+    for comp in range(2):
+        for blk in range(4):
+            x, y = blk % 2, blk // 2
+            by, bx = 2 * mby + y, 2 * mbx + x
+            if cbp_chroma == 2:
+                scan, cbf = _read_residual(
+                    dec, 4, ctx.ac_c[comp].inc(by, bx)
+                )
+                c_ac[comp][y, x] = HI._zigzag_write([0] + scan)
+            else:
+                cbf = 0
+            ctx.ac_c[comp].set(by, bx, cbf)
+    ctx.dc_y.set(mby, mbx, 0)
+    return levels16, c_dc, c_ac
+
+
+def decode_p_frame_cabac(
+    nal: bytes, sps: dict, pps: dict, ref_y: np.ndarray, ref_c: list
+) -> tuple:
+    """The normative inverse of :func:`encode_p_frame_cabac`.  Returns
+    ``(recon_y, recon_c)``; malformed data raises ValueError."""
+    from real_time_trip_processing_project_spark.operators import (
+        h264_inter as HP,
+    )
+
+    if not nal or nal[0] & 0x1F != 1:
+        raise ValueError("not a non-IDR slice NAL")
+    rbsp = ebsp_to_rbsp(nal[1:])
+    r = BitReader(rbsp)
+    if r.ue() != 0:
+        raise ValueError("first_mb_in_slice != 0")
+    if r.ue() % 5 != 0:
+        raise ValueError("not a P slice")
+    r.ue()  # pic_parameter_set_id
+    r.u(sps["log2_max_frame_num"])
+    if sps["poc_type"] == 0:
+        raise ValueError("poc_type 0 slice headers not supported")
+    if r.u(1):
+        raise ValueError("num_ref_idx override not supported")
+    if r.u(1):
+        raise ValueError("ref_pic_list_modification not supported")
+    if r.u(1):
+        raise ValueError("adaptive ref marking not supported")
+    if r.ue() > 2:
+        raise ValueError("cabac_init_idc out of range")
+    qp = 26 + r.se()
+    HI._check_qp(qp)
+    if pps.get("deblocking_control"):
+        idc = r.ue()
+        if idc != 1:
+            r.se()
+            r.se()
+    while r.pos % 8:
+        if r.u(1) != 1:
+            raise ValueError("bad cabac_alignment bit")
+    dec = CabacDecoder(rbsp, r.pos)
+
+    h, w = sps["height"], sps["width"]
+    h_mbs, w_mbs = h // MB, w // MB
+    if ref_y.shape != (h, w):
+        raise ValueError("reference picture dimensions mismatch")
+    recon_y = np.zeros((h, w), dtype=np.uint8)
+    recon_c = [np.zeros((h // 2, w // 2), dtype=np.uint8) for _ in range(2)]
+    ctx = _MbCtx(h_mbs, w_mbs)
+    mvs = np.zeros((h_mbs, w_mbs, 2), dtype=np.int64)
+    mvds = np.zeros((h_mbs, w_mbs, 2), dtype=np.int64)
+    skipped = np.zeros((h_mbs, w_mbs), dtype=bool)
+    qpc = HI.chroma_qp(qp)
+
+    def _skip_inc(mby, mbx):
+        a = mbx > 0 and not skipped[mby, mbx - 1]
+        b = mby > 0 and not skipped[mby - 1, mbx]
+        return (1 if a else 0) + (1 if b else 0)
+
+    def _amvd(mby, mbx, comp):
+        s = 0
+        if mbx > 0:
+            s += abs(int(mvds[mby, mbx - 1, comp]))
+        if mby > 0:
+            s += abs(int(mvds[mby - 1, mbx, comp]))
+        return s
+
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            if dec.decision(_CTX_MB_SKIP + _skip_inc(mby, mbx)):
+                skipped[mby, mbx] = True
+                mv = HP._pskip_mv(mvs, mby, mbx, w_mbs)
+                mvs[mby, mbx] = mv
+                mvds[mby, mbx] = (0, 0)
+                pred = HP._mc_luma(ref_y, mby * MB, mbx * MB, mv)
+                HP._commit(
+                    recon_y, recon_c,
+                    np.clip(pred, 0, 255).astype(np.uint8),
+                    [np.clip(c, 0, 255).astype(np.uint8)
+                     for c in HP._mc_chroma(ref_c, mby, mbx, mv)],
+                    mby, mbx,
+                )
+                ctx.commit_mb(mby, mbx, 0, 0, 0)
+                ctx.prev_qp_delta_nz = 0
+                _zero_mb_cbf(ctx, mby, mbx)
+            else:
+                skipped[mby, mbx] = False
+                if dec.decision(_CTX_MB_TYPE_P):
+                    raise ValueError(
+                        "intra macroblocks in CABAC P slices not "
+                        "supported"
+                    )
+                if dec.decision(_CTX_MB_TYPE_P + 1):
+                    raise ValueError("P partition types not supported")
+                if dec.decision(_CTX_MB_TYPE_P + 2):
+                    raise ValueError("P_8x8 not supported")
+                mvd_x = _code_mvd(
+                    dec, False, _CTX_MVD_X, _mvd_inc0(_amvd(mby, mbx, 1))
+                )
+                mvd_y = _code_mvd(
+                    dec, False, _CTX_MVD_Y, _mvd_inc0(_amvd(mby, mbx, 0))
+                )
+                mvp = HP._mv_pred(mvs, mby, mbx, w_mbs)
+                mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
+                if abs(mv[0]) > 4 * h or abs(mv[1]) > 4 * w:
+                    raise ValueError("motion vector out of range")
+                mvs[mby, mbx] = mv
+                mvds[mby, mbx] = (mvd_y, mvd_x)
+                cbp_luma_bits = 0
+                pending = {}
+                for g in range(4):
+                    bit = dec.decision(
+                        _CTX_CBP_LUMA
+                        + ctx.cbp_luma_inc(mby, mbx, g, pending)
+                    )
+                    cbp_luma_bits |= bit << g
+                    pending[(2 * mby + g // 2, 2 * mbx + g % 2)] = bit
+                cbp_chroma = 0
+                if dec.decision(
+                    _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, False)
+                ):
+                    cbp_chroma = 2 if dec.decision(
+                        _CTX_CBP_CHROMA
+                        + ctx.cbp_chroma_inc(mby, mbx, True)
+                    ) else 1
+                qp_delta = 0
+                if cbp_luma_bits or cbp_chroma:
+                    if dec.decision(
+                        _CTX_QP_DELTA + ctx.prev_qp_delta_nz
+                    ):
+                        k = 1
+                        while dec.decision(
+                            _CTX_QP_DELTA + (2 if k == 1 else 3)
+                        ):
+                            k += 1
+                            if k > 104:
+                                raise ValueError(
+                                    "mb_qp_delta out of range"
+                                )
+                        qp_delta = (k + 1) // 2 if k & 1 else -(k // 2)
+                ctx.prev_qp_delta_nz = 1 if qp_delta else 0
+                qp += qp_delta
+                HI._check_qp(qp)
+                qpc = HI.chroma_qp(qp)
+                levels16, c_dc, c_ac = _code_p_residuals(
+                    dec, False, mby, mbx, ctx,
+                    cbp_luma_bits, cbp_chroma, None, None, None,
+                )
+                ctx.commit_mb(mby, mbx, 0, cbp_luma_bits, cbp_chroma)
+                pred = HP._mc_luma(ref_y, mby * MB, mbx * MB, mv)
+                rec_y = np.empty((MB, MB), dtype=np.uint8)
+                for blk in range(16):
+                    x, y = HI._BLK_XY[blk]
+                    res = (
+                        HI.inv4x4(HI.dequant4x4(levels16[blk], qp))
+                        if cbp_luma_bits & (1 << (blk // 4))
+                        else np.zeros((4, 4), dtype=np.int64)
+                    )
+                    rec_y[4 * y : 4 * y + 4, 4 * x : 4 * x + 4] = np.clip(
+                        pred[4 * y : 4 * y + 4, 4 * x : 4 * x + 4] + res,
+                        0,
+                        255,
+                    )
+                c_preds = HP._mc_chroma(ref_c, mby, mbx, mv)
+                rec_c = HI._chroma_recon(c_dc, c_ac, c_preds, cbp_chroma,
+                                         qpc)
+                HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+            eos = dec.terminate()
+            last = mby == h_mbs - 1 and mbx == w_mbs - 1
+            if eos != (1 if last else 0):
+                raise ValueError("end_of_slice_flag out of place")
+    return recon_y, recon_c

@@ -299,3 +299,85 @@ def test_multimodal_stats_codec_switch():
     assert len(dc) == len(dv) == len(frames)
     for (_, a), (_, b) in zip(dc, dv):
         assert np.array_equal(a, b)
+
+
+def test_cabac_p_slices_match_cavlc_pixels():
+    """CABAC P slices (r11): shared motion search + analysis with the
+    CAVLC inter tier means the decoded pixels must be EQUAL frame by
+    frame; the arithmetic coder should also not lose rate materially.
+    Also pins the CABAC GOP container (codec='i16p_cabac') against the
+    CAVLC GOP decode."""
+    from real_time_trip_processing_project_spark.operators import (
+        h264_inter as HP,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    frames = [base]
+    for _ in range(1, 5):
+        s_ = np.roll(np.roll(frames[-1], 2, 0), 4, 1)
+        frames.append(
+            np.clip(
+                s_.astype(np.int64) + rng.integers(-2, 3, s_.shape), 0, 255
+            ).astype(np.uint8)
+        )
+    frames = np.stack(frames)
+    sps = H.parse_sps(H.encode_sps(64, 48, max_ref=1))
+    ppsc = H.parse_pps(H.encode_pps(True, cabac=True))
+    _n, ry, rc = HI.encode_idr_frame_i16(
+        frames[0], qp=12, return_recon=True, return_chroma=True
+    )
+    for k in range(1, len(frames)):
+        nal_c, ry2, rc2 = C.encode_p_frame_cabac(
+            frames[k], ry, rc, qp=12, frame_num=k
+        )
+        dy, dc = C.decode_p_frame_cabac(nal_c, sps, ppsc, ry, rc)
+        assert np.array_equal(dy, ry2)
+        assert all(np.array_equal(a, b) for a, b in zip(dc, rc2))
+        nal_v, ry2v, _ = HP.encode_p_frame(
+            frames[k], ry, rc, qp=12, frame_num=k
+        )
+        assert np.array_equal(ry2, ry2v), "cross-coder pixel divergence"
+        assert len(nal_c) <= 1.1 * len(nal_v)
+        ry, rc = ry2, rc2
+    gc = H.encode_mp4_h264(frames, codec="i16p_cabac", qp=12)
+    gv = H.encode_mp4_h264(frames, codec="i16p", qp=12)
+    info = H.parse_mp4(gc)
+    assert info["pps"]["entropy_coding_mode"] == 1
+    assert info["sync_samples"] == [0]
+    _, dcc = H.decode_mp4_h264(gc)
+    _, dvv = H.decode_mp4_h264(gv)
+    assert [i for i, _ in dcc] == [i for i, _ in dvv]
+    for (_, a), (_, b) in zip(dcc, dvv):
+        assert np.array_equal(a, b)
+
+
+def test_cabac_p_skip_and_fuzz():
+    """Static content under CABAC P: skip flags dominate (stream far
+    below IDR rate); bit-flip fuzz holds the ValueError contract."""
+    from real_time_trip_processing_project_spark.operators import (
+        h264_inter as HP_,  # noqa: F401 (parity of imports with twin)
+    )
+
+    rng = np.random.default_rng(9)
+    f = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    sps = H.parse_sps(H.encode_sps(32, 32, max_ref=1))
+    ppsc = H.parse_pps(H.encode_pps(True, cabac=True))
+    _n, ry, rc = HI.encode_idr_frame_i16(
+        f, qp=12, return_recon=True, return_chroma=True
+    )
+    n1, ry1, rc1 = C.encode_p_frame_cabac(f, ry, rc, qp=12)
+    n2, _, _ = C.encode_p_frame_cabac(f, ry1, rc1, qp=12)
+    assert len(n2) < len(n1) < 400
+    nal = bytearray(n1)
+    n_bits = len(nal) * 8
+    bad = 0
+    for _ in range(1500):
+        i = int(rng.integers(8, n_bits))
+        mut = bytearray(nal)
+        mut[i // 8] ^= 1 << (7 - (i % 8))
+        try:
+            C.decode_p_frame_cabac(bytes(mut), sps, ppsc, ry, rc)
+        except ValueError:
+            bad += 1
+    assert bad > 0
