@@ -425,6 +425,7 @@ def encode_mp4_h264(
     fps: int = MP4_FPS,
     codec: str = "i_pcm",
     qp: int = 26,
+    search_range: int = 8,
 ) -> bytes:
     """Real MP4: ftyp + mdat (length-prefixed IDR NALs) + moov with the
     full stsd(avc1+avcC)/stts/stsc/stsz/stco sample-table chain.
@@ -489,11 +490,13 @@ def encode_mp4_h264(
                     )
             elif cab:
                 nal, ry, rc = HC.encode_p_frame_cabac(
-                    f, ref["y"], ref["c"], qp=qp, frame_num=i
+                    f, ref["y"], ref["c"], qp=qp, frame_num=i,
+                    search_range=search_range,
                 )
             else:
                 nal, ry, rc = HP.encode_p_frame(
-                    f, ref["y"], ref["c"], qp=qp, frame_num=i
+                    f, ref["y"], ref["c"], qp=qp, frame_num=i,
+                    search_range=search_range,
                 )
             ref["y"], ref["c"] = ry, rc
             return nal

@@ -1661,6 +1661,89 @@ def mp4_container_index(
     return media.mapInPandas(run, schema)
 
 
+def mp4_gop_index(
+    docs: DataFrame,
+    qp: int = 12,
+    search_range: int = 4,
+    codec: str = "i16p",
+) -> DataFrame:
+    """Container index of the P-GOP tier (h264_inter.py): encode each
+    doc's text frames as IDR + P with a real stss sync table, walk the
+    container back, and emit the text-derivable invariants a correct
+    GOP must satisfy — frame count, dims, exactly ONE IDR NAL (sample
+    0), sync table = [0], stsc×stco×stsz consistency and pixel count.
+    All integer-deterministic, so the registered query carries a FULL
+    SQL oracle (the GOP twin of :func:`mp4_container_index`'s role for
+    the all-IDR tiers).  Arrow-batched ``mapInPandas``; row-local."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from real_time_trip_processing_project_spark.operators import (
+            h264 as H,
+        )
+
+        frame_bytes = MP4_W * MP4_H
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_count": [], "width": [],
+                "height": [], "idr_frames": [], "sync_count": [],
+                "first_sync": [], "index_consistent": [], "px_count": [],
+            }
+            for mid, t in zip(pdf["doc_id"], pdf["text"]):
+                px = _text_frames(t, frame_bytes)
+                frames = px.reshape(-1, MP4_H, MP4_W)
+                payload = H.encode_mp4_h264(
+                    frames, codec=codec, qp=qp, search_range=search_range
+                )
+                try:
+                    info = H.parse_mp4(payload)
+                except ValueError:
+                    info = None
+                out["media_id"].append(mid)
+                if info is None:
+                    for k in ("frame_count", "width", "height",
+                              "idr_frames", "sync_count", "px_count"):
+                        out[k].append(0)
+                    out["first_sync"].append(-1)
+                    out["index_consistent"].append(False)
+                    continue
+                ls = info["length_size"]
+                idr = 0
+                for off, size in info["samples"]:
+                    if size >= ls + 1:
+                        nal0 = payload[off + ls]
+                        if nal0 & 0x1F == 5:
+                            idr += 1
+                sync = info["sync_samples"]
+                out["frame_count"].append(len(info["samples"]))
+                out["width"].append(info["width"])
+                out["height"].append(info["height"])
+                out["idr_frames"].append(idr)
+                out["sync_count"].append(len(sync))
+                out["first_sync"].append(sync[0] if sync else -1)
+                out["index_consistent"].append(
+                    bool(
+                        info["index_consistent"]
+                        and info["width"] == info["sps"]["width"]
+                        and info["height"] == info["sps"]["height"]
+                    )
+                )
+                out["px_count"].append(
+                    len(info["samples"]) * info["width"] * info["height"]
+                )
+            yield pd.DataFrame(out)
+
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    return spread_small_input(docs.select("doc_id", "text")).mapInPandas(
+        run,
+        "media_id long, frame_count long, width long, height long, "
+        "idr_frames long, sync_count long, first_sync long, "
+        "index_consistent boolean, px_count long",
+    )
+
+
 def mp4_frame_features(media: DataFrame, every_nth: int = 1) -> DataFrame:
     """Decode MP4/H.264 payloads and emit per-frame pixel statistics.
     Every sample is a self-contained IDR, so sampling skips unsampled

@@ -3298,6 +3298,47 @@ def multimodal_mp4_i16_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_gop_index",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    AS BIGINT) AS frame_count,
+               CAST({MM.MP4_W} AS BIGINT) AS width,
+               CAST({MM.MP4_H} AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS idr_frames,
+               CAST(1 AS BIGINT) AS sync_count,
+               CAST(0 AS BIGINT) AS first_sync,
+               TRUE AS index_consistent,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    * {_MP4_FRAME_BYTES} AS BIGINT) AS px_count
+        FROM documents
+        WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+          AND doc_id % 8 = 0
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_gop_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The P-GOP tier (r11, operators/h264_inter.py) under a FULL hash
+    oracle: encode each doc's frames as IDR + quarter-pel-motion P
+    samples, walk the container back, and verify the text-derivable
+    invariants — frame count, dims ≡ parsed SPS, exactly ONE IDR NAL,
+    the stss sync table = [sample 0], exact stsc×stco×stsz mdat
+    coverage, pixel count.  Runs on the deterministic doc_id%8 slice
+    (motion search on unrelated text-chunk frames is pure overhead —
+    the coverage target is the container/syntax path, not rate).
+    Registered r11; per the rotation ladder plan it takes r12's one
+    free window slot (see __spark_entry__._RECHECK_FIRST note)."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY) & (F.col("doc_id") % 8 == 0)
+    )
+    return MM.mp4_gop_index(docs, qp=12, search_range=4)
+
+
+@register(
     "multimodal_mp4_intra_index",
     oracle=_mp4_lossy_index_oracle(where="AND doc_id % 4 = 0"),
     tags=["EXT", "multimodal"],
