@@ -3298,6 +3298,28 @@ def multimodal_mp4_i16_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_intra_index",
+    oracle=_mp4_lossy_index_oracle(where="AND doc_id % 4 = 0"),
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_intra_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_mp4_i16_index``'s full-baseline-intra twin: the
+    per-MB Intra_4x4/Intra_16x16/I_PCM mode-decision encoder
+    (operators/h264_intra.py:encode_idr_frame_intra) under the same
+    FULL container-invariant oracle, on the deterministic doc_id%4
+    quarter-slice the intra stats query uses (the double-trial encoder
+    costs ~2.2× the pure-I16 path; mode-decision coverage doesn't need
+    the whole corpus)."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY) & (F.col("doc_id") % 4 == 0)
+    )
+    media = MM.media_mp4_from_documents(docs, codec="intra", qp=12)
+    return MM.mp4_container_index(
+        media, rate_bound_bytes=_MP4_SAMPLE_RATE_BOUND
+    )
+
+
+@register(
     "multimodal_mp4_gop_index",
     oracle=f"""
         SELECT doc_id AS media_id,
@@ -3336,28 +3358,6 @@ def multimodal_mp4_gop_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike(_ASCII_ONLY) & (F.col("doc_id") % 8 == 0)
     )
     return MM.mp4_gop_index(docs, qp=12, search_range=4)
-
-
-@register(
-    "multimodal_mp4_intra_index",
-    oracle=_mp4_lossy_index_oracle(where="AND doc_id % 4 = 0"),
-    tags=["EXT", "multimodal"],
-)
-def multimodal_mp4_intra_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``multimodal_mp4_i16_index``'s full-baseline-intra twin: the
-    per-MB Intra_4x4/Intra_16x16/I_PCM mode-decision encoder
-    (operators/h264_intra.py:encode_idr_frame_intra) under the same
-    FULL container-invariant oracle, on the deterministic doc_id%4
-    quarter-slice the intra stats query uses (the double-trial encoder
-    costs ~2.2× the pure-I16 path; mode-decision coverage doesn't need
-    the whole corpus)."""
-    docs = load_fixture(spark, sf_dir, "documents").filter(
-        F.col("text").rlike(_ASCII_ONLY) & (F.col("doc_id") % 4 == 0)
-    )
-    media = MM.media_mp4_from_documents(docs, codec="intra", qp=12)
-    return MM.mp4_container_index(
-        media, rate_bound_bytes=_MP4_SAMPLE_RATE_BOUND
-    )
 
 
 def _mp4_frames_oracle(where: str = "") -> str:
