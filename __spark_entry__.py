@@ -43,11 +43,12 @@ _RECHECK_FIRST = [
 ]
 
 # r12 ladder plan: the 49-query r8 cohort crosses the overdue line at
-# r12 and fills 49 of the 50 slots — register at most ONE new query
-# for r12 (candidate: multimodal_mp4_gop_index, a FULL-oracle stss/
-# container-invariant query over the r11 P-frame tier, mirroring
-# multimodal_mp4_i16_index) and draw any pins from inside the r8
-# cohort.  r13 has 3 free slots (47-query r9 cohort) for the CABAC
+# r12 and fills 49 of the 50 slots.  multimodal_mp4_gop_index (the
+# FULL-oracle stss/container-invariant query over the r11 P-frame
+# tier) is ALREADY registered as r11's one deliberate window overflow
+# — as the sole never-checked query it takes r12's free slot, so
+# register nothing new for r12 and draw any pins from inside the r8
+# cohort.  r13 has 3 free slots (47-query r9 cohort) for CABAC
 # stats/index queries.  The r11 CABAC + inter tiers are meanwhile
 # covered by tests/test_h264_cabac.py, tests/test_h264_inter.py and
 # bench quality floors (mp4_cabac_rate_vs_cavlc, mp4_gop_rate_vs_alli).
