@@ -451,7 +451,8 @@ def main() -> None:
                 ratio2 = retest / reg["prev_norm"]
             reg["retest_norm"] = round(retest, 3)
             reg["retest_ratio"] = round(ratio2, 2)
-            (survivors if ratio2 > 1.3 else dropped).append(reg)
+            thr = reg.get("threshold", 1.3)
+            (survivors if ratio2 > thr else dropped).append(reg)
         out["regressions"] = survivors
         out["regressions_unreproduced"] = dropped
 
@@ -500,10 +501,18 @@ def main() -> None:
 
 
 def _regressions(prev_path: str, normalized: dict, sf=None) -> list[dict]:
-    """Queries whose probe-normalized time rose >30% vs the previous
-    committed detail record at the SAME scale factor.  Returns [] when
-    no previous record exists (first run of a fresh checkout) or the
-    previous record was taken at a different sf."""
+    """Queries whose probe-normalized time rose >30% vs the ROLLING
+    MEDIAN of the last 4 recorded runs at the SAME scale factor.
+
+    Why a median, not the single previous run (r11 adjudication): three
+    same-code sf0.1 runs in one day showed sub-second queries
+    oscillating ±60% BETWEEN sessions while reproducing WITHIN a
+    session — one unusually fast window as the sole baseline then
+    flags the whole next run.  The per-query history rides inside the
+    detail record (``normalized.history``) so a single outlier run is
+    one sample out of four, not the entire baseline; history resets
+    when a query's probe flavor changes.  Returns [] when no previous
+    record exists or it was taken at a different sf."""
     try:
         with open(prev_path) as f:
             prev_all = json.load(f)
@@ -511,50 +520,87 @@ def _regressions(prev_path: str, normalized: dict, sf=None) -> list[dict]:
         if sf is not None and prev_all.get("sf") not in (None, sf):
             return []
     except (OSError, ValueError):
+        normalized["history"] = {
+            k: [v]
+            for k, v in {
+                **normalized.get("queries", {}),
+                **normalized.get("secondary", {}),
+            }.items()
+        }
         return []
     prev_q = {**prev.get("queries", {}), **prev.get("secondary", {})}
     now_q = {**normalized.get("queries", {}), **normalized.get("secondary", {})}
     now_flavors = normalized.get("flavors", {})
     prev_flavors = prev.get("flavors", {})
+    prev_hist = prev.get("history", {})
+    new_hist: dict[str, list[float]] = {}
 
     def _mean(rec: dict, flavor: str) -> float:
         if flavor == "py":
             return rec.get("probe_py_mean_sec", 1.0) or 1.0
         return rec.get("probe_mean_sec", 1.0) or 1.0
 
+    def _median(vals: list[float]) -> float:
+        v = sorted(vals)
+        n = len(v)
+        return v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2
+
     regs = []
     for name, now_norm in now_q.items():
         prev_norm = prev_q.get(name)
         flavor = now_flavors.get(name, "jvm")
-        # a query is only comparable against a record normalized on the
+        # a query is only comparable against history recorded on the
         # SAME probe basis — a flavor switch (e.g. the py tape's first
         # round, where the previous record was jvm-normalized) gets one
         # comparison-free round and a clean baseline next round
         if prev_flavors.get(name, "jvm") != flavor:
+            new_hist[name] = [now_norm]
             continue
+        hist = [
+            h for h in prev_hist.get(name, []) if isinstance(h, (int, float))
+        ]
+        if not hist and prev_norm is not None:
+            hist = [prev_norm]  # migrate pre-history records
+        new_hist[name] = (hist + [now_norm])[-4:]
+        baseline = _median(hist) if hist else None
         # skip new queries and readings where EITHER side's raw time is
         # sub-0.15 s — timer noise dominates there, and a tiny previous
         # reading inflates the ratio just as spuriously as a tiny
         # current one
+        raw_now = now_norm * _mean(normalized, flavor)
         if (
-            prev_norm is None
-            or prev_norm <= 0
-            or now_norm * _mean(normalized, flavor) < 0.15
-            or prev_norm * _mean(prev, flavor) < 0.15
+            baseline is None
+            or baseline <= 0
+            or raw_now < 0.15
+            or baseline * _mean(prev, flavor) < 0.15
         ):
             continue
-        ratio = now_norm / prev_norm
-        if ratio > 1.3:
+        ratio = now_norm / baseline
+        # Runtime-scaled thresholds, set from measured SAME-CODE
+        # cross-session spread on this box (r11: three sf0.1 runs in
+        # one day — sub-0.5 s queries p90 1.4x / max 1.88x, 0.5-1.5 s
+        # p90 1.33x, >=1.5 s max 1.04x; probe-invisible section-local
+        # load): a flat 1.3 flags ~15% of the sub-second catalogue on
+        # pure box noise every run.  Relative noise shrinks with
+        # runtime, so the gate's sensitivity follows it.
+        threshold = 1.3 if raw_now >= 1.5 else (
+            1.6 if raw_now >= 0.5 else 2.0
+        )
+        if ratio > threshold:
             regs.append(
                 {
                     "query": name,
-                    "prev_norm": prev_norm,
+                    "prev_norm": baseline,
                     "now_norm": now_norm,
                     "ratio": round(ratio, 2),
+                    "threshold": threshold,
                 }
             )
+    normalized["history"] = new_hist
     # streaming rates (normalized as rate x probe): regression = the
-    # normalized rate FELL >30% vs the previous round
+    # normalized rate FELL >50% vs the previous round (raised from 30%
+    # r11: same-code same-day replays measured 14.8k-19.7k ev/s — a
+    # 1.33x spread the probe does not see)
     for name, now_rate in normalized.items():
         if not name.startswith("streaming_"):
             continue
@@ -562,13 +608,14 @@ def _regressions(prev_path: str, normalized: dict, sf=None) -> list[dict]:
         if not prev_rate or not now_rate:
             continue
         ratio = prev_rate / now_rate
-        if ratio > 1.3:
+        if ratio > 1.5:
             regs.append(
                 {
                     "query": name,
                     "prev_norm": prev_rate,
                     "now_norm": now_rate,
                     "ratio": round(ratio, 2),
+                    "threshold": 1.5,
                 }
             )
     regs.sort(key=lambda r: -r["ratio"])
