@@ -46,12 +46,15 @@ _RECHECK_FIRST = [
 # r12 and fills 49 of the 50 slots.  multimodal_mp4_gop_index (the
 # FULL-oracle stss/container-invariant query over the r11 P-frame
 # tier) is ALREADY registered as r11's one deliberate window overflow
-# — as the sole never-checked query it takes r12's free slot, so
-# register nothing new for r12 and draw any pins from inside the r8
-# cohort.  r13 has 3 free slots (47-query r9 cohort) for CABAC
-# stats/index queries.  The r11 CABAC + inter tiers are meanwhile
-# covered by tests/test_h264_cabac.py, tests/test_h264_inter.py and
-# bench quality floors (mp4_cabac_rate_vs_cavlc, mp4_gop_rate_vs_alli).
+# — as the FIRST-registered never-checked query it takes r12's free
+# slot, so register nothing new for r12 and draw any pins from inside
+# the r8 cohort.  r13's 3 free slots (47-query r9 cohort) are filled by
+# the queued never-checked CABAC container indexes
+# (multimodal_mp4_cabac_index, multimodal_mp4_cabac_gop_index,
+# registered r11 behind the GOP index in queue order) + 1 spare.  The
+# r11 CABAC + inter tiers are meanwhile covered by
+# tests/test_h264_cabac.py, tests/test_h264_inter.py and bench quality
+# floors (mp4_cabac_rate_vs_cavlc, mp4_gop_rate_vs_alli).
 
 #: A query whose last green check is older than this many rounds is
 #: "overdue" and outranks never-checked newcomers in the window — without

@@ -3360,6 +3360,95 @@ def multimodal_mp4_gop_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.mp4_gop_index(docs, qp=12, search_range=4)
 
 
+@register(
+    "multimodal_mp4_cabac_index",
+    # Same text-derived invariants as the CAVLC tiers but WITHOUT the
+    # within_rate_bound column: the CABAC tier deliberately has no
+    # I_PCM fallback (PCM inside a CABAC slice re-initializes the
+    # arithmetic engine — operators/h264_cabac.py:51), so no static
+    # per-sample byte ceiling exists; rate is tracked relatively by the
+    # bench's mp4_cabac_rate_vs_cavlc floor instead.
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    AS BIGINT) AS frame_count,
+               CAST({MM.MP4_W} AS BIGINT) AS width,
+               CAST({MM.MP4_H} AS BIGINT) AS height,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    AS BIGINT) AS idr_ok_frames,
+               TRUE AS index_consistent,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    * {_MP4_FRAME_BYTES} AS BIGINT) AS px_count
+        FROM documents
+        WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+          AND doc_id % 4 = 1
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_cabac_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-intra CABAC tier (r11, operators/h264_cabac.py: the
+    arithmetic coder with spec init tables, Intra_16x16 + Intra_4x4
+    slice syntax, exact-bit mode decision) under the same FULL
+    container-invariant oracle as ``multimodal_mp4_intra_index`` —
+    frame count, dims ≡ parsed SPS, every sample an IDR NAL, exact
+    stsc×stco×stsz mdat coverage, pixel count.  Runs on the doc_id%4=1
+    quarter-slice, DISJOINT from the CAVLC intra index's %4=0 slice,
+    so between them half the ASCII corpus exercises a mode-decision
+    encoder each round.  Registered r11 for one of r13's free rotation
+    slots (see __spark_entry__ ladder note)."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY) & (F.col("doc_id") % 4 == 1)
+    )
+    media = MM.media_mp4_from_documents(docs, codec="intra_cabac", qp=12)
+    return MM.mp4_container_index(media)
+
+
+@register(
+    "multimodal_mp4_cabac_gop_index",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    AS BIGINT) AS frame_count,
+               CAST({MM.MP4_W} AS BIGINT) AS width,
+               CAST({MM.MP4_H} AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS idr_frames,
+               CAST(1 AS BIGINT) AS sync_count,
+               CAST(0 AS BIGINT) AS first_sync,
+               TRUE AS index_consistent,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    * {_MP4_FRAME_BYTES} AS BIGINT) AS px_count
+        FROM documents
+        WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+          AND doc_id % 8 = 4
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_cabac_gop_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``multimodal_mp4_gop_index``'s CABAC twin: IDR + quarter-pel P
+    GOPs whose every slice is arithmetic-coded
+    (operators/h264_cabac.py:encode_p_frame_cabac — P mb/sub-mb types,
+    mvd and ref contexts per 9.3.3.1), under the identical FULL
+    container oracle: one IDR, stss = [0], exact stsc×stco×stsz
+    coverage.  doc_id%8=4 slice, disjoint from the CAVLC GOP's %8=0.
+    Registered r11 for one of r13's free rotation slots."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY) & (F.col("doc_id") % 8 == 4)
+    )
+    return MM.mp4_gop_index(docs, qp=12, search_range=4, codec="i16p_cabac")
+
+
 def _mp4_frames_oracle(where: str = "") -> str:
     return f"""
         WITH s AS (
