@@ -154,6 +154,8 @@ SECONDARY = [
     "multimodal_mp4_i16_index",
     "multimodal_mp4_intra_index",
     "multimodal_mp4_gop_index",
+    "multimodal_mp4_cabac_index",
+    "multimodal_mp4_cabac_gop_index",
     # embedding_kmeans / embedding_kmeans_assign are oracle-gated per
     # round but, like tokenizer_apply_bpe_counts, kept out of the
     # timing list: the 3-iteration driver loop is ~90% fixed per-job
