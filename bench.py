@@ -454,7 +454,13 @@ def main() -> None:
             reg["retest_norm"] = round(retest, 3)
             reg["retest_ratio"] = round(ratio2, 2)
             thr = reg.get("threshold", 1.3)
-            (survivors if ratio2 > thr else dropped).append(reg)
+            # raw corroboration holds at retest too: the min-of-3 raw
+            # time must also sit >15% over its rolling raw median
+            raw_ok = True
+            if not name.startswith("streaming_") and reg.get("raw_base"):
+                reg["retest_raw"] = round(best, 3)
+                raw_ok = best > reg["raw_base"] * 1.15
+            (survivors if ratio2 > thr and raw_ok else dropped).append(reg)
         out["regressions"] = survivors
         out["regressions_unreproduced"] = dropped
 
@@ -531,11 +537,20 @@ def _regressions(prev_path: str, normalized: dict, sf=None) -> list[dict]:
         }
         return []
     prev_q = {**prev.get("queries", {}), **prev.get("secondary", {})}
+    # RAW (un-normalized) previous timings, for the corroboration check
+    # below — the top-level "queries"/"secondary" keys of the detail
+    # record hold raw seconds
+    prev_raw = {
+        **prev_all.get("queries", {}),
+        **prev_all.get("secondary", {}),
+    }
     now_q = {**normalized.get("queries", {}), **normalized.get("secondary", {})}
     now_flavors = normalized.get("flavors", {})
     prev_flavors = prev.get("flavors", {})
     prev_hist = prev.get("history", {})
+    prev_hist_raw = prev.get("history_raw", {})
     new_hist: dict[str, list[float]] = {}
+    new_hist_raw: dict[str, list[float]] = {}
 
     def _mean(rec: dict, flavor: str) -> float:
         if flavor == "py":
@@ -555,21 +570,30 @@ def _regressions(prev_path: str, normalized: dict, sf=None) -> list[dict]:
         # SAME probe basis — a flavor switch (e.g. the py tape's first
         # round, where the previous record was jvm-normalized) gets one
         # comparison-free round and a clean baseline next round
+        raw_now = now_norm * _mean(normalized, flavor)
         if prev_flavors.get(name, "jvm") != flavor:
             new_hist[name] = [now_norm]
+            new_hist_raw[name] = [round(raw_now, 3)]
             continue
         hist = [
             h for h in prev_hist.get(name, []) if isinstance(h, (int, float))
         ]
         if not hist and prev_norm is not None:
             hist = [prev_norm]  # migrate pre-history records
+        raw_hist = [
+            h
+            for h in prev_hist_raw.get(name, [])
+            if isinstance(h, (int, float))
+        ]
+        if not raw_hist and prev_raw.get(name) is not None:
+            raw_hist = [prev_raw[name]]  # migrate pre-history records
         new_hist[name] = (hist + [now_norm])[-4:]
+        new_hist_raw[name] = (raw_hist + [round(raw_now, 3)])[-4:]
         baseline = _median(hist) if hist else None
         # skip new queries and readings where EITHER side's raw time is
         # sub-0.15 s — timer noise dominates there, and a tiny previous
         # reading inflates the ratio just as spuriously as a tiny
         # current one
-        raw_now = now_norm * _mean(normalized, flavor)
         if (
             baseline is None
             or baseline <= 0
@@ -578,6 +602,15 @@ def _regressions(prev_path: str, normalized: dict, sf=None) -> list[dict]:
         ):
             continue
         ratio = now_norm / baseline
+        # Raw-time corroboration: normalization divides by the nearest
+        # probe, and the tape's own samples disagree up to ~1.6x within
+        # one run — a fast probe window can flag a query whose RAW time
+        # actually improved (observed on dedup_ngram_jaccard: raw
+        # 1.835→1.149 s across rounds yet normalized ratio 1.61).  A
+        # real code regression raises BOTH instruments, so a flag must
+        # also show raw time up >15% vs its own rolling median.
+        raw_base = _median(raw_hist) if raw_hist else None
+        raw_ratio = raw_now / raw_base if raw_base else None
         # Runtime-scaled thresholds, set from measured SAME-CODE
         # cross-session spread on this box (r11: three sf0.1 runs in
         # one day — sub-0.5 s queries p90 1.4x / max 1.88x, 0.5-1.5 s
@@ -588,7 +621,7 @@ def _regressions(prev_path: str, normalized: dict, sf=None) -> list[dict]:
         threshold = 1.3 if raw_now >= 1.5 else (
             1.6 if raw_now >= 0.5 else 2.0
         )
-        if ratio > threshold:
+        if ratio > threshold and (raw_ratio is None or raw_ratio > 1.15):
             regs.append(
                 {
                     "query": name,
@@ -596,9 +629,12 @@ def _regressions(prev_path: str, normalized: dict, sf=None) -> list[dict]:
                     "now_norm": now_norm,
                     "ratio": round(ratio, 2),
                     "threshold": threshold,
+                    "raw_now": round(raw_now, 3),
+                    "raw_base": round(raw_base, 3) if raw_base else None,
                 }
             )
     normalized["history"] = new_hist
+    normalized["history_raw"] = new_hist_raw
     # streaming rates (normalized as rate x probe): regression = the
     # normalized rate FELL >50% vs the previous round (raised from 30%
     # r11: same-code same-day replays measured 14.8k-19.7k ev/s — a
