@@ -24,37 +24,46 @@ from pyspark.sql import DataFrame, SparkSession
 SF_SMOKE = "/root/testdata/sf0.001"
 
 #: Queries whose implementing module changed since their last driver check —
-#: verified near the front of the window.  Maintained per round, names only
-#: advisory (unknown names warn, never break the package).
-_RECHECK_FIRST = [
-    # r11: the ten r10 pins all greened in CORRECTNESS_r10 and are
-    # cleared (r10-verdict item 1).  Pin policy going forward (r10
-    # verdict item 4): pins rank BELOW the overdue tier (see
-    # _order_names) and should be drawn from queries whose implementing
-    # module changed since their last check — preferably ones already
-    # in the stale cohort so pins don't compete with rotation.
-    # r11 changed modules:
-    # - plans/training.py DSIR calibration (de-vacuated resample filter)
-    "curation_dsir_pipeline",
-    # - h264_intra.py/h264_cavlc.py hardening + the true-position PCM
-    #   rate bound (ADVICE r10) sit under both lossy MP4 stats queries
-    "multimodal_mp4_i16_stats",
-    "multimodal_mp4_intra_stats",
+#: verified near the front of the window.  Entries are
+#: ``(name, round_added)`` and SELF-EXPIRING (r11 verdict item 1): a pin
+#: is active only while its query's most recent driver check is either a
+#: failure or older than ``round_added`` — the moment the driver's
+#: post-commit CORRECTNESS file lands a green row, :func:`_active_pins`
+#: drops the pin, so a stale pin can neither re-redden the rotation
+#: tests nor steal a window slot from the never-checked queue.  No
+#: round-start manual clearing needed (it was late twice, r10 and r11).
+_RECHECK_FIRST: list[tuple[str, int]] = [
+    # r11 pins, all green in CORRECTNESS_r11 → auto-expired; kept one
+    # round as living documentation of the format.
+    ("curation_dsir_pipeline", 11),
+    ("multimodal_mp4_i16_stats", 11),
+    ("multimodal_mp4_intra_stats", 11),
 ]
 
-# r12 ladder plan: the 49-query r8 cohort crosses the overdue line at
-# r12 and fills 49 of the 50 slots.  multimodal_mp4_gop_index (the
-# FULL-oracle stss/container-invariant query over the r11 P-frame
-# tier) is ALREADY registered as r11's one deliberate window overflow
-# — as the FIRST-registered never-checked query it takes r12's free
-# slot, so register nothing new for r12 and draw any pins from inside
-# the r8 cohort.  r13's 3 free slots (47-query r9 cohort) are filled by
-# the queued never-checked CABAC container indexes
-# (multimodal_mp4_cabac_index, multimodal_mp4_cabac_gop_index,
-# registered r11 behind the GOP index in queue order) + 1 spare.  The
-# r11 CABAC + inter tiers are meanwhile covered by
-# tests/test_h264_cabac.py, tests/test_h264_inter.py and bench quality
-# floors (mp4_cabac_rate_vs_cavlc, mp4_gop_rate_vs_alli).
+#: Registration round of every query that has not yet had a driver
+#: check (once checked, CORRECTNESS history takes over and the entry is
+#: inert).  A never-checked query that has WAITED past _MAX_STALENESS
+#: rounds since registration is promoted into the overdue tier just
+#: ahead of the same-age checked cohort (see _order_names) — without
+#: this, the steady state of 50-query cohorts in a 50-slot window has
+#: zero slack and a newly registered query would starve forever.
+_REGISTERED_ROUND = {
+    "multimodal_mp4_gop_index": 11,
+    "multimodal_mp4_cabac_index": 11,
+    "multimodal_mp4_cabac_gop_index": 11,
+    "multimodal_mp4_b_gop_index": 12,
+}
+
+# Ladder plan (maintained per round): r12's 49-query r8 cohort fills 49
+# slots; the free slot goes to multimodal_mp4_gop_index (first in the
+# never-checked queue).  r13's 47-query r9 cohort leaves 3 free slots
+# for multimodal_mp4_cabac_index, multimodal_mp4_cabac_gop_index and
+# multimodal_mp4_b_gop_index (registered r12, B-frame tier).  r14/r15
+# cohorts are 50 → no free slots; any still-unchecked newcomer drains
+# via the registration-age promotion above (worst case: checked by
+# round registered + _MAX_STALENESS + 2, transiently bumping one cohort
+# member's staleness to _MAX_STALENESS + 2 — bounded, absorbed at the
+# next sub-50 cohort).
 
 #: A query whose last green check is older than this many rounds is
 #: "overdue" and outranks never-checked newcomers in the window — without
@@ -92,11 +101,26 @@ def _last_check(results_dir: str) -> tuple[dict[str, int], set[str]]:
     return last, failed
 
 
+def _active_pins(
+    last: dict[str, int], failed: set[str]
+) -> dict[str, int]:
+    """The self-expiry half of _RECHECK_FIRST: a pin is active only while
+    its query's most recent driver check is a failure or predates the
+    pin's round_added.  Pure (unit-tested); _ordered feeds it live
+    CORRECTNESS history."""
+    active: dict[str, int] = {}
+    for name, round_added in _RECHECK_FIRST:
+        if name in failed or last.get(name, -1) < round_added:
+            active[name] = len(active)
+    return active
+
+
 def _order_names(
     names: list[str],
     last: dict[str, int],
     failed: set[str],
     recheck: dict[str, int],
+    registered: dict[str, int] | None = None,
 ) -> list[str]:
     """Pure ordering core (unit-tested for the max-staleness bound):
     failures first, then queries overdue by more than _MAX_STALENESS
@@ -112,8 +136,21 @@ def _order_names(
     round carries).  Ladder projection (r10 verdict item 4): r11 drains
     the 45-query r7 cohort; at r12 the 49-query r8 cohort crosses the
     overdue line and fills the window first — with cohort sizes ≤ W the
-    ladder sustains ⌈N/W⌉-round freshness indefinitely."""
+    ladder sustains ⌈N/W⌉-round freshness indefinitely.
+
+    ``registered`` (r11 verdict item 1 follow-through) maps never-checked
+    query names to their registration round: one that has waited MORE
+    than _MAX_STALENESS rounds is promoted into the overdue tier at
+    ``registered-1`` — just AHEAD of the checked cohort of the same age —
+    so it cannot starve behind back-to-back exactly-window-sized cohorts
+    (the zero-slack steady state).  The bump it causes is bounded: one
+    cohort member slips one round (staleness _MAX_STALENESS+2), leads the
+    next window as the stalest entry, and the cascade is absorbed by the
+    first sub-window cohort.  A burst of B promotions bumps exactly B
+    members — proportional, never unbounded — while an already-stale
+    query still outranks every newcomer younger than it."""
     now = max(last.values(), default=-1) + 1  # the round being ordered for
+    registered = registered or {}
 
     def key(item: tuple[int, str]) -> tuple:
         idx, n = item
@@ -121,6 +158,8 @@ def _order_names(
             return (0, idx)
         if n in last and now - last[n] > _MAX_STALENESS:
             return (1, last[n], idx)
+        if n not in last and now - registered.get(n, now) > _MAX_STALENESS:
+            return (1, registered[n] - 1, idx)
         if n in recheck:
             return (2, recheck[n])
         if n not in last:
@@ -136,13 +175,15 @@ def _ordered(registry: dict) -> dict:
     Purely an ordering concern of this driver-facing shim — the library
     registry keeps natural registration order."""
     last, failed = _last_check(os.path.dirname(os.path.abspath(__file__)))
-    unknown = [n for n in _RECHECK_FIRST if n not in registry]
+    unknown = [n for n, _ in _RECHECK_FIRST if n not in registry]
     if unknown:
         warnings.warn(f"_RECHECK_FIRST names not registered: {unknown}")
-    recheck = {n: i for i, n in enumerate(_RECHECK_FIRST)}
+    recheck = _active_pins(last, failed)
     return {
         n: registry[n]
-        for n in _order_names(list(registry), last, failed, recheck)
+        for n in _order_names(
+            list(registry), last, failed, recheck, _REGISTERED_ROUND
+        )
     }
 
 

@@ -681,15 +681,19 @@ def _quality(spark) -> dict:
         (r.query_id, r.neighbor_id)
         for r in REGISTRY["sim_cosine_topk"].fn(spark, SF_DIR).collect()
     }
-    # floors raised with the measured headroom: r6 configs measure
-    # ≈0.975 (LSH) / ≈0.945 (IVF) at sf0.1
+    # Floors ratcheted to just below the REPEATED measured points (r11
+    # verdict item 6) so a routing regression can't hide under slack —
+    # two cited measurements each, the embedding_hard_negatives_ann
+    # 0.85→0.95 discipline applied family-wide:
+    #   sim_ann_lsh   r6 ≈0.975, r11 judge 0.96  → floor 0.95
+    #   sim_ann_ivf   r6 ≈0.945, r11 judge 0.94  → floor 0.93
+    #   sim_ann_pq    r6  0.98,  r11 judge 1.00  → floor 0.95
+    #   sim_ann_ivfpq r6  0.94,  r11 judge 0.92  → floor 0.90
     for name, floor in (
-        ("sim_ann_lsh", 0.85),
-        ("sim_ann_ivf", 0.9),
-        # PQ m=32 measures 0.98 at sf0.1 (1.0 at smaller SFs)
-        ("sim_ann_pq", 0.9),
-        # IVFADC measures 0.94 at sf0.1 (routing-limited, = plain IVF)
-        ("sim_ann_ivfpq", 0.85),
+        ("sim_ann_lsh", 0.95),
+        ("sim_ann_ivf", 0.93),
+        ("sim_ann_pq", 0.95),
+        ("sim_ann_ivfpq", 0.90),
     ):
         ann = {
             (r.query_id, r.neighbor_id)
@@ -968,6 +972,59 @@ def _quality(spark) -> dict:
     assert _gop_err <= 8, f"GOP decode max px err {_gop_err}"
     q["mp4_gop_rate_vs_alli"] = round(gop_ratio, 4)
     q["mp4_gop_max_abs_px_err"] = _gop_err
+
+    # B tier (r12, h264_b.py): two gates on the same driver-side
+    # deterministic content.
+    # (a) The B GOP (IDR P B P B … + ctts reordering) must beat
+    #     all-intra as decisively as the P GOP on the moving sequence
+    #     and decode back IN DISPLAY ORDER within the same distortion
+    #     bound.  (B vs P GOP rate is near-parity by design here:
+    #     B_Skip/B_Direct are documented seams, so the ladder trades
+    #     the skip savings for reorder coverage — the honest win claim
+    #     is gate (b).)
+    _bgop = _H.encode_mp4_h264(_gop_frames, codec="i16pb", qp=12)
+    bgop_ratio = len(_bgop) / len(_alli)
+    assert bgop_ratio <= 0.7, f"B-GOP/all-I rate ratio {bgop_ratio}"
+    _, _bdec = _H.decode_mp4_h264(_bgop)
+    assert [i for i, _f in _bdec] == list(range(8)), (
+        "B GOP did not decode back in display order"
+    )
+    _bgop_err = max(
+        int(_np.abs(f.astype(_np.int64) - _gop_frames[i].astype(_np.int64)).max())
+        for i, f in _bdec
+    )
+    assert _bgop_err <= 8, f"B GOP decode max px err {_bgop_err}"
+    q["mp4_b_gop_rate_vs_alli"] = round(bgop_ratio, 4)
+    q["mp4_b_gop_max_abs_px_err"] = _bgop_err
+    # (b) the statistical point of bi-prediction: averaging two noisy
+    #     references halves reference-noise variance, so the SAME frame
+    #     coded as B (past+future refs) must be smaller than coded as P
+    #     (past ref only) — fixed-seed noisy-static triple, the
+    #     measured ratio ≈0.97 (five dev seeds 0.972–0.986)
+    from real_time_trip_processing_project_spark.operators import (
+        h264_b as _HB,
+        h264_inter as _HP,
+        h264_intra as _HI,
+    )
+
+    _rng = _np.random.default_rng(7)
+    _yy, _xx = _np.mgrid[0:48, 0:64]
+    _clean = (_np.sin(_yy / 6.0) + _np.cos(_xx / 7.0)) * 60 + 128
+    _f0, _f1, _f2 = (
+        _np.clip(_clean + _rng.normal(0, 6, _clean.shape), 0, 255).astype(
+            _np.uint8
+        )
+        for _ in range(3)
+    )
+    _n0, _r0y, _r0c = _HI.encode_idr_frame_i16(
+        _f0, qp=12, return_recon=True, return_chroma=True
+    )
+    _np2, _r2y, _r2c = _HP.encode_p_frame(_f2, _r0y, _r0c, qp=12)[:3]
+    _nal_p, _, _ = _HP.encode_p_frame(_f1, _r0y, _r0c, qp=12)
+    _nal_b, _, _ = _HB.encode_b_frame(_f1, _r0y, _r0c, _r2y, _r2c, qp=12)
+    b_vs_p = len(_nal_b) / len(_nal_p)
+    assert b_vs_p < 1.0, f"bi-prediction lost to P on noisy refs: {b_vs_p}"
+    q["mp4_b_vs_p_same_frame_rate"] = round(b_vs_p, 4)
 
     # Datasketches HLL mergeable-sketch floor: the merged-union estimate
     # (the "ALL" row of the registered query) vs the exact global

@@ -42,9 +42,17 @@ Scope, stated precisely:
   (P_L0_16x16 + P_Skip, median MV prediction, QUARTER-sample motion
   compensation — the 6-tap half-sample filter and eighth-sample
   bilinear chroma of 8.4.2.2) and GOP containers with a real stss
-  sync table (codec="i16p" / "i16p_cabac").  The remaining seams,
-  each explicitly ValueError-gated: B frames, multi-reference lists,
-  and CABAC I_PCM.
+  sync table (codec="i16p" / "i16p_cabac").
+- **B frames** (r12): ``h264_b.py`` adds bi-predictive B slices
+  (B_L0/B_L1/B_Bi_16x16, refIdx-aware per-list median MV prediction
+  per 8.4.1.3, the default bi-prediction average of 8.4.2.3), a
+  2-picture sliding-window DPB, pic_order_cnt_type 0 slice headers
+  (poc_lsb — decode order ≠ display order needs explicit POC), and
+  ``codec="i16pb"`` GOP containers carrying a real ``ctts``
+  composition-offset box that :func:`decode_mp4_h264` uses to emit
+  frames back in DISPLAY order.  The remaining seams, each explicitly
+  ValueError-gated: >1 active reference per list (ref_idx syntax),
+  B_Skip/B_Direct, CABAC B slices, and CABAC I_PCM.
 
 At 100 TB: encode/decode are row-local Arrow-batched work inside
 ``mapInPandas`` (multimodal.py wires them), scaling with scan
@@ -58,6 +66,10 @@ import struct
 import numpy as np
 
 MB = 16  # H.264 macroblock edge (luma samples)
+
+#: pic_order_cnt_lsb width for poc_type-0 streams (the B tier):
+#: log2_max_pic_order_cnt_lsb = 16 → poc_lsb = 2·display_idx mod 65536.
+POC_LSB_BITS = 16
 
 # ---------------------------------------------------------------------------
 # Bit I/O + Exp-Golomb
@@ -201,21 +213,34 @@ def ebsp_to_rbsp(ebsp: bytes) -> bytes:
 # SPS / PPS
 
 
-def encode_sps(width: int, height: int, max_ref: int = 0) -> bytes:
+def encode_sps(
+    width: int, height: int, max_ref: int = 0, poc_type: int = 2
+) -> bytes:
     """Baseline SPS for frame_mbs_only 4:2:0 video, dimensions in whole
     macroblocks (the encoder keeps frames multiple-of-16 like the MJPEG
     path, so no frame cropping).  Returns the NAL (header byte 0x67 +
-    EBSP payload)."""
+    EBSP payload).
+
+    ``poc_type``: 2 (output order = decode order — every all-IDR tier
+    and the P-GOP tier) or 0 (explicit pic_order_cnt_lsb in each slice
+    header — REQUIRED by spec 7.4.2.1 the moment decode order differs
+    from display order, i.e. the B-frame tier, h264_b.py).  Type 0
+    fixes log2_max_pic_order_cnt_lsb at 16 bits: poc_lsb = 2·display
+    index mod 65536, the conventional even-numbered frame POC."""
     if width % MB or height % MB:
         raise ValueError("frame dimensions must be multiples of 16")
+    if poc_type not in (0, 2):
+        raise ValueError("only poc_type 0 and 2 are emitted")
     w = BitWriter()
     w.u(66, 8)  # profile_idc: Baseline
     w.u(0, 8)  # constraint_set*_flags + reserved
     w.u(30, 8)  # level_idc 3.0
     w.ue(0)  # seq_parameter_set_id
     w.ue(0)  # log2_max_frame_num_minus4 → frame_num is u(4)
-    w.ue(2)  # pic_order_cnt_type 2: order = decode order
-    w.ue(max_ref)  # max_num_ref_frames (1 for the P-GOP tier)
+    w.ue(poc_type)  # pic_order_cnt_type
+    if poc_type == 0:
+        w.ue(POC_LSB_BITS - 4)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(max_ref)  # max_num_ref_frames (1 P-GOP / 2 B-GOP tier)
     w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
     w.ue(width // MB - 1)  # pic_width_in_mbs_minus1
     w.ue(height // MB - 1)  # pic_height_in_map_units_minus1
@@ -241,8 +266,11 @@ def parse_sps(nal: bytes) -> dict:
         raise ValueError("high-profile SPS not supported")
     log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
+    log2_max_poc_lsb = None
     if poc_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        log2_max_poc_lsb = r.ue() + 4
+        if log2_max_poc_lsb > 16:
+            raise ValueError("log2_max_pic_order_cnt_lsb out of range")
     elif poc_type == 1:
         raise ValueError("pic_order_cnt_type 1 not supported")
     max_ref = r.ue()
@@ -263,6 +291,7 @@ def parse_sps(nal: bytes) -> dict:
         "sps_id": sps_id,
         "log2_max_frame_num": log2_max_frame_num,
         "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
         "max_num_ref_frames": max_ref,
         "width": width_mbs * MB,
         "height": height_mbs * MB,
@@ -502,15 +531,31 @@ def encode_mp4_h264(
             return nal
 
         pps = encode_pps(deblocking_control=True, cabac=cab)
+    elif codec == "i16pb":
+        # B tier (h264_b.py): decode-order IDR P B P B … with display
+        # indexes carried out-of-band into the ctts box below; the SPS
+        # switches to poc_type 0 (decode order ≠ display order) with a
+        # 2-picture DPB
+        enc = None
+        pps = encode_pps(deblocking_control=True)
     else:
         raise ValueError(f"unknown codec {codec!r}")
-    sps = encode_sps(
-        w, h, max_ref=1 if codec in ("i16p", "i16p_cabac") else 0
-    )
-    samples = [
-        struct.pack(">I", len(nal)) + nal
-        for nal in (enc(f, i) for i, f in enumerate(frames))
-    ]
+    display_order = None  # per decode-order sample; ctts written when set
+    if codec == "i16pb":
+        from real_time_trip_processing_project_spark.operators import (
+            h264_b as HB,
+        )
+
+        sps = encode_sps(w, h, max_ref=2, poc_type=0)
+        gop = HB.encode_b_gop(frames, qp=qp, search_range=search_range)
+        nals = [nal for nal, _d in gop]
+        display_order = [d for _nal, d in gop]
+    else:
+        sps = encode_sps(
+            w, h, max_ref=1 if codec in ("i16p", "i16p_cabac") else 0
+        )
+        nals = [enc(f, i) for i, f in enumerate(frames)]
+    samples = [struct.pack(">I", len(nal)) + nal for nal in nals]
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomavc1")
     mdat_payload = b"".join(samples)
     mdat = _box(b"mdat", mdat_payload)
@@ -568,6 +613,28 @@ def encode_mp4_h264(
         b"stts", 0, 0,
         struct.pack(">III", 1, n, MP4_TIMESCALE // fps),
     )
+    # ctts composition-offset box (version 0, unsigned): written only
+    # when decode order differs from display order (the B tier).
+    # CT(i) = DT(i) + offset(i) with offset = (display − decode + 1)
+    # ticks — the +1 keeps every v0 offset non-negative (a B sample
+    # displays one tick before its decode slot)
+    ctts = b""
+    if display_order is not None:
+        tick = MP4_TIMESCALE // fps
+        offsets = [
+            (d - i + 1) * tick for i, d in enumerate(display_order)
+        ]
+        runs: list[list[int]] = []
+        for off in offsets:
+            if runs and runs[-1][1] == off:
+                runs[-1][0] += 1
+            else:
+                runs.append([1, off])
+        ctts = _full(
+            b"ctts", 0, 0,
+            struct.pack(">I", len(runs))
+            + b"".join(struct.pack(">II", c, o) for c, o in runs),
+        )
     stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
     stsz = _full(
         b"stsz", 0, 0,
@@ -592,7 +659,7 @@ def encode_mp4_h264(
             + b"".join(struct.pack(">I", x) for x in sync),
         )
     )
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    stbl = _box(b"stbl", stsd + stts + ctts + stsc + stsz + stco + stss)
     vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
     dref = _full(
         b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")
@@ -756,12 +823,28 @@ def _parse_mp4_strict(payload: bytes) -> dict:
     # stts total duration must cover every sample exactly once
     s, e = found[b"stts"]
     n_stts = struct.unpack_from(">I", payload, s + 4)[0]
-    stts_count = sum(
-        struct.unpack_from(">II", payload, s + 8 + 8 * i)[0]
-        for i in range(n_stts)
-    )
+    stts_count = 0
+    deltas: list[int] = []
+    for i in range(n_stts):
+        cnt, delta = struct.unpack_from(">II", payload, s + 8 + 8 * i)
+        stts_count += cnt
+        deltas.extend([delta] * min(cnt, n_samples - len(deltas)))
     if stts_count != n_samples:
         consistent = False
+    # ctts composition offsets (the B tier): run-length decoded to one
+    # offset per sample; a count total that misses n_samples breaks
+    # the decode→display mapping and flips consistency
+    ctts_offsets = None
+    if b"ctts" in found:
+        s, e = found[b"ctts"]
+        n_ctts = struct.unpack_from(">I", payload, s + 4)[0]
+        ctts_offsets = []
+        for i in range(n_ctts):
+            cnt, off = struct.unpack_from(">II", payload, s + 8 + 8 * i)
+            ctts_offsets.extend([off] * min(cnt, n_samples + 1))
+        if len(ctts_offsets) != n_samples:
+            consistent = False
+            ctts_offsets = None
     # stss sync-sample table (absent → every sample is a sync sample,
     # per ISO 14496-12); the GOP tier (codec="i16p") writes one
     if b"stss" in found:
@@ -785,9 +868,22 @@ def _parse_mp4_strict(payload: bytes) -> dict:
         "length_size": length_size,
         "samples": samples,
         "sync_samples": sync_samples,
+        "stts_deltas": deltas,
+        "ctts_offsets": ctts_offsets,
         "mdat": (mdat_s, mdat_e),
         "index_consistent": bool(consistent),
     }
+
+
+def slice_kind(nal: bytes) -> int:
+    """Peek a slice NAL's slice_type % 5 (0=P, 1=B, 2=I) from the first
+    two header fields — the GOP decoder's per-NAL dispatch (a B stream
+    interleaves P and B NALs of the same nal_unit_type 1)."""
+    if not nal:
+        raise ValueError("empty NAL")
+    r = BitReader(ebsp_to_rbsp(nal[1:9]))  # both fields sit in the head
+    r.ue()  # first_mb_in_slice
+    return r.ue() % 5
 
 
 def decode_mp4_h264(payload: bytes, every_nth: int = 1):
@@ -838,7 +934,11 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
                     out.append((i, slice_decode(nal, sps, pps)))
         return sps, out
 
-    # GOP path: sequential decode carrying the reference picture
+    # GOP path: sequential decode carrying a sliding-window DPB of the
+    # SPS's max_num_ref_frames most recent references.  Sample order is
+    # decode order; when a ctts box is present (the B tier) frames are
+    # emitted under their DISPLAY index — the rank of each sample's
+    # composition time — and ``every_nth`` selects display indexes.
     from real_time_trip_processing_project_spark.operators import (
         h264_inter as HP,
     )
@@ -848,7 +948,20 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
         from real_time_trip_processing_project_spark.operators import (
             h264_cabac as HC,
         )
-    ref_y = ref_c = None
+    n = len(info["samples"])
+    disp = list(range(n))
+    if info.get("ctts_offsets") is not None:
+        deltas = info["stts_deltas"]
+        dt = 0
+        cts = []
+        for i in range(n):
+            cts.append(dt + info["ctts_offsets"][i])
+            dt += deltas[i] if i < len(deltas) else (deltas[-1] if deltas else 1)
+        order = sorted(range(n), key=lambda i: (cts[i], i))
+        for rank, i in enumerate(order):
+            disp[i] = rank
+    refs: list = []  # (y, c) most-recent-last; B predicts refs[-2]/[-1]
+    max_ref = max(1, sps.get("max_num_ref_frames") or 1)
     for i, (off, size) in enumerate(info["samples"]):
         for nal in _nals(off, size):
             if not nal:
@@ -856,26 +969,48 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
             ntype = nal[0] & 0x1F
             if ntype == 5:
                 if cabac:
-                    ref_y, ref_c = HC.decode_idr_frame_cabac(
+                    y, c = HC.decode_idr_frame_cabac(
                         nal, sps, pps, return_chroma=True
                     )
                 else:
-                    ref_y, ref_c = HI.decode_idr_frame_auto(
+                    y, c = HI.decode_idr_frame_auto(
                         nal, sps, pps, return_chroma=True
                     )
+                refs = [(y, c)]  # IDR empties the DPB
             elif ntype == 1:
-                if ref_y is None:
-                    raise ValueError("P slice before any IDR")
-                if cabac:
-                    ref_y, ref_c = HC.decode_p_frame_cabac(
-                        nal, sps, pps, ref_y, ref_c
+                if not refs:
+                    raise ValueError("predicted slice before any IDR")
+                kind = slice_kind(nal)
+                if kind == 1:  # B: past=L0, future=L1
+                    if cabac:
+                        raise ValueError("CABAC B slices not supported")
+                    if len(refs) < 2:
+                        raise ValueError("B slice with fewer than 2 refs")
+                    from real_time_trip_processing_project_spark.operators import (  # noqa: E501
+                        h264_b as HB,
                     )
+
+                    y, c = HB.decode_b_frame(
+                        nal, sps, pps,
+                        refs[-2][0], refs[-2][1],
+                        refs[-1][0], refs[-1][1],
+                    )
+                    # non-reference: the DPB is untouched
+                elif kind == 0:
+                    if cabac:
+                        y, c = HC.decode_p_frame_cabac(
+                            nal, sps, pps, refs[-1][0], refs[-1][1]
+                        )
+                    else:
+                        y, c = HP.decode_p_frame(
+                            nal, sps, pps, refs[-1][0], refs[-1][1]
+                        )
+                    refs = (refs + [(y, c)])[-max_ref:]
                 else:
-                    ref_y, ref_c = HP.decode_p_frame(
-                        nal, sps, pps, ref_y, ref_c
-                    )
+                    raise ValueError("non-IDR I slices not supported")
             else:
                 continue
-            if i % every_nth == 0:
-                out.append((i, ref_y))
+            if disp[i] % every_nth == 0:
+                out.append((disp[i], y))
+    out.sort(key=lambda t: t[0])
     return sps, out

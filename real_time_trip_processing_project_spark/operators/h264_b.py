@@ -1,0 +1,400 @@
+"""Bi-predictive (B) H.264 frames — the codec family's last documented
+seam (multimodal.py's ``NotImplementedError``: "B frames /
+multi-reference"), built on the P tier's motion compensation
+(h264_inter.py) and the shared intra transform/CAVLC pipeline.
+
+Scope, stated precisely:
+
+- **B slices of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 macroblocks**
+  (Table 7-14 mb_types 1–3) over a TWO-picture decoded-picture buffer:
+  list 0 holds the past reference, list 1 the future reference (the
+  POC-ordered initialisation of 8.2.4.2.3 for exactly one picture on
+  each side; num_ref_idx_active is 1 per list, so no ref_idx syntax is
+  coded and refIdxLX is 0 wherever predFlagLX is 1).
+- **Per-list motion-vector prediction (8.4.1.3)**, refIdx-aware: a
+  neighbor that did not predict from list X contributes
+  ``mvLXN = (0,0), refIdxLXN = -1``; the exactly-one-matching-neighbor
+  shortcut, the 16x16 B/C-unavailable→mvA rule and the C→D
+  substitution all apply per list independently.
+- **Bi-prediction (8.4.2.3)**: each list interpolated at full
+  quarter-sample luma / eighth-sample chroma precision via the P
+  tier's 8.4.2.2 kernels, then the default (non-weighted) rounded
+  average ``(predL0 + predL1 + 1) >> 1`` per sample.
+- **POC / reordering**: B streams carry pic_order_cnt_type 0 SPSes
+  (h264.encode_sps(poc_type=0)) because decode order differs from
+  display order; every slice header writes ``pic_order_cnt_lsb =
+  2·display_index mod 65536``.  frame_num follows 7.4.3: references
+  increment it, a non-reference B carries PrevRefFrameNum+1.
+- **Non-reference NALs**: B slices are emitted with nal_ref_idc 0
+  (header byte 0x01) and therefore carry NO dec_ref_pic_marking; the
+  decoder never feeds a B reconstruction back as a reference, so a
+  wrong B frame cannot drift the GOP (tests pin this by corrupting a
+  B and checking the following P still decodes bit-exactly).
+- **GOP containers**: ``h264.encode_mp4_h264(codec="i16pb")`` writes
+  decode-order samples IDR P B P B … with a real ``ctts``
+  composition-offset box (run-length, version 0) mapping them back to
+  display order I B P B P …; ``decode_mp4_h264`` sorts emitted frames
+  by composition time.
+- **Explicit seams** (ValueError-gated in the decoder, never emitted
+  by the encoder): >1 active reference per list (ref_idx syntax),
+  B_Skip / B_Direct_16x16 (spatial-direct derivation), weighted
+  bi-prediction, reference B slices, CABAC B slices.  The mandatory
+  ``mb_skip_run`` / ``direct_spatial_mv_pred_flag`` fields are still
+  written (0 and 1) and parsed, so the slice syntax stays conformant.
+
+Shared-table caveat: identical stance to h264_inter.py — encoder and
+decoder share Table 9-4's inter CBP column, so a transcription slip
+could only produce externally-nonconformant streams, never wrong
+pixels here.
+
+Reference parity note: the reference pipeline
+(Real-Time-Trip-Processing-Project) has no media processing at all —
+north-star multimodal tier.
+
+At 100 TB: row-local Arrow-batched work inside ``mapInPandas``;
+nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from real_time_trip_processing_project_spark.operators.h264 import (
+    MB,
+    POC_LSB_BITS,
+    BitReader,
+    BitWriter,
+    ebsp_to_rbsp,
+    rbsp_to_ebsp,
+)
+from real_time_trip_processing_project_spark.operators import h264_intra as HI
+from real_time_trip_processing_project_spark.operators import h264_inter as HP
+
+# Table 7-14 (B slices): the coded 16x16 mb_types.  0 (B_Direct_16x16)
+# is an explicit seam — see module docstring.
+B_L0_16X16 = 1
+B_L1_16X16 = 2
+B_BI_16X16 = 3
+
+#: which lists each coded mb_type predicts from
+_MB_TYPE_LISTS = {B_L0_16X16: (0,), B_L1_16X16: (1,), B_BI_16X16: (0, 1)}
+
+
+def _mv_pred_b(
+    mvs: np.ndarray,
+    used: np.ndarray,
+    mby: int,
+    mbx: int,
+    w_mbs: int,
+    lst: int,
+) -> tuple:
+    """Median predictor for a 16x16 B partition, list ``lst``
+    (8.4.1.3 / 8.4.1.3.1), refIdx-aware: ``used[lst]`` marks MBs whose
+    prediction flag for the list is 1 (refIdx 0 — the only coded
+    index).  A neighbor with predFlagLX 0 contributes mv (0,0) and a
+    non-matching refIdx, exactly as step 1 of 8.4.1.3.1 assigns."""
+    avail_a = mbx > 0
+    avail_b = mby > 0
+    avail_c = mby > 0 and mbx + 1 < w_mbs
+    avail_d = mby > 0 and mbx > 0
+
+    def at(y, x, avail):
+        if not avail or not used[lst, y, x]:
+            return (0, 0), False
+        return (int(mvs[lst, y, x, 0]), int(mvs[lst, y, x, 1])), True
+
+    mv_a, m_a = at(mby, mbx - 1, avail_a)
+    if avail_c:
+        mv_c, m_c = at(mby - 1, mbx + 1, True)
+    elif avail_d:
+        mv_c, m_c = at(mby - 1, mbx - 1, True)
+        avail_c = True
+    else:
+        mv_c, m_c = (0, 0), False
+    mv_b, m_b = at(mby - 1, mbx, avail_b)
+    # 16x16 special case: B and C (and D) outside the picture → mvA
+    if avail_a and not avail_b and not avail_c:
+        return mv_a
+    # exactly one neighbor predicts from this list with the same
+    # refIdx → its vector verbatim
+    matches = [mv for mv, m in ((mv_a, m_a), (mv_b, m_b), (mv_c, m_c)) if m]
+    if len(matches) == 1:
+        return matches[0]
+    return (
+        HP._median3(mv_a[0], mv_b[0], mv_c[0]),
+        HP._median3(mv_a[1], mv_b[1], mv_c[1]),
+    )
+
+
+def _bi_pred(p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
+    """Default bi-prediction (8.4.2.3.2, no weighted prediction):
+    per-sample rounded average of the two list predictions."""
+    return (p0 + p1 + 1) >> 1
+
+
+def _predict(
+    refs_y: tuple, refs_c: tuple, mby: int, mbx: int,
+    mb_type: int, mv0: tuple, mv1: tuple,
+):
+    """Luma + chroma prediction for a coded B mb_type."""
+    y0, x0 = mby * MB, mbx * MB
+    if mb_type == B_L0_16X16:
+        return (
+            HP._mc_luma(refs_y[0], y0, x0, mv0),
+            HP._mc_chroma(refs_c[0], mby, mbx, mv0),
+        )
+    if mb_type == B_L1_16X16:
+        return (
+            HP._mc_luma(refs_y[1], y0, x0, mv1),
+            HP._mc_chroma(refs_c[1], mby, mbx, mv1),
+        )
+    p0 = HP._mc_luma(refs_y[0], y0, x0, mv0)
+    p1 = HP._mc_luma(refs_y[1], y0, x0, mv1)
+    c0 = HP._mc_chroma(refs_c[0], mby, mbx, mv0)
+    c1 = HP._mc_chroma(refs_c[1], mby, mbx, mv1)
+    return _bi_pred(p0, p1), [_bi_pred(a, b) for a, b in zip(c0, c1)]
+
+
+def encode_b_frame(
+    frame: np.ndarray,
+    ref0_y: np.ndarray,
+    ref0_c: list,
+    ref1_y: np.ndarray,
+    ref1_c: list,
+    qp: int = 26,
+    frame_num: int = 2,
+    poc_lsb: int = 2,
+    search_range: int = 8,
+) -> tuple:
+    """One non-reference B-slice NAL (type 1, nal_ref_idc 0)
+    predicting from the past (list 0) and future (list 1) reference
+    pictures.  Returns ``(nal, recon_y, recon_c)`` — the
+    reconstruction is for the caller's distortion accounting only; it
+    is never a reference (B frames here are non-reference by
+    construction, so B error cannot propagate).
+
+    Per-MB mode decision: list-0, list-1 and bi-predictive SADs at
+    each list's independently searched quarter-pel vector; minimum
+    SAD wins, ties prefer the cheaper syntax (L0 < L1 < Bi)."""
+    frame = np.asarray(frame)
+    h, w = frame.shape
+    if h % MB or w % MB:
+        raise ValueError("frame dimensions must be multiples of 16")
+    if frame.dtype != np.uint8:
+        raise ValueError("frame must be uint8")
+    HI._check_qp(qp)
+    h_mbs, w_mbs = h // MB, w // MB
+
+    src_c = [np.full((h // 2, w // 2), 128, dtype=np.uint8)] * 2
+    recon_y = np.zeros((h, w), dtype=np.uint8)
+    recon_c = [np.zeros((h // 2, w // 2), dtype=np.uint8) for _ in range(2)]
+    nz_y = HI._NzCtx(h_mbs, w_mbs, 4)
+    nz_c = [HI._NzCtx(h_mbs, w_mbs, 2) for _ in range(2)]
+    mvs = np.zeros((2, h_mbs, w_mbs, 2), dtype=np.int64)
+    used = np.zeros((2, h_mbs, w_mbs), dtype=bool)
+    refs_y, refs_c = (ref0_y, ref1_y), (ref0_c, ref1_c)
+
+    bw = BitWriter()
+    bw.ue(0)  # first_mb_in_slice
+    bw.ue(6)  # slice_type 6: B (all slices in picture)
+    bw.ue(0)  # pic_parameter_set_id
+    bw.u(frame_num & 15, 4)  # frame_num (7.4.3: PrevRefFrameNum+1)
+    bw.u(poc_lsb & (2**POC_LSB_BITS - 1), POC_LSB_BITS)
+    bw.u(1, 1)  # direct_spatial_mv_pred_flag (no direct MBs coded)
+    bw.u(0, 1)  # num_ref_idx_active_override_flag
+    bw.u(0, 1)  # ref_pic_list_modification_flag_l0
+    bw.u(0, 1)  # ref_pic_list_modification_flag_l1
+    # nal_ref_idc 0 → NO dec_ref_pic_marking
+    bw.se(qp - 26)  # slice_qp_delta
+    bw.ue(1)  # disable_deblocking_filter_idc: filter off
+
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            y0, x0 = mby * MB, mbx * MB
+            block = frame[y0 : y0 + MB, x0 : x0 + MB].astype(np.int64)
+            mvp0 = _mv_pred_b(mvs, used, mby, mbx, w_mbs, 0)
+            mvp1 = _mv_pred_b(mvs, used, mby, mbx, w_mbs, 1)
+            mv0 = HP._search_mv(frame, ref0_y, mby, mbx, mvp0, search_range)
+            mv1 = HP._search_mv(frame, ref1_y, mby, mbx, mvp1, search_range)
+            p0 = HP._mc_luma(ref0_y, y0, x0, mv0)
+            p1 = HP._mc_luma(ref1_y, y0, x0, mv1)
+            sads = (
+                int(np.abs(block - p0).sum()),
+                int(np.abs(block - p1).sum()),
+                int(np.abs(block - _bi_pred(p0, p1)).sum()),
+            )
+            mb_type = (B_L0_16X16, B_L1_16X16, B_BI_16X16)[
+                min(range(3), key=lambda k: (sads[k], k))
+            ]
+            pred, c_preds = _predict(
+                refs_y, refs_c, mby, mbx, mb_type, mv0, mv1
+            )
+            (cbp_luma_bits, levels16, c_dc, c_ac, cbp_chroma,
+             rec_y, rec_c) = HP._analyze_mb_from_pred(
+                frame, src_c, pred, c_preds, mby, mbx, qp
+            )
+            cbp = cbp_luma_bits | (cbp_chroma << 4)
+            bw.ue(0)  # mb_skip_run (B_Skip is an explicit seam)
+            bw.ue(mb_type)
+            for lst, mv, mvp in ((0, mv0, mvp0), (1, mv1, mvp1)):
+                if lst in _MB_TYPE_LISTS[mb_type]:
+                    bw.se(mv[1] - mvp[1])  # mvd_lX x (spec order)
+                    bw.se(mv[0] - mvp[0])  # mvd_lX y
+                    mvs[lst, mby, mbx] = mv
+                    used[lst, mby, mbx] = True
+            bw.ue(HP._CBP_INTER_INV[cbp])  # coded_block_pattern me(v)
+            if cbp:
+                bw.se(0)  # mb_qp_delta
+            HP._write_inter_residual(
+                bw, levels16, c_dc, c_ac, cbp_luma_bits, cbp_chroma,
+                nz_y, nz_c, mby, mbx,
+            )
+            HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+    bw.rbsp_trailing_bits()
+    return b"\x01" + rbsp_to_ebsp(bw.getvalue()), recon_y, recon_c
+
+
+def decode_b_frame(
+    nal: bytes,
+    sps: dict,
+    pps: dict,
+    ref0_y: np.ndarray,
+    ref0_c: list,
+    ref1_y: np.ndarray,
+    ref1_c: list,
+) -> tuple:
+    """The normative inverse of :func:`encode_b_frame`.  Returns
+    ``(recon_y, recon_c)``.  Malformed data → ValueError (the codec
+    family's corrupted-stream contract)."""
+    if not nal or nal[0] & 0x1F != 1:
+        raise ValueError("not a non-IDR slice NAL")
+    if nal[0] >> 5:
+        raise ValueError("reference B slices not supported")
+    r = BitReader(ebsp_to_rbsp(nal[1:]))
+    if r.ue() != 0:
+        raise ValueError("first_mb_in_slice != 0")
+    if r.ue() % 5 != 1:
+        raise ValueError("not a B slice")
+    r.ue()  # pic_parameter_set_id
+    r.u(sps["log2_max_frame_num"])  # frame_num
+    if sps["poc_type"] == 0:
+        r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+    r.u(1)  # direct_spatial_mv_pred_flag (no direct MBs to apply it to)
+    if r.u(1):
+        raise ValueError("num_ref_idx override not supported")
+    if r.u(1) or r.u(1):
+        raise ValueError("ref_pic_list_modification not supported")
+    # nal_ref_idc 0 → no dec_ref_pic_marking
+    qp = 26 + r.se()
+    HI._check_qp(qp)
+    if pps.get("deblocking_control"):
+        idc = r.ue()
+        if idc != 1:
+            r.se()
+            r.se()
+
+    h, w = sps["height"], sps["width"]
+    h_mbs, w_mbs = h // MB, w // MB
+    if ref0_y.shape != (h, w) or ref1_y.shape != (h, w):
+        raise ValueError("reference picture dimensions mismatch")
+    recon_y = np.zeros((h, w), dtype=np.uint8)
+    recon_c = [np.zeros((h // 2, w // 2), dtype=np.uint8) for _ in range(2)]
+    nz_y = HI._NzCtx(h_mbs, w_mbs, 4)
+    nz_c = [HI._NzCtx(h_mbs, w_mbs, 2) for _ in range(2)]
+    mvs = np.zeros((2, h_mbs, w_mbs, 2), dtype=np.int64)
+    used = np.zeros((2, h_mbs, w_mbs), dtype=bool)
+    refs_y, refs_c = (ref0_y, ref1_y), (ref0_c, ref1_c)
+    qpc = HI.chroma_qp(qp)
+
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            if r.ue() != 0:
+                raise ValueError(
+                    "B_Skip not supported (mb_skip_run must be 0)"
+                )
+            mb_type = r.ue()
+            if mb_type not in _MB_TYPE_LISTS:
+                raise ValueError(
+                    f"unsupported B-slice mb_type {mb_type} (only "
+                    "B_L0/B_L1/B_Bi_16x16)"
+                )
+            mv0 = mv1 = (0, 0)
+            for lst in _MB_TYPE_LISTS[mb_type]:
+                mvp = _mv_pred_b(mvs, used, mby, mbx, w_mbs, lst)
+                mvd_x = r.se()
+                mvd_y = r.se()
+                mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
+                if abs(mv[0]) > 4 * h or abs(mv[1]) > 4 * w:
+                    raise ValueError("motion vector out of range")
+                mvs[lst, mby, mbx] = mv
+                used[lst, mby, mbx] = True
+                if lst == 0:
+                    mv0 = mv
+                else:
+                    mv1 = mv
+            code_num = r.ue()
+            if code_num >= len(HP.CBP_INTER_ME):
+                raise ValueError("coded_block_pattern out of range")
+            cbp = HP.CBP_INTER_ME[code_num]
+            cbp_luma_bits, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp:
+                qp += r.se()
+                HI._check_qp(qp)
+                qpc = HI.chroma_qp(qp)
+            levels16, c_dc, c_ac = HP._read_inter_residual(
+                r, cbp_luma_bits, cbp_chroma, nz_y, nz_c, mby, mbx
+            )
+            pred, c_preds = _predict(
+                refs_y, refs_c, mby, mbx, mb_type, mv0, mv1
+            )
+            rec_y, rec_c = HP._recon_inter_mb(
+                pred, c_preds, levels16, c_dc, c_ac,
+                cbp_luma_bits, cbp_chroma, qp, qpc,
+            )
+            HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+    if r.u(1) != 1:
+        raise ValueError("missing rbsp_stop_one_bit")
+    return recon_y, recon_c
+
+
+def encode_b_gop(
+    frames: np.ndarray, qp: int = 26, search_range: int = 8
+) -> list:
+    """Encode frames (display order) as the IBP GOP: display
+    I0 B1 P2 B3 P4 … (trailing P when no future reference exists),
+    decode order I0 P2 B1 P4 B3 ….  Returns decode-ordered
+    ``[(nal, display_idx), ...]``; poc_lsb = 2·display_idx, frame_num
+    per 7.4.3 (references increment, a B carries PrevRefFrameNum+1).
+    Used by ``h264.encode_mp4_h264(codec="i16pb")``, which derives the
+    ctts composition offsets from the display indexes."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n = frames.shape[0]
+    nal, ry, rc = HI.encode_idr_frame_i16(
+        frames[0], qp=qp, idr_pic_id=0, return_recon=True,
+        return_chroma=True, poc_lsb=0,
+    )
+    out = [(nal, 0)]
+    prev_y, prev_c = ry, rc
+    ref_frame_num = 0  # frame_num of the most recent reference
+    d = 0  # display index of the past reference
+    while d < n - 1:
+        nd = min(d + 2, n - 1)  # next reference (P) display index
+        ref_frame_num = (ref_frame_num + 1) & 15
+        nal, py, pc = HP.encode_p_frame(
+            frames[nd], prev_y, prev_c, qp=qp,
+            frame_num=ref_frame_num, search_range=search_range,
+            poc_lsb=(2 * nd) & (2**POC_LSB_BITS - 1),
+        )
+        out.append((nal, nd))
+        if nd - d == 2:  # a B frame sits between the two references
+            bd = d + 1
+            nal, _by, _bc = encode_b_frame(
+                frames[bd], prev_y, prev_c, py, pc, qp=qp,
+                frame_num=(ref_frame_num + 1) & 15,
+                poc_lsb=(2 * bd) & (2**POC_LSB_BITS - 1),
+                search_range=search_range,
+            )
+            out.append((nal, bd))
+        prev_y, prev_c = py, pc
+        d = nd
+    return out

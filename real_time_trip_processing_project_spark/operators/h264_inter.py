@@ -54,6 +54,7 @@ import numpy as np
 
 from real_time_trip_processing_project_spark.operators.h264 import (
     MB,
+    POC_LSB_BITS as H_POC_LSB_BITS,
     BitReader,
     BitWriter,
     ebsp_to_rbsp,
@@ -236,9 +237,27 @@ def _analyze_mb_p(
     """Motion-compensate at ``mv``, transform/quant the residual,
     reconstruct exactly as the decoder will.  Returns
     ``(cbp_luma_bits, levels16, c_dc, c_ac, cbp_chroma, rec_y, rec_c)``."""
+    pred = _mc_luma(ref_y, mby * MB, mbx * MB, mv)
+    c_preds = _mc_chroma(ref_c, mby, mbx, mv)
+    return _analyze_mb_from_pred(frame, src_c, pred, c_preds, mby, mbx, qp)
+
+
+def _analyze_mb_from_pred(
+    frame: np.ndarray,
+    src_c: list,
+    pred: np.ndarray,
+    c_preds: list,
+    mby: int,
+    mbx: int,
+    qp: int,
+) -> tuple:
+    """The prediction-agnostic half of :func:`_analyze_mb_p`:
+    transform/quant the residual against an ALREADY-COMPUTED prediction
+    and reconstruct exactly as the decoder will — shared with the B
+    tier (h264_b.py), whose bi-predictive average no single-reference
+    motion compensation can produce."""
     y0, x0 = mby * MB, mbx * MB
     block = frame[y0 : y0 + MB, x0 : x0 + MB].astype(np.int64)
-    pred = _mc_luma(ref_y, y0, x0, mv)
     diff = block - pred
     levels16 = np.zeros((16, 4, 4), dtype=np.int64)
     for blk in range(16):
@@ -254,7 +273,6 @@ def _analyze_mb_p(
         if any(np.any(levels16[b]) for b in blks):
             cbp_luma_bits |= 1 << g
     qpc = HI.chroma_qp(qp)
-    c_preds = _mc_chroma(ref_c, mby, mbx, mv)
     c_dc, c_ac, c_preds, cbp_chroma = HI._chroma_analyze_from_pred(
         src_c, c_preds, mby, mbx, qpc
     )
@@ -333,11 +351,13 @@ def encode_p_frame(
     qp: int = 26,
     frame_num: int = 1,
     search_range: int = 8,
+    poc_lsb: int | None = None,
 ) -> tuple:
     """One P-slice NAL (type 1) predicting from ``(ref_y, ref_c)``.
     Returns ``(nal, recon_y, recon_c)`` — the reconstruction is the
     next frame's reference and must (and does, bit-exactly) match the
-    decoder's."""
+    decoder's.  ``poc_lsb``: set iff the stream's SPS is poc_type 0
+    (the B tier) — writes pic_order_cnt_lsb after frame_num."""
     frame = np.asarray(frame)
     h, w = frame.shape
     if h % MB or w % MB:
@@ -359,6 +379,8 @@ def encode_p_frame(
     bw.ue(5)  # slice_type 5: P (all slices)
     bw.ue(0)  # pic_parameter_set_id
     bw.u(frame_num & 15, 4)  # frame_num
+    if poc_lsb is not None:  # poc_type-0 SPS (the B tier)
+        bw.u(poc_lsb, H_POC_LSB_BITS)
     bw.u(0, 1)  # num_ref_idx_active_override_flag
     bw.u(0, 1)  # ref_pic_list_modification_flag_l0
     bw.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
@@ -392,27 +414,99 @@ def encode_p_frame(
             bw.ue(_CBP_INTER_INV[cbp])  # coded_block_pattern me(v)
             if cbp:
                 bw.se(0)  # mb_qp_delta
-            nz_updates: dict[tuple, int] = {}
-            for blk in range(16):
-                x, y = HI._BLK_XY[blk]
-                by4, bx4 = 4 * mby + y, 4 * mbx + x
-                if cbp_luma_bits & (1 << (blk // 4)):
-                    scan = HI._zigzag_read(levels16[blk])
-                    nc = HI._nc_pending(nz_y, nz_updates, 0, by4, bx4)
-                    tc = CV.write_residual_block(bw, scan, nc, 16)
-                else:
-                    tc = 0
-                nz_updates[(0, by4, bx4)] = tc
-            HI._chroma_write(
-                bw, c_dc, c_ac, cbp_chroma, nz_c, nz_updates, mby, mbx
+            _write_inter_residual(
+                bw, levels16, c_dc, c_ac, cbp_luma_bits, cbp_chroma,
+                nz_y, nz_c, mby, mbx,
             )
-            for (plane, by, bx), tc in nz_updates.items():
-                (nz_y if plane == 0 else nz_c[plane - 1]).set(by, bx, tc)
             _commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
     if skip_run:
         bw.ue(skip_run)  # trailing skips
     bw.rbsp_trailing_bits()
     return b"\x61" + rbsp_to_ebsp(bw.getvalue()), recon_y, recon_c
+
+
+def _write_inter_residual(
+    bw, levels16, c_dc, c_ac, cbp_luma_bits, cbp_chroma, nz_y, nz_c,
+    mby, mbx,
+):
+    """CAVLC residual syntax of one inter macroblock (4x4 luma per
+    8x8 CBP group — no DC hierarchy — plus the shared chroma DC/AC
+    pipeline) and the nC bookkeeping commit.  Shared by the P
+    (this module) and B (h264_b.py) encoders."""
+    nz_updates: dict[tuple, int] = {}
+    for blk in range(16):
+        x, y = HI._BLK_XY[blk]
+        by4, bx4 = 4 * mby + y, 4 * mbx + x
+        if cbp_luma_bits & (1 << (blk // 4)):
+            scan = HI._zigzag_read(levels16[blk])
+            nc = HI._nc_pending(nz_y, nz_updates, 0, by4, bx4)
+            tc = CV.write_residual_block(bw, scan, nc, 16)
+        else:
+            tc = 0
+        nz_updates[(0, by4, bx4)] = tc
+    HI._chroma_write(
+        bw, c_dc, c_ac, cbp_chroma, nz_c, nz_updates, mby, mbx
+    )
+    for (plane, by, bx), tc in nz_updates.items():
+        (nz_y if plane == 0 else nz_c[plane - 1]).set(by, bx, tc)
+
+
+def _read_inter_residual(r, cbp_luma_bits, cbp_chroma, nz_y, nz_c, mby, mbx):
+    """The decode half of :func:`_write_inter_residual`: read one inter
+    MB's CAVLC residual into ``(levels16, c_dc, c_ac)`` and commit the
+    nC state.  Shared by the P and B decoders."""
+    levels16 = np.zeros((16, 4, 4), dtype=np.int64)
+    for blk in range(16):
+        x, y = HI._BLK_XY[blk]
+        by4, bx4 = 4 * mby + y, 4 * mbx + x
+        if cbp_luma_bits & (1 << (blk // 4)):
+            nc = nz_y.nc(by4, bx4)
+            scan, tc = CV.read_residual_block(r, nc, 16)
+            levels16[blk] = HI._zigzag_write(scan)
+            nz_y.set(by4, bx4, tc)
+        else:
+            nz_y.set(by4, bx4, 0)
+    c_dc = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
+    for comp in range(2):
+        if cbp_chroma >= 1:
+            scan, _ = CV.read_residual_block(r, -1, 4)
+            c_dc[comp] = np.array(
+                [[scan[0], scan[1]], [scan[2], scan[3]]], dtype=np.int64
+            )
+    c_ac = [np.zeros((2, 2, 4, 4), dtype=np.int64) for _ in range(2)]
+    for comp in range(2):
+        for blk in range(4):
+            x, y = blk % 2, blk // 2
+            by2, bx2 = 2 * mby + y, 2 * mbx + x
+            if cbp_chroma == 2:
+                nc = nz_c[comp].nc(by2, bx2)
+                scan, tc = CV.read_residual_block(r, nc, 15)
+                c_ac[comp][y, x] = HI._zigzag_write([0] + scan)
+                nz_c[comp].set(by2, bx2, tc)
+            else:
+                nz_c[comp].set(by2, bx2, 0)
+    return levels16, c_dc, c_ac
+
+
+def _recon_inter_mb(
+    pred, c_preds, levels16, c_dc, c_ac, cbp_luma_bits, cbp_chroma, qp, qpc
+):
+    """Decoder-side reconstruction of one inter MB against an
+    already-computed prediction (single-list or bi-predictive average).
+    Shared by the P and B decoders."""
+    rec_y = np.empty((MB, MB), dtype=np.uint8)
+    for blk in range(16):
+        x, y = HI._BLK_XY[blk]
+        res = (
+            HI.inv4x4(HI.dequant4x4(levels16[blk], qp))
+            if cbp_luma_bits & (1 << (blk // 4))
+            else np.zeros((4, 4), dtype=np.int64)
+        )
+        rec_y[4 * y : 4 * y + 4, 4 * x : 4 * x + 4] = np.clip(
+            pred[4 * y : 4 * y + 4, 4 * x : 4 * x + 4] + res, 0, 255
+        )
+    rec_c = HI._chroma_recon(c_dc, c_ac, c_preds, cbp_chroma, qpc)
+    return rec_y, rec_c
 
 
 def _commit(recon_y, recon_c, rec_y, rec_c, mby, mbx):
@@ -448,8 +542,8 @@ def decode_p_frame(
         raise ValueError("not a P slice")
     r.ue()  # pic_parameter_set_id
     r.u(sps["log2_max_frame_num"])  # frame_num
-    if sps["poc_type"] == 0:
-        raise ValueError("poc_type 0 slice headers not supported")
+    if sps["poc_type"] == 0:  # the B tier's SPS (h264_b.py)
+        r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
     if r.u(1):
         raise ValueError("num_ref_idx override not supported")
     if r.u(1):
@@ -520,52 +614,15 @@ def decode_p_frame(
             qp += r.se()
             HI._check_qp(qp)
             qpc = HI.chroma_qp(qp)
-        levels16 = np.zeros((16, 4, 4), dtype=np.int64)
-        for blk in range(16):
-            x, y = HI._BLK_XY[blk]
-            by4, bx4 = 4 * mby + y, 4 * mbx + x
-            if cbp_luma_bits & (1 << (blk // 4)):
-                nc = nz_y.nc(by4, bx4)
-                scan, tc = CV.read_residual_block(r, nc, 16)
-                levels16[blk] = HI._zigzag_write(scan)
-                nz_y.set(by4, bx4, tc)
-            else:
-                nz_y.set(by4, bx4, 0)
-        c_dc = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
-        for comp in range(2):
-            if cbp_chroma >= 1:
-                scan, _ = CV.read_residual_block(r, -1, 4)
-                c_dc[comp] = np.array(
-                    [[scan[0], scan[1]], [scan[2], scan[3]]],
-                    dtype=np.int64,
-                )
-        c_ac = [np.zeros((2, 2, 4, 4), dtype=np.int64) for _ in range(2)]
-        for comp in range(2):
-            for blk in range(4):
-                x, y = blk % 2, blk // 2
-                by2, bx2 = 2 * mby + y, 2 * mbx + x
-                if cbp_chroma == 2:
-                    nc = nz_c[comp].nc(by2, bx2)
-                    scan, tc = CV.read_residual_block(r, nc, 15)
-                    c_ac[comp][y, x] = HI._zigzag_write([0] + scan)
-                    nz_c[comp].set(by2, bx2, tc)
-                else:
-                    nz_c[comp].set(by2, bx2, 0)
-        # reconstruction
+        levels16, c_dc, c_ac = _read_inter_residual(
+            r, cbp_luma_bits, cbp_chroma, nz_y, nz_c, mby, mbx
+        )
         pred = _mc_luma(ref_y, mby * MB, mbx * MB, mv)
-        rec_y = np.empty((MB, MB), dtype=np.uint8)
-        for blk in range(16):
-            x, y = HI._BLK_XY[blk]
-            res = (
-                HI.inv4x4(HI.dequant4x4(levels16[blk], qp))
-                if cbp_luma_bits & (1 << (blk // 4))
-                else np.zeros((4, 4), dtype=np.int64)
-            )
-            rec_y[4 * y : 4 * y + 4, 4 * x : 4 * x + 4] = np.clip(
-                pred[4 * y : 4 * y + 4, 4 * x : 4 * x + 4] + res, 0, 255
-            )
         c_preds = _mc_chroma(ref_c, mby, mbx, mv)
-        rec_c = HI._chroma_recon(c_dc, c_ac, c_preds, cbp_chroma, qpc)
+        rec_y, rec_c = _recon_inter_mb(
+            pred, c_preds, levels16, c_dc, c_ac,
+            cbp_luma_bits, cbp_chroma, qp, qpc,
+        )
         _commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
         i += 1
     if r.u(1) != 1:

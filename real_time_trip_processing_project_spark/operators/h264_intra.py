@@ -45,6 +45,7 @@ from real_time_trip_processing_project_spark.operators import (
 )
 from real_time_trip_processing_project_spark.operators.h264 import (
     MB,
+    POC_LSB_BITS as H_POC_LSB_BITS,
     BitReader,
     BitWriter,
     I_PCM_MB_TYPE,
@@ -624,16 +625,19 @@ def encode_idr_frame_i16(
     pcm_fallback: bool = True,
     return_recon: bool = False,
     return_chroma: bool = False,
+    poc_lsb: int | None = None,
 ):
     """One IDR NAL of Intra_16x16 macroblocks (chroma constant 128,
     per-MB I_PCM fallback) — :func:`_encode_idr_frame` with the
     Intra_4x4 trial disabled.  Kept as the pure-I16 tier the
     ``multimodal_mp4_i16_stats`` query and its floors are pinned to.
     ``return_chroma`` appends the chroma reconstruction to the
-    return (the inter tier needs the full reference picture)."""
+    return (the inter tier needs the full reference picture).
+    ``poc_lsb``: set iff the stream's SPS is poc_type 0 (the B tier,
+    h264_b.py) — writes pic_order_cnt_lsb after idr_pic_id."""
     return _encode_idr_frame(
         frame, qp, idr_pic_id, pcm_fallback, return_recon,
-        allow_i4=False, return_chroma=return_chroma,
+        allow_i4=False, return_chroma=return_chroma, poc_lsb=poc_lsb,
     )
 
 
@@ -661,8 +665,8 @@ def decode_idr_frame_auto(
     r.ue()  # pic_parameter_set_id
     r.u(sps["log2_max_frame_num"])
     r.ue()  # idr_pic_id
-    if sps["poc_type"] == 0:
-        raise ValueError("poc_type 0 slice headers not supported")
+    if sps["poc_type"] == 0:  # the B tier's SPS (h264_b.py)
+        r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
     r.u(2)  # dec_ref_pic_marking
     qp = 26 + r.se()
     _check_qp(qp)
@@ -1322,6 +1326,7 @@ def _encode_idr_frame(
     return_recon: bool,
     allow_i4: bool,
     return_chroma: bool = False,
+    poc_lsb: int | None = None,
 ):
     """Shared IDR-slice driver: ONE copy of the slice header, the
     per-MB trial/commit loop, the I_PCM fallback block and the
@@ -1352,6 +1357,8 @@ def _encode_idr_frame(
     bw.ue(0)  # pic_parameter_set_id
     bw.u(0, 4)  # frame_num
     bw.ue(idr_pic_id)
+    if poc_lsb is not None:  # poc_type-0 SPS (the B tier)
+        bw.u(poc_lsb, H_POC_LSB_BITS)
     bw.u(0, 1)  # no_output_of_prior_pics_flag
     bw.u(0, 1)  # long_term_reference_flag
     bw.se(qp - 26)  # slice_qp_delta (pic_init_qp 26)

@@ -429,13 +429,17 @@ def _real_decode(payload: bytes) -> dict:
     """Real codec for the seam: WAV (RIFF/PCM16) payloads decode fully
     via :func:`decode_wav_pcm16` (frame_count = sample frames; the
     image-only width/height stay NULL for audio); BMP, uncompressed
-    AVI, MJPEG AVI, bare baseline JPEG, PNG and MP4/H.264 full baseline
-    intra (I_PCM, Intra_16x16, Intra_4x4 + CAVLC — operators/h264.py,
-    h264_intra.py — plus CABAC Intra_16x16, h264_cabac.py, and
-    quarter-pel P-frame GOPs, h264_inter.py) all decode for real.
-    The remaining explicit ``NotImplementedError`` seam is B-frame /
-    multi-reference H.264 (needs PIL/av, absent from this
-    container)."""
+    AVI, MJPEG AVI, bare baseline JPEG, PNG and MP4/H.264 — full
+    baseline intra (I_PCM, Intra_16x16, Intra_4x4 + CAVLC —
+    operators/h264.py, h264_intra.py), CABAC full intra + P slices
+    (h264_cabac.py), quarter-pel P-frame GOPs (h264_inter.py) and
+    bi-predictive B-frame GOPs with ctts reordering (h264_b.py, r12)
+    — all decode for real.  The remaining explicit
+    ``NotImplementedError`` seam is any OTHER container/codec format
+    (needs PIL/av, absent from this container); within H.264 the
+    ValueError-gated sub-seams are >1 active reference per list,
+    B_Skip/B_Direct, weighted bi-prediction and CABAC B slices
+    (h264_b.py docstring)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _rate, n_channels = decode_wav_pcm16(bytes(payload))
         n_frames = len(samples) if n_channels == 1 else samples.shape[0]
@@ -519,21 +523,20 @@ def _real_decode(payload: bytes) -> dict:
             "width": info["width"],
             "height": info["height"],
         }
-    # STUB: the remaining seam is B-frame / multi-reference H.264 —
-    # the full baseline INTRA tier (I_PCM, Intra_16x16, Intra_4x4 +
-    # CAVLC as of r10; CABAC Intra_16x16 as of r11) and quarter-pel
-    # P-frame GOPs (h264_inter.py, r11) decode for real
-    # (operators/h264.py, h264_intra.py, h264_cabac.py,
-    # h264_inter.py), as do audio
+    # STUB: every format this repo EMITS decodes for real — audio
     # (RIFF/PCM16, mu-law), image (BMP, PNG, baseline JPEG),
-    # uncompressed AVI and MJPEG AVI.
+    # uncompressed AVI, MJPEG AVI, and the whole MP4/H.264 family
+    # (I_PCM, Intra_16x16, Intra_4x4 + CAVLC as of r10; CABAC full
+    # intra + P slices as of r11; quarter-pel P GOPs as of r11;
+    # bi-predictive B GOPs with ctts reordering as of r12 —
+    # operators/h264.py, h264_intra.py, h264_cabac.py, h264_inter.py,
+    # h264_b.py).  The remaining seam is any OTHER container format.
     raise NotImplementedError(
         "real decode supports WAV (RIFF/PCM16 + mu-law), BMP (24-bit "
         "BI_RGB), PNG (8-bit gray/RGB), uncompressed AVI, MJPEG AVI, "
-        "baseline grayscale JPEG, and MP4/H.264 full baseline intra "
-        "(I_PCM, Intra_16x16, Intra_4x4 + CAVLC; CABAC Intra_16x16) "
-        "and quarter-pel P-frame GOPs; B frames / multi-reference "
-        "need PIL/av — use codec='fake'"
+        "baseline grayscale JPEG, and MP4/H.264 (full baseline intra "
+        "CAVLC + CABAC full intra/P, quarter-pel P GOPs, B GOPs with "
+        "ctts); other container formats need PIL/av — use codec='fake'"
     )
 
 
@@ -1666,15 +1669,24 @@ def mp4_gop_index(
     qp: int = 12,
     search_range: int = 4,
     codec: str = "i16p",
+    count_b: bool = False,
 ) -> DataFrame:
-    """Container index of the P-GOP tier (h264_inter.py): encode each
-    doc's text frames as IDR + P with a real stss sync table, walk the
-    container back, and emit the text-derivable invariants a correct
-    GOP must satisfy — frame count, dims, exactly ONE IDR NAL (sample
-    0), sync table = [0], stsc×stco×stsz consistency and pixel count.
-    All integer-deterministic, so the registered query carries a FULL
-    SQL oracle (the GOP twin of :func:`mp4_container_index`'s role for
-    the all-IDR tiers).  Arrow-batched ``mapInPandas``; row-local."""
+    """Container index of the GOP tiers (h264_inter.py P chains;
+    h264_b.py B GOPs): encode each doc's text frames as IDR + P (+ B)
+    with a real stss sync table, walk the container back, and emit the
+    text-derivable invariants a correct GOP must satisfy — frame
+    count, dims, exactly ONE IDR NAL (sample 0), sync table = [0],
+    stsc×stco×stsz consistency (ctts run-length total included, for
+    the B tier) and pixel count.  All integer-deterministic, so the
+    registered queries carry FULL SQL oracles (the GOP twin of
+    :func:`mp4_container_index`'s role for the all-IDR tiers).
+
+    ``count_b`` (codec="i16pb"): appends ``b_frames`` — samples whose
+    ctts composition offset is 0, i.e. the non-reference B pictures
+    that display one tick before their decode slot.  The IBP ladder
+    makes it exactly ``(frame_count-1)//2``, so the oracle derives it
+    from text length alone and any reorder/ctts defect flips the
+    driver hash.  Arrow-batched ``mapInPandas``; row-local."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from real_time_trip_processing_project_spark.operators import (
@@ -1688,6 +1700,8 @@ def mp4_gop_index(
                 "height": [], "idr_frames": [], "sync_count": [],
                 "first_sync": [], "index_consistent": [], "px_count": [],
             }
+            if count_b:
+                out["b_frames"] = []
             for mid, t in zip(pdf["doc_id"], pdf["text"]):
                 px = _text_frames(t, frame_bytes)
                 frames = px.reshape(-1, MP4_H, MP4_W)
@@ -1705,6 +1719,8 @@ def mp4_gop_index(
                         out[k].append(0)
                     out["first_sync"].append(-1)
                     out["index_consistent"].append(False)
+                    if count_b:
+                        out["b_frames"].append(0)
                     continue
                 ls = info["length_size"]
                 idr = 0
@@ -1730,17 +1746,26 @@ def mp4_gop_index(
                 out["px_count"].append(
                     len(info["samples"]) * info["width"] * info["height"]
                 )
+                if count_b:
+                    offs = info["ctts_offsets"] or []
+                    out["b_frames"].append(
+                        sum(1 for o in offs if o == 0)
+                    )
             yield pd.DataFrame(out)
 
     from real_time_trip_processing_project_spark.sources.readers import (
         spread_small_input,
     )
 
-    return spread_small_input(docs.select("doc_id", "text")).mapInPandas(
-        run,
+    schema = (
         "media_id long, frame_count long, width long, height long, "
         "idr_frames long, sync_count long, first_sync long, "
-        "index_consistent boolean, px_count long",
+        "index_consistent boolean, px_count long"
+    )
+    if count_b:
+        schema += ", b_frames long"
+    return spread_small_input(docs.select("doc_id", "text")).mapInPandas(
+        run, schema
     )
 
 

@@ -3449,6 +3449,60 @@ def multimodal_mp4_cabac_gop_index(
     return MM.mp4_gop_index(docs, qp=12, search_range=4, codec="i16p_cabac")
 
 
+@register(
+    "multimodal_mp4_b_gop_index",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    AS BIGINT) AS frame_count,
+               CAST({MM.MP4_W} AS BIGINT) AS width,
+               CAST({MM.MP4_H} AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS idr_frames,
+               CAST(1 AS BIGINT) AS sync_count,
+               CAST(0 AS BIGINT) AS first_sync,
+               TRUE AS index_consistent,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    * {_MP4_FRAME_BYTES} AS BIGINT) AS px_count,
+               CAST((greatest((octet_length(encode(text))
+                               + {_MP4_FRAME_BYTES - 1})
+                              // {_MP4_FRAME_BYTES}, 1) - 1) // 2
+                    AS BIGINT) AS b_frames
+        FROM documents
+        WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+          AND doc_id % 8 = 6
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_b_gop_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The B-frame tier (r12, operators/h264_b.py: bi-predictive
+    B_L0/B_L1/B_Bi_16x16 slices, refIdx-aware per-list 8.4.1.3 MV
+    prediction, poc_type-0 headers, 2-picture DPB) under the FULL
+    container oracle of the GOP family, EXTENDED by the reorder
+    invariant: the decode-order IBP ladder I,P,B,P,B,… makes the
+    number of ctts-offset-0 samples (the non-reference B pictures)
+    exactly ``(frame_count-1)//2``, so any defect in the GOP
+    structure, the ctts run-length encoding, or the composition-offset
+    arithmetic flips ``b_frames`` and fails the driver hash — on top
+    of the shared invariants (one IDR, stss=[0], exact stsc×stco×stsz
+    mdat coverage, ctts total = sample count folded into
+    ``index_consistent``).  doc_id%8=6 slice, disjoint from the CAVLC
+    GOP's %8=0 and the CABAC GOP's %8=4.  Registered r12; drains
+    through the rotation's never-checked queue
+    (__spark_entry__._REGISTERED_ROUND)."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY) & (F.col("doc_id") % 8 == 6)
+    )
+    return MM.mp4_gop_index(
+        docs, qp=12, search_range=4, codec="i16pb", count_b=True
+    )
+
+
 def _mp4_frames_oracle(where: str = "") -> str:
     return f"""
         WITH s AS (

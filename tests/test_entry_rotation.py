@@ -131,8 +131,10 @@ def test_r9_window_drains_r5_cohort():
     if not last or max(last.values()) < 8:
         return  # history not present (fresh checkout)
     names = list(entry_mod.queries())
-    recheck = {n: i for i, n in enumerate(entry_mod._RECHECK_FIRST)}
-    window = entry_mod._order_names(names, last, failed, recheck)[:WINDOW]
+    recheck = entry_mod._active_pins(last, failed)
+    window = entry_mod._order_names(
+        names, last, failed, recheck, entry_mod._REGISTERED_ROUND
+    )[:WINDOW]
     oldest = min(last.values())
     cohort = {n for n in names if last.get(n) == oldest}
     spilled = cohort - set(window)
@@ -148,8 +150,114 @@ def test_r9_window_drains_r5_cohort():
 
 
 def test_registry_names_resolve():
-    """Every _RECHECK_FIRST pin names a registered query (typos warn at
-    runtime; this keeps them from lingering)."""
+    """Every _RECHECK_FIRST pin and _REGISTERED_ROUND entry names a
+    registered query (typos warn at runtime; this keeps them from
+    lingering)."""
     qs = entry_mod.queries()
-    missing = [n for n in entry_mod._RECHECK_FIRST if n not in qs]
+    missing = [n for n, _ in entry_mod._RECHECK_FIRST if n not in qs]
     assert not missing, f"_RECHECK_FIRST names not registered: {missing}"
+    missing = [n for n in entry_mod._REGISTERED_ROUND if n not in qs]
+    assert not missing, f"_REGISTERED_ROUND names not registered: {missing}"
+
+
+def test_pins_self_expire_on_green_check():
+    """r11 verdict item 1: a pin whose query has a GREEN check at or
+    after its round_added is dropped; a red or older check keeps it —
+    so the driver's post-commit CORRECTNESS file can never re-redden
+    the suite and a satisfied pin can never steal a window slot."""
+    pins = entry_mod._RECHECK_FIRST
+    assert pins and all(
+        isinstance(n, str) and isinstance(r, int) for n, r in pins
+    ), "pins must be (name, round_added) tuples"
+    name, round_added = pins[0]
+    # green check at round_added → expired
+    assert name not in entry_mod._active_pins({name: round_added}, set())
+    # green check newer than round_added → expired
+    assert name not in entry_mod._active_pins(
+        {name: round_added + 2}, set()
+    )
+    # check older than round_added → still active
+    assert name in entry_mod._active_pins({name: round_added - 1}, set())
+    # never checked → still active
+    assert name in entry_mod._active_pins({}, set())
+    # most recent check FAILED → active regardless of recency
+    assert name in entry_mod._active_pins({name: round_added + 2}, {name})
+    # active pins keep list order
+    all_active = entry_mod._active_pins({}, set())
+    assert list(all_active) == [n for n, _ in pins]
+    assert list(all_active.values()) == list(range(len(pins)))
+
+
+def test_live_pins_all_expired_or_satisfiable():
+    """Against the repo's real CORRECTNESS history: the active pin set
+    plus the stalest cohort must fit the window (the r10/r11 failure
+    mode — stale pins outliving their green checks — is structurally
+    impossible now, but keep the budget assert armed for future pins)."""
+    last, failed = entry_mod._last_check("/root/repo")
+    if not last:
+        return  # fresh checkout
+    active = entry_mod._active_pins(last, failed)
+    oldest = min(last.values())
+    cohort = {n for n in entry_mod.queries() if last.get(n) == oldest}
+    assert len(cohort) + len(set(active) - cohort) <= WINDOW, (
+        f"active pins {set(active) - cohort} push past the window edge"
+    )
+
+
+def test_never_checked_promoted_after_waiting_past_bound():
+    """A never-checked query that has waited more than _MAX_STALENESS
+    rounds since registration joins the overdue tier just AHEAD of the
+    checked cohort of the same age — so the zero-slack steady state
+    (back-to-back exactly-window-sized cohorts) cannot starve it
+    forever.  A younger never-checked query stays in the queue tier."""
+    ms = entry_mod._MAX_STALENESS
+    # 'now' anchors at 10 via the freshest check
+    cohort = [f"c{i:03d}" for i in range(WINDOW)]
+    last = {n: 10 - ms - 1 for n in cohort}  # exactly-overdue cohort
+    last["anchor"] = 9
+    names = cohort + ["anchor", "waited", "young"]
+    registered = {"waited": 10 - ms - 1, "young": 9}
+    ordered = entry_mod._order_names(names, last, set(), {}, registered)
+    # the waited-out newcomer leads the equally-aged cohort...
+    assert ordered[0] == "waited"
+    assert set(ordered[1 : WINDOW + 1]) == set(cohort)
+    # ...while the young newcomer queues behind the overdue tier
+    assert ordered[WINDOW + 1] == "young"
+    # and a STALER checked query still outranks the promoted newcomer
+    last["ancient"] = 10 - ms - 3
+    ordered = entry_mod._order_names(
+        names + ["ancient"], last, set(), {}, registered
+    )
+    assert ordered[0] == "ancient"
+    assert ordered[1] == "waited"
+
+
+def test_promotion_drains_zero_slack_steady_state():
+    """End-to-end: with N = 4×W queries locked in window-sized cohorts
+    (zero slack) and one new query registered, the newcomer is checked
+    within _MAX_STALENESS + 2 rounds and no existing query's staleness
+    ever exceeds _MAX_STALENESS + 2."""
+    ms = entry_mod._MAX_STALENESS
+    names = [f"q{i:03d}" for i in range(4 * WINDOW)]
+    last: dict[str, int] = {}
+    for rnd in range(4):  # lock in four window-sized cohorts
+        for n in entry_mod._order_names(names, last, set(), {})[:WINDOW]:
+            last[n] = rnd
+    names.append("newbie")
+    registered = {"newbie": 4}
+    checked_at = None
+    worst = 0
+    for rnd in range(4, 16):
+        window = entry_mod._order_names(
+            names, last, set(), {}, registered
+        )[:WINDOW]
+        worst = max(
+            worst, max(rnd - last.get(n, rnd) for n in names if n in last)
+        )
+        for n in window:
+            if n == "newbie" and checked_at is None:
+                checked_at = rnd
+            last[n] = rnd
+    assert checked_at is not None, "newbie starved"
+    assert checked_at <= 4 + ms + 2, f"newbie checked late: r{checked_at}"
+    assert worst <= ms + 2, f"staleness {worst} > {ms + 2}"

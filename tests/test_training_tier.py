@@ -520,7 +520,7 @@ def test_real_decode_avi_frame_count():
         MM._real_decode(b"\x89PNG\r\n\x1a\n not-a-real-png")
     with pytest.raises(ValueError, match="missing"):
         MM._real_decode(b"\x00\x00\x00\x18ftypmp42 rest-of-mp4")
-    with pytest.raises(NotImplementedError, match="I_PCM"):
+    with pytest.raises(NotImplementedError, match="B GOPs"):
         MM._real_decode(b"not-any-known-container at all............")
 
 
