@@ -52,15 +52,17 @@ _REGISTERED_ROUND = {
     "multimodal_mp4_cabac_index": 11,
     "multimodal_mp4_cabac_gop_index": 11,
     "multimodal_mp4_b_gop_index": 12,
+    "multimodal_mp4_p2_index": 12,
 }
 
 # Ladder plan (maintained per round): r12's 49-query r8 cohort fills 49
 # slots; the free slot goes to multimodal_mp4_gop_index (first in the
 # never-checked queue).  r13's 47-query r9 cohort leaves 3 free slots
 # for multimodal_mp4_cabac_index, multimodal_mp4_cabac_gop_index and
-# multimodal_mp4_b_gop_index (registered r12, B-frame tier).  r14/r15
-# cohorts are 50 → no free slots; any still-unchecked newcomer drains
-# via the registration-age promotion above (worst case: checked by
+# multimodal_mp4_b_gop_index (registered r12, B-frame tier).
+# multimodal_mp4_p2_index (r12, multi-reference tier) queues behind:
+# r14/r15 cohorts are 50 → no free slots, so it drains via the
+# registration-age promotion above at r16 (worst case: checked by
 # round registered + _MAX_STALENESS + 2, transiently bumping one cohort
 # member's staleness to _MAX_STALENESS + 2 — bounded, absorbed at the
 # next sub-50 cohort).

@@ -1025,6 +1025,24 @@ def _quality(spark) -> dict:
     b_vs_p = len(_nal_b) / len(_nal_p)
     assert b_vs_p < 1.0, f"bi-prediction lost to P on noisy refs: {b_vs_p}"
     q["mp4_b_vs_p_same_frame_rate"] = round(b_vs_p, 4)
+    # (c) multi-reference P (r12, extra_refs): on flash content where
+    #     frame k matches frame k-2 (never k-1), the 2-deep te(v)
+    #     ref_idx list must buy what no single reference can — gate at
+    #     0.6x the 1-ref rate (measures ≈0.3: the matched scene codes
+    #     as near-skip on refIdx 1)
+    _fa = (_clean + 40 * _np.sin(_xx / 3.0)).clip(0, 255).astype(_np.uint8)
+    _fb = _np.roll(_fa, 24, axis=1)
+    _na, _ray, _rac = _HI.encode_idr_frame_i16(
+        _fa, qp=12, return_recon=True, return_chroma=True
+    )
+    _nb, _rby, _rbc = _HP.encode_p_frame(_fb, _ray, _rac, qp=12)
+    _one, _, _ = _HP.encode_p_frame(_fa, _rby, _rbc, qp=12)
+    _two, _, _ = _HP.encode_p_frame(
+        _fa, _rby, _rbc, qp=12, extra_refs=[(_ray, _rac)]
+    )
+    p2_vs_p1 = len(_two) / len(_one)
+    assert p2_vs_p1 < 0.6, f"2-ref P lost its flash-content win: {p2_vs_p1}"
+    q["mp4_p2_vs_p1_flash_rate"] = round(p2_vs_p1, 4)
 
     # Datasketches HLL mergeable-sketch floor: the merged-union estimate
     # (the "ALL" row of the registered query) vs the exact global

@@ -50,9 +50,15 @@ Scope, stated precisely:
   (poc_lsb — decode order ≠ display order needs explicit POC), and
   ``codec="i16pb"`` GOP containers carrying a real ``ctts``
   composition-offset box that :func:`decode_mp4_h264` uses to emit
-  frames back in DISPLAY order.  The remaining seams, each explicitly
-  ValueError-gated: >1 active reference per list (ref_idx syntax),
-  B_Skip/B_Direct, CABAC B slices, and CABAC I_PCM.
+  frames back in DISPLAY order.
+- **Multi-reference P** (r12): ``h264_inter.encode_p_frame``'s
+  ``extra_refs`` codes a 2-deep list 0 — slice-header
+  num_ref_idx_l0_active override, per-MB te(v) ref_idx_l0, the full
+  refIdx-aware 8.4.1.3.1 MV prediction and 8.4.1.1 P_Skip forms —
+  ``codec="i16p2"`` GOPs keep the sliding 2-picture DPB.  The
+  remaining seams, each explicitly ValueError-gated: >2 active
+  references, ref_pic_list_modification, B_Skip/B_Direct, CABAC B
+  slices, and CABAC I_PCM.
 
 At 100 TB: encode/decode are row-local Arrow-batched work inside
 ``mapInPandas`` (multimodal.py wires them), scaling with scan
@@ -493,10 +499,13 @@ def encode_mp4_h264(
             f, qp=qp, idr_pic_id=i % 2, allow_i4=codec == "intra_cabac"
         )
         pps = encode_pps(deblocking_control=True, cabac=True)
-    elif codec in ("i16p", "i16p_cabac"):
-        # GOP tier (h264_inter.py / h264_cabac.py): IDR(Intra_16x16) +
-        # P+; the encoder closure carries the reference picture exactly
-        # as the decoder will reconstruct it
+    elif codec in ("i16p", "i16p_cabac", "i16p2"):
+        # GOP tiers (h264_inter.py / h264_cabac.py): IDR(Intra_16x16) +
+        # P+; the encoder closure carries the reference picture(s)
+        # exactly as the decoder will reconstruct them.  "i16p2" keeps
+        # a 2-deep list 0 — every P slice after the second picture
+        # codes a per-MB te(v) ref_idx_l0 against the two most recent
+        # references (the multi-reference tier, r12).
         from real_time_trip_processing_project_spark.operators import (
             h264_cabac as HC,
             h264_inter as HP,
@@ -504,7 +513,8 @@ def encode_mp4_h264(
         )
 
         cab = codec == "i16p_cabac"
-        ref: dict = {}
+        two_ref = codec == "i16p2"
+        dpb: list = []  # most recent LAST
 
         def enc(f, i):
             if i == 0:
@@ -517,17 +527,22 @@ def encode_mp4_h264(
                         f, qp=qp, idr_pic_id=0,
                         return_recon=True, return_chroma=True,
                     )
+                dpb.clear()
             elif cab:
                 nal, ry, rc = HC.encode_p_frame_cabac(
-                    f, ref["y"], ref["c"], qp=qp, frame_num=i,
+                    f, dpb[-1][0], dpb[-1][1], qp=qp, frame_num=i,
                     search_range=search_range,
                 )
             else:
                 nal, ry, rc = HP.encode_p_frame(
-                    f, ref["y"], ref["c"], qp=qp, frame_num=i,
+                    f, dpb[-1][0], dpb[-1][1], qp=qp, frame_num=i,
                     search_range=search_range,
+                    extra_refs=(
+                        [dpb[-2]] if two_ref and len(dpb) >= 2 else None
+                    ),
                 )
-            ref["y"], ref["c"] = ry, rc
+            dpb.append((ry, rc))
+            del dpb[:-2]
             return nal
 
         pps = encode_pps(deblocking_control=True, cabac=cab)
@@ -552,7 +567,12 @@ def encode_mp4_h264(
         display_order = [d for _nal, d in gop]
     else:
         sps = encode_sps(
-            w, h, max_ref=1 if codec in ("i16p", "i16p_cabac") else 0
+            w, h,
+            max_ref=(
+                2
+                if codec == "i16p2"
+                else 1 if codec in ("i16p", "i16p_cabac") else 0
+            ),
         )
         nals = [enc(f, i) for i, f in enumerate(frames)]
     samples = [struct.pack(">I", len(nal)) + nal for nal in nals]
@@ -1003,7 +1023,10 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
                         )
                     else:
                         y, c = HP.decode_p_frame(
-                            nal, sps, pps, refs[-1][0], refs[-1][1]
+                            nal, sps, pps, refs[-1][0], refs[-1][1],
+                            extra_refs=(
+                                [refs[-2]] if len(refs) >= 2 else None
+                            ),
                         )
                     refs = (refs + [(y, c)])[-max_ref:]
                 else:

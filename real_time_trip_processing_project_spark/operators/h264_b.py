@@ -36,11 +36,13 @@ Scope, stated precisely:
   display order I B P B P …; ``decode_mp4_h264`` sorts emitted frames
   by composition time.
 - **Explicit seams** (ValueError-gated in the decoder, never emitted
-  by the encoder): >1 active reference per list (ref_idx syntax),
-  B_Skip / B_Direct_16x16 (spatial-direct derivation), weighted
-  bi-prediction, reference B slices, CABAC B slices.  The mandatory
-  ``mb_skip_run`` / ``direct_spatial_mv_pred_flag`` fields are still
-  written (0 and 1) and parsed, so the slice syntax stays conformant.
+  by the encoder): >1 active reference per list IN B SLICES (P slices
+  grew the 2-deep te(v) ref_idx list in r12 — h264_inter.py
+  ``extra_refs``), B_Skip / B_Direct_16x16 (spatial-direct
+  derivation), weighted bi-prediction, reference B slices, CABAC B
+  slices.  The mandatory ``mb_skip_run`` /
+  ``direct_spatial_mv_pred_flag`` fields are still written (0 and 1)
+  and parsed, so the slice syntax stays conformant.
 
 Shared-table caveat: identical stance to h264_inter.py — encoder and
 decoder share Table 9-4's inter CBP column, so a transcription slip

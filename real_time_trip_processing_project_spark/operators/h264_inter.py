@@ -5,7 +5,10 @@ codec seam the r10 verdict named ("CABAC / inter"; CABAC landed in
 Scope, stated precisely:
 
 - **P slices of P_L0_16x16 and P_Skip macroblocks** over a single
-  reference picture (the previously decoded frame), CAVLC
+  reference picture (the previously decoded frame) or — r12, the
+  ``extra_refs`` path — a 2-deep list 0 with per-MB te(v) ref_idx_l0
+  and the refIdx-aware 8.4.1.3.1/8.4.1.1 prediction forms
+  (``_mv_pred_ref`` / ``_pskip_mv_ref``), CAVLC
   entropy-coded: ``mb_skip_run`` ue(v), mvd_l0 se(v) pairs against the
   spec's median motion-vector predictor (8.4.1.3, including the
   top-row mvA fallback and the up-right→up-left neighbor substitution),
@@ -221,6 +224,77 @@ def _pskip_mv(mvs: np.ndarray, mby: int, mbx: int, w_mbs: int) -> tuple:
 
 
 # ---------------------------------------------------------------------------
+# refIdx-aware variants (8.4.1.3.1 in full), used by the multi-reference
+# P path (extra_refs) where neighbors may predict from EITHER of the two
+# list-0 pictures.  ``refidx`` holds -1 for not-yet-coded/unavailable.
+
+
+def _mv_pred_ref(
+    mvs: np.ndarray,
+    refidx: np.ndarray,
+    mby: int,
+    mbx: int,
+    w_mbs: int,
+    ref: int,
+) -> tuple:
+    """Median predictor for a 16x16 partition with per-MB reference
+    indexes: a neighbor whose refIdxL0 differs from ``ref`` contributes
+    its actual mv to the median but fails the match test, and the
+    exactly-one-matching-neighbor shortcut of 8.4.1.3.1 returns that
+    neighbor's vector verbatim.  (The single-reference ``_mv_pred``
+    skips the shortcut — with one reference it only differs on
+    single-column multi-row pictures, which no tier emits; this variant
+    implements the clause in full because mixed refIdx neighborhoods
+    hit it constantly.)"""
+    avail_a = mbx > 0
+    avail_b = mby > 0
+    avail_c = mby > 0 and mbx + 1 < w_mbs
+    avail_d = mby > 0 and mbx > 0
+
+    def at(y, x, avail):
+        if not avail or refidx[y, x] < 0:
+            return (0, 0), False
+        return (
+            (int(mvs[y, x, 0]), int(mvs[y, x, 1])),
+            int(refidx[y, x]) == ref,
+        )
+
+    mv_a, m_a = at(mby, mbx - 1, avail_a)
+    if avail_c:
+        mv_c, m_c = at(mby - 1, mbx + 1, True)
+    elif avail_d:
+        mv_c, m_c = at(mby - 1, mbx - 1, True)
+        avail_c = True
+    else:
+        mv_c, m_c = (0, 0), False
+    mv_b, m_b = at(mby - 1, mbx, avail_b)
+    if avail_a and not avail_b and not avail_c:
+        return mv_a
+    matches = [mv for mv, m in ((mv_a, m_a), (mv_b, m_b), (mv_c, m_c)) if m]
+    if len(matches) == 1:
+        return matches[0]
+    return (
+        _median3(mv_a[0], mv_b[0], mv_c[0]),
+        _median3(mv_a[1], mv_b[1], mv_c[1]),
+    )
+
+
+def _pskip_mv_ref(
+    mvs: np.ndarray, refidx: np.ndarray, mby: int, mbx: int, w_mbs: int
+) -> tuple:
+    """P_Skip vector under mixed reference indexes (8.4.1.1): zero when
+    a left/up neighbor is outside the picture or has refIdxL0 == 0 WITH
+    a zero vector — a zero vector on the other reference does not
+    trigger the collapse — else the refIdx-0 median predictor."""
+    if mbx == 0 or mby == 0:
+        return (0, 0)
+    for y, x in ((mby, mbx - 1), (mby - 1, mbx)):
+        if refidx[y, x] == 0 and not mvs[y, x].any():
+            return (0, 0)
+    return _mv_pred_ref(mvs, refidx, mby, mbx, w_mbs, 0)
+
+
+# ---------------------------------------------------------------------------
 # Per-MB analysis (entropy-coder-independent, like _analyze_mb_i16)
 
 
@@ -352,12 +426,24 @@ def encode_p_frame(
     frame_num: int = 1,
     search_range: int = 8,
     poc_lsb: int | None = None,
+    extra_refs: list | None = None,
 ) -> tuple:
     """One P-slice NAL (type 1) predicting from ``(ref_y, ref_c)``.
     Returns ``(nal, recon_y, recon_c)`` — the reconstruction is the
     next frame's reference and must (and does, bit-exactly) match the
     decoder's.  ``poc_lsb``: set iff the stream's SPS is poc_type 0
-    (the B tier) — writes pic_order_cnt_lsb after frame_num."""
+    (the B tier) — writes pic_order_cnt_lsb after frame_num.
+
+    ``extra_refs`` (r12, the multi-reference half of the former
+    "B frames / multi-reference" seam): ``[(ref1_y, ref1_c)]`` — a
+    SECOND, older list-0 picture.  The slice header then overrides
+    num_ref_idx_l0_active to 2, every coded MB carries a te(v)
+    ``ref_idx_l0`` bit, motion search runs per reference with the
+    lower-SAD picture winning (ties prefer refIdx 0 — the cheaper
+    te(v) bit pattern and the P_Skip-eligible index), and MV
+    prediction/P_Skip switch to the refIdx-aware 8.4.1.3.1 forms.
+    ``extra_refs=None`` emits the byte-identical legacy single-ref
+    stream (pinned by tests)."""
     frame = np.asarray(frame)
     h, w = frame.shape
     if h % MB or w % MB:
@@ -365,7 +451,12 @@ def encode_p_frame(
     if frame.dtype != np.uint8:
         raise ValueError("frame must be uint8")
     HI._check_qp(qp)
+    if extra_refs is not None and len(extra_refs) != 1:
+        raise ValueError("exactly one extra reference is supported")
     h_mbs, w_mbs = h // MB, w // MB
+    multi = extra_refs is not None
+    refs_y = (ref_y,) + tuple(r[0] for r in extra_refs or ())
+    refs_c = (ref_c,) + tuple(r[1] for r in extra_refs or ())
 
     src_c = [np.full((h // 2, w // 2), 128, dtype=np.uint8)] * 2
     recon_y = np.zeros((h, w), dtype=np.uint8)
@@ -373,6 +464,7 @@ def encode_p_frame(
     nz_y = HI._NzCtx(h_mbs, w_mbs, 4)
     nz_c = [HI._NzCtx(h_mbs, w_mbs, 2) for _ in range(2)]
     mvs = np.zeros((h_mbs, w_mbs, 2), dtype=np.int64)
+    refidx = np.full((h_mbs, w_mbs), -1, dtype=np.int64)
 
     bw = BitWriter()
     bw.ue(0)  # first_mb_in_slice
@@ -381,7 +473,9 @@ def encode_p_frame(
     bw.u(frame_num & 15, 4)  # frame_num
     if poc_lsb is not None:  # poc_type-0 SPS (the B tier)
         bw.u(poc_lsb, H_POC_LSB_BITS)
-    bw.u(0, 1)  # num_ref_idx_active_override_flag
+    bw.u(1 if multi else 0, 1)  # num_ref_idx_active_override_flag
+    if multi:
+        bw.ue(1)  # num_ref_idx_l0_active_minus1: two pictures
     bw.u(0, 1)  # ref_pic_list_modification_flag_l0
     bw.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
     bw.se(qp - 26)  # slice_qp_delta
@@ -390,27 +484,62 @@ def encode_p_frame(
     skip_run = 0
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
-            pskip = _pskip_mv(mvs, mby, mbx, w_mbs)
-            mv = _search_mv(frame, ref_y, mby, mbx, pskip, search_range)
+            if multi:
+                pskip = _pskip_mv_ref(mvs, refidx, mby, mbx, w_mbs)
+                best = None
+                for ridx in range(len(refs_y)):
+                    seed = (
+                        pskip
+                        if ridx == 0
+                        else _mv_pred_ref(
+                            mvs, refidx, mby, mbx, w_mbs, ridx
+                        )
+                    )
+                    mv_r = _search_mv(
+                        frame, refs_y[ridx], mby, mbx, seed, search_range
+                    )
+                    y0, x0 = mby * MB, mbx * MB
+                    sad = int(
+                        np.abs(
+                            frame[y0 : y0 + MB, x0 : x0 + MB].astype(
+                                np.int64
+                            )
+                            - _mc_luma(refs_y[ridx], y0, x0, mv_r)
+                        ).sum()
+                    )
+                    if best is None or sad < best[0]:
+                        best = (sad, ridx, mv_r)
+                _sad, ridx, mv = best
+            else:
+                pskip = _pskip_mv(mvs, mby, mbx, w_mbs)
+                ridx = 0
+                mv = _search_mv(frame, ref_y, mby, mbx, pskip,
+                                search_range)
             (cbp_luma_bits, levels16, c_dc, c_ac, cbp_chroma,
              rec_y, rec_c) = _analyze_mb_p(
-                frame, src_c, ref_y, ref_c, mby, mbx, qp, mv
+                frame, src_c, refs_y[ridx], refs_c[ridx], mby, mbx, qp, mv
             )
             cbp = cbp_luma_bits | (cbp_chroma << 4)
-            if cbp == 0 and mv == pskip:
+            if cbp == 0 and mv == pskip and ridx == 0:
                 # P_Skip: prediction only, no syntax beyond the run
                 skip_run += 1
                 mvs[mby, mbx] = mv
+                refidx[mby, mbx] = 0
                 _commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
                 _set_nz(nz_y, nz_c, mby, mbx, 0)
                 continue
             bw.ue(skip_run)
             skip_run = 0
             bw.ue(P_L0_16X16)  # mb_type
-            mvp = _mv_pred(mvs, mby, mbx, w_mbs)
+            if multi:
+                bw.u(1 - ridx, 1)  # ref_idx_l0 te(v), cMax=1: !bit
+                mvp = _mv_pred_ref(mvs, refidx, mby, mbx, w_mbs, ridx)
+            else:
+                mvp = _mv_pred(mvs, mby, mbx, w_mbs)
             bw.se(mv[1] - mvp[1])  # mvd_l0 x (spec order: x then y)
             bw.se(mv[0] - mvp[0])  # mvd_l0 y
             mvs[mby, mbx] = mv
+            refidx[mby, mbx] = ridx
             bw.ue(_CBP_INTER_INV[cbp])  # coded_block_pattern me(v)
             if cbp:
                 bw.se(0)  # mb_qp_delta
@@ -528,11 +657,14 @@ def _set_nz(nz_y, nz_c, mby, mbx, tc):
 
 
 def decode_p_frame(
-    nal: bytes, sps: dict, pps: dict, ref_y: np.ndarray, ref_c: list
+    nal: bytes, sps: dict, pps: dict, ref_y: np.ndarray, ref_c: list,
+    extra_refs: list | None = None,
 ) -> tuple:
     """The normative inverse of :func:`encode_p_frame`.  Returns
     ``(recon_y, recon_c)``.  Malformed data → ValueError (the codec
-    family's corrupted-stream contract)."""
+    family's corrupted-stream contract).  ``extra_refs``: the second
+    list-0 picture, required iff the slice header overrides
+    num_ref_idx_l0_active to 2 (the multi-reference path)."""
     if not nal or nal[0] & 0x1F != 1:
         raise ValueError("not a non-IDR slice NAL")
     r = BitReader(ebsp_to_rbsp(nal[1:]))
@@ -544,8 +676,15 @@ def decode_p_frame(
     r.u(sps["log2_max_frame_num"])  # frame_num
     if sps["poc_type"] == 0:  # the B tier's SPS (h264_b.py)
         r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
-    if r.u(1):
-        raise ValueError("num_ref_idx override not supported")
+    multi = bool(r.u(1))  # num_ref_idx_active_override_flag
+    if multi:
+        if r.ue() != 1:
+            raise ValueError("only 2 active references supported")
+        if extra_refs is None or len(extra_refs) != 1:
+            raise ValueError(
+                "stream overrides num_ref_idx_l0_active to 2 but no "
+                "second reference picture was supplied"
+            )
     if r.u(1):
         raise ValueError("ref_pic_list_modification not supported")
     if r.u(1):
@@ -560,13 +699,16 @@ def decode_p_frame(
 
     h, w = sps["height"], sps["width"]
     h_mbs, w_mbs = h // MB, w // MB
-    if ref_y.shape != (h, w):
+    refs_y = (ref_y,) + tuple(x[0] for x in (extra_refs or ()) if multi)
+    refs_c = (ref_c,) + tuple(x[1] for x in (extra_refs or ()) if multi)
+    if any(x.shape != (h, w) for x in refs_y):
         raise ValueError("reference picture dimensions mismatch")
     recon_y = np.zeros((h, w), dtype=np.uint8)
     recon_c = [np.zeros((h // 2, w // 2), dtype=np.uint8) for _ in range(2)]
     nz_y = HI._NzCtx(h_mbs, w_mbs, 4)
     nz_c = [HI._NzCtx(h_mbs, w_mbs, 2) for _ in range(2)]
     mvs = np.zeros((h_mbs, w_mbs, 2), dtype=np.int64)
+    refidx = np.full((h_mbs, w_mbs), -1, dtype=np.int64)
     qpc = HI.chroma_qp(qp)
 
     n_mbs = h_mbs * w_mbs
@@ -577,8 +719,13 @@ def decode_p_frame(
             raise ValueError("mb_skip_run overruns the slice")
         for _ in range(skip_run):
             mby, mbx = divmod(i, w_mbs)
-            mv = _pskip_mv(mvs, mby, mbx, w_mbs)
+            mv = (
+                _pskip_mv_ref(mvs, refidx, mby, mbx, w_mbs)
+                if multi
+                else _pskip_mv(mvs, mby, mbx, w_mbs)
+            )
             mvs[mby, mbx] = mv
+            refidx[mby, mbx] = 0
             pred = _mc_luma(ref_y, mby * MB, mbx * MB, mv)
             _commit(
                 recon_y, recon_c,
@@ -598,13 +745,19 @@ def decode_p_frame(
                 f"unsupported P-slice mb_type {mb_type} (only "
                 "P_L0_16x16 and P_Skip)"
             )
-        mvp = _mv_pred(mvs, mby, mbx, w_mbs)
+        if multi:
+            ridx = 1 - r.u(1)  # ref_idx_l0 te(v), cMax=1
+            mvp = _mv_pred_ref(mvs, refidx, mby, mbx, w_mbs, ridx)
+        else:
+            ridx = 0
+            mvp = _mv_pred(mvs, mby, mbx, w_mbs)
         mvd_x = r.se()
         mvd_y = r.se()
         mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
         if abs(mv[0]) > 4 * h or abs(mv[1]) > 4 * w:
             raise ValueError("motion vector out of range")
         mvs[mby, mbx] = mv
+        refidx[mby, mbx] = ridx
         code_num = r.ue()
         if code_num >= len(CBP_INTER_ME):
             raise ValueError("coded_block_pattern out of range")
@@ -617,8 +770,8 @@ def decode_p_frame(
         levels16, c_dc, c_ac = _read_inter_residual(
             r, cbp_luma_bits, cbp_chroma, nz_y, nz_c, mby, mbx
         )
-        pred = _mc_luma(ref_y, mby * MB, mbx * MB, mv)
-        c_preds = _mc_chroma(ref_c, mby, mbx, mv)
+        pred = _mc_luma(refs_y[ridx], mby * MB, mbx * MB, mv)
+        c_preds = _mc_chroma(refs_c[ridx], mby, mbx, mv)
         rec_y, rec_c = _recon_inter_mb(
             pred, c_preds, levels16, c_dc, c_ac,
             cbp_luma_bits, cbp_chroma, qp, qpc,

@@ -3503,6 +3503,48 @@ def multimodal_mp4_b_gop_index(
     )
 
 
+@register(
+    "multimodal_mp4_p2_index",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    AS BIGINT) AS frame_count,
+               CAST({MM.MP4_W} AS BIGINT) AS width,
+               CAST({MM.MP4_H} AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS idr_frames,
+               CAST(1 AS BIGINT) AS sync_count,
+               CAST(0 AS BIGINT) AS first_sync,
+               TRUE AS index_consistent,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    * {_MP4_FRAME_BYTES} AS BIGINT) AS px_count
+        FROM documents
+        WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+          AND doc_id % 8 = 2
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_p2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-reference P tier (r12, h264_inter.py ``extra_refs``:
+    num_ref_idx_l0_active=2 slice-header override, per-MB te(v)
+    ref_idx_l0 against a 2-deep list 0, refIdx-aware 8.4.1.3.1 MV
+    prediction and 8.4.1.1 P_Skip) under the GOP family's FULL
+    container oracle — one IDR, stss=[0], exact stsc×stco×stsz mdat
+    coverage, pixel count from text length.  Consecutive text-chunk
+    frames are unrelated, so the per-MB reference choice actually
+    exercises both indexes (whichever chunk happens to match better
+    wins).  doc_id%8=2 slice, disjoint from %8=0 (P GOP), %8=4 (CABAC
+    GOP) and %8=6 (B GOP).  Registered r12; drains through the
+    rotation's registration-age promotion behind the B GOP index."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY) & (F.col("doc_id") % 8 == 2)
+    )
+    return MM.mp4_gop_index(docs, qp=12, search_range=4, codec="i16p2")
+
+
 def _mp4_frames_oracle(where: str = "") -> str:
     return f"""
         WITH s AS (
