@@ -53,6 +53,7 @@ _REGISTERED_ROUND = {
     "multimodal_mp4_cabac_gop_index": 11,
     "multimodal_mp4_b_gop_index": 12,
     "multimodal_mp4_p2_index": 12,
+    "multimodal_mp4_b_cabac_gop_index": 12,
 }
 
 # Ladder plan (maintained per round): r12's 49-query r8 cohort fills 49

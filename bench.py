@@ -1025,6 +1025,19 @@ def _quality(spark) -> dict:
     b_vs_p = len(_nal_b) / len(_nal_p)
     assert b_vs_p < 1.0, f"bi-prediction lost to P on noisy refs: {b_vs_p}"
     q["mp4_b_vs_p_same_frame_rate"] = round(b_vs_p, 4)
+    # CABAC B twin (r12): shared analysis ⇒ the arithmetic B GOP must
+    # decode to pixels IDENTICAL to the CAVLC B GOP, at a rate ratio
+    # bounded like the intra CABAC gate
+    _bgop_c = _H.encode_mp4_h264(_gop_frames, codec="i16pb_cabac", qp=12)
+    _, _bdec_c = _H.decode_mp4_h264(_bgop_c)
+    assert [i for i, _f in _bdec_c] == [i for i, _f in _bdec]
+    for (_i1, _fa2), (_i2, _fb2) in zip(_bdec_c, _bdec):
+        assert _np.array_equal(_fa2, _fb2), (
+            "CABAC B GOP pixels diverged from CAVLC B GOP"
+        )
+    bcab_ratio = len(_bgop_c) / len(_bgop)
+    assert bcab_ratio <= 1.25, f"CABAC/CAVLC B GOP rate ratio {bcab_ratio}"
+    q["mp4_b_cabac_rate_vs_cavlc"] = round(bcab_ratio, 4)
     # (c) multi-reference P (r12, extra_refs): on flash content where
     #     frame k matches frame k-2 (never k-1), the 2-deep te(v)
     #     ref_idx list must buy what no single reference can — gate at

@@ -55,10 +55,14 @@ Scope, stated precisely:
   ``extra_refs`` codes a 2-deep list 0 — slice-header
   num_ref_idx_l0_active override, per-MB te(v) ref_idx_l0, the full
   refIdx-aware 8.4.1.3.1 MV prediction and 8.4.1.1 P_Skip forms —
-  ``codec="i16p2"`` GOPs keep the sliding 2-picture DPB.  The
-  remaining seams, each explicitly ValueError-gated: >2 active
-  references, ref_pic_list_modification, B_Skip/B_Direct, CABAC B
-  slices, and CABAC I_PCM.
+  ``codec="i16p2"`` GOPs keep the sliding 2-picture DPB.
+- **CABAC B slices** (r12): ``h264_cabac.encode_b_frame_cabac`` — the
+  Table 9-37 B mb_type bins, per-list UEG3 mvd with per-list
+  |mvd|-sum contexts, B-slice mb_skip_flag contexts — over h264_b's
+  analysis (``codec="i16pb_cabac"``), decoding pixel-identical to the
+  CAVLC B GOP.  The remaining seams, each explicitly
+  ValueError-gated: >2 active references, ref_pic_list_modification,
+  B_Skip/B_Direct, weighted bi-prediction, and CABAC I_PCM.
 
 At 100 TB: encode/decode are row-local Arrow-batched work inside
 ``mapInPandas`` (multimodal.py wires them), scaling with scan
@@ -546,23 +550,28 @@ def encode_mp4_h264(
             return nal
 
         pps = encode_pps(deblocking_control=True, cabac=cab)
-    elif codec == "i16pb":
-        # B tier (h264_b.py): decode-order IDR P B P B … with display
-        # indexes carried out-of-band into the ctts box below; the SPS
-        # switches to poc_type 0 (decode order ≠ display order) with a
-        # 2-picture DPB
+    elif codec in ("i16pb", "i16pb_cabac"):
+        # B tier (h264_b.py / h264_cabac.py): decode-order IDR P B P B …
+        # with display indexes carried out-of-band into the ctts box
+        # below; the SPS switches to poc_type 0 (decode order ≠ display
+        # order) with a 2-picture DPB
         enc = None
-        pps = encode_pps(deblocking_control=True)
+        pps = encode_pps(
+            deblocking_control=True, cabac=codec == "i16pb_cabac"
+        )
     else:
         raise ValueError(f"unknown codec {codec!r}")
     display_order = None  # per decode-order sample; ctts written when set
-    if codec == "i16pb":
+    if codec in ("i16pb", "i16pb_cabac"):
         from real_time_trip_processing_project_spark.operators import (
             h264_b as HB,
         )
 
         sps = encode_sps(w, h, max_ref=2, poc_type=0)
-        gop = HB.encode_b_gop(frames, qp=qp, search_range=search_range)
+        gop = HB.encode_b_gop(
+            frames, qp=qp, search_range=search_range,
+            cabac=codec == "i16pb_cabac",
+        )
         nals = [nal for nal, _d in gop]
         display_order = [d for _nal, d in gop]
     else:
@@ -1002,19 +1011,24 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
                     raise ValueError("predicted slice before any IDR")
                 kind = slice_kind(nal)
                 if kind == 1:  # B: past=L0, future=L1
-                    if cabac:
-                        raise ValueError("CABAC B slices not supported")
                     if len(refs) < 2:
                         raise ValueError("B slice with fewer than 2 refs")
-                    from real_time_trip_processing_project_spark.operators import (  # noqa: E501
-                        h264_b as HB,
-                    )
+                    if cabac:
+                        y, c = HC.decode_b_frame_cabac(
+                            nal, sps, pps,
+                            refs[-2][0], refs[-2][1],
+                            refs[-1][0], refs[-1][1],
+                        )
+                    else:
+                        from real_time_trip_processing_project_spark.operators import (  # noqa: E501
+                            h264_b as HB,
+                        )
 
-                    y, c = HB.decode_b_frame(
-                        nal, sps, pps,
-                        refs[-2][0], refs[-2][1],
-                        refs[-1][0], refs[-1][1],
-                    )
+                        y, c = HB.decode_b_frame(
+                            nal, sps, pps,
+                            refs[-2][0], refs[-2][1],
+                            refs[-1][0], refs[-1][1],
+                        )
                     # non-reference: the DPB is untouched
                 elif kind == 0:
                     if cabac:

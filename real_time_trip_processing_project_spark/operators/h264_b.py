@@ -39,10 +39,12 @@ Scope, stated precisely:
   by the encoder): >1 active reference per list IN B SLICES (P slices
   grew the 2-deep te(v) ref_idx list in r12 — h264_inter.py
   ``extra_refs``), B_Skip / B_Direct_16x16 (spatial-direct
-  derivation), weighted bi-prediction, reference B slices, CABAC B
-  slices.  The mandatory ``mb_skip_run`` /
-  ``direct_spatial_mv_pred_flag`` fields are still written (0 and 1)
-  and parsed, so the slice syntax stays conformant.
+  derivation), weighted bi-prediction, reference B slices.  CABAC B
+  slices shipped in r12 too (h264_cabac.encode_b_frame_cabac,
+  ``codec="i16pb_cabac"``) over this module's analysis.  The
+  mandatory ``mb_skip_run`` / ``direct_spatial_mv_pred_flag`` fields
+  are still written (0 and 1) and parsed, so the slice syntax stays
+  conformant.
 
 Shared-table caveat: identical stance to h264_inter.py — encoder and
 decoder share Table 9-4's inter CBP column, so a transcription slip
@@ -360,7 +362,10 @@ def decode_b_frame(
 
 
 def encode_b_gop(
-    frames: np.ndarray, qp: int = 26, search_range: int = 8
+    frames: np.ndarray,
+    qp: int = 26,
+    search_range: int = 8,
+    cabac: bool = False,
 ) -> list:
     """Encode frames (display order) as the IBP GOP: display
     I0 B1 P2 B3 P4 … (trailing P when no future reference exists),
@@ -368,10 +373,29 @@ def encode_b_gop(
     ``[(nal, display_idx), ...]``; poc_lsb = 2·display_idx, frame_num
     per 7.4.3 (references increment, a B carries PrevRefFrameNum+1).
     Used by ``h264.encode_mp4_h264(codec="i16pb")``, which derives the
-    ctts composition offsets from the display indexes."""
+    ctts composition offsets from the display indexes.  ``cabac``
+    swaps every slice for its arithmetic twin (h264_cabac.py,
+    codec="i16pb_cabac") — same motion/mode analysis, so the decoded
+    pixels are identical across entropy coders."""
     frames = np.asarray(frames, dtype=np.uint8)
     n = frames.shape[0]
-    nal, ry, rc = HI.encode_idr_frame_i16(
+    if cabac:
+        from real_time_trip_processing_project_spark.operators import (
+            h264_cabac as HC,
+        )
+
+        enc_idr = lambda f, **kw: HC.encode_idr_frame_cabac(  # noqa: E731
+            f, return_recon=True,
+            **{k: v for k, v in kw.items()
+               if k not in ("return_recon", "return_chroma")},
+        )
+        enc_p = HC.encode_p_frame_cabac
+        enc_b = HC.encode_b_frame_cabac
+    else:
+        enc_idr = HI.encode_idr_frame_i16
+        enc_p = HP.encode_p_frame
+        enc_b = encode_b_frame
+    nal, ry, rc = enc_idr(
         frames[0], qp=qp, idr_pic_id=0, return_recon=True,
         return_chroma=True, poc_lsb=0,
     )
@@ -382,7 +406,7 @@ def encode_b_gop(
     while d < n - 1:
         nd = min(d + 2, n - 1)  # next reference (P) display index
         ref_frame_num = (ref_frame_num + 1) & 15
-        nal, py, pc = HP.encode_p_frame(
+        nal, py, pc = enc_p(
             frames[nd], prev_y, prev_c, qp=qp,
             frame_num=ref_frame_num, search_range=search_range,
             poc_lsb=(2 * nd) & (2**POC_LSB_BITS - 1),
@@ -390,7 +414,7 @@ def encode_b_gop(
         out.append((nal, nd))
         if nd - d == 2:  # a B frame sits between the two references
             bd = d + 1
-            nal, _by, _bc = encode_b_frame(
+            nal, _by, _bc = enc_b(
                 frames[bd], prev_y, prev_c, py, pc, qp=qp,
                 frame_num=(ref_frame_num + 1) & 15,
                 poc_lsb=(2 * bd) & (2**POC_LSB_BITS - 1),

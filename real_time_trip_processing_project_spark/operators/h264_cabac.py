@@ -48,9 +48,16 @@ Conformance stance, stated precisely:
   CBP/residual machinery — sharing h264_inter.py's motion search,
   predictors and analysis, so CABAC P streams decode to pixels
   bit-identical to CAVLC P streams (pinned in tests).
+- **B slices** (r12, bottom of this module): the Table 9-37 B mb_type
+  binarization for the coded 16x16 types, per-list UEG3 mvd with
+  PER-LIST |mvd|-sum neighbor contexts, B-slice mb_skip_flag contexts
+  — sharing h264_b.py's per-list predictors, SAD mode decision and
+  analysis, so CABAC B GOPs (``codec="i16pb_cabac"``) decode to
+  pixels bit-identical to CAVLC B GOPs (pinned in tests).
 - No I_PCM fallback in this tier (PCM inside CABAC slices re-inits
   the engine; the CAVLC tier keeps the rate-bound role).  The
-  remaining CABAC seam is I_PCM and the sub-16x16 P partition types.
+  remaining CABAC seams are I_PCM, sub-16x16 partition types, and
+  B_Skip/B_Direct.
 
 Reference parity note: the reference pipeline
 (Real-Time-Trip-Processing-Project) has no media processing at all —
@@ -66,6 +73,7 @@ import numpy as np
 
 from real_time_trip_processing_project_spark.operators.h264 import (
     MB,
+    POC_LSB_BITS as H_POC_LSB_BITS,
     BitReader,
     BitWriter,
     ebsp_to_rbsp,
@@ -928,6 +936,7 @@ def encode_idr_frame_cabac(
     idr_pic_id: int = 0,
     allow_i4: bool = False,
     return_recon: bool = False,
+    poc_lsb: int | None = None,
 ):
     """One IDR NAL of Intra_16x16 (and, with ``allow_i4``, Intra_4x4)
     macroblocks, CABAC entropy-coded.  Identical slice header to the
@@ -956,6 +965,8 @@ def encode_idr_frame_cabac(
     bw.ue(0)  # pic_parameter_set_id
     bw.u(0, 4)  # frame_num
     bw.ue(idr_pic_id)
+    if poc_lsb is not None:  # poc_type-0 SPS (the B tier)
+        bw.u(poc_lsb, H_POC_LSB_BITS)
     bw.u(0, 1)  # no_output_of_prior_pics_flag
     bw.u(0, 1)  # long_term_reference_flag
     bw.se(qp - 26)  # slice_qp_delta
@@ -1043,8 +1054,8 @@ def decode_idr_frame_cabac(
     r.ue()  # pic_parameter_set_id
     r.u(sps["log2_max_frame_num"])
     r.ue()  # idr_pic_id
-    if sps["poc_type"] == 0:
-        raise ValueError("poc_type 0 slice headers not supported")
+    if sps["poc_type"] == 0:  # the B tier's SPS
+        r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
     r.u(2)  # dec_ref_pic_marking
     qp = 26 + r.se()
     HI._check_qp(qp)
@@ -1241,6 +1252,7 @@ def encode_p_frame_cabac(
     qp: int = 26,
     frame_num: int = 1,
     search_range: int = 8,
+    poc_lsb: int | None = None,
 ) -> tuple:
     """One CABAC P-slice NAL (type 1) predicting from ``(ref_y,
     ref_c)``: the arithmetic twin of ``h264_inter.encode_p_frame``,
@@ -1271,6 +1283,8 @@ def encode_p_frame_cabac(
     bw.ue(5)  # slice_type 5: P (all slices)
     bw.ue(0)  # pic_parameter_set_id
     bw.u(frame_num & 15, 4)  # frame_num
+    if poc_lsb is not None:  # poc_type-0 SPS (the B tier)
+        bw.u(poc_lsb, H_POC_LSB_BITS)
     bw.u(0, 1)  # num_ref_idx_active_override_flag
     bw.u(0, 1)  # ref_pic_list_modification_flag_l0
     bw.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
@@ -1485,8 +1499,8 @@ def decode_p_frame_cabac(
         raise ValueError("not a P slice")
     r.ue()  # pic_parameter_set_id
     r.u(sps["log2_max_frame_num"])
-    if sps["poc_type"] == 0:
-        raise ValueError("poc_type 0 slice headers not supported")
+    if sps["poc_type"] == 0:  # the B tier's SPS
+        r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
     if r.u(1):
         raise ValueError("num_ref_idx override not supported")
     if r.u(1):
@@ -1636,4 +1650,365 @@ def decode_p_frame_cabac(
             last = mby == h_mbs - 1 and mbx == w_mbs - 1
             if eos != (1 if last else 0):
                 raise ValueError("end_of_slice_flag out of place")
+    return recon_y, recon_c
+
+
+# ---------------------------------------------------------------------------
+# B slices under CABAC (r12): the arithmetic twin of h264_b.py — per-MB
+# mb_skip_flag under the B-slice context block, the Table 9-37 B
+# mb_type binarization ('100' B_L0_16x16 / '101' B_L1_16x16 / '110000'
+# B_Bi_16x16; '0' B_Direct decodes to the explicit-seam ValueError),
+# one UEG3 mvd pair per used list with PER-LIST |mvd|-sum neighbor
+# contexts, and the shared inter CBP/residual pipeline.  The
+# MOTION/ANALYSIS layer is h264_b's verbatim (shared _mv_pred_b,
+# _predict, SAD mode decision and _analyze_mb_from_pred), so a CABAC B
+# stream decodes to pixels bit-identical to the CAVLC B stream.
+# Context-index assignment note (same stance as the uniform inits
+# documented at the top of this module): bin 0 of mb_type uses
+# 27 + condTermFlag(A) + condTermFlag(B) per 9.3.3.1.1.3, bin 1 uses
+# 27+3, bin 2 uses 27+4, bins 3+ use 27+5 — encoder and decoder share
+# the table, so a deviation from the published assignment is
+# rate-only, never wrong pixels.
+
+_CTX_MB_SKIP_B = 24  # + inc 0..2 (B slices)
+_CTX_MB_TYPE_B = 27  # + inc (see note above)
+
+
+def _code_b_mb_type(coder, writing: bool, inc0: int, mb_type: int = 0):
+    """Table 9-37 B mb_type bins for the coded 16x16 types.  Decoding
+    rejects B_Direct_16x16 ('0') and any '11'-prefixed value other
+    than B_Bi_16x16 — the explicit seams."""
+    if writing:
+        coder.decision(_CTX_MB_TYPE_B + inc0, 1)
+        if mb_type in (1, 2):  # '10x'
+            coder.decision(_CTX_MB_TYPE_B + 3, 0)
+            coder.decision(_CTX_MB_TYPE_B + 4, mb_type - 1)
+        else:  # B_Bi_16x16: '110000'
+            coder.decision(_CTX_MB_TYPE_B + 3, 1)
+            coder.decision(_CTX_MB_TYPE_B + 4, 0)
+            for _ in range(3):
+                coder.decision(_CTX_MB_TYPE_B + 5, 0)
+        return None
+    dec = coder
+    if not dec.decision(_CTX_MB_TYPE_B + inc0):
+        raise ValueError(
+            "B_Direct_16x16 not supported (explicit seam)"
+        )
+    if not dec.decision(_CTX_MB_TYPE_B + 3):
+        return 1 + dec.decision(_CTX_MB_TYPE_B + 4)
+    suffix = dec.decision(_CTX_MB_TYPE_B + 4)
+    for _ in range(3):
+        suffix = (suffix << 1) | dec.decision(_CTX_MB_TYPE_B + 5)
+    if suffix != 0:
+        raise ValueError(
+            f"unsupported B-slice mb_type suffix {suffix} (only "
+            "B_L0/B_L1/B_Bi_16x16)"
+        )
+    return 3
+
+
+def encode_b_frame_cabac(
+    frame: np.ndarray,
+    ref0_y: np.ndarray,
+    ref0_c: list,
+    ref1_y: np.ndarray,
+    ref1_c: list,
+    qp: int = 26,
+    frame_num: int = 2,
+    poc_lsb: int = 2,
+    search_range: int = 8,
+) -> tuple:
+    """One CABAC non-reference B-slice NAL: the arithmetic twin of
+    ``h264_b.encode_b_frame``, sharing its per-list motion search,
+    refIdx-aware predictors, SAD mode decision and residual analysis.
+    Returns ``(nal, recon_y, recon_c)``."""
+    from real_time_trip_processing_project_spark.operators import (
+        h264_b as HB,
+        h264_inter as HP,
+    )
+
+    frame = np.asarray(frame)
+    h, w = frame.shape
+    if h % MB or w % MB:
+        raise ValueError("frame dimensions must be multiples of 16")
+    if frame.dtype != np.uint8:
+        raise ValueError("frame must be uint8")
+    HI._check_qp(qp)
+    h_mbs, w_mbs = h // MB, w // MB
+
+    src_c = [np.full((h // 2, w // 2), 128, dtype=np.uint8)] * 2
+    recon_y = np.zeros((h, w), dtype=np.uint8)
+    recon_c = [np.zeros((h // 2, w // 2), dtype=np.uint8) for _ in range(2)]
+    mvs = np.zeros((2, h_mbs, w_mbs, 2), dtype=np.int64)
+    used = np.zeros((2, h_mbs, w_mbs), dtype=bool)
+    mvds = np.zeros((2, h_mbs, w_mbs, 2), dtype=np.int64)
+    coded = np.zeros((h_mbs, w_mbs), dtype=bool)
+    refs_y, refs_c = (ref0_y, ref1_y), (ref0_c, ref1_c)
+
+    bw = BitWriter()
+    bw.ue(0)  # first_mb_in_slice
+    bw.ue(6)  # slice_type 6: B (all slices)
+    bw.ue(0)  # pic_parameter_set_id
+    bw.u(frame_num & 15, 4)  # frame_num
+    bw.u(poc_lsb & (2**H_POC_LSB_BITS - 1), H_POC_LSB_BITS)
+    bw.u(1, 1)  # direct_spatial_mv_pred_flag
+    bw.u(0, 1)  # num_ref_idx_active_override_flag
+    bw.u(0, 1)  # ref_pic_list_modification_flag_l0
+    bw.u(0, 1)  # ref_pic_list_modification_flag_l1
+    # nal_ref_idc 0 → NO dec_ref_pic_marking
+    bw.ue(0)  # cabac_init_idc
+    bw.se(qp - 26)  # slice_qp_delta
+    bw.ue(1)  # disable_deblocking_filter_idc
+    while bw.bit_position % 8:
+        bw.u(1, 1)  # cabac_alignment_one_bit
+
+    enc = CabacEncoder(bw)
+    ctx = _MbCtx(h_mbs, w_mbs)
+
+    def _skip_inc(mby, mbx):
+        a = mbx > 0 and coded[mby, mbx - 1]
+        b = mby > 0 and coded[mby - 1, mbx]
+        return (1 if a else 0) + (1 if b else 0)
+
+    def _amvd(lst, mby, mbx, comp):
+        s = 0
+        if mbx > 0:
+            s += abs(int(mvds[lst, mby, mbx - 1, comp]))
+        if mby > 0:
+            s += abs(int(mvds[lst, mby - 1, mbx, comp]))
+        return s
+
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            mvp0 = HB._mv_pred_b(mvs, used, mby, mbx, w_mbs, 0)
+            mvp1 = HB._mv_pred_b(mvs, used, mby, mbx, w_mbs, 1)
+            mv0 = HP._search_mv(frame, ref0_y, mby, mbx, mvp0,
+                                search_range)
+            mv1 = HP._search_mv(frame, ref1_y, mby, mbx, mvp1,
+                                search_range)
+            y0, x0 = mby * MB, mbx * MB
+            block = frame[y0 : y0 + MB, x0 : x0 + MB].astype(np.int64)
+            p0 = HP._mc_luma(ref0_y, y0, x0, mv0)
+            p1 = HP._mc_luma(ref1_y, y0, x0, mv1)
+            sads = (
+                int(np.abs(block - p0).sum()),
+                int(np.abs(block - p1).sum()),
+                int(np.abs(block - HB._bi_pred(p0, p1)).sum()),
+            )
+            mb_type = (HB.B_L0_16X16, HB.B_L1_16X16, HB.B_BI_16X16)[
+                min(range(3), key=lambda k: (sads[k], k))
+            ]
+            pred, c_preds = HB._predict(
+                refs_y, refs_c, mby, mbx, mb_type, mv0, mv1
+            )
+            (cbp_luma_bits, levels16, c_dc, c_ac, cbp_chroma,
+             rec_y, rec_c) = HP._analyze_mb_from_pred(
+                frame, src_c, pred, c_preds, mby, mbx, qp
+            )
+            cbp = cbp_luma_bits | (cbp_chroma << 4)
+            # mb_skip_flag = 0 always (B_Skip is an explicit seam)
+            enc.decision(_CTX_MB_SKIP_B + _skip_inc(mby, mbx), 0)
+            coded[mby, mbx] = True
+            _code_b_mb_type(
+                enc, True, _skip_inc(mby, mbx), mb_type
+            )
+            for lst, mv, mvp in ((0, mv0, mvp0), (1, mv1, mvp1)):
+                if lst in HB._MB_TYPE_LISTS[mb_type]:
+                    mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
+                    _code_mvd(
+                        enc, True, _CTX_MVD_X,
+                        _mvd_inc0(_amvd(lst, mby, mbx, 1)), mvd[1],
+                    )
+                    _code_mvd(
+                        enc, True, _CTX_MVD_Y,
+                        _mvd_inc0(_amvd(lst, mby, mbx, 0)), mvd[0],
+                    )
+                    mvs[lst, mby, mbx] = mv
+                    used[lst, mby, mbx] = True
+                    mvds[lst, mby, mbx] = (mvd[0], mvd[1])
+            pending: dict = {}
+            for g in range(4):
+                bit = (cbp_luma_bits >> g) & 1
+                enc.decision(
+                    _CTX_CBP_LUMA + ctx.cbp_luma_inc(mby, mbx, g, pending),
+                    bit,
+                )
+                pending[(2 * mby + g // 2, 2 * mbx + g % 2)] = bit
+            enc.decision(
+                _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, False),
+                1 if cbp_chroma > 0 else 0,
+            )
+            if cbp_chroma > 0:
+                enc.decision(
+                    _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, True),
+                    1 if cbp_chroma == 2 else 0,
+                )
+            if cbp:
+                enc.decision(_CTX_QP_DELTA + ctx.prev_qp_delta_nz, 0)
+            ctx.prev_qp_delta_nz = 0
+            _code_p_residuals(
+                enc, True, mby, mbx, ctx,
+                cbp_luma_bits, cbp_chroma, levels16, c_dc, c_ac,
+            )
+            ctx.commit_mb(mby, mbx, 0, cbp_luma_bits, cbp_chroma)
+            HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+            last = mby == h_mbs - 1 and mbx == w_mbs - 1
+            enc.terminate(1 if last else 0)
+    bw.align_zero()
+    return b"\x01" + rbsp_to_ebsp(bw.getvalue()), recon_y, recon_c
+
+
+def decode_b_frame_cabac(
+    nal: bytes,
+    sps: dict,
+    pps: dict,
+    ref0_y: np.ndarray,
+    ref0_c: list,
+    ref1_y: np.ndarray,
+    ref1_c: list,
+) -> tuple:
+    """The normative inverse of :func:`encode_b_frame_cabac`.  Returns
+    ``(recon_y, recon_c)``; malformed data → ValueError."""
+    from real_time_trip_processing_project_spark.operators import (
+        h264_b as HB,
+        h264_inter as HP,
+    )
+
+    if not nal or nal[0] & 0x1F != 1:
+        raise ValueError("not a non-IDR slice NAL")
+    if nal[0] >> 5:
+        raise ValueError("reference B slices not supported")
+    rbsp = ebsp_to_rbsp(nal[1:])
+    r = BitReader(rbsp)
+    if r.ue() != 0:
+        raise ValueError("first_mb_in_slice != 0")
+    if r.ue() % 5 != 1:
+        raise ValueError("not a B slice")
+    r.ue()  # pic_parameter_set_id
+    r.u(sps["log2_max_frame_num"])
+    if sps["poc_type"] == 0:
+        r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+    r.u(1)  # direct_spatial_mv_pred_flag
+    if r.u(1):
+        raise ValueError("num_ref_idx override not supported")
+    if r.u(1) or r.u(1):
+        raise ValueError("ref_pic_list_modification not supported")
+    if r.ue() != 0:
+        raise ValueError("cabac_init_idc != 0 not supported")
+    qp = 26 + r.se()
+    HI._check_qp(qp)
+    if pps.get("deblocking_control"):
+        idc = r.ue()
+        if idc != 1:
+            r.se()
+            r.se()
+    while r.pos % 8:
+        if r.u(1) != 1:
+            raise ValueError("bad cabac_alignment bit")
+    dec = CabacDecoder(rbsp, r.pos)
+
+    h, w = sps["height"], sps["width"]
+    h_mbs, w_mbs = h // MB, w // MB
+    if ref0_y.shape != (h, w) or ref1_y.shape != (h, w):
+        raise ValueError("reference picture dimensions mismatch")
+    recon_y = np.zeros((h, w), dtype=np.uint8)
+    recon_c = [np.zeros((h // 2, w // 2), dtype=np.uint8) for _ in range(2)]
+    ctx = _MbCtx(h_mbs, w_mbs)
+    mvs = np.zeros((2, h_mbs, w_mbs, 2), dtype=np.int64)
+    used = np.zeros((2, h_mbs, w_mbs), dtype=bool)
+    mvds = np.zeros((2, h_mbs, w_mbs, 2), dtype=np.int64)
+    coded = np.zeros((h_mbs, w_mbs), dtype=bool)
+    refs_y, refs_c = (ref0_y, ref1_y), (ref0_c, ref1_c)
+    qpc = HI.chroma_qp(qp)
+
+    def _skip_inc(mby, mbx):
+        a = mbx > 0 and coded[mby, mbx - 1]
+        b = mby > 0 and coded[mby - 1, mbx]
+        return (1 if a else 0) + (1 if b else 0)
+
+    def _amvd(lst, mby, mbx, comp):
+        s = 0
+        if mbx > 0:
+            s += abs(int(mvds[lst, mby, mbx - 1, comp]))
+        if mby > 0:
+            s += abs(int(mvds[lst, mby - 1, mbx, comp]))
+        return s
+
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            if dec.decision(_CTX_MB_SKIP_B + _skip_inc(mby, mbx)):
+                raise ValueError(
+                    "B_Skip not supported (explicit seam)"
+                )
+            mb_type = _code_b_mb_type(
+                dec, False, _skip_inc(mby, mbx)
+            )
+            coded[mby, mbx] = True
+            mv0 = mv1 = (0, 0)
+            for lst in HB._MB_TYPE_LISTS[mb_type]:
+                mvp = HB._mv_pred_b(mvs, used, mby, mbx, w_mbs, lst)
+                mvd_x = _code_mvd(
+                    dec, False, _CTX_MVD_X,
+                    _mvd_inc0(_amvd(lst, mby, mbx, 1)),
+                )
+                mvd_y = _code_mvd(
+                    dec, False, _CTX_MVD_Y,
+                    _mvd_inc0(_amvd(lst, mby, mbx, 0)),
+                )
+                mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
+                if abs(mv[0]) > 4 * h or abs(mv[1]) > 4 * w:
+                    raise ValueError("motion vector out of range")
+                mvs[lst, mby, mbx] = mv
+                used[lst, mby, mbx] = True
+                mvds[lst, mby, mbx] = (mvd_y, mvd_x)
+                if lst == 0:
+                    mv0 = mv
+                else:
+                    mv1 = mv
+            cbp_luma_bits = 0
+            pending: dict = {}
+            for g in range(4):
+                bit = dec.decision(
+                    _CTX_CBP_LUMA + ctx.cbp_luma_inc(mby, mbx, g, pending)
+                )
+                cbp_luma_bits |= bit << g
+                pending[(2 * mby + g // 2, 2 * mbx + g % 2)] = bit
+            cbp_chroma = 0
+            if dec.decision(
+                _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, False)
+            ):
+                cbp_chroma = 1 + dec.decision(
+                    _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, True)
+                )
+            qp_delta = 0
+            if cbp_luma_bits or cbp_chroma:
+                if dec.decision(_CTX_QP_DELTA + ctx.prev_qp_delta_nz):
+                    k = 1
+                    while dec.decision(
+                        _CTX_QP_DELTA + (2 if k == 1 else 3)
+                    ):
+                        k += 1
+                        if k > 104:
+                            raise ValueError("mb_qp_delta out of range")
+                    qp_delta = (k + 1) // 2 if k & 1 else -(k // 2)
+            ctx.prev_qp_delta_nz = 1 if qp_delta else 0
+            qp += qp_delta
+            HI._check_qp(qp)
+            qpc = HI.chroma_qp(qp)
+            levels16, c_dc, c_ac = _code_p_residuals(
+                dec, False, mby, mbx, ctx, cbp_luma_bits, cbp_chroma,
+                None, None, None,
+            )
+            ctx.commit_mb(mby, mbx, 0, cbp_luma_bits, cbp_chroma)
+            pred, c_preds = HB._predict(
+                refs_y, refs_c, mby, mbx, mb_type, mv0, mv1
+            )
+            rec_y, rec_c = HP._recon_inter_mb(
+                pred, c_preds, levels16, c_dc, c_ac,
+                cbp_luma_bits, cbp_chroma, qp, qpc,
+            )
+            HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+            last = mby == h_mbs - 1 and mbx == w_mbs - 1
+            if dec.terminate() != (1 if last else 0):
+                raise ValueError("end_of_slice_flag mismatch")
     return recon_y, recon_c

@@ -435,12 +435,13 @@ def _real_decode(payload: bytes) -> dict:
     (h264_cabac.py), quarter-pel P-frame GOPs (h264_inter.py) and
     bi-predictive B-frame GOPs with ctts reordering (h264_b.py, r12)
     — all decode for real, as do the 2-reference ref_idx P GOPs
-    (h264_inter.py ``extra_refs``, r12).  The remaining explicit
+    (h264_inter.py ``extra_refs``, r12) and CABAC B GOPs
+    (h264_cabac.py, r12).  The remaining explicit
     ``NotImplementedError`` seam is any OTHER container/codec format
     (needs PIL/av, absent from this container); within H.264 the
     ValueError-gated sub-seams are >2 active references,
-    ref_pic_list_modification, B_Skip/B_Direct, weighted
-    bi-prediction and CABAC B slices (h264_b.py docstring)."""
+    ref_pic_list_modification, B_Skip/B_Direct and weighted
+    bi-prediction (h264_b.py docstring)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _rate, n_channels = decode_wav_pcm16(bytes(payload))
         n_frames = len(samples) if n_channels == 1 else samples.shape[0]

@@ -3545,6 +3545,54 @@ def multimodal_mp4_p2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.mp4_gop_index(docs, qp=12, search_range=4, codec="i16p2")
 
 
+@register(
+    "multimodal_mp4_b_cabac_gop_index",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    AS BIGINT) AS frame_count,
+               CAST({MM.MP4_W} AS BIGINT) AS width,
+               CAST({MM.MP4_H} AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS idr_frames,
+               CAST(1 AS BIGINT) AS sync_count,
+               CAST(0 AS BIGINT) AS first_sync,
+               TRUE AS index_consistent,
+               CAST(greatest((octet_length(encode(text))
+                              + {_MP4_FRAME_BYTES - 1})
+                             // {_MP4_FRAME_BYTES}, 1)
+                    * {_MP4_FRAME_BYTES} AS BIGINT) AS px_count,
+               CAST((greatest((octet_length(encode(text))
+                               + {_MP4_FRAME_BYTES - 1})
+                              // {_MP4_FRAME_BYTES}, 1) - 1) // 2
+                    AS BIGINT) AS b_frames
+        FROM documents
+        WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+          AND doc_id % 16 = 14
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_b_cabac_gop_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``multimodal_mp4_b_gop_index``'s CABAC twin (r12,
+    h264_cabac.py:encode_b_frame_cabac — Table 9-37 B mb_type bins,
+    per-list UEG3 mvd contexts, B-slice mb_skip_flag contexts) under
+    the identical FULL container + reorder oracle: one IDR, stss=[0],
+    exact stsc×stco×stsz coverage, ctts-derived ``b_frames`` =
+    (frame_count-1)//2.  doc_id%16=14 slice (a half of the CAVLC B
+    GOP's %8=6, so the two B tiers split that corpus slice between
+    entropy coders).  Registered r12; drains through the rotation's
+    registration-age promotion."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY) & (F.col("doc_id") % 16 == 14)
+    )
+    return MM.mp4_gop_index(
+        docs, qp=12, search_range=4, codec="i16pb_cabac", count_b=True
+    )
+
+
 def _mp4_frames_oracle(where: str = "") -> str:
     return f"""
         WITH s AS (
