@@ -1025,6 +1025,20 @@ def _quality(spark) -> dict:
     b_vs_p = len(_nal_b) / len(_nal_p)
     assert b_vs_p < 1.0, f"bi-prediction lost to P on noisy refs: {b_vs_p}"
     q["mp4_b_vs_p_same_frame_rate"] = round(b_vs_p, 4)
+    # B_Skip collapse (r12, spatial direct 8.4.1.2.2): a B frame
+    # between two reconstructions of the SAME source must code as
+    # (near-)pure skip runs — measures 84 B for 12 MBs (was 726 B
+    # before skip/direct shipped); gate well above the measurement
+    _nps, _rsy, _rsc, _pmv = _HP.encode_p_frame(
+        _f0, _r0y, _r0c, qp=12, return_mvs=True
+    )
+    _nskip, _, _ = _HB.encode_b_frame(
+        _f0, _r0y, _r0c, _rsy, _rsc, qp=12, col_mvs=_pmv
+    )
+    assert len(_nskip) < 160, (
+        f"B_Skip failed to collapse static content: {len(_nskip)} B"
+    )
+    q["mp4_b_skip_static_bytes"] = len(_nskip)
     # CABAC B twin (r12): shared analysis ⇒ the arithmetic B GOP must
     # decode to pixels IDENTICAL to the CAVLC B GOP, at a rate ratio
     # bounded like the intra CABAC gate

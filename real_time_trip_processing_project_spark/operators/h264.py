@@ -60,9 +60,14 @@ Scope, stated precisely:
   Table 9-37 B mb_type bins, per-list UEG3 mvd with per-list
   |mvd|-sum contexts, B-slice mb_skip_flag contexts — over h264_b's
   analysis (``codec="i16pb_cabac"``), decoding pixel-identical to the
-  CAVLC B GOP.  The remaining seams, each explicitly
-  ValueError-gated: >2 active references, ref_pic_list_modification,
-  B_Skip/B_Direct, weighted bi-prediction, and CABAC I_PCM.
+  CAVLC B GOP.
+- **B_Skip / B_Direct_16x16** (r12): spatial direct derivation per
+  8.4.1.2.2 (MinPositive refIdx, directZeroPrediction, colZeroFlag
+  from the colocated P motion field carried through the GOP DPB), in
+  BOTH entropy coders — static B content collapses to skip runs /
+  skip flags.  The remaining seams, each explicitly ValueError-gated:
+  >2 active references, ref_pic_list_modification, temporal direct,
+  weighted bi-prediction, sub-16x16 B partitions, and CABAC I_PCM.
 
 At 100 TB: encode/decode are row-local Arrow-batched work inside
 ``mapInPandas`` (multimodal.py wires them), scaling with scan
@@ -989,7 +994,10 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
         order = sorted(range(n), key=lambda i: (cts[i], i))
         for rank, i in enumerate(order):
             disp[i] = rank
-    refs: list = []  # (y, c) most-recent-last; B predicts refs[-2]/[-1]
+    # DPB entries are (y, c, mvs) most-recent-last; B predicts from
+    # refs[-2]/refs[-1] and feeds refs[-1]'s motion field into the
+    # spatial-direct colZeroFlag (mvs is None for intra/IDR pictures)
+    refs: list = []
     max_ref = max(1, sps.get("max_num_ref_frames") or 1)
     for i, (off, size) in enumerate(info["samples"]):
         for nal in _nals(off, size):
@@ -1005,7 +1013,7 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
                     y, c = HI.decode_idr_frame_auto(
                         nal, sps, pps, return_chroma=True
                     )
-                refs = [(y, c)]  # IDR empties the DPB
+                refs = [(y, c, None)]  # IDR empties the DPB
             elif ntype == 1:
                 if not refs:
                     raise ValueError("predicted slice before any IDR")
@@ -1018,6 +1026,7 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
                             nal, sps, pps,
                             refs[-2][0], refs[-2][1],
                             refs[-1][0], refs[-1][1],
+                            col_mvs=refs[-1][2],
                         )
                     else:
                         from real_time_trip_processing_project_spark.operators import (  # noqa: E501
@@ -1028,21 +1037,24 @@ def decode_mp4_h264(payload: bytes, every_nth: int = 1):
                             nal, sps, pps,
                             refs[-2][0], refs[-2][1],
                             refs[-1][0], refs[-1][1],
+                            col_mvs=refs[-1][2],
                         )
                     # non-reference: the DPB is untouched
                 elif kind == 0:
                     if cabac:
-                        y, c = HC.decode_p_frame_cabac(
-                            nal, sps, pps, refs[-1][0], refs[-1][1]
+                        y, c, pmvs = HC.decode_p_frame_cabac(
+                            nal, sps, pps, refs[-1][0], refs[-1][1],
+                            return_mvs=True,
                         )
                     else:
-                        y, c = HP.decode_p_frame(
+                        y, c, pmvs = HP.decode_p_frame(
                             nal, sps, pps, refs[-1][0], refs[-1][1],
                             extra_refs=(
-                                [refs[-2]] if len(refs) >= 2 else None
+                                [refs[-2][:2]] if len(refs) >= 2 else None
                             ),
+                            return_mvs=True,
                         )
-                    refs = (refs + [(y, c)])[-max_ref:]
+                    refs = (refs + [(y, c, pmvs)])[-max_ref:]
                 else:
                     raise ValueError("non-IDR I slices not supported")
             else:

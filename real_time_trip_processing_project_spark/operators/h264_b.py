@@ -25,6 +25,17 @@ Scope, stated precisely:
   display order; every slice header writes ``pic_order_cnt_lsb =
   2·display_index mod 65536``.  frame_num follows 7.4.3: references
   increment it, a non-reference B carries PrevRefFrameNum+1.
+- **B_Skip / B_Direct_16x16 with SPATIAL direct derivation
+  (8.4.1.2.2)**: refIdxLX = MinPositive over the A/B/C neighbors, the
+  directZeroPrediction fallback, and the colZeroFlag rule — a list
+  with refIdx 0 takes the zero vector when the colocated macroblock
+  (in RefPicList1[0], whose motion field threads through ``col_mvs``)
+  is inter with both vector components ≤ 1 quarter-pel; otherwise the
+  8.4.1.3 median predictor.  The per-MB mode decision
+  (:func:`_decide_mb`, shared with the CABAC twin) weighs direct
+  against the explicit modes by SAD, and a direct MB with an all-zero
+  CBP collapses into ``mb_skip_run`` — static content codes at ~7
+  bytes/frame-row instead of ~60.
 - **Non-reference NALs**: B slices are emitted with nal_ref_idc 0
   (header byte 0x01) and therefore carry NO dec_ref_pic_marking; the
   decoder never feeds a B reconstruction back as a reference, so a
@@ -38,13 +49,11 @@ Scope, stated precisely:
 - **Explicit seams** (ValueError-gated in the decoder, never emitted
   by the encoder): >1 active reference per list IN B SLICES (P slices
   grew the 2-deep te(v) ref_idx list in r12 — h264_inter.py
-  ``extra_refs``), B_Skip / B_Direct_16x16 (spatial-direct
-  derivation), weighted bi-prediction, reference B slices.  CABAC B
-  slices shipped in r12 too (h264_cabac.encode_b_frame_cabac,
-  ``codec="i16pb_cabac"``) over this module's analysis.  The
-  mandatory ``mb_skip_run`` / ``direct_spatial_mv_pred_flag`` fields
-  are still written (0 and 1) and parsed, so the slice syntax stays
-  conformant.
+  ``extra_refs``), TEMPORAL direct (direct_spatial_mv_pred_flag must
+  be 1), weighted bi-prediction, reference B slices, sub-16x16 B
+  partitions.  CABAC B slices shipped in r12 too
+  (h264_cabac.encode_b_frame_cabac, ``codec="i16pb_cabac"``) over
+  this module's analysis, including skip/direct.
 
 Shared-table caveat: identical stance to h264_inter.py — encoder and
 decoder share Table 9-4's inter CBP column, so a transcription slip
@@ -74,14 +83,150 @@ from real_time_trip_processing_project_spark.operators.h264 import (
 from real_time_trip_processing_project_spark.operators import h264_intra as HI
 from real_time_trip_processing_project_spark.operators import h264_inter as HP
 
-# Table 7-14 (B slices): the coded 16x16 mb_types.  0 (B_Direct_16x16)
-# is an explicit seam — see module docstring.
+# Table 7-14 (B slices): the coded 16x16 mb_types.
+B_DIRECT_16X16 = 0
 B_L0_16X16 = 1
 B_L1_16X16 = 2
 B_BI_16X16 = 3
 
-#: which lists each coded mb_type predicts from
+#: which lists each EXPLICIT mb_type predicts from (direct derives its
+#: own prediction flags — see :func:`_direct_mvs`)
 _MB_TYPE_LISTS = {B_L0_16X16: (0,), B_L1_16X16: (1,), B_BI_16X16: (0, 1)}
+
+
+def _direct_mvs(
+    mvs: np.ndarray,
+    used: np.ndarray,
+    mby: int,
+    mbx: int,
+    w_mbs: int,
+    col_mvs: np.ndarray | None,
+) -> tuple:
+    """Spatial direct motion derivation (8.4.1.2.2) for B_Skip /
+    B_Direct_16x16, specialized to this tier's invariants (every
+    in-slice refIdx is 0; the colocated picture — RefPicList1[0], the
+    future reference — is either all-intra IDR, ``col_mvs=None``, or a
+    single-ref P frame whose per-MB vectors arrive in ``col_mvs``).
+
+    Returns ``(pred0, pred1, mv0, mv1)``:
+
+    - refIdxLX = MinPositive over neighbors A/B/C (C→D substitution):
+      0 when any available neighbor predicts from list X, else -1.
+    - Both lists referenceless → directZeroPrediction: bi-predict with
+      zero vectors (predFlags 1/1).
+    - colZeroFlag (the colocated 4x4 block — per-MB uniform here, the
+      colocated P macroblocks are 16x16/skip with refIdx 0): colocated
+      inter with both |mv| components ≤ 1 quarter-pel.  A list with
+      refIdx 0 under colZeroFlag takes the zero vector; otherwise the
+      8.4.1.3 median predictor for refIdx 0."""
+    avail = []
+    for lst in (0, 1):
+        a = mbx > 0 and used[lst, mby, mbx - 1]
+        b = mby > 0 and used[lst, mby - 1, mbx]
+        if mby > 0 and mbx + 1 < w_mbs:
+            c = used[lst, mby - 1, mbx + 1]
+        elif mby > 0 and mbx > 0:
+            c = used[lst, mby - 1, mbx - 1]
+        else:
+            c = False
+        avail.append(bool(a or b or c))
+    ref0 = 0 if avail[0] else -1
+    ref1 = 0 if avail[1] else -1
+    if ref0 < 0 and ref1 < 0:  # directZeroPredictionFlag
+        return True, True, (0, 0), (0, 0)
+    col_zero = col_mvs is not None and bool(
+        abs(int(col_mvs[mby, mbx, 0])) <= 1
+        and abs(int(col_mvs[mby, mbx, 1])) <= 1
+    )
+    out = []
+    for lst, ref in ((0, ref0), (1, ref1)):
+        if ref < 0 or col_zero:
+            out.append((0, 0))
+        else:
+            out.append(_mv_pred_b(mvs, used, mby, mbx, w_mbs, lst))
+    return ref0 >= 0, ref1 >= 0, out[0], out[1]
+
+
+def _decide_mb(
+    frame: np.ndarray,
+    refs_y: tuple,
+    refs_c: tuple,
+    mvs: np.ndarray,
+    used: np.ndarray,
+    mby: int,
+    mbx: int,
+    w_mbs: int,
+    col_mvs: np.ndarray | None,
+    search_range: int,
+) -> tuple:
+    """Shared B mode decision (CAVLC h264_b + CABAC h264_cabac emit
+    identical pixel streams because they both call THIS): evaluate
+    spatial direct, L0, L1 and Bi by SAD, ties preferring the cheaper
+    syntax (direct < L0 < L1 < Bi).  Returns ``(mb_type, direct_flags,
+    mv0, mvp0, mv1, mvp1, pred, c_preds)``."""
+    y0, x0 = mby * MB, mbx * MB
+    block = frame[y0 : y0 + MB, x0 : x0 + MB].astype(np.int64)
+    d0, d1, dmv0, dmv1 = _direct_mvs(mvs, used, mby, mbx, w_mbs, col_mvs)
+    if d0 and d1:
+        dpred = _bi_pred(
+            HP._mc_luma(refs_y[0], y0, x0, dmv0),
+            HP._mc_luma(refs_y[1], y0, x0, dmv1),
+        )
+    elif d0:
+        dpred = HP._mc_luma(refs_y[0], y0, x0, dmv0)
+    else:
+        dpred = HP._mc_luma(refs_y[1], y0, x0, dmv1)
+    mvp0 = _mv_pred_b(mvs, used, mby, mbx, w_mbs, 0)
+    mvp1 = _mv_pred_b(mvs, used, mby, mbx, w_mbs, 1)
+    mv0 = HP._search_mv(frame, refs_y[0], mby, mbx, mvp0, search_range)
+    mv1 = HP._search_mv(frame, refs_y[1], mby, mbx, mvp1, search_range)
+    p0 = HP._mc_luma(refs_y[0], y0, x0, mv0)
+    p1 = HP._mc_luma(refs_y[1], y0, x0, mv1)
+    sads = (
+        int(np.abs(block - dpred).sum()),
+        int(np.abs(block - p0).sum()),
+        int(np.abs(block - p1).sum()),
+        int(np.abs(block - _bi_pred(p0, p1)).sum()),
+    )
+    mb_type = min(range(4), key=lambda k: (sads[k], k))
+    if mb_type == B_DIRECT_16X16:
+        mv0, mv1 = dmv0, dmv1
+        if d0 and d1:
+            c_preds = [
+                _bi_pred(a, b)
+                for a, b in zip(
+                    HP._mc_chroma(refs_c[0], mby, mbx, dmv0),
+                    HP._mc_chroma(refs_c[1], mby, mbx, dmv1),
+                )
+            ]
+        elif d0:
+            c_preds = HP._mc_chroma(refs_c[0], mby, mbx, dmv0)
+        else:
+            c_preds = HP._mc_chroma(refs_c[1], mby, mbx, dmv1)
+        return mb_type, (d0, d1), mv0, mvp0, mv1, mvp1, dpred, c_preds
+    pred, c_preds = _predict(refs_y, refs_c, mby, mbx, mb_type, mv0, mv1)
+    return mb_type, None, mv0, mvp0, mv1, mvp1, pred, c_preds
+
+
+def _commit_mb_motion(
+    mvs, used, mby, mbx, mb_type, direct_flags, mv0, mv1
+):
+    """The derived motion state of a coded/skipped B MB — direct MBs
+    carry their DERIVED refIdx/mv into subsequent predictions (spec
+    8.4.1.2.2's outputs feed 8.4.1.3 for later neighbors)."""
+    if mb_type == B_DIRECT_16X16:
+        d0, d1 = direct_flags
+        if d0:
+            mvs[0, mby, mbx] = mv0
+            used[0, mby, mbx] = True
+        if d1:
+            mvs[1, mby, mbx] = mv1
+            used[1, mby, mbx] = True
+        return
+    for lst, mv in ((0, mv0), (1, mv1)):
+        if lst in _MB_TYPE_LISTS[mb_type]:
+            mvs[lst, mby, mbx] = mv
+            used[lst, mby, mbx] = True
 
 
 def _mv_pred_b(
@@ -169,6 +314,7 @@ def encode_b_frame(
     frame_num: int = 2,
     poc_lsb: int = 2,
     search_range: int = 8,
+    col_mvs: np.ndarray | None = None,
 ) -> tuple:
     """One non-reference B-slice NAL (type 1, nal_ref_idc 0)
     predicting from the past (list 0) and future (list 1) reference
@@ -177,9 +323,14 @@ def encode_b_frame(
     is never a reference (B frames here are non-reference by
     construction, so B error cannot propagate).
 
-    Per-MB mode decision: list-0, list-1 and bi-predictive SADs at
-    each list's independently searched quarter-pel vector; minimum
-    SAD wins, ties prefer the cheaper syntax (L0 < L1 < Bi)."""
+    Per-MB mode decision (:func:`_decide_mb`, shared with the CABAC
+    twin): spatial direct, list-0, list-1 and bi-predictive SADs;
+    minimum wins, ties prefer the cheaper syntax (direct < L0 < L1 <
+    Bi).  A direct MB with an all-zero CBP collapses into the
+    ``mb_skip_run`` (B_Skip, r12).  ``col_mvs``: the list-1
+    (colocated) reference's per-MB motion field for the 8.4.1.2.2
+    colZeroFlag — None (an intra colocated picture) keeps the flag
+    0."""
     frame = np.asarray(frame)
     h, w = frame.shape
     if h % MB or w % MB:
@@ -204,7 +355,7 @@ def encode_b_frame(
     bw.ue(0)  # pic_parameter_set_id
     bw.u(frame_num & 15, 4)  # frame_num (7.4.3: PrevRefFrameNum+1)
     bw.u(poc_lsb & (2**POC_LSB_BITS - 1), POC_LSB_BITS)
-    bw.u(1, 1)  # direct_spatial_mv_pred_flag (no direct MBs coded)
+    bw.u(1, 1)  # direct_spatial_mv_pred_flag (spatial, 8.4.1.2.2)
     bw.u(0, 1)  # num_ref_idx_active_override_flag
     bw.u(0, 1)  # ref_pic_list_modification_flag_l0
     bw.u(0, 1)  # ref_pic_list_modification_flag_l1
@@ -212,40 +363,36 @@ def encode_b_frame(
     bw.se(qp - 26)  # slice_qp_delta
     bw.ue(1)  # disable_deblocking_filter_idc: filter off
 
+    skip_run = 0
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
-            y0, x0 = mby * MB, mbx * MB
-            block = frame[y0 : y0 + MB, x0 : x0 + MB].astype(np.int64)
-            mvp0 = _mv_pred_b(mvs, used, mby, mbx, w_mbs, 0)
-            mvp1 = _mv_pred_b(mvs, used, mby, mbx, w_mbs, 1)
-            mv0 = HP._search_mv(frame, ref0_y, mby, mbx, mvp0, search_range)
-            mv1 = HP._search_mv(frame, ref1_y, mby, mbx, mvp1, search_range)
-            p0 = HP._mc_luma(ref0_y, y0, x0, mv0)
-            p1 = HP._mc_luma(ref1_y, y0, x0, mv1)
-            sads = (
-                int(np.abs(block - p0).sum()),
-                int(np.abs(block - p1).sum()),
-                int(np.abs(block - _bi_pred(p0, p1)).sum()),
-            )
-            mb_type = (B_L0_16X16, B_L1_16X16, B_BI_16X16)[
-                min(range(3), key=lambda k: (sads[k], k))
-            ]
-            pred, c_preds = _predict(
-                refs_y, refs_c, mby, mbx, mb_type, mv0, mv1
+            (mb_type, dflags, mv0, mvp0, mv1, mvp1,
+             pred, c_preds) = _decide_mb(
+                frame, refs_y, refs_c, mvs, used, mby, mbx, w_mbs,
+                col_mvs, search_range,
             )
             (cbp_luma_bits, levels16, c_dc, c_ac, cbp_chroma,
              rec_y, rec_c) = HP._analyze_mb_from_pred(
                 frame, src_c, pred, c_preds, mby, mbx, qp
             )
             cbp = cbp_luma_bits | (cbp_chroma << 4)
-            bw.ue(0)  # mb_skip_run (B_Skip is an explicit seam)
+            _commit_mb_motion(
+                mvs, used, mby, mbx, mb_type, dflags, mv0, mv1
+            )
+            if mb_type == B_DIRECT_16X16 and cbp == 0:
+                # B_Skip: direct prediction only, part of the run
+                skip_run += 1
+                HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+                HP._set_nz(nz_y, nz_c, mby, mbx, 0)
+                continue
+            bw.ue(skip_run)
+            skip_run = 0
             bw.ue(mb_type)
-            for lst, mv, mvp in ((0, mv0, mvp0), (1, mv1, mvp1)):
-                if lst in _MB_TYPE_LISTS[mb_type]:
-                    bw.se(mv[1] - mvp[1])  # mvd_lX x (spec order)
-                    bw.se(mv[0] - mvp[0])  # mvd_lX y
-                    mvs[lst, mby, mbx] = mv
-                    used[lst, mby, mbx] = True
+            if mb_type != B_DIRECT_16X16:
+                for lst, mv, mvp in ((0, mv0, mvp0), (1, mv1, mvp1)):
+                    if lst in _MB_TYPE_LISTS[mb_type]:
+                        bw.se(mv[1] - mvp[1])  # mvd_lX x (spec order)
+                        bw.se(mv[0] - mvp[0])  # mvd_lX y
             bw.ue(HP._CBP_INTER_INV[cbp])  # coded_block_pattern me(v)
             if cbp:
                 bw.se(0)  # mb_qp_delta
@@ -254,6 +401,8 @@ def encode_b_frame(
                 nz_y, nz_c, mby, mbx,
             )
             HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+    if skip_run:
+        bw.ue(skip_run)  # trailing skips
     bw.rbsp_trailing_bits()
     return b"\x01" + rbsp_to_ebsp(bw.getvalue()), recon_y, recon_c
 
@@ -266,10 +415,14 @@ def decode_b_frame(
     ref0_c: list,
     ref1_y: np.ndarray,
     ref1_c: list,
+    col_mvs: np.ndarray | None = None,
 ) -> tuple:
     """The normative inverse of :func:`encode_b_frame`.  Returns
     ``(recon_y, recon_c)``.  Malformed data → ValueError (the codec
-    family's corrupted-stream contract)."""
+    family's corrupted-stream contract).  ``col_mvs``: the colocated
+    (list-1) reference's motion field, required to reproduce the
+    encoder's spatial-direct derivation — None treats the colocated
+    picture as intra (colZeroFlag 0), matching an IDR list-1 ref."""
     if not nal or nal[0] & 0x1F != 1:
         raise ValueError("not a non-IDR slice NAL")
     if nal[0] >> 5:
@@ -283,7 +436,8 @@ def decode_b_frame(
     r.u(sps["log2_max_frame_num"])  # frame_num
     if sps["poc_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
-    r.u(1)  # direct_spatial_mv_pred_flag (no direct MBs to apply it to)
+    if not r.u(1):  # direct_spatial_mv_pred_flag
+        raise ValueError("temporal direct not supported (spatial only)")
     if r.u(1):
         raise ValueError("num_ref_idx override not supported")
     if r.u(1) or r.u(1):
@@ -310,18 +464,59 @@ def decode_b_frame(
     refs_y, refs_c = (ref0_y, ref1_y), (ref0_c, ref1_c)
     qpc = HI.chroma_qp(qp)
 
-    for mby in range(h_mbs):
-        for mbx in range(w_mbs):
-            if r.ue() != 0:
-                raise ValueError(
-                    "B_Skip not supported (mb_skip_run must be 0)"
+    def _direct_recon(mby, mbx):
+        """Prediction-only direct/skip reconstruction + motion state."""
+        d0, d1, dmv0, dmv1 = _direct_mvs(
+            mvs, used, mby, mbx, w_mbs, col_mvs
+        )
+        y0, x0 = mby * MB, mbx * MB
+        if d0 and d1:
+            pred = _bi_pred(
+                HP._mc_luma(refs_y[0], y0, x0, dmv0),
+                HP._mc_luma(refs_y[1], y0, x0, dmv1),
+            )
+            c_preds = [
+                _bi_pred(a, b)
+                for a, b in zip(
+                    HP._mc_chroma(refs_c[0], mby, mbx, dmv0),
+                    HP._mc_chroma(refs_c[1], mby, mbx, dmv1),
                 )
-            mb_type = r.ue()
-            if mb_type not in _MB_TYPE_LISTS:
-                raise ValueError(
-                    f"unsupported B-slice mb_type {mb_type} (only "
-                    "B_L0/B_L1/B_Bi_16x16)"
-                )
+            ]
+        elif d0:
+            pred = HP._mc_luma(refs_y[0], y0, x0, dmv0)
+            c_preds = HP._mc_chroma(refs_c[0], mby, mbx, dmv0)
+        else:
+            pred = HP._mc_luma(refs_y[1], y0, x0, dmv1)
+            c_preds = HP._mc_chroma(refs_c[1], mby, mbx, dmv1)
+        _commit_mb_motion(
+            mvs, used, mby, mbx, B_DIRECT_16X16, (d0, d1), dmv0, dmv1
+        )
+        return pred, c_preds
+
+    n_mbs = h_mbs * w_mbs
+    i = 0
+    while i < n_mbs:
+        skip_run = r.ue()
+        if skip_run > n_mbs - i:
+            raise ValueError("mb_skip_run overruns the slice")
+        for _ in range(skip_run):  # B_Skip: spatial direct, no residual
+            mby, mbx = divmod(i, w_mbs)
+            pred, c_preds = _direct_recon(mby, mbx)
+            HP._commit(
+                recon_y, recon_c,
+                np.clip(pred, 0, 255).astype(np.uint8),
+                [np.clip(c, 0, 255).astype(np.uint8) for c in c_preds],
+                mby, mbx,
+            )
+            HP._set_nz(nz_y, nz_c, mby, mbx, 0)
+            i += 1
+        if i >= n_mbs:
+            break
+        mby, mbx = divmod(i, w_mbs)
+        mb_type = r.ue()
+        if mb_type == B_DIRECT_16X16:
+            pred, c_preds = _direct_recon(mby, mbx)
+        elif mb_type in _MB_TYPE_LISTS:
             mv0 = mv1 = (0, 0)
             for lst in _MB_TYPE_LISTS[mb_type]:
                 mvp = _mv_pred_b(mvs, used, mby, mbx, w_mbs, lst)
@@ -336,26 +531,32 @@ def decode_b_frame(
                     mv0 = mv
                 else:
                     mv1 = mv
-            code_num = r.ue()
-            if code_num >= len(HP.CBP_INTER_ME):
-                raise ValueError("coded_block_pattern out of range")
-            cbp = HP.CBP_INTER_ME[code_num]
-            cbp_luma_bits, cbp_chroma = cbp & 15, cbp >> 4
-            if cbp:
-                qp += r.se()
-                HI._check_qp(qp)
-                qpc = HI.chroma_qp(qp)
-            levels16, c_dc, c_ac = HP._read_inter_residual(
-                r, cbp_luma_bits, cbp_chroma, nz_y, nz_c, mby, mbx
-            )
             pred, c_preds = _predict(
                 refs_y, refs_c, mby, mbx, mb_type, mv0, mv1
             )
-            rec_y, rec_c = HP._recon_inter_mb(
-                pred, c_preds, levels16, c_dc, c_ac,
-                cbp_luma_bits, cbp_chroma, qp, qpc,
+        else:
+            raise ValueError(
+                f"unsupported B-slice mb_type {mb_type} (only "
+                "B_Direct/B_L0/B_L1/B_Bi_16x16 and B_Skip)"
             )
-            HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+        code_num = r.ue()
+        if code_num >= len(HP.CBP_INTER_ME):
+            raise ValueError("coded_block_pattern out of range")
+        cbp = HP.CBP_INTER_ME[code_num]
+        cbp_luma_bits, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp += r.se()
+            HI._check_qp(qp)
+            qpc = HI.chroma_qp(qp)
+        levels16, c_dc, c_ac = HP._read_inter_residual(
+            r, cbp_luma_bits, cbp_chroma, nz_y, nz_c, mby, mbx
+        )
+        rec_y, rec_c = HP._recon_inter_mb(
+            pred, c_preds, levels16, c_dc, c_ac,
+            cbp_luma_bits, cbp_chroma, qp, qpc,
+        )
+        HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+        i += 1
     if r.u(1) != 1:
         raise ValueError("missing rbsp_stop_one_bit")
     return recon_y, recon_c
@@ -406,10 +607,11 @@ def encode_b_gop(
     while d < n - 1:
         nd = min(d + 2, n - 1)  # next reference (P) display index
         ref_frame_num = (ref_frame_num + 1) & 15
-        nal, py, pc = enc_p(
+        nal, py, pc, pmvs = enc_p(
             frames[nd], prev_y, prev_c, qp=qp,
             frame_num=ref_frame_num, search_range=search_range,
             poc_lsb=(2 * nd) & (2**POC_LSB_BITS - 1),
+            return_mvs=True,
         )
         out.append((nal, nd))
         if nd - d == 2:  # a B frame sits between the two references
@@ -419,6 +621,7 @@ def encode_b_gop(
                 frame_num=(ref_frame_num + 1) & 15,
                 poc_lsb=(2 * bd) & (2**POC_LSB_BITS - 1),
                 search_range=search_range,
+                col_mvs=pmvs,  # the L1 (colocated) motion field
             )
             out.append((nal, bd))
         prev_y, prev_c = py, pc

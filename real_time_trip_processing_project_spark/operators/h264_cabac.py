@@ -1253,6 +1253,7 @@ def encode_p_frame_cabac(
     frame_num: int = 1,
     search_range: int = 8,
     poc_lsb: int | None = None,
+    return_mvs: bool = False,
 ) -> tuple:
     """One CABAC P-slice NAL (type 1) predicting from ``(ref_y,
     ref_c)``: the arithmetic twin of ``h264_inter.encode_p_frame``,
@@ -1381,7 +1382,10 @@ def encode_p_frame_cabac(
             last = mby == h_mbs - 1 and mbx == w_mbs - 1
             enc.terminate(1 if last else 0)
     bw.align_zero()
-    return b"\x61" + rbsp_to_ebsp(bw.getvalue()), recon_y, recon_c
+    nal = b"\x61" + rbsp_to_ebsp(bw.getvalue())
+    if return_mvs:
+        return nal, recon_y, recon_c, mvs
+    return nal, recon_y, recon_c
 
 
 def _zero_mb_cbf(ctx: _MbCtx, mby: int, mbx: int) -> None:
@@ -1481,7 +1485,8 @@ def _code_p_residuals(
 
 
 def decode_p_frame_cabac(
-    nal: bytes, sps: dict, pps: dict, ref_y: np.ndarray, ref_c: list
+    nal: bytes, sps: dict, pps: dict, ref_y: np.ndarray, ref_c: list,
+    return_mvs: bool = False,
 ) -> tuple:
     """The normative inverse of :func:`encode_p_frame_cabac`.  Returns
     ``(recon_y, recon_c)``; malformed data raises ValueError."""
@@ -1650,6 +1655,8 @@ def decode_p_frame_cabac(
             last = mby == h_mbs - 1 and mbx == w_mbs - 1
             if eos != (1 if last else 0):
                 raise ValueError("end_of_slice_flag out of place")
+    if return_mvs:
+        return recon_y, recon_c, mvs
     return recon_y, recon_c
 
 
@@ -1675,10 +1682,13 @@ _CTX_MB_TYPE_B = 27  # + inc (see note above)
 
 
 def _code_b_mb_type(coder, writing: bool, inc0: int, mb_type: int = 0):
-    """Table 9-37 B mb_type bins for the coded 16x16 types.  Decoding
-    rejects B_Direct_16x16 ('0') and any '11'-prefixed value other
-    than B_Bi_16x16 — the explicit seams."""
+    """Table 9-37 B mb_type bins for the 16x16 types incl. direct.
+    Decoding rejects any '11'-prefixed value other than B_Bi_16x16 —
+    the sub-16x16 partition seam."""
     if writing:
+        if mb_type == 0:  # B_Direct_16x16: '0'
+            coder.decision(_CTX_MB_TYPE_B + inc0, 0)
+            return None
         coder.decision(_CTX_MB_TYPE_B + inc0, 1)
         if mb_type in (1, 2):  # '10x'
             coder.decision(_CTX_MB_TYPE_B + 3, 0)
@@ -1691,9 +1701,7 @@ def _code_b_mb_type(coder, writing: bool, inc0: int, mb_type: int = 0):
         return None
     dec = coder
     if not dec.decision(_CTX_MB_TYPE_B + inc0):
-        raise ValueError(
-            "B_Direct_16x16 not supported (explicit seam)"
-        )
+        return 0  # B_Direct_16x16
     if not dec.decision(_CTX_MB_TYPE_B + 3):
         return 1 + dec.decision(_CTX_MB_TYPE_B + 4)
     suffix = dec.decision(_CTX_MB_TYPE_B + 4)
@@ -1702,7 +1710,7 @@ def _code_b_mb_type(coder, writing: bool, inc0: int, mb_type: int = 0):
     if suffix != 0:
         raise ValueError(
             f"unsupported B-slice mb_type suffix {suffix} (only "
-            "B_L0/B_L1/B_Bi_16x16)"
+            "B_Direct/B_L0/B_L1/B_Bi_16x16)"
         )
     return 3
 
@@ -1717,10 +1725,14 @@ def encode_b_frame_cabac(
     frame_num: int = 2,
     poc_lsb: int = 2,
     search_range: int = 8,
+    col_mvs: np.ndarray | None = None,
 ) -> tuple:
     """One CABAC non-reference B-slice NAL: the arithmetic twin of
-    ``h264_b.encode_b_frame``, sharing its per-list motion search,
-    refIdx-aware predictors, SAD mode decision and residual analysis.
+    ``h264_b.encode_b_frame``, sharing its mode decision
+    (``h264_b._decide_mb`` — spatial direct / L0 / L1 / Bi by SAD),
+    refIdx-aware predictors and residual analysis, so the decoded
+    pixels are identical across entropy coders.  B_Skip codes as
+    mb_skip_flag=1; B_Direct_16x16 as the single '0' mb_type bin.
     Returns ``(nal, recon_y, recon_c)``."""
     from real_time_trip_processing_project_spark.operators import (
         h264_b as HB,
@@ -1742,7 +1754,8 @@ def encode_b_frame_cabac(
     mvs = np.zeros((2, h_mbs, w_mbs, 2), dtype=np.int64)
     used = np.zeros((2, h_mbs, w_mbs), dtype=bool)
     mvds = np.zeros((2, h_mbs, w_mbs, 2), dtype=np.int64)
-    coded = np.zeros((h_mbs, w_mbs), dtype=bool)
+    skipped = np.zeros((h_mbs, w_mbs), dtype=bool)
+    direct_or_skip = np.zeros((h_mbs, w_mbs), dtype=bool)
     refs_y, refs_c = (ref0_y, ref1_y), (ref0_c, ref1_c)
 
     bw = BitWriter()
@@ -1766,8 +1779,16 @@ def encode_b_frame_cabac(
     ctx = _MbCtx(h_mbs, w_mbs)
 
     def _skip_inc(mby, mbx):
-        a = mbx > 0 and coded[mby, mbx - 1]
-        b = mby > 0 and coded[mby - 1, mbx]
+        # 9.3.3.1.1.1: condTermFlagN = 1 iff mbN available and NOT skip
+        a = mbx > 0 and not skipped[mby, mbx - 1]
+        b = mby > 0 and not skipped[mby - 1, mbx]
+        return (1 if a else 0) + (1 if b else 0)
+
+    def _type_inc(mby, mbx):
+        # 9.3.3.1.1.3: condTermFlagN = 1 iff mbN available and NOT
+        # B_Skip/B_Direct_16x16
+        a = mbx > 0 and not direct_or_skip[mby, mbx - 1]
+        b = mby > 0 and not direct_or_skip[mby - 1, mbx]
         return (1 if a else 0) + (1 if b else 0)
 
     def _amvd(lst, mby, mbx, comp):
@@ -1780,78 +1801,76 @@ def encode_b_frame_cabac(
 
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
-            mvp0 = HB._mv_pred_b(mvs, used, mby, mbx, w_mbs, 0)
-            mvp1 = HB._mv_pred_b(mvs, used, mby, mbx, w_mbs, 1)
-            mv0 = HP._search_mv(frame, ref0_y, mby, mbx, mvp0,
-                                search_range)
-            mv1 = HP._search_mv(frame, ref1_y, mby, mbx, mvp1,
-                                search_range)
-            y0, x0 = mby * MB, mbx * MB
-            block = frame[y0 : y0 + MB, x0 : x0 + MB].astype(np.int64)
-            p0 = HP._mc_luma(ref0_y, y0, x0, mv0)
-            p1 = HP._mc_luma(ref1_y, y0, x0, mv1)
-            sads = (
-                int(np.abs(block - p0).sum()),
-                int(np.abs(block - p1).sum()),
-                int(np.abs(block - HB._bi_pred(p0, p1)).sum()),
-            )
-            mb_type = (HB.B_L0_16X16, HB.B_L1_16X16, HB.B_BI_16X16)[
-                min(range(3), key=lambda k: (sads[k], k))
-            ]
-            pred, c_preds = HB._predict(
-                refs_y, refs_c, mby, mbx, mb_type, mv0, mv1
+            (mb_type, dflags, mv0, mvp0, mv1, mvp1,
+             pred, c_preds) = HB._decide_mb(
+                frame, refs_y, refs_c, mvs, used, mby, mbx, w_mbs,
+                col_mvs, search_range,
             )
             (cbp_luma_bits, levels16, c_dc, c_ac, cbp_chroma,
              rec_y, rec_c) = HP._analyze_mb_from_pred(
                 frame, src_c, pred, c_preds, mby, mbx, qp
             )
             cbp = cbp_luma_bits | (cbp_chroma << 4)
-            # mb_skip_flag = 0 always (B_Skip is an explicit seam)
-            enc.decision(_CTX_MB_SKIP_B + _skip_inc(mby, mbx), 0)
-            coded[mby, mbx] = True
-            _code_b_mb_type(
-                enc, True, _skip_inc(mby, mbx), mb_type
+            HB._commit_mb_motion(
+                mvs, used, mby, mbx, mb_type, dflags, mv0, mv1
             )
-            for lst, mv, mvp in ((0, mv0, mvp0), (1, mv1, mvp1)):
-                if lst in HB._MB_TYPE_LISTS[mb_type]:
-                    mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
-                    _code_mvd(
-                        enc, True, _CTX_MVD_X,
-                        _mvd_inc0(_amvd(lst, mby, mbx, 1)), mvd[1],
-                    )
-                    _code_mvd(
-                        enc, True, _CTX_MVD_Y,
-                        _mvd_inc0(_amvd(lst, mby, mbx, 0)), mvd[0],
-                    )
-                    mvs[lst, mby, mbx] = mv
-                    used[lst, mby, mbx] = True
-                    mvds[lst, mby, mbx] = (mvd[0], mvd[1])
-            pending: dict = {}
-            for g in range(4):
-                bit = (cbp_luma_bits >> g) & 1
-                enc.decision(
-                    _CTX_CBP_LUMA + ctx.cbp_luma_inc(mby, mbx, g, pending),
-                    bit,
-                )
-                pending[(2 * mby + g // 2, 2 * mbx + g % 2)] = bit
+            is_skip = mb_type == HB.B_DIRECT_16X16 and cbp == 0
             enc.decision(
-                _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, False),
-                1 if cbp_chroma > 0 else 0,
+                _CTX_MB_SKIP_B + _skip_inc(mby, mbx), 1 if is_skip else 0
             )
-            if cbp_chroma > 0:
+            if is_skip:
+                skipped[mby, mbx] = True
+                direct_or_skip[mby, mbx] = True
+                HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+                ctx.commit_mb(mby, mbx, 0, 0, 0)
+                ctx.prev_qp_delta_nz = 0
+                _zero_mb_cbf(ctx, mby, mbx)
+            else:
+                _code_b_mb_type(enc, True, _type_inc(mby, mbx), mb_type)
+                direct_or_skip[mby, mbx] = mb_type == HB.B_DIRECT_16X16
+                if mb_type != HB.B_DIRECT_16X16:
+                    for lst, mv, mvp in ((0, mv0, mvp0), (1, mv1, mvp1)):
+                        if lst in HB._MB_TYPE_LISTS[mb_type]:
+                            mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
+                            _code_mvd(
+                                enc, True, _CTX_MVD_X,
+                                _mvd_inc0(_amvd(lst, mby, mbx, 1)),
+                                mvd[1],
+                            )
+                            _code_mvd(
+                                enc, True, _CTX_MVD_Y,
+                                _mvd_inc0(_amvd(lst, mby, mbx, 0)),
+                                mvd[0],
+                            )
+                            mvds[lst, mby, mbx] = (mvd[0], mvd[1])
+                pending: dict = {}
+                for g in range(4):
+                    bit = (cbp_luma_bits >> g) & 1
+                    enc.decision(
+                        _CTX_CBP_LUMA
+                        + ctx.cbp_luma_inc(mby, mbx, g, pending),
+                        bit,
+                    )
+                    pending[(2 * mby + g // 2, 2 * mbx + g % 2)] = bit
                 enc.decision(
-                    _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, True),
-                    1 if cbp_chroma == 2 else 0,
+                    _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, False),
+                    1 if cbp_chroma > 0 else 0,
                 )
-            if cbp:
-                enc.decision(_CTX_QP_DELTA + ctx.prev_qp_delta_nz, 0)
-            ctx.prev_qp_delta_nz = 0
-            _code_p_residuals(
-                enc, True, mby, mbx, ctx,
-                cbp_luma_bits, cbp_chroma, levels16, c_dc, c_ac,
-            )
-            ctx.commit_mb(mby, mbx, 0, cbp_luma_bits, cbp_chroma)
-            HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+                if cbp_chroma > 0:
+                    enc.decision(
+                        _CTX_CBP_CHROMA
+                        + ctx.cbp_chroma_inc(mby, mbx, True),
+                        1 if cbp_chroma == 2 else 0,
+                    )
+                if cbp:
+                    enc.decision(_CTX_QP_DELTA + ctx.prev_qp_delta_nz, 0)
+                ctx.prev_qp_delta_nz = 0
+                _code_p_residuals(
+                    enc, True, mby, mbx, ctx,
+                    cbp_luma_bits, cbp_chroma, levels16, c_dc, c_ac,
+                )
+                ctx.commit_mb(mby, mbx, 0, cbp_luma_bits, cbp_chroma)
+                HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
             last = mby == h_mbs - 1 and mbx == w_mbs - 1
             enc.terminate(1 if last else 0)
     bw.align_zero()
@@ -1866,9 +1885,12 @@ def decode_b_frame_cabac(
     ref0_c: list,
     ref1_y: np.ndarray,
     ref1_c: list,
+    col_mvs: np.ndarray | None = None,
 ) -> tuple:
     """The normative inverse of :func:`encode_b_frame_cabac`.  Returns
-    ``(recon_y, recon_c)``; malformed data → ValueError."""
+    ``(recon_y, recon_c)``; malformed data → ValueError.  ``col_mvs``:
+    the colocated (list-1) reference's motion field for the
+    spatial-direct derivation, as in ``h264_b.decode_b_frame``."""
     from real_time_trip_processing_project_spark.operators import (
         h264_b as HB,
         h264_inter as HP,
@@ -1888,7 +1910,8 @@ def decode_b_frame_cabac(
     r.u(sps["log2_max_frame_num"])
     if sps["poc_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
-    r.u(1)  # direct_spatial_mv_pred_flag
+    if not r.u(1):  # direct_spatial_mv_pred_flag
+        raise ValueError("temporal direct not supported (spatial only)")
     if r.u(1):
         raise ValueError("num_ref_idx override not supported")
     if r.u(1) or r.u(1):
@@ -1917,13 +1940,19 @@ def decode_b_frame_cabac(
     mvs = np.zeros((2, h_mbs, w_mbs, 2), dtype=np.int64)
     used = np.zeros((2, h_mbs, w_mbs), dtype=bool)
     mvds = np.zeros((2, h_mbs, w_mbs, 2), dtype=np.int64)
-    coded = np.zeros((h_mbs, w_mbs), dtype=bool)
+    skipped = np.zeros((h_mbs, w_mbs), dtype=bool)
+    direct_or_skip = np.zeros((h_mbs, w_mbs), dtype=bool)
     refs_y, refs_c = (ref0_y, ref1_y), (ref0_c, ref1_c)
     qpc = HI.chroma_qp(qp)
 
     def _skip_inc(mby, mbx):
-        a = mbx > 0 and coded[mby, mbx - 1]
-        b = mby > 0 and coded[mby - 1, mbx]
+        a = mbx > 0 and not skipped[mby, mbx - 1]
+        b = mby > 0 and not skipped[mby - 1, mbx]
+        return (1 if a else 0) + (1 if b else 0)
+
+    def _type_inc(mby, mbx):
+        a = mbx > 0 and not direct_or_skip[mby, mbx - 1]
+        b = mby > 0 and not direct_or_skip[mby - 1, mbx]
         return (1 if a else 0) + (1 if b else 0)
 
     def _amvd(lst, mby, mbx, comp):
@@ -1934,80 +1963,131 @@ def decode_b_frame_cabac(
             s += abs(int(mvds[lst, mby - 1, mbx, comp]))
         return s
 
+    def _direct_pred(mby, mbx):
+        d0, d1, dmv0, dmv1 = HB._direct_mvs(
+            mvs, used, mby, mbx, w_mbs, col_mvs
+        )
+        y0, x0 = mby * MB, mbx * MB
+        if d0 and d1:
+            pred = HB._bi_pred(
+                HP._mc_luma(refs_y[0], y0, x0, dmv0),
+                HP._mc_luma(refs_y[1], y0, x0, dmv1),
+            )
+            c_preds = [
+                HB._bi_pred(a, b)
+                for a, b in zip(
+                    HP._mc_chroma(refs_c[0], mby, mbx, dmv0),
+                    HP._mc_chroma(refs_c[1], mby, mbx, dmv1),
+                )
+            ]
+        elif d0:
+            pred = HP._mc_luma(refs_y[0], y0, x0, dmv0)
+            c_preds = HP._mc_chroma(refs_c[0], mby, mbx, dmv0)
+        else:
+            pred = HP._mc_luma(refs_y[1], y0, x0, dmv1)
+            c_preds = HP._mc_chroma(refs_c[1], mby, mbx, dmv1)
+        HB._commit_mb_motion(
+            mvs, used, mby, mbx, HB.B_DIRECT_16X16, (d0, d1), dmv0, dmv1
+        )
+        return pred, c_preds
+
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
             if dec.decision(_CTX_MB_SKIP_B + _skip_inc(mby, mbx)):
-                raise ValueError(
-                    "B_Skip not supported (explicit seam)"
+                # B_Skip: spatial direct, no residual
+                skipped[mby, mbx] = True
+                direct_or_skip[mby, mbx] = True
+                pred, c_preds = _direct_pred(mby, mbx)
+                HP._commit(
+                    recon_y, recon_c,
+                    np.clip(pred, 0, 255).astype(np.uint8),
+                    [np.clip(c, 0, 255).astype(np.uint8)
+                     for c in c_preds],
+                    mby, mbx,
                 )
-            mb_type = _code_b_mb_type(
-                dec, False, _skip_inc(mby, mbx)
-            )
-            coded[mby, mbx] = True
-            mv0 = mv1 = (0, 0)
-            for lst in HB._MB_TYPE_LISTS[mb_type]:
-                mvp = HB._mv_pred_b(mvs, used, mby, mbx, w_mbs, lst)
-                mvd_x = _code_mvd(
-                    dec, False, _CTX_MVD_X,
-                    _mvd_inc0(_amvd(lst, mby, mbx, 1)),
+                ctx.commit_mb(mby, mbx, 0, 0, 0)
+                ctx.prev_qp_delta_nz = 0
+                _zero_mb_cbf(ctx, mby, mbx)
+            else:
+                mb_type = _code_b_mb_type(
+                    dec, False, _type_inc(mby, mbx)
                 )
-                mvd_y = _code_mvd(
-                    dec, False, _CTX_MVD_Y,
-                    _mvd_inc0(_amvd(lst, mby, mbx, 0)),
-                )
-                mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
-                if abs(mv[0]) > 4 * h or abs(mv[1]) > 4 * w:
-                    raise ValueError("motion vector out of range")
-                mvs[lst, mby, mbx] = mv
-                used[lst, mby, mbx] = True
-                mvds[lst, mby, mbx] = (mvd_y, mvd_x)
-                if lst == 0:
-                    mv0 = mv
+                direct_or_skip[mby, mbx] = mb_type == HB.B_DIRECT_16X16
+                if mb_type == HB.B_DIRECT_16X16:
+                    pred, c_preds = _direct_pred(mby, mbx)
                 else:
-                    mv1 = mv
-            cbp_luma_bits = 0
-            pending: dict = {}
-            for g in range(4):
-                bit = dec.decision(
-                    _CTX_CBP_LUMA + ctx.cbp_luma_inc(mby, mbx, g, pending)
-                )
-                cbp_luma_bits |= bit << g
-                pending[(2 * mby + g // 2, 2 * mbx + g % 2)] = bit
-            cbp_chroma = 0
-            if dec.decision(
-                _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, False)
-            ):
-                cbp_chroma = 1 + dec.decision(
-                    _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, True)
-                )
-            qp_delta = 0
-            if cbp_luma_bits or cbp_chroma:
-                if dec.decision(_CTX_QP_DELTA + ctx.prev_qp_delta_nz):
-                    k = 1
-                    while dec.decision(
-                        _CTX_QP_DELTA + (2 if k == 1 else 3)
+                    mv0 = mv1 = (0, 0)
+                    for lst in HB._MB_TYPE_LISTS[mb_type]:
+                        mvp = HB._mv_pred_b(
+                            mvs, used, mby, mbx, w_mbs, lst
+                        )
+                        mvd_x = _code_mvd(
+                            dec, False, _CTX_MVD_X,
+                            _mvd_inc0(_amvd(lst, mby, mbx, 1)),
+                        )
+                        mvd_y = _code_mvd(
+                            dec, False, _CTX_MVD_Y,
+                            _mvd_inc0(_amvd(lst, mby, mbx, 0)),
+                        )
+                        mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
+                        if abs(mv[0]) > 4 * h or abs(mv[1]) > 4 * w:
+                            raise ValueError("motion vector out of range")
+                        mvs[lst, mby, mbx] = mv
+                        used[lst, mby, mbx] = True
+                        mvds[lst, mby, mbx] = (mvd_y, mvd_x)
+                        if lst == 0:
+                            mv0 = mv
+                        else:
+                            mv1 = mv
+                    pred, c_preds = HB._predict(
+                        refs_y, refs_c, mby, mbx, mb_type, mv0, mv1
+                    )
+                cbp_luma_bits = 0
+                pending: dict = {}
+                for g in range(4):
+                    bit = dec.decision(
+                        _CTX_CBP_LUMA
+                        + ctx.cbp_luma_inc(mby, mbx, g, pending)
+                    )
+                    cbp_luma_bits |= bit << g
+                    pending[(2 * mby + g // 2, 2 * mbx + g % 2)] = bit
+                cbp_chroma = 0
+                if dec.decision(
+                    _CTX_CBP_CHROMA + ctx.cbp_chroma_inc(mby, mbx, False)
+                ):
+                    cbp_chroma = 1 + dec.decision(
+                        _CTX_CBP_CHROMA
+                        + ctx.cbp_chroma_inc(mby, mbx, True)
+                    )
+                qp_delta = 0
+                if cbp_luma_bits or cbp_chroma:
+                    if dec.decision(
+                        _CTX_QP_DELTA + ctx.prev_qp_delta_nz
                     ):
-                        k += 1
-                        if k > 104:
-                            raise ValueError("mb_qp_delta out of range")
-                    qp_delta = (k + 1) // 2 if k & 1 else -(k // 2)
-            ctx.prev_qp_delta_nz = 1 if qp_delta else 0
-            qp += qp_delta
-            HI._check_qp(qp)
-            qpc = HI.chroma_qp(qp)
-            levels16, c_dc, c_ac = _code_p_residuals(
-                dec, False, mby, mbx, ctx, cbp_luma_bits, cbp_chroma,
-                None, None, None,
-            )
-            ctx.commit_mb(mby, mbx, 0, cbp_luma_bits, cbp_chroma)
-            pred, c_preds = HB._predict(
-                refs_y, refs_c, mby, mbx, mb_type, mv0, mv1
-            )
-            rec_y, rec_c = HP._recon_inter_mb(
-                pred, c_preds, levels16, c_dc, c_ac,
-                cbp_luma_bits, cbp_chroma, qp, qpc,
-            )
-            HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
+                        k = 1
+                        while dec.decision(
+                            _CTX_QP_DELTA + (2 if k == 1 else 3)
+                        ):
+                            k += 1
+                            if k > 104:
+                                raise ValueError(
+                                    "mb_qp_delta out of range"
+                                )
+                        qp_delta = (k + 1) // 2 if k & 1 else -(k // 2)
+                ctx.prev_qp_delta_nz = 1 if qp_delta else 0
+                qp += qp_delta
+                HI._check_qp(qp)
+                qpc = HI.chroma_qp(qp)
+                levels16, c_dc, c_ac = _code_p_residuals(
+                    dec, False, mby, mbx, ctx, cbp_luma_bits, cbp_chroma,
+                    None, None, None,
+                )
+                ctx.commit_mb(mby, mbx, 0, cbp_luma_bits, cbp_chroma)
+                rec_y, rec_c = HP._recon_inter_mb(
+                    pred, c_preds, levels16, c_dc, c_ac,
+                    cbp_luma_bits, cbp_chroma, qp, qpc,
+                )
+                HP._commit(recon_y, recon_c, rec_y, rec_c, mby, mbx)
             last = mby == h_mbs - 1 and mbx == w_mbs - 1
             if dec.terminate() != (1 if last else 0):
                 raise ValueError("end_of_slice_flag mismatch")

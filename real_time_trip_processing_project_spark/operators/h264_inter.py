@@ -427,6 +427,7 @@ def encode_p_frame(
     search_range: int = 8,
     poc_lsb: int | None = None,
     extra_refs: list | None = None,
+    return_mvs: bool = False,
 ) -> tuple:
     """One P-slice NAL (type 1) predicting from ``(ref_y, ref_c)``.
     Returns ``(nal, recon_y, recon_c)`` — the reconstruction is the
@@ -551,7 +552,12 @@ def encode_p_frame(
     if skip_run:
         bw.ue(skip_run)  # trailing skips
     bw.rbsp_trailing_bits()
-    return b"\x61" + rbsp_to_ebsp(bw.getvalue()), recon_y, recon_c
+    nal = b"\x61" + rbsp_to_ebsp(bw.getvalue())
+    if return_mvs:
+        # the motion field becomes the B tier's colocated-picture input
+        # (spatial direct colZeroFlag, h264_b._direct_mvs)
+        return nal, recon_y, recon_c, mvs
+    return nal, recon_y, recon_c
 
 
 def _write_inter_residual(
@@ -659,6 +665,7 @@ def _set_nz(nz_y, nz_c, mby, mbx, tc):
 def decode_p_frame(
     nal: bytes, sps: dict, pps: dict, ref_y: np.ndarray, ref_c: list,
     extra_refs: list | None = None,
+    return_mvs: bool = False,
 ) -> tuple:
     """The normative inverse of :func:`encode_p_frame`.  Returns
     ``(recon_y, recon_c)``.  Malformed data → ValueError (the codec
@@ -780,4 +787,6 @@ def decode_p_frame(
         i += 1
     if r.u(1) != 1:
         raise ValueError("missing rbsp_stop_one_bit")
+    if return_mvs:
+        return recon_y, recon_c, mvs
     return recon_y, recon_c

@@ -181,6 +181,93 @@ def test_b_gop_container_ctts_and_display_order():
     assert [i for i, _ in dec4] == [0, 1, 2, 3]
 
 
+def test_spatial_direct_derivation_rules():
+    """8.4.1.2.2 unit cases: directZeroPrediction when no neighbor
+    references exist; colZeroFlag zeroing a refIdx-0 list; the median
+    predictor otherwise."""
+    mvs = np.zeros((2, 2, 2, 2), dtype=np.int64)
+    used = np.zeros((2, 2, 2), dtype=bool)
+    # first MB, no neighbors: directZeroPrediction -> bi, zero mvs
+    assert HB._direct_mvs(mvs, used, 0, 0, 2, None) == (
+        True, True, (0, 0), (0, 0)
+    )
+    # left neighbor used L0 only -> refIdxL0=0, refIdxL1=-1
+    mvs[0, 0, 0] = (8, 4)
+    used[0, 0, 0] = True
+    d0, d1, mv0, _mv1 = HB._direct_mvs(mvs, used, 0, 1, 2, None)
+    assert (d0, d1) == (True, False)
+    assert mv0 == (8, 4)  # mvA verbatim (top row rule, col intra)
+    # colZeroFlag: colocated P MB with |mv| <= 1 quarter-pel zeroes it
+    col = np.zeros((2, 2, 2), dtype=np.int64)
+    col[0, 1] = (1, -1)
+    d0, d1, mv0, _mv1 = HB._direct_mvs(mvs, used, 0, 1, 2, col)
+    assert d0 and mv0 == (0, 0)
+    # colocated moving (|mv| > 1) -> median predictor again
+    col[0, 1] = (8, 0)
+    d0, d1, mv0, _mv1 = HB._direct_mvs(mvs, used, 0, 1, 2, col)
+    assert mv0 == (8, 4)
+
+
+def test_b_skip_collapses_static_content():
+    """A B frame between two reconstructions of the SAME source frame
+    codes as (near-)pure skips — an order of magnitude below the
+    pre-skip rate (726 B measured for the explicit-mode-only encoder
+    on moving content) — and still decodes bit-exactly.  The skip run
+    requires the decoder to replay the spatial-direct derivation with
+    the colocated P motion field."""
+    rng = np.random.default_rng(5)
+    f = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    sps, pps = _sps_pps(64, 48)
+    _n, r0y, r0c = HI.encode_idr_frame_i16(
+        f, qp=12, return_recon=True, return_chroma=True
+    )
+    _n2, r2y, r2c, pmvs = HP.encode_p_frame(
+        f, r0y, r0c, qp=12, frame_num=1, return_mvs=True
+    )
+    nal, by, bc = HB.encode_b_frame(
+        f, r0y, r0c, r2y, r2c, qp=12, col_mvs=pmvs
+    )
+    assert len(nal) < 128, len(nal)  # measures 84 B for 12 MBs
+    dy, dc = HB.decode_b_frame(nal, sps, pps, r0y, r0c, r2y, r2c,
+                               col_mvs=pmvs)
+    assert np.array_equal(dy, by)
+    assert all(np.array_equal(a, b) for a, b in zip(dc, bc))
+    err = np.abs(by.astype(int) - f.astype(int))
+    assert err.max() <= 8
+
+
+def test_b_direct_state_feeds_later_predictions():
+    """The derived direct motion becomes the MB's state: encode a B
+    whose first MBs skip, then verify decode parity on content that
+    forces later explicit MBs to predict from the direct neighbors
+    (mixed skip/coded slice)."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    # right half changes between refs -> explicit modes; left half
+    # static -> skips whose derived mvs neighbor the explicit MBs
+    f2 = base.copy()
+    f2[:, 32:] = rng.integers(0, 256, (48, 32))
+    mid = base.copy()
+    mid[:, 32:] = np.clip(
+        (base[:, 32:].astype(int) + f2[:, 32:].astype(int) + 1) // 2,
+        0, 255,
+    ).astype(np.uint8)
+    sps, pps = _sps_pps(64, 48)
+    _n, r0y, r0c = HI.encode_idr_frame_i16(
+        base, qp=12, return_recon=True, return_chroma=True
+    )
+    _n2, r2y, r2c, pmvs = HP.encode_p_frame(
+        f2, r0y, r0c, qp=12, frame_num=1, return_mvs=True
+    )
+    nal, by, bc = HB.encode_b_frame(
+        mid, r0y, r0c, r2y, r2c, qp=12, col_mvs=pmvs
+    )
+    dy, dc = HB.decode_b_frame(nal, sps, pps, r0y, r0c, r2y, r2c,
+                               col_mvs=pmvs)
+    assert np.array_equal(dy, by)
+    assert all(np.array_equal(a, b) for a, b in zip(dc, bc))
+
+
 def test_corrupted_b_cannot_drift_the_gop():
     """B frames are non-reference: zeroing a B sample's NAL in mdat
     (type 0 -> skipped) must leave every other frame bit-identical —
