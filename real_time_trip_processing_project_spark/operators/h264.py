@@ -65,9 +65,11 @@ Scope, stated precisely:
   8.4.1.2.2 (MinPositive refIdx, directZeroPrediction, colZeroFlag
   from the colocated P motion field carried through the GOP DPB), in
   BOTH entropy coders — static B content collapses to skip runs /
-  skip flags.  The remaining seams, each explicitly ValueError-gated:
-  >2 active references, ref_pic_list_modification, temporal direct,
-  weighted bi-prediction, sub-16x16 B partitions, and CABAC I_PCM.
+  skip flags; temporal direct (8.4.1.2.3, ``b_direct="temporal"``)
+  ships as the alternative derivation with decoder dispatch on the
+  parsed flag.  The remaining seams, each explicitly ValueError-gated:
+  >2 active references, ref_pic_list_modification, weighted
+  bi-prediction, sub-16x16 B partitions, and CABAC I_PCM.
 
 At 100 TB: encode/decode are row-local Arrow-batched work inside
 ``mapInPandas`` (multimodal.py wires them), scaling with scan
@@ -470,6 +472,7 @@ def encode_mp4_h264(
     codec: str = "i_pcm",
     qp: int = 26,
     search_range: int = 8,
+    b_direct: str = "spatial",
 ) -> bytes:
     """Real MP4: ftyp + mdat (length-prefixed IDR NALs) + moov with the
     full stsd(avc1+avcC)/stts/stsc/stsz/stco sample-table chain.
@@ -575,7 +578,7 @@ def encode_mp4_h264(
         sps = encode_sps(w, h, max_ref=2, poc_type=0)
         gop = HB.encode_b_gop(
             frames, qp=qp, search_range=search_range,
-            cabac=codec == "i16pb_cabac",
+            cabac=codec == "i16pb_cabac", direct_mode=b_direct,
         )
         nals = [nal for nal, _d in gop]
         display_order = [d for _nal, d in gop]

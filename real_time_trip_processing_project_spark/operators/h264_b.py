@@ -46,14 +46,22 @@ Scope, stated precisely:
   composition-offset box (run-length, version 0) mapping them back to
   display order I B P B P …; ``decode_mp4_h264`` sorts emitted frames
   by composition time.
+- **Temporal direct (8.4.1.2.3)** as the alternative derivation
+  (``direct_mode="temporal"`` / ``encode_mp4_h264(b_direct=...)``):
+  the proportional colocated-motion split mvL0 = (DistScaleFactor ·
+  mvCol + 128) >> 8, mvL1 = mvL0 − mvCol, with the ladder's constant
+  POC geometry (td=4, tb=2 → DistScaleFactor 129); the decoder
+  dispatches on the parsed direct_spatial_mv_pred_flag, so both
+  stream flavors decode through one path.  Rate is ≈ spatial on this
+  tier's content (the explicit modes absorb the motion-accuracy win);
+  the value is conformance coverage of both derivations.
 - **Explicit seams** (ValueError-gated in the decoder, never emitted
   by the encoder): >1 active reference per list IN B SLICES (P slices
   grew the 2-deep te(v) ref_idx list in r12 — h264_inter.py
-  ``extra_refs``), TEMPORAL direct (direct_spatial_mv_pred_flag must
-  be 1), weighted bi-prediction, reference B slices, sub-16x16 B
-  partitions.  CABAC B slices shipped in r12 too
+  ``extra_refs``), weighted bi-prediction, reference B slices,
+  sub-16x16 B partitions.  CABAC B slices shipped in r12 too
   (h264_cabac.encode_b_frame_cabac, ``codec="i16pb_cabac"``) over
-  this module's analysis, including skip/direct.
+  this module's analysis, including skip/direct in both derivations.
 
 Shared-table caveat: identical stance to h264_inter.py — encoder and
 decoder share Table 9-4's inter CBP column, so a transcription slip
@@ -147,6 +155,34 @@ def _direct_mvs(
     return ref0 >= 0, ref1 >= 0, out[0], out[1]
 
 
+#: Temporal-direct POC geometry of the IBP ladder: every B sits exactly
+#: mid-way between its references (display distance 1 each side, POC
+#: units of 2) → td = 4, tb = 2, tx = (16384 + td//2) // td = 4096,
+#: DistScaleFactor = clip3(-1024, 1023, (tb·tx + 32) >> 6) = 129.
+#: General POC-scaled temporal direct would thread the reference POCs
+#: the way ``col_mvs`` threads motion; the ladder makes them constants.
+_TD_DIST_SCALE = 129
+
+
+def _direct_mvs_temporal(
+    mby: int, mbx: int, col_mvs: np.ndarray | None
+) -> tuple:
+    """Temporal direct motion derivation (8.4.1.2.3) under the ladder
+    geometry above: always bi-predictive (predFlags 1/1, refIdx 0 both
+    lists), ``mvL0 = (DistScaleFactor·mvCol + 128) >> 8`` and
+    ``mvL1 = mvL0 − mvCol`` per component — the colocated (future
+    reference) motion split proportionally across the two sides.  A
+    colocated intra picture (``col_mvs=None``) contributes mvCol = 0."""
+    if col_mvs is None:
+        return True, True, (0, 0), (0, 0)
+    cy, cx = int(col_mvs[mby, mbx, 0]), int(col_mvs[mby, mbx, 1])
+    mv0 = (
+        (_TD_DIST_SCALE * cy + 128) >> 8,
+        (_TD_DIST_SCALE * cx + 128) >> 8,
+    )
+    return True, True, mv0, (mv0[0] - cy, mv0[1] - cx)
+
+
 def _decide_mb(
     frame: np.ndarray,
     refs_y: tuple,
@@ -158,15 +194,22 @@ def _decide_mb(
     w_mbs: int,
     col_mvs: np.ndarray | None,
     search_range: int,
+    direct_mode: str = "spatial",
 ) -> tuple:
     """Shared B mode decision (CAVLC h264_b + CABAC h264_cabac emit
     identical pixel streams because they both call THIS): evaluate
-    spatial direct, L0, L1 and Bi by SAD, ties preferring the cheaper
-    syntax (direct < L0 < L1 < Bi).  Returns ``(mb_type, direct_flags,
-    mv0, mvp0, mv1, mvp1, pred, c_preds)``."""
+    direct (spatial 8.4.1.2.2 or temporal 8.4.1.2.3 per
+    ``direct_mode``), L0, L1 and Bi by SAD, ties preferring the
+    cheaper syntax (direct < L0 < L1 < Bi).  Returns ``(mb_type,
+    direct_flags, mv0, mvp0, mv1, mvp1, pred, c_preds)``."""
     y0, x0 = mby * MB, mbx * MB
     block = frame[y0 : y0 + MB, x0 : x0 + MB].astype(np.int64)
-    d0, d1, dmv0, dmv1 = _direct_mvs(mvs, used, mby, mbx, w_mbs, col_mvs)
+    if direct_mode == "temporal":
+        d0, d1, dmv0, dmv1 = _direct_mvs_temporal(mby, mbx, col_mvs)
+    else:
+        d0, d1, dmv0, dmv1 = _direct_mvs(
+            mvs, used, mby, mbx, w_mbs, col_mvs
+        )
     if d0 and d1:
         dpred = _bi_pred(
             HP._mc_luma(refs_y[0], y0, x0, dmv0),
@@ -315,6 +358,7 @@ def encode_b_frame(
     poc_lsb: int = 2,
     search_range: int = 8,
     col_mvs: np.ndarray | None = None,
+    direct_mode: str = "spatial",
 ) -> tuple:
     """One non-reference B-slice NAL (type 1, nal_ref_idc 0)
     predicting from the past (list 0) and future (list 1) reference
@@ -330,7 +374,12 @@ def encode_b_frame(
     ``mb_skip_run`` (B_Skip, r12).  ``col_mvs``: the list-1
     (colocated) reference's per-MB motion field for the 8.4.1.2.2
     colZeroFlag — None (an intra colocated picture) keeps the flag
-    0."""
+    0.  ``direct_mode="temporal"`` switches the direct derivation to
+    8.4.1.2.3 (proportional split of the colocated motion) and writes
+    direct_spatial_mv_pred_flag 0; the decoder dispatches on the
+    parsed flag."""
+    if direct_mode not in ("spatial", "temporal"):
+        raise ValueError(f"unknown direct_mode {direct_mode!r}")
     frame = np.asarray(frame)
     h, w = frame.shape
     if h % MB or w % MB:
@@ -355,7 +404,7 @@ def encode_b_frame(
     bw.ue(0)  # pic_parameter_set_id
     bw.u(frame_num & 15, 4)  # frame_num (7.4.3: PrevRefFrameNum+1)
     bw.u(poc_lsb & (2**POC_LSB_BITS - 1), POC_LSB_BITS)
-    bw.u(1, 1)  # direct_spatial_mv_pred_flag (spatial, 8.4.1.2.2)
+    bw.u(1 if direct_mode == "spatial" else 0, 1)  # direct_spatial_mv_pred_flag
     bw.u(0, 1)  # num_ref_idx_active_override_flag
     bw.u(0, 1)  # ref_pic_list_modification_flag_l0
     bw.u(0, 1)  # ref_pic_list_modification_flag_l1
@@ -369,7 +418,7 @@ def encode_b_frame(
             (mb_type, dflags, mv0, mvp0, mv1, mvp1,
              pred, c_preds) = _decide_mb(
                 frame, refs_y, refs_c, mvs, used, mby, mbx, w_mbs,
-                col_mvs, search_range,
+                col_mvs, search_range, direct_mode,
             )
             (cbp_luma_bits, levels16, c_dc, c_ac, cbp_chroma,
              rec_y, rec_c) = HP._analyze_mb_from_pred(
@@ -436,8 +485,7 @@ def decode_b_frame(
     r.u(sps["log2_max_frame_num"])  # frame_num
     if sps["poc_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
-    if not r.u(1):  # direct_spatial_mv_pred_flag
-        raise ValueError("temporal direct not supported (spatial only)")
+    spatial_direct = bool(r.u(1))  # direct_spatial_mv_pred_flag
     if r.u(1):
         raise ValueError("num_ref_idx override not supported")
     if r.u(1) or r.u(1):
@@ -465,10 +513,14 @@ def decode_b_frame(
     qpc = HI.chroma_qp(qp)
 
     def _direct_recon(mby, mbx):
-        """Prediction-only direct/skip reconstruction + motion state."""
-        d0, d1, dmv0, dmv1 = _direct_mvs(
-            mvs, used, mby, mbx, w_mbs, col_mvs
-        )
+        """Prediction-only direct/skip reconstruction + motion state,
+        dispatching on the slice header's direct_spatial_mv_pred_flag."""
+        if spatial_direct:
+            d0, d1, dmv0, dmv1 = _direct_mvs(
+                mvs, used, mby, mbx, w_mbs, col_mvs
+            )
+        else:
+            d0, d1, dmv0, dmv1 = _direct_mvs_temporal(mby, mbx, col_mvs)
         y0, x0 = mby * MB, mbx * MB
         if d0 and d1:
             pred = _bi_pred(
@@ -567,6 +619,7 @@ def encode_b_gop(
     qp: int = 26,
     search_range: int = 8,
     cabac: bool = False,
+    direct_mode: str = "spatial",
 ) -> list:
     """Encode frames (display order) as the IBP GOP: display
     I0 B1 P2 B3 P4 … (trailing P when no future reference exists),
@@ -622,6 +675,7 @@ def encode_b_gop(
                 poc_lsb=(2 * bd) & (2**POC_LSB_BITS - 1),
                 search_range=search_range,
                 col_mvs=pmvs,  # the L1 (colocated) motion field
+                direct_mode=direct_mode,
             )
             out.append((nal, bd))
         prev_y, prev_c = py, pc

@@ -1726,6 +1726,7 @@ def encode_b_frame_cabac(
     poc_lsb: int = 2,
     search_range: int = 8,
     col_mvs: np.ndarray | None = None,
+    direct_mode: str = "spatial",
 ) -> tuple:
     """One CABAC non-reference B-slice NAL: the arithmetic twin of
     ``h264_b.encode_b_frame``, sharing its mode decision
@@ -1746,6 +1747,8 @@ def encode_b_frame_cabac(
     if frame.dtype != np.uint8:
         raise ValueError("frame must be uint8")
     HI._check_qp(qp)
+    if direct_mode not in ("spatial", "temporal"):
+        raise ValueError(f"unknown direct_mode {direct_mode!r}")
     h_mbs, w_mbs = h // MB, w // MB
 
     src_c = [np.full((h // 2, w // 2), 128, dtype=np.uint8)] * 2
@@ -1764,7 +1767,7 @@ def encode_b_frame_cabac(
     bw.ue(0)  # pic_parameter_set_id
     bw.u(frame_num & 15, 4)  # frame_num
     bw.u(poc_lsb & (2**H_POC_LSB_BITS - 1), H_POC_LSB_BITS)
-    bw.u(1, 1)  # direct_spatial_mv_pred_flag
+    bw.u(1 if direct_mode == "spatial" else 0, 1)  # direct_spatial_mv_pred_flag
     bw.u(0, 1)  # num_ref_idx_active_override_flag
     bw.u(0, 1)  # ref_pic_list_modification_flag_l0
     bw.u(0, 1)  # ref_pic_list_modification_flag_l1
@@ -1804,7 +1807,7 @@ def encode_b_frame_cabac(
             (mb_type, dflags, mv0, mvp0, mv1, mvp1,
              pred, c_preds) = HB._decide_mb(
                 frame, refs_y, refs_c, mvs, used, mby, mbx, w_mbs,
-                col_mvs, search_range,
+                col_mvs, search_range, direct_mode,
             )
             (cbp_luma_bits, levels16, c_dc, c_ac, cbp_chroma,
              rec_y, rec_c) = HP._analyze_mb_from_pred(
@@ -1910,8 +1913,7 @@ def decode_b_frame_cabac(
     r.u(sps["log2_max_frame_num"])
     if sps["poc_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
-    if not r.u(1):  # direct_spatial_mv_pred_flag
-        raise ValueError("temporal direct not supported (spatial only)")
+    spatial_direct = bool(r.u(1))  # direct_spatial_mv_pred_flag
     if r.u(1):
         raise ValueError("num_ref_idx override not supported")
     if r.u(1) or r.u(1):
@@ -1964,9 +1966,14 @@ def decode_b_frame_cabac(
         return s
 
     def _direct_pred(mby, mbx):
-        d0, d1, dmv0, dmv1 = HB._direct_mvs(
-            mvs, used, mby, mbx, w_mbs, col_mvs
-        )
+        if spatial_direct:
+            d0, d1, dmv0, dmv1 = HB._direct_mvs(
+                mvs, used, mby, mbx, w_mbs, col_mvs
+            )
+        else:
+            d0, d1, dmv0, dmv1 = HB._direct_mvs_temporal(
+                mby, mbx, col_mvs
+            )
         y0, x0 = mby * MB, mbx * MB
         if d0 and d1:
             pred = HB._bi_pred(

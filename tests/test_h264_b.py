@@ -268,6 +268,72 @@ def test_b_direct_state_feeds_later_predictions():
     assert all(np.array_equal(a, b) for a, b in zip(dc, bc))
 
 
+def test_temporal_direct_scaling_and_dispatch():
+    """Temporal direct (8.4.1.2.3) under the ladder geometry: the
+    proportional split mvL0 = (129·mvCol + 128) >> 8, mvL1 = mvL0 −
+    mvCol; always bi-predictive; decoder dispatches on the parsed
+    direct_spatial_mv_pred_flag, so spatial and temporal streams of
+    the same frames both roundtrip bit-exactly."""
+    col = np.zeros((1, 2, 2), dtype=np.int64)
+    col[0, 0] = (16, 32)  # colocated P moved (4, 8) pel
+    d0, d1, mv0, mv1 = HB._direct_mvs_temporal(0, 0, col)
+    assert (d0, d1) == (True, True)
+    assert mv0 == ((129 * 16 + 128) >> 8, (129 * 32 + 128) >> 8) == (8, 16)
+    assert mv1 == (8 - 16, 16 - 32)
+    col[0, 1] = (-16, 3)  # negative + odd components
+    _d0, _d1, mv0, mv1 = HB._direct_mvs_temporal(0, 1, col)
+    assert mv0 == ((129 * -16 + 128) >> 8, (129 * 3 + 128) >> 8)
+    assert mv1 == (mv0[0] + 16, mv0[1] - 3)
+    # intra colocated -> zero bi-prediction
+    assert HB._direct_mvs_temporal(0, 0, None) == (
+        True, True, (0, 0), (0, 0)
+    )
+    # end-to-end: temporal-direct B frame roundtrips; its stream
+    # DIFFERS from the spatial one (the flag flips the derivation)
+    frames = _moving_frames(3)
+    sps, pps = _sps_pps(64, 48)
+    _n, r0y, r0c = HI.encode_idr_frame_i16(
+        frames[0], qp=12, return_recon=True, return_chroma=True
+    )
+    _n2, r2y, r2c, pmvs = HP.encode_p_frame(
+        frames[2], r0y, r0c, qp=12, frame_num=1, return_mvs=True
+    )
+    nal_t, by_t, bc_t = HB.encode_b_frame(
+        frames[1], r0y, r0c, r2y, r2c, qp=12, col_mvs=pmvs,
+        direct_mode="temporal",
+    )
+    nal_s, _by_s, _bc_s = HB.encode_b_frame(
+        frames[1], r0y, r0c, r2y, r2c, qp=12, col_mvs=pmvs,
+        direct_mode="spatial",
+    )
+    assert nal_t != nal_s
+    dy, dc = HB.decode_b_frame(nal_t, sps, pps, r0y, r0c, r2y, r2c,
+                               col_mvs=pmvs)
+    assert np.array_equal(dy, by_t)
+    assert all(np.array_equal(a, b) for a, b in zip(dc, bc_t))
+    with pytest.raises(ValueError, match="direct_mode"):
+        HB.encode_b_frame(frames[1], r0y, r0c, r2y, r2c, qp=12,
+                          direct_mode="nope")
+
+
+def test_temporal_direct_gop_cross_coder_identity():
+    """i16pb / i16pb_cabac GOPs with b_direct='temporal' decode in
+    display order within the distortion bound and pixel-identical to
+    each other (shared _decide_mb)."""
+    frames = _moving_frames(7)
+    td = H.encode_mp4_h264(frames, codec="i16pb", qp=12,
+                           b_direct="temporal")
+    tdc = H.encode_mp4_h264(frames, codec="i16pb_cabac", qp=12,
+                            b_direct="temporal")
+    _s, dt = H.decode_mp4_h264(td)
+    _s, dtc = H.decode_mp4_h264(tdc)
+    assert [i for i, _f in dt] == list(range(len(frames)))
+    for (_, a), (_, b) in zip(dt, dtc):
+        assert np.array_equal(a, b)
+    for i, fr in dt:
+        assert np.abs(fr.astype(int) - frames[i].astype(int)).max() <= 8
+
+
 def test_corrupted_b_cannot_drift_the_gop():
     """B frames are non-reference: zeroing a B sample's NAL in mdat
     (type 0 -> skipped) must leave every other frame bit-identical —
