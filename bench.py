@@ -156,6 +156,11 @@ SECONDARY = [
     "multimodal_mp4_gop_index",
     "multimodal_mp4_cabac_index",
     "multimodal_mp4_cabac_gop_index",
+    # round-12 additions: B-frame, multi-reference-P and CABAC-B GOP
+    # container indexes (FULL oracles, registered r12)
+    "multimodal_mp4_b_gop_index",
+    "multimodal_mp4_p2_index",
+    "multimodal_mp4_b_cabac_gop_index",
     # embedding_kmeans / embedding_kmeans_assign are oracle-gated per
     # round but, like tokenizer_apply_bpe_counts, kept out of the
     # timing list: the 3-iteration driver loop is ~90% fixed per-job
@@ -1039,6 +1044,26 @@ def _quality(spark) -> dict:
         f"B_Skip failed to collapse static content: {len(_nskip)} B"
     )
     q["mp4_b_skip_static_bytes"] = len(_nskip)
+    # Explicit weighted bi-prediction (r12): a flash B frame (1.3x the
+    # brightness of both references) must code at a fraction of the
+    # default-bipred rate once estimate_weights corrects the
+    # references.  On THIS content (bright sinusoid + noise, partial
+    # clipping pulls the LS fit to scale+offset (73, 15)) it measures
+    # 0.558; the unclipped test fixture measures 0.42 — gate 0.7.
+    _flash = _np.clip(_f0.astype(_np.float64) * 1.3, 0, 255).astype(
+        _np.uint8
+    )
+    _wts = _HB.estimate_weights(_flash, _r0y, _rsy)
+    _plain_b, _, _ = _HB.encode_b_frame(
+        _flash, _r0y, _r0c, _rsy, _rsc, qp=12, col_mvs=_pmv
+    )
+    _wgt_b, _, _ = _HB.encode_b_frame(
+        _flash, _r0y, _r0c, _rsy, _rsc, qp=12, col_mvs=_pmv,
+        weights=_wts,
+    )
+    w_ratio = len(_wgt_b) / len(_plain_b)
+    assert w_ratio < 0.7, f"weighted B lost its flash win: {w_ratio}"
+    q["mp4_b_weighted_flash_rate"] = round(w_ratio, 4)
     # CABAC B twin (r12): shared analysis ⇒ the arithmetic B GOP must
     # decode to pixels IDENTICAL to the CAVLC B GOP, at a rate ratio
     # bounded like the intra CABAC gate

@@ -67,9 +67,13 @@ Scope, stated precisely:
   BOTH entropy coders — static B content collapses to skip runs /
   skip flags; temporal direct (8.4.1.2.3, ``b_direct="temporal"``)
   ships as the alternative derivation with decoder dispatch on the
-  parsed flag.  The remaining seams, each explicitly ValueError-gated:
-  >2 active references, ref_pic_list_modification, weighted
-  bi-prediction, sub-16x16 B partitions, and CABAC I_PCM.
+  parsed flag; explicit weighted bi-prediction (8.4.2.3.2,
+  ``b_weighted=True`` → weighted_bipred_idc-2 PPS +
+  pred_weight_table + least-squares weight estimation) corrects
+  flash/fade brightness.  The remaining seams, each explicitly
+  ValueError-gated: >2 active references, ref_pic_list_modification,
+  implicit weighted bi-prediction, chroma weights, sub-16x16 B
+  partitions, and CABAC I_PCM.
 
 At 100 TB: encode/decode are row-local Arrow-batched work inside
 ``mapInPandas`` (multimodal.py wires them), scaling with scan
@@ -315,7 +319,11 @@ def parse_sps(nal: bytes) -> dict:
     }
 
 
-def encode_pps(deblocking_control: bool = False, cabac: bool = False) -> bytes:
+def encode_pps(
+    deblocking_control: bool = False,
+    cabac: bool = False,
+    weighted_b: bool = False,
+) -> bytes:
     """Minimal PPS.  ``deblocking_control=True`` sets
     deblocking_filter_control_present_flag so the slice header can
     write ``disable_deblocking_filter_idc = 1`` — the Intra_16x16 tier
@@ -324,7 +332,11 @@ def encode_pps(deblocking_control: bool = False, cabac: bool = False) -> bytes:
     samples are exempt from the in-loop filter by spec).
     ``cabac=True`` sets entropy_coding_mode_flag for the arithmetic
     tier (h264_cabac.py) — the slice DECODER dispatches on the parsed
-    flag, so containers carry either entropy coder transparently."""
+    flag, so containers carry either entropy coder transparently.
+    ``weighted_b=True`` sets weighted_bipred_idc to 2 (EXPLICIT): B
+    slice headers then carry a pred_weight_table and predictions use
+    the 8.4.2.3.2 weighted forms — the fade-content tier
+    (h264_b.py ``weights``)."""
     w = BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
@@ -333,8 +345,8 @@ def encode_pps(deblocking_control: bool = False, cabac: bool = False) -> bytes:
     w.ue(0)  # num_slice_groups_minus1
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
-    w.u(0, 1)  # weighted_pred_flag
-    w.u(0, 2)  # weighted_bipred_idc
+    w.u(0, 1)  # weighted_pred_flag (P slices stay unweighted)
+    w.u(2 if weighted_b else 0, 2)  # weighted_bipred_idc
     w.se(0)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
     w.se(0)  # chroma_qp_index_offset
@@ -359,8 +371,11 @@ def parse_pps(nal: bytes) -> dict:
         raise ValueError("slice groups not supported")
     r.ue()  # num_ref_idx_l0_default_active_minus1
     r.ue()  # num_ref_idx_l1_default_active_minus1
-    r.u(1)  # weighted_pred_flag
-    r.u(2)  # weighted_bipred_idc
+    if r.u(1):  # weighted_pred_flag
+        raise ValueError("weighted P prediction not supported")
+    out["weighted_bipred_idc"] = r.u(2)
+    if out["weighted_bipred_idc"] == 1:
+        raise ValueError("implicit weighted bi-prediction not supported")
     out["pic_init_qp"] = 26 + r.se()
     r.se()  # pic_init_qs_minus26
     out["chroma_qp_index_offset"] = r.se()
@@ -473,6 +488,7 @@ def encode_mp4_h264(
     qp: int = 26,
     search_range: int = 8,
     b_direct: str = "spatial",
+    b_weighted: bool = False,
 ) -> bytes:
     """Real MP4: ftyp + mdat (length-prefixed IDR NALs) + moov with the
     full stsd(avc1+avcC)/stts/stsc/stsz/stco sample-table chain.
@@ -565,7 +581,8 @@ def encode_mp4_h264(
         # order) with a 2-picture DPB
         enc = None
         pps = encode_pps(
-            deblocking_control=True, cabac=codec == "i16pb_cabac"
+            deblocking_control=True, cabac=codec == "i16pb_cabac",
+            weighted_b=b_weighted,
         )
     else:
         raise ValueError(f"unknown codec {codec!r}")
@@ -579,6 +596,7 @@ def encode_mp4_h264(
         gop = HB.encode_b_gop(
             frames, qp=qp, search_range=search_range,
             cabac=codec == "i16pb_cabac", direct_mode=b_direct,
+            weighted=b_weighted,
         )
         nals = [nal for nal, _d in gop]
         display_order = [d for _nal, d in gop]

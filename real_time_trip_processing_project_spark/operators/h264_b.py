@@ -55,13 +55,23 @@ Scope, stated precisely:
   stream flavors decode through one path.  Rate is ≈ spatial on this
   tier's content (the explicit modes absorb the motion-accuracy win);
   the value is conformance coverage of both derivations.
+- **Explicit weighted bi-prediction (8.4.2.3.2, weighted_bipred_idc
+  2)**: slice-header pred_weight_table with per-list luma (w, o) at
+  logWD 6 (chroma on default weights — identity for the constant-128
+  planes), the weighted single-list and bi forms applied to every
+  luma prediction including direct/skip, and per-slice least-squares
+  weight estimation (:func:`estimate_weights`) — flash/fade content
+  codes at a fraction of the default-bipred rate
+  (``encode_mp4_h264(b_weighted=True)``).
 - **Explicit seams** (ValueError-gated in the decoder, never emitted
   by the encoder): >1 active reference per list IN B SLICES (P slices
   grew the 2-deep te(v) ref_idx list in r12 — h264_inter.py
-  ``extra_refs``), weighted bi-prediction, reference B slices,
+  ``extra_refs``), implicit weighted bi-prediction
+  (weighted_bipred_idc 1), chroma weights, reference B slices,
   sub-16x16 B partitions.  CABAC B slices shipped in r12 too
   (h264_cabac.encode_b_frame_cabac, ``codec="i16pb_cabac"``) over
-  this module's analysis, including skip/direct in both derivations.
+  this module's analysis, including skip/direct in both derivations
+  and the weighted forms.
 
 Shared-table caveat: identical stance to h264_inter.py — encoder and
 decoder share Table 9-4's inter CBP column, so a transcription slip
@@ -195,15 +205,29 @@ def _decide_mb(
     col_mvs: np.ndarray | None,
     search_range: int,
     direct_mode: str = "spatial",
+    weights: tuple | None = None,
 ) -> tuple:
     """Shared B mode decision (CAVLC h264_b + CABAC h264_cabac emit
     identical pixel streams because they both call THIS): evaluate
     direct (spatial 8.4.1.2.2 or temporal 8.4.1.2.3 per
     ``direct_mode``), L0, L1 and Bi by SAD, ties preferring the
-    cheaper syntax (direct < L0 < L1 < Bi).  Returns ``(mb_type,
+    cheaper syntax (direct < L0 < L1 < Bi).  ``weights``: explicit
+    per-list (w, o) luma weights — every candidate's SAD is computed
+    on the WEIGHTED prediction, so the decision optimizes the actual
+    coded residual (motion search itself stays unweighted: a global
+    scale/offset shifts all candidates alike).  Returns ``(mb_type,
     direct_flags, mv0, mvp0, mv1, mvp1, pred, c_preds)``."""
     y0, x0 = mby * MB, mbx * MB
     block = frame[y0 : y0 + MB, x0 : x0 + MB].astype(np.int64)
+
+    def wp1(p, lst):
+        return p if weights is None else _wp_single(p, weights[lst])
+
+    def wpbi(p0_, p1_):
+        if weights is None:
+            return _bi_pred(p0_, p1_)
+        return _wp_bi(p0_, p1_, weights[0], weights[1])
+
     if direct_mode == "temporal":
         d0, d1, dmv0, dmv1 = _direct_mvs_temporal(mby, mbx, col_mvs)
     else:
@@ -211,25 +235,30 @@ def _decide_mb(
             mvs, used, mby, mbx, w_mbs, col_mvs
         )
     if d0 and d1:
-        dpred = _bi_pred(
+        dpred = wpbi(
             HP._mc_luma(refs_y[0], y0, x0, dmv0),
             HP._mc_luma(refs_y[1], y0, x0, dmv1),
         )
     elif d0:
-        dpred = HP._mc_luma(refs_y[0], y0, x0, dmv0)
+        dpred = wp1(HP._mc_luma(refs_y[0], y0, x0, dmv0), 0)
     else:
-        dpred = HP._mc_luma(refs_y[1], y0, x0, dmv1)
+        dpred = wp1(HP._mc_luma(refs_y[1], y0, x0, dmv1), 1)
     mvp0 = _mv_pred_b(mvs, used, mby, mbx, w_mbs, 0)
     mvp1 = _mv_pred_b(mvs, used, mby, mbx, w_mbs, 1)
     mv0 = HP._search_mv(frame, refs_y[0], mby, mbx, mvp0, search_range)
     mv1 = HP._search_mv(frame, refs_y[1], mby, mbx, mvp1, search_range)
-    p0 = HP._mc_luma(refs_y[0], y0, x0, mv0)
-    p1 = HP._mc_luma(refs_y[1], y0, x0, mv1)
+    p0 = wp1(HP._mc_luma(refs_y[0], y0, x0, mv0), 0)
+    p1 = wp1(HP._mc_luma(refs_y[1], y0, x0, mv1), 1)
     sads = (
         int(np.abs(block - dpred).sum()),
         int(np.abs(block - p0).sum()),
         int(np.abs(block - p1).sum()),
-        int(np.abs(block - _bi_pred(p0, p1)).sum()),
+        int(np.abs(
+            block - wpbi(
+                HP._mc_luma(refs_y[0], y0, x0, mv0),
+                HP._mc_luma(refs_y[1], y0, x0, mv1),
+            )
+        ).sum()),
     )
     mb_type = min(range(4), key=lambda k: (sads[k], k))
     if mb_type == B_DIRECT_16X16:
@@ -247,7 +276,9 @@ def _decide_mb(
         else:
             c_preds = HP._mc_chroma(refs_c[1], mby, mbx, dmv1)
         return mb_type, (d0, d1), mv0, mvp0, mv1, mvp1, dpred, c_preds
-    pred, c_preds = _predict(refs_y, refs_c, mby, mbx, mb_type, mv0, mv1)
+    pred, c_preds = _predict(
+        refs_y, refs_c, mby, mbx, mb_type, mv0, mv1, weights
+    )
     return mb_type, None, mv0, mvp0, mv1, mvp1, pred, c_preds
 
 
@@ -324,27 +355,88 @@ def _bi_pred(p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
     return (p0 + p1 + 1) >> 1
 
 
+# Explicit weighted prediction (8.4.2.3.2, weighted_bipred_idc 2) with
+# the fixed luma_log2_weight_denom 6 this tier emits.  Chroma keeps the
+# DEFAULT weights (w=64, o=0 — the planes are constant 128), under
+# which the weighted formulas reduce exactly to the unweighted ones,
+# so only LUMA paths ever apply these.
+
+WP_LOG2_DENOM = 6
+
+
+def _wp_single(p: np.ndarray, wo: tuple) -> np.ndarray:
+    """Weighted single-list luma prediction: ((p·w + 32) >> 6) + o,
+    clipped — 8.4.2.3.2 with logWD ≥ 1."""
+    w, o = wo
+    return np.clip(((p * w + 32) >> WP_LOG2_DENOM) + o, 0, 255)
+
+
+def _wp_bi(p0: np.ndarray, p1: np.ndarray, wo0: tuple, wo1: tuple):
+    """Weighted bi-predictive luma: ((p0·w0 + p1·w1 + 64) >> 7) +
+    ((o0 + o1 + 1) >> 1), clipped."""
+    (w0, o0), (w1, o1) = wo0, wo1
+    return np.clip(
+        ((p0 * w0 + p1 * w1 + (1 << WP_LOG2_DENOM))
+         >> (WP_LOG2_DENOM + 1))
+        + ((o0 + o1 + 1) >> 1),
+        0, 255,
+    )
+
+
+def estimate_weights(
+    frame: np.ndarray, ref0_y: np.ndarray, ref1_y: np.ndarray
+) -> tuple:
+    """Per-slice explicit-weight estimation: least-squares scale+offset
+    of the frame against each reference (w = 64·cov/var, o = the mean
+    residue), clipped to the spec's se(v) weight range [-128, 127].
+    Deterministic integer outputs; the GOP encoder uses these whenever
+    ``b_weighted`` is on."""
+    out = []
+    f = frame.astype(np.float64)
+    for ref in (ref0_y, ref1_y):
+        r = ref.astype(np.float64)
+        var = float(((r - r.mean()) ** 2).mean())
+        if var < 1e-9:
+            w = 64
+        else:
+            cov = float(((f - f.mean()) * (r - r.mean())).mean())
+            w = int(round(64.0 * cov / var))
+        w = max(-128, min(127, w))
+        o = int(round(float(f.mean()) - w * float(r.mean()) / 64.0))
+        out.append((w, max(-128, min(127, o))))
+    return tuple(out)
+
+
 def _predict(
     refs_y: tuple, refs_c: tuple, mby: int, mbx: int,
     mb_type: int, mv0: tuple, mv1: tuple,
+    weights: tuple | None = None,
 ):
-    """Luma + chroma prediction for a coded B mb_type."""
+    """Luma + chroma prediction for a coded B mb_type.  ``weights``
+    (((w0, o0), (w1, o1)), logWD 6) applies the explicit 8.4.2.3.2
+    luma forms; chroma keeps default weights (identity — the planes
+    are constant 128)."""
     y0, x0 = mby * MB, mbx * MB
     if mb_type == B_L0_16X16:
-        return (
-            HP._mc_luma(refs_y[0], y0, x0, mv0),
-            HP._mc_chroma(refs_c[0], mby, mbx, mv0),
-        )
+        p = HP._mc_luma(refs_y[0], y0, x0, mv0)
+        if weights is not None:
+            p = _wp_single(p, weights[0])
+        return p, HP._mc_chroma(refs_c[0], mby, mbx, mv0)
     if mb_type == B_L1_16X16:
-        return (
-            HP._mc_luma(refs_y[1], y0, x0, mv1),
-            HP._mc_chroma(refs_c[1], mby, mbx, mv1),
-        )
+        p = HP._mc_luma(refs_y[1], y0, x0, mv1)
+        if weights is not None:
+            p = _wp_single(p, weights[1])
+        return p, HP._mc_chroma(refs_c[1], mby, mbx, mv1)
     p0 = HP._mc_luma(refs_y[0], y0, x0, mv0)
     p1 = HP._mc_luma(refs_y[1], y0, x0, mv1)
     c0 = HP._mc_chroma(refs_c[0], mby, mbx, mv0)
     c1 = HP._mc_chroma(refs_c[1], mby, mbx, mv1)
-    return _bi_pred(p0, p1), [_bi_pred(a, b) for a, b in zip(c0, c1)]
+    luma = (
+        _wp_bi(p0, p1, weights[0], weights[1])
+        if weights is not None
+        else _bi_pred(p0, p1)
+    )
+    return luma, [_bi_pred(a, b) for a, b in zip(c0, c1)]
 
 
 def encode_b_frame(
@@ -359,6 +451,7 @@ def encode_b_frame(
     search_range: int = 8,
     col_mvs: np.ndarray | None = None,
     direct_mode: str = "spatial",
+    weights: tuple | None = None,
 ) -> tuple:
     """One non-reference B-slice NAL (type 1, nal_ref_idc 0)
     predicting from the past (list 0) and future (list 1) reference
@@ -377,7 +470,12 @@ def encode_b_frame(
     0.  ``direct_mode="temporal"`` switches the direct derivation to
     8.4.1.2.3 (proportional split of the colocated motion) and writes
     direct_spatial_mv_pred_flag 0; the decoder dispatches on the
-    parsed flag."""
+    parsed flag.  ``weights = ((w0, o0), (w1, o1))`` (r12, explicit
+    weighted bi-prediction): the slice header carries a
+    pred_weight_table (luma_log2_weight_denom 6, per-list luma
+    weights, default chroma) and every luma prediction uses the
+    8.4.2.3.2 weighted forms — the stream then REQUIRES a PPS with
+    weighted_bipred_idc 2 (h264.encode_pps(weighted_b=True))."""
     if direct_mode not in ("spatial", "temporal"):
         raise ValueError(f"unknown direct_mode {direct_mode!r}")
     frame = np.asarray(frame)
@@ -408,6 +506,16 @@ def encode_b_frame(
     bw.u(0, 1)  # num_ref_idx_active_override_flag
     bw.u(0, 1)  # ref_pic_list_modification_flag_l0
     bw.u(0, 1)  # ref_pic_list_modification_flag_l1
+    if weights is not None:
+        # pred_weight_table (7.3.3.2): fixed denom 6, explicit luma
+        # weights per list, chroma on default weights
+        bw.ue(WP_LOG2_DENOM)  # luma_log2_weight_denom
+        bw.ue(WP_LOG2_DENOM)  # chroma_log2_weight_denom
+        for w_, o_ in weights:  # l0 then l1, one ref each
+            bw.u(1, 1)  # luma_weight_lX_flag
+            bw.se(w_)
+            bw.se(o_)
+            bw.u(0, 1)  # chroma_weight_lX_flag (default)
     # nal_ref_idc 0 → NO dec_ref_pic_marking
     bw.se(qp - 26)  # slice_qp_delta
     bw.ue(1)  # disable_deblocking_filter_idc: filter off
@@ -418,7 +526,7 @@ def encode_b_frame(
             (mb_type, dflags, mv0, mvp0, mv1, mvp1,
              pred, c_preds) = _decide_mb(
                 frame, refs_y, refs_c, mvs, used, mby, mbx, w_mbs,
-                col_mvs, search_range, direct_mode,
+                col_mvs, search_range, direct_mode, weights,
             )
             (cbp_luma_bits, levels16, c_dc, c_ac, cbp_chroma,
              rec_y, rec_c) = HP._analyze_mb_from_pred(
@@ -490,6 +598,24 @@ def decode_b_frame(
         raise ValueError("num_ref_idx override not supported")
     if r.u(1) or r.u(1):
         raise ValueError("ref_pic_list_modification not supported")
+    weights = None
+    if pps.get("weighted_bipred_idc") == 2:
+        # pred_weight_table (7.3.3.2), this tier's emitted subset
+        if r.ue() != WP_LOG2_DENOM or r.ue() != WP_LOG2_DENOM:
+            raise ValueError("unsupported weight denominators")
+        wlist = []
+        for _lst in range(2):
+            if not r.u(1):  # luma_weight_lX_flag
+                wlist.append((1 << WP_LOG2_DENOM, 0))
+            else:
+                w_ = r.se()
+                o_ = r.se()
+                if not (-128 <= w_ <= 127 and -128 <= o_ <= 127):
+                    raise ValueError("luma weight/offset out of range")
+                wlist.append((w_, o_))
+            if r.u(1):
+                raise ValueError("chroma weights not supported")
+        weights = tuple(wlist)
     # nal_ref_idc 0 → no dec_ref_pic_marking
     qp = 26 + r.se()
     HI._check_qp(qp)
@@ -523,9 +649,12 @@ def decode_b_frame(
             d0, d1, dmv0, dmv1 = _direct_mvs_temporal(mby, mbx, col_mvs)
         y0, x0 = mby * MB, mbx * MB
         if d0 and d1:
-            pred = _bi_pred(
-                HP._mc_luma(refs_y[0], y0, x0, dmv0),
-                HP._mc_luma(refs_y[1], y0, x0, dmv1),
+            pl0 = HP._mc_luma(refs_y[0], y0, x0, dmv0)
+            pl1 = HP._mc_luma(refs_y[1], y0, x0, dmv1)
+            pred = (
+                _wp_bi(pl0, pl1, weights[0], weights[1])
+                if weights is not None
+                else _bi_pred(pl0, pl1)
             )
             c_preds = [
                 _bi_pred(a, b)
@@ -536,9 +665,13 @@ def decode_b_frame(
             ]
         elif d0:
             pred = HP._mc_luma(refs_y[0], y0, x0, dmv0)
+            if weights is not None:
+                pred = _wp_single(pred, weights[0])
             c_preds = HP._mc_chroma(refs_c[0], mby, mbx, dmv0)
         else:
             pred = HP._mc_luma(refs_y[1], y0, x0, dmv1)
+            if weights is not None:
+                pred = _wp_single(pred, weights[1])
             c_preds = HP._mc_chroma(refs_c[1], mby, mbx, dmv1)
         _commit_mb_motion(
             mvs, used, mby, mbx, B_DIRECT_16X16, (d0, d1), dmv0, dmv1
@@ -584,7 +717,7 @@ def decode_b_frame(
                 else:
                     mv1 = mv
             pred, c_preds = _predict(
-                refs_y, refs_c, mby, mbx, mb_type, mv0, mv1
+                refs_y, refs_c, mby, mbx, mb_type, mv0, mv1, weights
             )
         else:
             raise ValueError(
@@ -620,6 +753,7 @@ def encode_b_gop(
     search_range: int = 8,
     cabac: bool = False,
     direct_mode: str = "spatial",
+    weighted: bool = False,
 ) -> list:
     """Encode frames (display order) as the IBP GOP: display
     I0 B1 P2 B3 P4 … (trailing P when no future reference exists),
@@ -630,7 +764,13 @@ def encode_b_gop(
     ctts composition offsets from the display indexes.  ``cabac``
     swaps every slice for its arithmetic twin (h264_cabac.py,
     codec="i16pb_cabac") — same motion/mode analysis, so the decoded
-    pixels are identical across entropy coders."""
+    pixels are identical across entropy coders.  ``weighted`` (r12):
+    every B slice carries explicit per-list luma weights estimated by
+    :func:`estimate_weights` (least-squares scale+offset against each
+    reference) — flash/fade content then codes against
+    brightness-corrected references; the container must pair this
+    with the weighted_bipred_idc-2 PPS
+    (``encode_mp4_h264(b_weighted=True)``)."""
     frames = np.asarray(frames, dtype=np.uint8)
     n = frames.shape[0]
     if cabac:
@@ -676,6 +816,11 @@ def encode_b_gop(
                 search_range=search_range,
                 col_mvs=pmvs,  # the L1 (colocated) motion field
                 direct_mode=direct_mode,
+                weights=(
+                    estimate_weights(frames[bd], prev_y, py)
+                    if weighted
+                    else None
+                ),
             )
             out.append((nal, bd))
         prev_y, prev_c = py, pc

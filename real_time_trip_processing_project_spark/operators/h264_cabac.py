@@ -1727,6 +1727,7 @@ def encode_b_frame_cabac(
     search_range: int = 8,
     col_mvs: np.ndarray | None = None,
     direct_mode: str = "spatial",
+    weights: tuple | None = None,
 ) -> tuple:
     """One CABAC non-reference B-slice NAL: the arithmetic twin of
     ``h264_b.encode_b_frame``, sharing its mode decision
@@ -1771,6 +1772,16 @@ def encode_b_frame_cabac(
     bw.u(0, 1)  # num_ref_idx_active_override_flag
     bw.u(0, 1)  # ref_pic_list_modification_flag_l0
     bw.u(0, 1)  # ref_pic_list_modification_flag_l1
+    if weights is not None:
+        # pred_weight_table — identical Exp-Golomb syntax to the
+        # CAVLC twin (headers are never CABAC'd)
+        bw.ue(HB.WP_LOG2_DENOM)
+        bw.ue(HB.WP_LOG2_DENOM)
+        for w_, o_ in weights:
+            bw.u(1, 1)
+            bw.se(w_)
+            bw.se(o_)
+            bw.u(0, 1)
     # nal_ref_idc 0 → NO dec_ref_pic_marking
     bw.ue(0)  # cabac_init_idc
     bw.se(qp - 26)  # slice_qp_delta
@@ -1807,7 +1818,7 @@ def encode_b_frame_cabac(
             (mb_type, dflags, mv0, mvp0, mv1, mvp1,
              pred, c_preds) = HB._decide_mb(
                 frame, refs_y, refs_c, mvs, used, mby, mbx, w_mbs,
-                col_mvs, search_range, direct_mode,
+                col_mvs, search_range, direct_mode, weights,
             )
             (cbp_luma_bits, levels16, c_dc, c_ac, cbp_chroma,
              rec_y, rec_c) = HP._analyze_mb_from_pred(
@@ -1918,6 +1929,23 @@ def decode_b_frame_cabac(
         raise ValueError("num_ref_idx override not supported")
     if r.u(1) or r.u(1):
         raise ValueError("ref_pic_list_modification not supported")
+    weights = None
+    if pps.get("weighted_bipred_idc") == 2:
+        if r.ue() != HB.WP_LOG2_DENOM or r.ue() != HB.WP_LOG2_DENOM:
+            raise ValueError("unsupported weight denominators")
+        wlist = []
+        for _lst in range(2):
+            if not r.u(1):
+                wlist.append((1 << HB.WP_LOG2_DENOM, 0))
+            else:
+                w_ = r.se()
+                o_ = r.se()
+                if not (-128 <= w_ <= 127 and -128 <= o_ <= 127):
+                    raise ValueError("luma weight/offset out of range")
+                wlist.append((w_, o_))
+            if r.u(1):
+                raise ValueError("chroma weights not supported")
+        weights = tuple(wlist)
     if r.ue() != 0:
         raise ValueError("cabac_init_idc != 0 not supported")
     qp = 26 + r.se()
@@ -1976,9 +2004,12 @@ def decode_b_frame_cabac(
             )
         y0, x0 = mby * MB, mbx * MB
         if d0 and d1:
-            pred = HB._bi_pred(
-                HP._mc_luma(refs_y[0], y0, x0, dmv0),
-                HP._mc_luma(refs_y[1], y0, x0, dmv1),
+            pl0 = HP._mc_luma(refs_y[0], y0, x0, dmv0)
+            pl1 = HP._mc_luma(refs_y[1], y0, x0, dmv1)
+            pred = (
+                HB._wp_bi(pl0, pl1, weights[0], weights[1])
+                if weights is not None
+                else HB._bi_pred(pl0, pl1)
             )
             c_preds = [
                 HB._bi_pred(a, b)
@@ -1989,9 +2020,13 @@ def decode_b_frame_cabac(
             ]
         elif d0:
             pred = HP._mc_luma(refs_y[0], y0, x0, dmv0)
+            if weights is not None:
+                pred = HB._wp_single(pred, weights[0])
             c_preds = HP._mc_chroma(refs_c[0], mby, mbx, dmv0)
         else:
             pred = HP._mc_luma(refs_y[1], y0, x0, dmv1)
+            if weights is not None:
+                pred = HB._wp_single(pred, weights[1])
             c_preds = HP._mc_chroma(refs_c[1], mby, mbx, dmv1)
         HB._commit_mb_motion(
             mvs, used, mby, mbx, HB.B_DIRECT_16X16, (d0, d1), dmv0, dmv1
@@ -2047,7 +2082,8 @@ def decode_b_frame_cabac(
                         else:
                             mv1 = mv
                     pred, c_preds = HB._predict(
-                        refs_y, refs_c, mby, mbx, mb_type, mv0, mv1
+                        refs_y, refs_c, mby, mbx, mb_type, mv0, mv1,
+                        weights,
                     )
                 cbp_luma_bits = 0
                 pending: dict = {}

@@ -440,9 +440,10 @@ def _real_decode(payload: bytes) -> dict:
     ``NotImplementedError`` seam is any OTHER container/codec format
     (needs PIL/av, absent from this container); within H.264 the
     ValueError-gated sub-seams are >2 active references,
-    ref_pic_list_modification, sub-16x16 B partitions and weighted
-    bi-prediction (h264_b.py docstring; B_Skip/B_Direct with BOTH
-    spatial and temporal derivations shipped r12)."""
+    ref_pic_list_modification, sub-16x16 B partitions, implicit
+    weighted prediction and chroma weights (h264_b.py docstring;
+    B_Skip/B_Direct with BOTH direct derivations AND explicit
+    weighted bi-prediction shipped r12)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _rate, n_channels = decode_wav_pcm16(bytes(payload))
         n_frames = len(samples) if n_channels == 1 else samples.shape[0]

@@ -334,6 +334,84 @@ def test_temporal_direct_gop_cross_coder_identity():
         assert np.abs(fr.astype(int) - frames[i].astype(int)).max() <= 8
 
 
+def test_weighted_biprediction_beats_default_on_flash():
+    """Explicit weighted prediction (r12, weighted_bipred_idc 2 +
+    pred_weight_table): a B frame 1.3× brighter than both references
+    codes at a fraction of the default-bipred rate once the estimated
+    scale/offset corrects the references — and decodes bit-exactly
+    through the weighted PPS."""
+    rng = np.random.default_rng(9)
+    base = rng.integers(40, 160, (48, 64)).astype(np.uint8)
+    f2 = np.clip(
+        base.astype(np.int64) + rng.integers(-2, 3, (48, 64)), 0, 255
+    ).astype(np.uint8)
+    f1 = np.clip(
+        base.astype(np.float64) * 1.3 + rng.normal(0, 2, (48, 64)),
+        0, 255,
+    ).astype(np.uint8)
+    _n, r0y, r0c = HI.encode_idr_frame_i16(
+        base, qp=12, return_recon=True, return_chroma=True
+    )
+    _n2, r2y, r2c, pmvs = HP.encode_p_frame(
+        f2, r0y, r0c, qp=12, frame_num=1, return_mvs=True
+    )
+    w = HB.estimate_weights(f1, r0y, r2y)
+    # the least-squares estimate recovers the 1.3x gain (83/64 = 1.297)
+    assert all(78 <= wi <= 88 for wi, _oi in w), w
+    plain, _, _ = HB.encode_b_frame(f1, r0y, r0c, r2y, r2c, qp=12,
+                                    col_mvs=pmvs)
+    wnal, wy, wc = HB.encode_b_frame(
+        f1, r0y, r0c, r2y, r2c, qp=12, col_mvs=pmvs, weights=w
+    )
+    assert len(wnal) < 0.6 * len(plain), (len(wnal), len(plain))
+    sps = H.parse_sps(H.encode_sps(64, 48, max_ref=2, poc_type=0))
+    ppsw = H.parse_pps(H.encode_pps(deblocking_control=True,
+                                    weighted_b=True))
+    assert ppsw["weighted_bipred_idc"] == 2
+    dy, dc = HB.decode_b_frame(wnal, sps, ppsw, r0y, r0c, r2y, r2c,
+                               col_mvs=pmvs)
+    assert np.array_equal(dy, wy)
+    assert all(np.array_equal(a, b) for a, b in zip(dc, wc))
+    err = np.abs(wy.astype(int) - f1.astype(int))
+    assert err.max() <= 8 and err.mean() <= 1.0
+    # extreme gain clips into the spec's se(v) weight range
+    bright = np.clip(base.astype(np.int64) * 4, 0, 255).astype(np.uint8)
+    wx = HB.estimate_weights(bright, r0y, r2y)
+    assert all(-128 <= v <= 127 for pair in wx for v in pair)
+
+
+def test_weighted_b_gop_flicker_and_cross_coder():
+    """codec='i16pb'+b_weighted on exposure-flicker content: the
+    weighted GOP beats the default one, decodes within the distortion
+    bound in display order, and stays pixel-identical to its CABAC
+    twin (shared decision + weights)."""
+    rng = np.random.default_rng(9)
+    base = rng.integers(40, 160, (48, 64)).astype(np.int64)
+    frames = np.stack([
+        np.clip(
+            base * (1.0 if k % 2 == 0 else 1.3)
+            + rng.normal(0, 2, (48, 64)),
+            0, 255,
+        ).astype(np.uint8)
+        for k in range(7)
+    ])
+    plain = H.encode_mp4_h264(frames, codec="i16pb", qp=12)
+    wgt = H.encode_mp4_h264(frames, codec="i16pb", qp=12,
+                            b_weighted=True)
+    wgt_c = H.encode_mp4_h264(frames, codec="i16pb_cabac", qp=12,
+                              b_weighted=True)
+    assert len(wgt) < 0.9 * len(plain), (len(wgt), len(plain))
+    info = H.parse_mp4(wgt)
+    assert info["index_consistent"]
+    _s, dw = H.decode_mp4_h264(wgt)
+    _s, dwc = H.decode_mp4_h264(wgt_c)
+    assert [i for i, _f in dw] == list(range(7))
+    for (_, a), (_, b) in zip(dw, dwc):
+        assert np.array_equal(a, b)
+    for i, fr in dw:
+        assert np.abs(fr.astype(int) - frames[i].astype(int)).max() <= 8
+
+
 def test_corrupted_b_cannot_drift_the_gop():
     """B frames are non-reference: zeroing a B sample's NAL in mdat
     (type 0 -> skipped) must leave every other frame bit-identical —
