@@ -49,11 +49,14 @@ Conformance stance, stated precisely:
   predictors and analysis, so CABAC P streams decode to pixels
   bit-identical to CAVLC P streams (pinned in tests).
 - **B slices** (r12, bottom of this module): the Table 9-37 B mb_type
-  binarization for the coded 16x16 types, per-list UEG3 mvd with
-  PER-LIST |mvd|-sum neighbor contexts, B-slice mb_skip_flag contexts
-  — sharing h264_b.py's per-list predictors, SAD mode decision and
-  analysis, so CABAC B GOPs (``codec="i16pb_cabac"``) decode to
-  pixels bit-identical to CAVLC B GOPs (pinned in tests).
+  binarization (direct '0' + the coded 16x16 types), per-list UEG3
+  mvd with PER-LIST |mvd|-sum neighbor contexts, B-slice mb_skip_flag
+  contexts (skip = spatial/temporal direct per the slice header, no
+  residual), the pred_weight_table + 8.4.2.3.2 weighted forms —
+  sharing h264_b.py's predictors, direct derivations, weight
+  estimation, SAD mode decision and analysis, so CABAC B GOPs
+  (``codec="i16pb_cabac"``) decode to pixels bit-identical to CAVLC B
+  GOPs (pinned in tests).
 - No I_PCM fallback in this tier (PCM inside CABAC slices re-inits
   the engine; the CAVLC tier keeps the rate-bound role).  The
   remaining CABAC seams are I_PCM, sub-16x16 partition types, and
