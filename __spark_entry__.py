@@ -33,11 +33,9 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: tests nor steal a window slot from the never-checked queue.  No
 #: round-start manual clearing needed (it was late twice, r10 and r11).
 _RECHECK_FIRST: list[tuple[str, int]] = [
-    # r11 pins, all green in CORRECTNESS_r11 → auto-expired; kept one
-    # round as living documentation of the format.
-    ("curation_dsir_pipeline", 11),
-    ("multimodal_mp4_i16_stats", 11),
-    ("multimodal_mp4_intra_stats", 11),
+    # (name, round_added) — empty this round: r13 changed no module
+    # behind an already-checked query (the four new bounds twins enter
+    # via _REGISTERED_ROUND; the four retired queries left the registry).
 ]
 
 #: Registration round of every query that has not yet had a driver
@@ -54,19 +52,27 @@ _REGISTERED_ROUND = {
     "multimodal_mp4_b_gop_index": 12,
     "multimodal_mp4_p2_index": 12,
     "multimodal_mp4_b_cabac_gop_index": 12,
+    # r13: FULL-oracle bounded-error twins of the approximate tier
+    # (r12 verdict item 2)
+    "approx_sketch_bounds": 13,
+    "sim_ann_recall_bounds": 13,
+    "multimodal_mp4_px_bounds": 13,
+    "multimodal_mjpeg_px_bounds": 13,
 }
 
-# Ladder plan (maintained per round): r12's 49-query r8 cohort fills 49
-# slots; the free slot goes to multimodal_mp4_gop_index (first in the
-# never-checked queue).  r13's 47-query r9 cohort leaves 3 free slots
-# for multimodal_mp4_cabac_index, multimodal_mp4_cabac_gop_index and
-# multimodal_mp4_b_gop_index (registered r12, B-frame tier).
-# multimodal_mp4_p2_index (r12, multi-reference tier) queues behind:
-# r14/r15 cohorts are 50 → no free slots, so it drains via the
-# registration-age promotion above at r16 (worst case: checked by
-# round registered + _MAX_STALENESS + 2, transiently bumping one cohort
-# member's staleness to _MAX_STALENESS + 2 — bounded, absorbed at the
-# next sub-50 cohort).
+# Ladder plan (maintained per round; tests/test_entry_rotation.py
+# projects it mechanically).  r13: the 47-query r9 cohort is overdue
+# and fills first; the 3 free slots drain multimodal_mp4_cabac_index,
+# multimodal_mp4_cabac_gop_index and multimodal_mp4_b_gop_index (the
+# head of the never-checked queue).  r13 also RETIRED four near-dup
+# queries (plans/catalog.RETIRED) — two from the r10 cohort, two from
+# the r11 cohort — so r14 = 45 r10-cohort + 5 never-checked
+# (p2_index, b_cabac_gop_index, then the first three r13 bounds twins
+# in registry order) and r15 = 48 r11-cohort + the last bounds twin +
+# one wrap-around slot.  Every never-checked query is therefore
+# driver-checked by registration + 3 — ahead of the promotion bound
+# (registration-age promotion at > _MAX_STALENESS keeps the worst case
+# at registered + _MAX_STALENESS + 2 even for back-to-back 50-cohorts).
 
 #: A query whose last green check is older than this many rounds is
 #: "overdue" and outranks never-checked newcomers in the window — without
@@ -166,7 +172,11 @@ def _order_names(
         if n in recheck:
             return (2, recheck[n])
         if n not in last:
-            return (3, idx)
+            # FIFO by registration round (r13): a newly registered query
+            # must not jump never-checked queries that have already
+            # waited rounds for a slot just because its module imports
+            # earlier in the registry.
+            return (3, registered.get(n, now), idx)
         return (4, last[n], idx)
 
     return [n for _, n in sorted(enumerate(names), key=key)]

@@ -13,5 +13,6 @@ from real_time_trip_processing_project_spark.plans import tpch  # noqa: F401
 from real_time_trip_processing_project_spark.plans import training  # noqa: F401
 
 REGISTRY = catalog.REGISTRY
+RETIRED = catalog.RETIRED
 
-__all__ = ["REGISTRY", "catalog"]
+__all__ = ["REGISTRY", "RETIRED", "catalog"]

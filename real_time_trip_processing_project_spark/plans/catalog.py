@@ -89,16 +89,30 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
+#: Queries RETIRED from the driver-facing registry (r13, rotation-slack
+#: budget: 199 queries in a 50-slot verification window left zero slack,
+#: so registering anything new pushed an already-4-round freshness tail
+#: past the staleness bound).  Retirees are near-duplicate twins whose
+#: capability claim another registered query carries; they keep their
+#: oracle and stay LOCALLY verified (tests/test_queries_oracle.py
+#: parametrizes REGISTRY ∪ RETIRED) — only the driver's rotated window
+#: no longer spends slots on them.
+RETIRED: dict[str, QueryDef] = {}
+
 
 def register(
-    name: str, oracle: str | None, tags: list[str] | None = None, doc: str = ""
+    name: str,
+    oracle: str | None,
+    tags: list[str] | None = None,
+    doc: str = "",
+    retired: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: add a query to the registry."""
+    """Decorator: add a query to the registry (or the RETIRED shelf)."""
 
     def wrap(fn: QueryFn) -> QueryFn:
-        if name in REGISTRY:
+        if name in REGISTRY or name in RETIRED:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QueryDef(
+        (RETIRED if retired else REGISTRY)[name] = QueryDef(
             name=name,
             fn=fn,
             oracle=_ns_robust(oracle),

@@ -686,6 +686,9 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM events GROUP BY user_id) m
     """,
     tags=["S5", "EXT"],
+    retired=True,  # r13: near-dup twin of latest_event_per_user
+    # (register-one-retire-one, r12 verdict item 4); still oracle-tested
+    # locally and plan-asserted (tests/test_plans_physical.py)
 )
 def latest_event_per_user_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The argmax twin of ``latest_event_per_user``: latest row per key

@@ -232,6 +232,9 @@ def _simhash_pairs_oracle() -> str:
     "dedup_simhash_pairs",
     oracle=_simhash_pairs_oracle(),
     tags=["EXT", "dedup"],
+    retired=True,  # r13: near-dup twin of dedup_simhash (the per-doc
+    # signature query) — register-one-retire-one, r12 verdict item 4;
+    # still oracle-tested locally via the RETIRED shelf
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) via 4-byte-band candidate
@@ -2749,6 +2752,9 @@ _VID_FRAME_BYTES = MM.VID_W * MM.VID_H * 3
         SELECT media_id, frame_idx FROM fr WHERE frame_idx % 10 = 0
     """,
     tags=["EXT", "multimodal"],
+    retired=True,  # r13: strict index-only subset of
+    # multimodal_sampled_frame_features (same every-10th grid, same real
+    # decoder, minus the pixel stats) — register-one-retire-one
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-10th-frame sampling over REAL video containers: each doc's
@@ -3197,6 +3203,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MP4/H.264: the former codec seam, closed in r9 (operators/h264.py)
 
 _MP4_FRAME_BYTES = MM.MP4_W * MM.MP4_H  # grayscale, one byte per pixel
+_MJPEG_FRAME_BYTES = MM.MJPEG_W * MM.MJPEG_H  # same 16×16 grayscale grid
 
 
 @register(
@@ -3222,6 +3229,11 @@ _MP4_FRAME_BYTES = MM.MP4_W * MM.MP4_H  # grayscale, one byte per pixel
         WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
     """,
     tags=["EXT", "multimodal"],
+    retired=True,  # r13: weakest sibling of EIGHT container indexes on
+    # the same discipline — multimodal_mp4_frames FULL-oracles the same
+    # I_PCM codec path down to pixel values, and the i16/intra/gop/
+    # cabac/b/p2 indexes keep the container claim on richer codecs;
+    # register-one-retire-one.  Still oracle-tested via RETIRED.
 )
 def multimodal_mp4_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-exact MP4 container index (r8 verdict stretch item — the
@@ -3695,6 +3707,165 @@ def multimodal_mp4_intra_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.mp4_i16_frame_stats(docs, codec="intra")
 
 
+@register(
+    "multimodal_mp4_px_bounds",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   greatest((octet_length(encode(text))
+                             + {_MP4_FRAME_BYTES - 1})
+                            // {_MP4_FRAME_BYTES}, 1) AS fc
+            FROM documents
+            WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+        )
+        SELECT c.codec, doc_id AS media_id,
+               CAST(fc AS BIGINT) AS n_frames,
+               CAST(fc * {_MP4_FRAME_BYTES} AS BIGINT) AS px_total,
+               TRUE AS max_err_ok, TRUE AS rate_ok
+        FROM s CROSS JOIN (VALUES ('i16'), ('intra')) c(codec)
+        WHERE (c.codec = 'i16' AND doc_id % 4 = 1)
+           OR (c.codec = 'intra' AND doc_id % 4 = 0)
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mp4_px_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-oracle bounded-error twin of the two rows-only lossy-codec
+    stats queries (r12 verdict item 2): ``multimodal_mp4_i16_stats``
+    and ``multimodal_mp4_intra_stats``.  Each slice is encoded, MP4-
+    containered, decoded back and compared against the source pixels IN
+    Spark; what leaves the plan per (codec, media) is the frame/pixel
+    accounting DuckDB recomputes from the text bytes plus two booleans
+    over hard per-frame invariants of the qp=12 integer codec chain:
+    ``max_abs_err ≤ 8`` (quantizer distortion ceiling; measures 4) and
+    ``sample_bytes ≤ 400`` (the per-MB I_PCM fallback's structural rate
+    bound, ~398 B worst case).  A decoder/encoder defect that perturbs
+    any frame's pixels or rate flips a boolean — or drops a frame from
+    the inner join of counts — and fails the driver hash.
+
+    Slices: i16 on doc_id%4=1 (disjoint from the intra query's %4=0
+    quarter, widening corpus coverage); intra on %4=0, matching the
+    original.  Row-local Arrow mapInPandas, zero shuffle before the
+    per-media aggregate — linear in slice bytes, same scale shape as
+    the stats originals (which remain the full-corpus serving/metrics
+    paths)."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    out = None
+    for codec, residue in (("i16", 1), ("intra", 0)):
+        stats = MM.mp4_i16_frame_stats(
+            docs.filter(F.col("doc_id") % 4 == residue), codec=codec
+        )
+        rows = stats.groupBy("media_id").agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum("px_count").cast("long").alias("px_total"),
+            (F.max("max_abs_err") <= 8).alias("max_err_ok"),
+            (F.max("sample_bytes") <= 400).alias("rate_ok"),
+        ).select(
+            F.lit(codec).alias("codec"),
+            "media_id",
+            "n_frames",
+            "px_total",
+            "max_err_ok",
+            "rate_ok",
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
+@register(
+    "multimodal_mjpeg_px_bounds",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id AS media_id, text AS t,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n
+            FROM documents
+            WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+        ),
+        fr AS (
+            SELECT media_id, t, n,
+                   unnest(range(0, greatest((n + {_MJPEG_FRAME_BYTES - 1})
+                                            // {_MJPEG_FRAME_BYTES}, 1)))
+                       AS frame_idx
+            FROM s
+        )
+        SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(coalesce(list_sum(list_transform(
+                   range(CAST(frame_idx * {_MJPEG_FRAME_BYTES} + 1 AS INT),
+                         CAST(least((frame_idx + 1) * {_MJPEG_FRAME_BYTES},
+                                    n) + 1 AS INT)),
+                   i -> ascii(substr(t, CAST(i AS INT), 1))
+               )), 0) AS BIGINT) AS sum_exact,
+               TRUE AS within_1px
+        FROM fr
+    """,
+    tags=["EXT", "multimodal"],
+)
+def multimodal_mjpeg_px_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-oracle bounded-error twin of the rows-only
+    ``multimodal_mjpeg_frames`` (r12 verdict item 2): every frame's
+    JPEG-decoded pixel sum is compared IN Spark against the exact
+    source-byte sum (computed by expression from the text — no decode
+    on the exact side), and what leaves the plan per frame is that
+    exact sum (DuckDB recomputes it independently from the same bytes)
+    plus the boolean ``|decoded_sum − exact_sum| ≤ 256`` — the ±1/pixel
+    round-trip guarantee of the all-ones quant table over a 256-pixel
+    frame.  The float-DCT estimate itself never reaches the hash.  A
+    Huffman/DCT/container defect perturbs a decoded sum past the bound
+    (or drops the frame from the inner join) and fails the driver hash.
+
+    Scale: decode is row-local Arrow mapInPandas; the exact side is a
+    generator + codegen aggregate over the same rows; the comparison is
+    an equi-join on (media, frame) — no shuffle wider than the frame
+    grid, linear in corpus bytes."""
+    docs = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY)
+    )
+    dec = MM.mjpeg_frame_features(
+        MM.media_mjpeg_from_documents(docs)
+    ).select("media_id", "frame_idx", "px_sum")
+    fb = _MJPEG_FRAME_BYTES
+    src = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.posexplode(
+                F.split(
+                    F.rpad(
+                        F.col("text"),
+                        fb
+                        * F.greatest(
+                            F.ceil(F.length("text") / fb), F.lit(1)
+                        ).cast("int"),
+                        "\x00",
+                    ),
+                    f"(?<=\\G.{{{fb}}})",
+                )
+            ).alias("frame_idx", "chunk"),
+        )
+        .filter(F.length("chunk") > 0)
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.aggregate(
+                F.transform(
+                    F.split(F.col("chunk"), "(?!^)"),
+                    lambda c: F.ascii(c).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sum_exact"),
+        )
+    )
+    return dec.join(src, ["media_id", "frame_idx"]).select(
+        "media_id",
+        "frame_idx",
+        "sum_exact",
+        (F.abs(F.col("px_sum") - F.col("sum_exact")) <= fb).alias(
+            "within_1px"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # r9 additions: contrastive hard-negative mining + DSIR-style importance
 # resampling — two curation steps every large-scale training pipeline
@@ -3850,6 +4021,117 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ∝ n_probes/n_cells of the data instead of a full scan."""
     emb = load_fixture(spark, sf_dir, "embeddings")
     return SIM.hard_negatives_ann(emb, _ann_queries(emb))
+
+
+#: Recall / match-rate floors for the ANN serving paths, keyed by the
+#: ``variant`` column of ``sim_ann_recall_bounds``.  Identical to
+#: bench.py's quality-gate floors, re-verified at BOTH driver scales in
+#: r13 (sf0.01 / sf0.1): lsh 0.96/0.975, ivf 0.98/0.945, pq 1.0/0.98,
+#: ivfpq 0.98/0.94, hard_neg match@1 1.0/1.0.  The ANN paths are
+#: deterministic (seeded planes / stride-init k-means), so at a given
+#: fixture these are stable measurements, not statistical draws.
+_ANN_RECALL_FLOORS = {
+    "lsh": 0.95,
+    "ivf": 0.93,
+    "pq": 0.95,
+    "ivfpq": 0.90,
+    "hard_neg": 0.95,
+}
+
+
+@register(
+    "sim_ann_recall_bounds",
+    oracle="""
+        WITH nq AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_queries FROM embeddings
+            WHERE vec_id % (SELECT greatest(100, count(*) // 200)
+                            FROM embeddings) = 0
+        )
+        SELECT v.variant, nq.n_queries, TRUE AS ok
+        FROM nq CROSS JOIN (VALUES ('lsh'), ('ivf'), ('pq'), ('ivfpq'),
+                                   ('hard_neg')) v(variant)
+    """,
+    tags=["EXT", "similarity"],
+)
+def sim_ann_recall_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-oracle bounded-error twin of the five rows-only ANN queries
+    (r12 verdict item 2): recall@10 of ``sim_ann_{lsh,ivf,pq,ivfpq}``
+    against the exact ``sim_cosine_topk`` top-k, and match-rate@1 of
+    ``embedding_hard_negatives_ann`` against its exact twin — computed
+    IN Spark (pair-set equi-joins, histogram-sized aggregates) and
+    emitted as one boolean row per variant against the ratcheted floors
+    (:data:`_ANN_RECALL_FLOORS`).  DuckDB independently recomputes the
+    query-workload size and the all-TRUE table, so a routing/probe
+    regression in any ANN mechanism flips ``ok`` and fails the driver
+    hash — the floor that previously lived only in bench.py's quality
+    gate, now in the driver's hard signal.
+
+    Scale: the exact sides are the bounded query-workload × corpus
+    scans already accepted for the exactness twins; every comparison is
+    a key equi-join on (query, neighbor) pairs (≈ queries × k rows) and
+    the scalars attach via 1-row broadcasts — no driver collect."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = _ann_queries(emb)
+    n_q = queries.agg(F.count("*").cast("long").alias("n_queries"))
+
+    bf = SIM.cosine_topk(emb, queries, TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    ann_all = None
+    for variant, ann in (
+        ("lsh", SIM.ann_topk(emb, queries, TOPK, dim=64)),
+        ("ivf", SIM.ivf_topk(emb, queries, TOPK)),
+        ("pq", SIM.pq_topk(emb, queries, TOPK, dim=64)),
+        ("ivfpq", SIM.ivfpq_topk(emb, queries, TOPK, dim=64)),
+    ):
+        tagged = ann.select(
+            F.lit(variant).alias("variant"), "query_id", "neighbor_id"
+        )
+        ann_all = tagged if ann_all is None else ann_all.unionByName(tagged)
+    hits = (
+        ann_all.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("variant")
+        .agg(F.count("*").alias("hits"))
+    )
+    floors = F.create_map(
+        *[
+            x
+            for k, v in _ANN_RECALL_FLOORS.items()
+            for x in (F.lit(k), F.lit(v))
+        ]
+    )
+    ann_rows = (
+        hits.crossJoin(F.broadcast(bf.agg(F.count("*").alias("total"))))
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            "variant",
+            "n_queries",
+            (
+                F.col("hits").cast("double") / F.col("total").cast("double")
+                >= floors[F.col("variant")]
+            ).alias("ok"),
+        )
+    )
+
+    exact_hn = SIM.hard_negatives(emb, queries).select("query_id", "neg_id")
+    ann_hn = SIM.hard_negatives_ann(emb, queries).select(
+        "query_id", "neg_id"
+    )
+    hn_row = (
+        exact_hn.join(ann_hn, ["query_id", "neg_id"])
+        .agg(F.count("*").alias("hits"))
+        .crossJoin(F.broadcast(exact_hn.agg(F.count("*").alias("total"))))
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            F.lit("hard_neg").alias("variant"),
+            "n_queries",
+            (
+                F.col("hits").cast("double") / F.col("total").cast("double")
+                >= F.lit(_ANN_RECALL_FLOORS["hard_neg"])
+            ).alias("ok"),
+        )
+    )
+    return ann_rows.unionByName(hn_row)
 
 
 @register(

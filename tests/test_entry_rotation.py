@@ -160,14 +160,18 @@ def test_registry_names_resolve():
     assert not missing, f"_REGISTERED_ROUND names not registered: {missing}"
 
 
-def test_pins_self_expire_on_green_check():
+def test_pins_self_expire_on_green_check(monkeypatch):
     """r11 verdict item 1: a pin whose query has a GREEN check at or
     after its round_added is dropped; a red or older check keeps it —
     so the driver's post-commit CORRECTNESS file can never re-redden
-    the suite and a satisfied pin can never steal a window slot."""
-    pins = entry_mod._RECHECK_FIRST
-    assert pins and all(
-        isinstance(n, str) and isinstance(r, int) for n, r in pins
+    the suite and a satisfied pin can never steal a window slot.
+    (Synthetic pins: the live list may legitimately be empty in a round
+    that changed no already-checked query's module.)"""
+    pins = [("alpha", 11), ("beta", 12)]
+    monkeypatch.setattr(entry_mod, "_RECHECK_FIRST", pins)
+    assert all(
+        isinstance(n, str) and isinstance(r, int)
+        for n, r in entry_mod._RECHECK_FIRST
     ), "pins must be (name, round_added) tuples"
     name, round_added = pins[0]
     # green check at round_added → expired
@@ -261,3 +265,57 @@ def test_promotion_drains_zero_slack_steady_state():
     assert checked_at is not None, "newbie starved"
     assert checked_at <= 4 + ms + 2, f"newbie checked late: r{checked_at}"
     assert worst <= ms + 2, f"staleness {worst} > {ms + 2}"
+
+
+def test_never_checked_tier_is_fifo_by_registration_round():
+    """Within the never-checked queue, an OLDER registration outranks a
+    newer one regardless of registry (module-import) order — a twin
+    registered this round in an early-importing module must not jump
+    queries that have already waited since earlier rounds (r13)."""
+    last = {"anchor": 12}  # anchors now = 13
+    names = ["anchor", "new_early_module", "old_late_module"]
+    registered = {"new_early_module": 13, "old_late_module": 11}
+    ordered = entry_mod._order_names(names, last, set(), {}, registered)
+    assert ordered[:2] == ["old_late_module", "new_early_module"]
+
+
+def test_ladder_projection_drains_every_never_checked_query():
+    """r12 verdict item 4: project the rotation forward from the REAL
+    registry + REAL CORRECTNESS history (every check passing) and assert
+    each never-checked query lands a driver slot by registration +
+    _MAX_STALENESS + 1, and that no registered query's staleness ever
+    exceeds the promotion worst case (_MAX_STALENESS + 2) along the way.
+    This is the executable form of the ladder-plan comment above
+    _REGISTERED_ROUND."""
+    last, failed = entry_mod._last_check("/root/repo")
+    if not last:
+        return  # fresh checkout — nothing to project
+    names = list(entry_mod.queries())
+    ms = entry_mod._MAX_STALENESS
+    # restrict history to live registry names (retired queries keep
+    # CORRECTNESS rows but no longer occupy slots)
+    sim_last = {n: r for n, r in last.items() if n in names}
+    now = max(sim_last.values()) + 1
+    deadline = {
+        n: entry_mod._REGISTERED_ROUND.get(n, now) + ms + 1
+        for n in names
+        if n not in sim_last
+    }
+    checked_at: dict[str, int] = {}
+    for rnd in range(now, now + 8):
+        window = entry_mod._order_names(
+            names, sim_last, set(), {}, entry_mod._REGISTERED_ROUND
+        )[:WINDOW]
+        for n in window:
+            checked_at.setdefault(n, rnd)
+            sim_last[n] = rnd
+        worst = max(rnd - sim_last.get(n, rnd) for n in names)
+        assert worst <= ms + 2, (
+            f"projected staleness {worst} > {ms + 2} at r{rnd}"
+        )
+    late = {
+        n: (checked_at.get(n), d)
+        for n, d in deadline.items()
+        if checked_at.get(n, 10**9) > d
+    }
+    assert not late, f"never-checked queries past their deadline: {late}"

@@ -8,13 +8,13 @@ from __future__ import annotations
 import contextlib
 import io
 
-from real_time_trip_processing_project_spark.plans import REGISTRY
+from real_time_trip_processing_project_spark.plans import REGISTRY, RETIRED
 
 SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str, mode: str = "formatted") -> str:
-    df = REGISTRY[name].fn(spark, SF)
+    df = (REGISTRY | RETIRED)[name].fn(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode)
@@ -112,6 +112,11 @@ def test_no_cartesian_products_in_catalogue(spark):
         # 1-row broadcast of the (T, S) feature-total scalar
         "curation_importance_resample",
         "curation_dsir_pipeline",  # same scalar via _dsir_pool_scores
+        # r13 bounds twins: 1-row broadcasts of the global-exact /
+        # workload-size scalars, plus (sim_ann_recall_bounds) the
+        # bounded query-set × corpus exact side it verifies against
+        "approx_sketch_bounds",
+        "sim_ann_recall_bounds",
     }
     for name in REGISTRY:
         if name in allowed:

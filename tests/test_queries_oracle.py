@@ -7,11 +7,15 @@ from __future__ import annotations
 import pytest
 
 from real_time_trip_processing_project_spark import testing
-from real_time_trip_processing_project_spark.plans import REGISTRY
+from real_time_trip_processing_project_spark.plans import REGISTRY, RETIRED
+
+#: Retired queries keep their oracle and stay verified HERE (the driver's
+#: rotated window no longer spends slots on them — plans/catalog.RETIRED).
+_ALL = {**REGISTRY, **RETIRED}
 
 
 def _names():
-    return sorted(REGISTRY.keys())
+    return sorted(_ALL.keys())
 
 
 @pytest.fixture(scope="module")
@@ -21,7 +25,7 @@ def duck(sf_oracle):
 
 @pytest.mark.parametrize("qname", _names())
 def test_query_matches_oracle(spark, sf_oracle, duck, qname):
-    qdef = REGISTRY[qname]
+    qdef = _ALL[qname]
     df = qdef.fn(spark, sf_oracle)
     if qdef.oracle is None:
         # rows-only contract: runs, stable schema, non-negative row count
@@ -40,7 +44,7 @@ def test_every_oracle_parses_in_duckdb(duck):
     token after ``FROM events`` the rewrite mis-classifies as an alias
     (e.g. TABLESAMPLE / PIVOT): a mis-rewrite fails loudly here at test
     time instead of surfacing as a confusing driver oracle error."""
-    for qname, qdef in REGISTRY.items():
+    for qname, qdef in _ALL.items():
         if qdef.oracle is None:
             continue
         try:
@@ -78,7 +82,7 @@ def test_oracle_output_types_are_driver_hashable(duck):
     require every output column's declared type to be in the allowlist
     — no HUGEINT, no DECIMAL, no LIST in a hash-compared oracle."""
     bad = []
-    for qname, qdef in sorted(REGISTRY.items()):
+    for qname, qdef in sorted(_ALL.items()):
         if qdef.oracle is None:
             continue
         cols = duck.execute("DESCRIBE " + qdef.oracle).fetchall()

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from real_time_trip_processing_project_spark.operators import multimodal as MM
-from real_time_trip_processing_project_spark.plans import REGISTRY
+from real_time_trip_processing_project_spark.plans import REGISTRY, RETIRED
 from real_time_trip_processing_project_spark.sources.readers import load_fixture
 
 SF = "/root/testdata/sf0.001"
@@ -1691,7 +1691,7 @@ def test_mp4_lossy_index_invariants_and_rate_bound(spark):
     }
     pcm = {
         r.media_id: r
-        for r in REGISTRY["multimodal_mp4_index"].fn(spark, sf).collect()
+        for r in RETIRED["multimodal_mp4_index"].fn(spark, sf).collect()
     }
     assert i16 and set(i16) == set(pcm)
     docs = {
