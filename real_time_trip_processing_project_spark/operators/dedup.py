@@ -162,6 +162,7 @@ def jaccard_prefix_candidates(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    l: int = 1,
 ) -> DataFrame:
     """PPJoin candidate pairs (id_a < id_b): every pair that can reach
     Jaccard ≥ t, generated from a **prefix-filtered** inverted index.
@@ -183,47 +184,133 @@ def jaccard_prefix_candidates(
     postings, both linear.
     """
     sh = shingled_docs(docs, id_col, text_col)
-    return _prefix_candidates(sh, threshold)
+    return _prefix_candidates(sh, threshold, l=l)
 
 
-def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
-    """Candidate join over pre-shingled (id, shingles, n_sh) rows."""
+def _prefix_candidates(sh: DataFrame, threshold: float, l: int = 1) -> DataFrame:
+    """Candidate join over pre-shingled (id, shingles, n_sh) rows.
+
+    ``l`` selects the prefix-scheme order (the AdaptJoin l-prefix
+    family, Wang et al., SIGMOD 2012): a qualifying pair — overlap
+    c ≥ ⌈t·max(|A|,|B|)⌉ ≥ l — must share at least ``l`` tokens within
+    each side's ``|X| − ⌈t·|X|⌉ + l`` rarest-first prefix.  (Proof of
+    the lemma: the suffix holds each side's c − l GLOBALLY LARGEST
+    tokens, so if any of the l smallest intersection elements sat in a
+    suffix, the ≥ l intersection elements guaranteed inside that side's
+    prefix would all be strictly smaller — making it at least the
+    (l+1)-th smallest, a contradiction; hence the l smallest
+    intersection elements lie in BOTH prefixes.)
+
+    - ``l=1`` indexes single shingles: minimal index, but candidate
+      enumeration is Σ df_prefix(s)² — QUADRATIC in corpus size on
+      closed-vocabulary corpora, where every shingle's df (including
+      the rarest) grows ∝ N (measured r13: 93× runtime for 10× data at
+      sf10, Σdf² = 4.0e9).
+    - ``l=2`` indexes ordered PAIRS of prefix shingles (one extra
+      prefix token, C(p,2) ≈ 60 keys/doc): a candidate must share TWO
+      prefix shingles, so enumeration is Σ df(s₁,s₂)² over pair
+      co-occurrence — 33× smaller at sf10 (1.2e8) and far flatter in N.
+      Docs whose overlap bound is below 2 (⌈t·n⌉ < 2, i.e. single-
+      shingle docs at t ≥ 0.5) cannot carry a 2-token requirement;
+      they are routed through the l=1 join against every doc's
+      1-prefix — a vanishing slice (their qualifying partners are
+      length-filtered to ≤ |A|/t shingles).
+
+    Both orders produce a SUPERSET of the qualifying pairs (verified
+    exactly afterwards), so the final output is identical — pinned by
+    ``test_prefix_l2_candidates_match_l1`` and the registered query's
+    O(N²) DuckDB oracle."""
     posting = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
     dfreq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("id").orderBy("df", "shingle")
-    prefix = (
-        posting.join(dfreq, "shingle")
-        .withColumn("pos", F.row_number().over(w))
-        # ⌈t·n⌉ computed with a 1e-9 slack: t is a binary double, so the
-        # product can land marginally ABOVE the exact rational ⌈t·n⌉
-        # boundary (e.g. 0.7·10 → 7.000000000000001) and an unslacked
-        # ceil would overshoot, shrinking the prefix by one shingle and
-        # silently dropping a qualifying pair.  The slack can only widen
-        # the prefix (more candidates, never fewer) — lossless.
-        .filter(
-            F.col("pos")
-            <= F.col("n_sh")
-            - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
-            + 1
-        )
-        .select("id", "n_sh", "shingle")
+    ranked = posting.join(dfreq, "shingle").withColumn(
+        "pos", F.row_number().over(w)
     )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id"))
+    # ⌈t·n⌉ computed with a 1e-9 slack: t is a binary double, so the
+    # product can land marginally ABOVE the exact rational ⌈t·n⌉
+    # boundary (e.g. 0.7·10 → 7.000000000000001) and an unslacked
+    # ceil would overshoot, shrinking the prefix by one shingle and
+    # silently dropping a qualifying pair.  The slack can only widen
+    # the prefix (more candidates, never fewer) — lossless.
+    c_min = F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
+    prefix1 = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - c_min + 1
+    ).select("id", "n_sh", "shingle")
+
+    def pair_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+        a, b = left.alias("a"), right.alias("b")
+        cond = (F.col("a.id") < F.col("b.id")) & (
             # length filter: |B| ∈ [t·|A|, |A|/t]
+            F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")
+        ) & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
+        for k in keys:
+            cond &= F.col(f"a.{k}") == F.col(f"b.{k}")
+        return (
+            a.join(b, cond)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
+    if l == 1:
+        return pair_join(prefix1, prefix1, ["shingle"])
+    if l != 2:  # pragma: no cover - guarded API edge
+        raise ValueError(f"unsupported prefix order l={l}")
+
+    # l = 2: ordered shingle-pair keys from the (…+2)-prefix of every
+    # doc whose overlap bound supports a 2-token requirement.
+    eligible = ranked.filter(c_min >= 2)
+    prefix2 = eligible.filter(
+        F.col("pos") <= F.col("n_sh") - c_min + 2
+    ).groupBy("id").agg(
+        F.first("n_sh").alias("n_sh"),
+        F.collect_list("shingle").alias("pref"),
+    )
+    pair_keys = prefix2.select(
+        "id",
+        "n_sh",
+        F.explode(
+            F.expr(
+                "flatten(transform(pref, (x, i) -> "
+                "transform(slice(pref, i + 2, size(pref)), y -> "
+                "concat(least(x, y), '\\u0001', greatest(x, y)))))"
+            )
+        ).alias("pk"),
+    )
+    cand_big = pair_join(pair_keys, pair_keys, ["pk"])
+
+    # Residual tier: docs that cannot owe a 2-token match (⌈t·n⌉ < 2)
+    # join their WHOLE shingle set (≡ their 1-prefix) against every
+    # doc's 1-prefix; normalize to id_a < id_b afterwards since the
+    # small doc may sit on either side of the ordered pair.
+    small_post = ranked.filter(c_min < 2).select("id", "n_sh", "shingle")
+    s, p1 = small_post.alias("a"), prefix1.alias("b")
+    cand_small = (
+        s.join(
+            p1,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("b.id"))
             & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
             & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
+    return cand_big.unionByName(cand_small).dropDuplicates(["id_a", "id_b"])
+
+
+#: Corpus size above which :func:`jaccard_pairs` switches from the
+#: 1-token to the 2-token prefix scheme.  Measured r13 (same session,
+#: min-of-2): at 5 k docs l=1 wins (1.14 vs 1.53 s — pair-key generation
+#: overhead), at 50 k docs l=2 wins 1.9× (5.9 vs 11.0 s), at 500 k docs
+#: l=2 wins 5.8× (174.5 vs 1019.5 s, where l=1's Σ df_prefix² candidate
+#: enumeration has gone quadratic).  The boundary sits between the first
+#: two points; 20 k splits it with margin on both sides.
+_PREFIX_L2_MIN_DOCS = 20_000
 
 
 def jaccard_pairs(
@@ -231,6 +318,7 @@ def jaccard_pairs(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    l: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs: PPJoin prefix-filtered
     candidate generation + exact verification.
@@ -254,9 +342,20 @@ def jaccard_pairs(
     persist(MEMORY_AND_DISK) of a set-similarity join's tokenized
     relation; recomputing instead is also correct, just 3× the string
     work.
+
+    ``l`` (default auto): prefix-scheme order — see
+    :func:`_prefix_candidates`.  ``None`` picks it cost-based from the
+    corpus row count (:data:`_PREFIX_L2_MIN_DOCS`): the 1-token index
+    below the measured crossover, the 2-token pair-key index above it,
+    where the single-token Σ df² enumeration goes quadratic on
+    closed-vocabulary corpora (r13: 93×-per-10× at 500 k docs; the
+    pair-key scheme measured 5.8× faster there with identical output).
+    Both orders are exact — the choice moves work, never answers.
     """
     sh = shingled_docs(docs, id_col, text_col).localCheckpoint(eager=False)
-    cand = _prefix_candidates(sh, threshold)
+    if l is None:
+        l = 2 if docs.count() > _PREFIX_L2_MIN_DOCS else 1
+    cand = _prefix_candidates(sh, threshold, l=l)
     return _verify_pairs(cand, sh, threshold)
 
 

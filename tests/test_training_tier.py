@@ -124,6 +124,70 @@ def test_jaccard_prefix_filter_prunes_candidates(spark):
     assert n_prefix < n_full
 
 
+def test_prefix_l2_candidates_match_l1(spark):
+    """The 2-token pair-key prefix scheme (the quadratic-resistant order
+    the operator auto-selects above _PREFIX_L2_MIN_DOCS — SCALE.md r13)
+    must produce EXACTLY the same verified pairs as the classic 1-token
+    scheme on the fixture corpus, and its candidate set must be a
+    subset (the l-prefix lemma only ever removes false positives)."""
+    from real_time_trip_processing_project_spark.operators import dedup as DD
+    from real_time_trip_processing_project_spark.plans.training import JACCARD_T
+
+    docs = load_fixture(spark, SF, "documents")
+    t = JACCARD_T
+    p1 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.jaccard_pairs(docs, t, l=1).collect()
+    }
+    p2 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.jaccard_pairs(docs, t, l=2).collect()
+    }
+    assert p1 and p2 == p1
+    c1 = {
+        (r.id_a, r.id_b)
+        for r in DD.jaccard_prefix_candidates(docs, t, l=1).collect()
+    }
+    c2 = {
+        (r.id_a, r.id_b)
+        for r in DD.jaccard_prefix_candidates(docs, t, l=2).collect()
+    }
+    assert c2 <= c1
+    assert {(a, b) for a, b, _ in p1} <= c2  # still a sound superset
+
+
+def test_prefix_l2_edge_cases(spark):
+    """Hand-built corpus hitting the l=2 scheme's seams: single-shingle
+    docs (overlap bound < 2 → routed through the residual 1-token
+    tier), two-shingle exact twins (the smallest pair-key-eligible
+    docs), and a pair at EXACTLY the 0.8 threshold (the ceil-slack
+    boundary).  SHINGLE_W = 3, so an n-word doc has n−2 shingles."""
+    from real_time_trip_processing_project_spark.operators import dedup as DD
+
+    rows = [
+        # single-shingle twins (3 words): Jaccard 1.0, n_sh = 1
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),
+        # two-shingle twins (4 words): smallest ⌈t·n⌉ ≥ 2 docs
+        (3, "delta epsilon zeta eta"),
+        (4, "delta epsilon zeta eta"),
+        # boundary pair: 7 words (5 shingles) vs 6 words (4 shingles,
+        # a prefix subset) → overlap 4, union 5, Jaccard exactly 0.8
+        (5, "w1 w2 w3 w4 w5 w6 w7"),
+        (6, "w1 w2 w3 w4 w5 w6"),
+        # unrelated doc — must pair with nothing
+        (7, "theta iota kappa lambda mu"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {(1, 2, 1.0), (3, 4, 1.0), (5, 6, 0.8)}
+    for l in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in DD.jaccard_pairs(docs, 0.8, l=l).collect()
+        }
+        assert got == want, (l, got)
+
+
 def test_ann_recall_vs_brute_force(spark):
     """8 tables × 8 bits + radius-2 multi-probe on quasi-random 64-d
     vectors: recall@10 ≈ 0.97 measured at sf0.1; assert a floor with
