@@ -267,6 +267,23 @@ def test_promotion_drains_zero_slack_steady_state():
     assert worst <= ms + 2, f"staleness {worst} > {ms + 2}"
 
 
+def test_registry_fits_the_freshness_budget():
+    """Register-one-retire-one (r12 verdict item 4), made structural:
+    with N registered queries and a W-slot window, steady-state
+    freshness is ⌈N/W⌉ rounds — it must not exceed _MAX_STALENESS + 1,
+    or the overdue tier saturates permanently and every registration
+    starves someone.  At 199/50 the budget is exactly met; adding a
+    query without retiring one fails here first (retire to
+    plans/catalog.RETIRED — retirees stay locally oracle-tested)."""
+    import math
+
+    n = len(entry_mod.queries())
+    assert math.ceil(n / WINDOW) <= entry_mod._MAX_STALENESS + 1, (
+        f"{n} registered queries exceed the {WINDOW}-slot window's "
+        f"freshness budget — retire a near-duplicate before registering"
+    )
+
+
 def test_never_checked_tier_is_fifo_by_registration_round():
     """Within the never-checked queue, an OLDER registration outranks a
     newer one regardless of registry (module-import) order — a twin
