@@ -156,6 +156,27 @@ def test_prefix_l2_candidates_match_l1(spark):
     assert {(a, b) for a, b, _ in p1} <= c2  # still a sound superset
 
 
+def test_cosine_topk_numpy_kernel_matches_expr(spark):
+    """The Arrow/BLAS matmul scoring kernel (auto-selected above
+    _COSINE_NUMPY_MIN_ROWS corpus rows — 22× at 200 k vectors, SCALE.md
+    r13) must return rows IDENTICAL to the sequential-order codegen
+    expression the DuckDB oracle mirrors, including the round-6 cosine
+    and the (cos DESC, neighbor_id ASC) ranks — the per-batch local
+    top-k pre-reduction is exact by the union argument."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+    from real_time_trip_processing_project_spark.plans.training import (
+        _ann_queries,
+    )
+
+    emb = load_fixture(spark, SF, "embeddings")
+    q = _ann_queries(emb)
+    expr = {tuple(r) for r in SIM.cosine_topk(emb, q, 10, kernel="expr").collect()}
+    np_k = {tuple(r) for r in SIM.cosine_topk(emb, q, 10, kernel="numpy").collect()}
+    assert expr and np_k == expr
+
+
 def test_prefix_l2_edge_cases(spark):
     """Hand-built corpus hitting the l=2 scheme's seams: single-shingle
     docs (overlap bound < 2 → routed through the residual 1-token
