@@ -66,6 +66,32 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cos_pair(qv, cv):
+    """Arrow-vectorized pairwise cosine — the re-rank kernel of every
+    rows-only ANN path (r13).  The ``cosine_expr`` HOF fold evaluates
+    INTERPRETED per element (the r6 finding), which the sf10 sweep
+    showed dominating the ANN exact re-ranks (candidates × dim boxed
+    ops); this computes the same doubles to the last ulp's neighborhood
+    with two BLAS reductions per batch.  ORACLE-COUPLED paths —
+    ``cosine_pairs``/``cosine_pairs_blocked`` (hash-compared values)
+    and ``cosine_topk``'s expr kernel — keep the sequential-order
+    expression the DuckDB twin reproduces bit-for-bit.  (UDF built
+    lazily per call: a module-level ``pandas_udf`` would parse its DDL
+    type at import time, before any session exists.)"""
+
+    @pandas_udf("double")
+    def kernel(q: pd.Series, c: pd.Series) -> pd.Series:
+        Q = np.asarray([np.asarray(v, dtype=np.float64) for v in q])
+        C = np.asarray([np.asarray(v, dtype=np.float64) for v in c])
+        if len(Q) == 0:
+            return pd.Series([], dtype="float64")
+        num = np.einsum("ij,ij->i", Q, C)
+        den = np.linalg.norm(Q, axis=1) * np.linalg.norm(C, axis=1)
+        return pd.Series(num / den)
+
+    return kernel(qv, cv)
+
+
 #: Corpus size above which :func:`cosine_topk` swaps the codegen-HOF
 #: scoring expression for the Arrow/numpy matmul kernel.  The HOF fold
 #: is INTERPRETED per element (the r6 finding), so Q·N·d scoring ops
@@ -303,7 +329,7 @@ def ann_topk(
     scored = (
         cand.join(F.broadcast(qvecs), "query_id")
         .join(corpus, "neighbor_id")
-        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -435,7 +461,7 @@ def ivf_topk(
         F.broadcast(qp)
         .join(corpus, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -961,7 +987,7 @@ def ivf_topk_indexed(
         F.broadcast(qp)
         .join(corpus, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -1099,7 +1125,7 @@ def ann_topk_indexed(
     scored = (
         cand.join(F.broadcast(qvecs), "query_id")
         .join(corpus, "neighbor_id")
-        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -1469,7 +1495,7 @@ def pq_topk(
     scored = (
         shortlist.join(F.broadcast(qvecs), "query_id")
         .join(corpus, "neighbor_id")
-        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -1656,7 +1682,7 @@ def ivfpq_topk(
     scored = (
         shortlist.join(F.broadcast(qvecs), "query_id")
         .join(corpus, "neighbor_id")
-        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -1839,7 +1865,7 @@ def ivfpq_topk_indexed(
     scored = (
         shortlist.join(F.broadcast(qvecs), "query_id")
         .join(corpus, "neighbor_id")
-        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
