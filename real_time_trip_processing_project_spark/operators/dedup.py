@@ -319,6 +319,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     l: int | None = None,
+    docs_rows: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs: PPJoin prefix-filtered
     candidate generation + exact verification.
@@ -351,10 +352,15 @@ def jaccard_pairs(
     closed-vocabulary corpora (r13: 93×-per-10× at 500 k docs; the
     pair-key scheme measured 5.8× faster there with identical output).
     Both orders are exact — the choice moves work, never answers.
+
+    ``docs_rows`` — caller-known corpus row count; passing it skips the
+    auto-selection ``docs.count()`` action (which re-executes the whole
+    upstream plan when ``docs`` is an unpersisted derived frame).
     """
     sh = shingled_docs(docs, id_col, text_col).localCheckpoint(eager=False)
     if l is None:
-        l = 2 if docs.count() > _PREFIX_L2_MIN_DOCS else 1
+        n = docs_rows if docs_rows is not None else docs.count()
+        l = 2 if n > _PREFIX_L2_MIN_DOCS else 1
     cand = _prefix_candidates(sh, threshold, l=l)
     return _verify_pairs(cand, sh, threshold)
 

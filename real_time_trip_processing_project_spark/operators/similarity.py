@@ -104,6 +104,31 @@ def _cos_pair(qv, cv):
 #: tests/test_training_tier.py.
 _COSINE_NUMPY_MIN_ROWS = 10_000
 
+#: Corpus size above which the ANN exact re-ranks swap the codegen
+#: cosine expression for the :func:`_cos_pair` pandas UDF.  The UDF
+#: pays a fixed Arrow/worker spin-up that LOSES at driver/bench scale
+#: (r13 made the swap unconditional and `sim_ann_ivf` regressed
+#: 0.570→0.857 s at sf0.1 — VERDICT r13 item 1) and wins 1.5× at sf10;
+#: the measured crossover matches :data:`_COSINE_NUMPY_MIN_ROWS`, so
+#: the same threshold gates both kernel families.  Candidate volume in
+#: every re-rank is proportional to either the corpus size (LSH/IVF
+#: probes scan a corpus fraction) or the bounded query×shortlist
+#: product (PQ/IVFADC), so each call site gates on whichever of the
+#: two it can know without an extra Spark action.
+_COS_PAIR_MIN_ROWS = 10_000
+
+
+def _rerank_cos(qv, cv, n_hint: int | None):
+    """Re-rank cosine kernel shared by the ANN paths: the codegen
+    expression below the measured crossover (no UDF spin-up), the
+    Arrow/einsum pairwise kernel above it (no interpreted HOF).  Both
+    paths feed ``round(cos, 6)`` rows-only outputs; parity is pinned in
+    tests/test_training_tier.py.  ``n_hint`` is the caller's candidate-
+    volume proxy; ``None`` means unknown → take the scale-safe kernel."""
+    if n_hint is not None and n_hint <= _COS_PAIR_MIN_ROWS:
+        return cosine_expr(qv, cv)
+    return _cos_pair(qv, cv)
+
 
 def _cosine_topk_kernel(
     emb: DataFrame, queries: DataFrame, k: int, id_col: str, vec_col: str
@@ -118,10 +143,15 @@ def _cosine_topk_kernel(
     window rank sees (batches × Q × k) rows instead of Q·N."""
     import numpy as np
 
+    # id columns keep their INPUT type end-to-end (the output schema is
+    # derived, not hard-coded long) so both kernels of cosine_topk
+    # return identical schemas for any id type
+    id_type = emb.schema[id_col].dataType.simpleString()
+
     q_rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
-    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    q_ids = np.array([r.qid for r in q_rows])
     q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
@@ -129,7 +159,9 @@ def _cosine_topk_kernel(
         import pandas as pd
 
         for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if len(pdf) == 0:  # empty Arrow batch → shape-(0,) array
+                continue
+            ids = pdf[id_col].to_numpy()
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             cos = mat @ q_mat.T  # (B, Q)
@@ -141,7 +173,10 @@ def _cosine_topk_kernel(
             for j in range(cos.shape[1]):
                 order = np.lexsort((ids, -cos[:, j]))[:kk]
                 sel = order[np.isfinite(cos[order, j])]
-                out_q.extend([int(q_ids[j])] * len(sel))
+                qid = q_ids[j]
+                if isinstance(qid, np.generic):
+                    qid = qid.item()
+                out_q.extend([qid] * len(sel))
                 out_n.extend(ids[sel].tolist())
                 out_c.extend(cos[sel, j].tolist())
             yield pd.DataFrame(
@@ -149,7 +184,7 @@ def _cosine_topk_kernel(
             )
 
     return _spread(emb.select(id_col, vec_col)).mapInPandas(
-        run, "query_id long, neighbor_id long, cos double"
+        run, f"query_id {id_type}, neighbor_id {id_type}, cos double"
     )
 
 
@@ -160,6 +195,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kernel: str | None = None,
+    rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -174,11 +210,18 @@ def cosine_topk(
     22× faster at 200 k vectors (SCALE.md r13), same rows (parity
     pinned at two scales in tests; last-ulp summation differences sit
     ~9 decimals below the round-6 output grid).  ``None`` picks by
-    corpus count (:data:`_COSINE_NUMPY_MIN_ROWS`)."""
+    corpus count (:data:`_COSINE_NUMPY_MIN_ROWS`).
+
+    ``rows`` — caller-known corpus row count; passing it skips the
+    auto-selection ``emb.count()`` action (which re-executes the whole
+    upstream plan when ``emb`` is an unpersisted derived frame).
+    ORACLE-COUPLED callers should pass ``kernel='expr'`` instead: the
+    expr kernel is the form whose summation order DuckDB reproduces
+    bit-for-bit at EVERY scale, so a hash-compared query must never be
+    left to size-dependent auto-selection."""
     if kernel is None:
-        kernel = (
-            "numpy" if emb.count() > _COSINE_NUMPY_MIN_ROWS else "expr"
-        )
+        n = rows if rows is not None else emb.count()
+        kernel = "numpy" if n > _COSINE_NUMPY_MIN_ROWS else "expr"
     if kernel == "numpy":
         scored = _cosine_topk_kernel(emb, queries, k, id_col, vec_col)
     else:
@@ -288,6 +331,7 @@ def ann_topk(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table hyperplane-LSH + exact re-rank.
 
@@ -303,6 +347,9 @@ def ann_topk(
     partitions; index size is ANN_TABLES× the corpus, the classic
     LSH space-for-recall trade."""
     planes = _planes(dim)
+    # candidate volume ∝ corpus size (a probe scans a corpus fraction):
+    # gate the re-rank kernel on it; one cheap count when no hint given
+    n_corpus = corpus_rows if corpus_rows is not None else emb.count()
     corpus = _spread(
         emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     )
@@ -329,7 +376,7 @@ def ann_topk(
     scored = (
         cand.join(F.broadcast(qvecs), "query_id")
         .join(corpus, "neighbor_id")
-        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _rerank_cos(F.col("qv"), F.col("cv"), n_corpus))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -432,6 +479,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = IVF_CELLS,
     n_probes: int = IVF_PROBES,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means cells + multi-cell probe + exact
     re-rank.
@@ -444,6 +492,7 @@ def ivf_topk(
     standard IVF recall/cost trade (probe more cells → higher recall).
     """
     centroids = kmeans_fit(emb, k=n_cells, vec_col=vec_col, id_col=id_col)
+    n_corpus = corpus_rows if corpus_rows is not None else emb.count()
     # cell assignment + in-cell cosine re-rank are the CPU-heavy
     # stages; spread a few-split local fixture (no-op at real scale)
     corpus = _spread(
@@ -461,7 +510,7 @@ def ivf_topk(
         F.broadcast(qp)
         .join(corpus, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _rerank_cos(F.col("qv"), F.col("cv"), n_corpus))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -954,6 +1003,7 @@ def ivf_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = IVF_PROBES,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k against a persisted IVF index (same semantics
     and output as :func:`ivf_topk` over the corpus the index was built
@@ -983,11 +1033,14 @@ def ivf_topk_indexed(
     corpus = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probe_cells)
     )
+    # gate the re-rank kernel on the PRUNED index size (parquet count
+    # over probed partitions — footer metadata, not a data scan)
+    n_probed = corpus_rows if corpus_rows is not None else corpus.count()
     scored = (
         F.broadcast(qp)
         .join(corpus, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _rerank_cos(F.col("qv"), F.col("cv"), n_probed))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -1078,6 +1131,7 @@ def ann_topk_indexed(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k against a persisted LSH index — same semantics
     as :func:`ann_topk` over the corpus the index was built from.
@@ -1122,10 +1176,13 @@ def ann_topk_indexed(
     corpus = spark.read.parquet(f"{path}/buckets").filter(
         F.col("table") == F.lit(0)
     ).select("neighbor_id", "cv")
+    # table==0 slice of the index == one corpus copy; parquet count over
+    # the pruned partition is footer metadata, not a data scan
+    n_corpus = corpus_rows if corpus_rows is not None else corpus.count()
     scored = (
         cand.join(F.broadcast(qvecs), "query_id")
         .join(corpus, "neighbor_id")
-        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _rerank_cos(F.col("qv"), F.col("cv"), n_corpus))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -1495,7 +1552,10 @@ def pq_topk(
     scored = (
         shortlist.join(F.broadcast(qvecs), "query_id")
         .join(corpus, "neighbor_id")
-        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
+        # shortlist ≤ Q×kr rows by the window bound — known plan-side
+        .withColumn(
+            "cos", _rerank_cos(F.col("qv"), F.col("cv"), len(qrows) * kr)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -1682,7 +1742,10 @@ def ivfpq_topk(
     scored = (
         shortlist.join(F.broadcast(qvecs), "query_id")
         .join(corpus, "neighbor_id")
-        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
+        # shortlist ≤ Q×kr rows by the window bound — known plan-side
+        .withColumn(
+            "cos", _rerank_cos(F.col("qv"), F.col("cv"), len(qrows) * kr)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -1865,7 +1928,10 @@ def ivfpq_topk_indexed(
     scored = (
         shortlist.join(F.broadcast(qvecs), "query_id")
         .join(corpus, "neighbor_id")
-        .withColumn("cos", _cos_pair(F.col("qv"), F.col("cv")))
+        # shortlist ≤ Q×kr rows by the window bound — known plan-side
+        .withColumn(
+            "cos", _rerank_cos(F.col("qv"), F.col("cv"), len(qrows) * kr)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")

@@ -3530,8 +3530,11 @@ def approx_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("status", "chk", "v")
         .agg(
+            F.sum((F.col("o_totalprice") < F.col("v")).cast("long")).alias(
+                "lt"
+            ),
             F.sum((F.col("o_totalprice") <= F.col("v")).cast("long")).alias(
-                "rank"
+                "le"
             ),
             F.count("*").alias("n"),
         )
@@ -3539,14 +3542,27 @@ def approx_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("status").alias("o_orderstatus"),
             "chk",
             F.col("n").cast("long").alias("n_exact"),
+            # Tie-robust rank check (r13 ADVICE): the returned value v
+            # occupies the rank INTERVAL [lt+1, le]; the sketch meets
+            # its guarantee if the target rank p·(n−1)+1 falls within
+            # that interval widened by the error budget on each side.
+            # A single <=-count comparison is tie-sensitive — a value
+            # duplicated in >1% of a group's rows pushes the <=-rank
+            # past the budget even when the sketch is in-spec.
             (
-                F.abs(
-                    F.col("rank").cast("double")
-                    - 1.0
-                    - p_map[F.col("chk")] * (F.col("n") - 1).cast("double")
+                (
+                    p_map[F.col("chk")] * (F.col("n") - 1).cast("double")
+                    + 1.0
+                    >= F.col("lt").cast("double")
+                    + 1.0
+                    - 0.01 * F.col("n").cast("double")
                 )
-                / F.col("n").cast("double")
-                <= 0.01
+                & (
+                    p_map[F.col("chk")] * (F.col("n") - 1).cast("double")
+                    + 1.0
+                    <= F.col("le").cast("double")
+                    + 0.01 * F.col("n").cast("double")
+                )
             ).alias("ok"),
         )
     )

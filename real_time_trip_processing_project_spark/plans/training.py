@@ -468,10 +468,18 @@ def _ann_queries(emb: DataFrame) -> DataFrame:
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-10 cosine neighbors for the fixed query
     workload (:func:`_ann_queries`; ≡ ``vec_id % 100 = 0`` at every
-    driver scale).  Queries broadcast; corpus scanned once."""
+    driver scale).  Queries broadcast; corpus scanned once.
+
+    ``kernel='expr'`` is PINNED, not auto-selected: this query is
+    hash-compared against a DuckDB oracle on round(cos, 6) values and
+    rank ties, and only the expr kernel's sequential summation order is
+    the one DuckDB's list_cosine_similarity reproduces bit-for-bit —
+    auto-selection would silently switch the oracle-coupled path to the
+    BLAS kernel above 10 k embeddings (r13 ADVICE, medium).  Rows-only
+    serving paths keep auto-selection and its scale win."""
     emb = load_fixture(spark, sf_dir, "embeddings")
     queries = _ann_queries(emb)
-    return SIM.cosine_topk(emb, queries, TOPK)
+    return SIM.cosine_topk(emb, queries, TOPK, kernel="expr")
 
 
 @register(
