@@ -265,11 +265,23 @@ def quality_sqls(text: str) -> dict[str, str]:
 #: deterministic composite — length band + stopword presence).
 def quality_score_expr(text: str) -> Column:
     q = quality_exprs(text)
+    return quality_score_from_counts(
+        q["n_chars"], q["stopword_ratio"], q["punct_ratio"]
+    )
+
+
+def quality_score_from_counts(n_chars, stopword_ratio, punct_ratio) -> Column:
+    """Score composition over ALREADY-COMPUTED stat columns — the seam
+    that lets a hot path supply the integer counts from an Arrow kernel
+    (operators/curation.py:quality_counts) while every float op (the
+    round-6 ratios feeding these thresholds, and the CASE sum itself)
+    stays in Spark expressions, bit-identical to the expression form
+    and the SQL twin."""
     length_ok = F.when(
-        (q["n_chars"] >= 100) & (q["n_chars"] <= 20000), F.lit(0.5)
+        (n_chars >= 100) & (n_chars <= 20000), F.lit(0.5)
     ).otherwise(F.lit(0.0))
-    stop_ok = F.when(q["stopword_ratio"] >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
-    punct_ok = F.when(q["punct_ratio"] <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
     return F.round(length_ok + stop_ok + punct_ok, 6)
 
 

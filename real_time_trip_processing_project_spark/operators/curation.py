@@ -30,6 +30,81 @@ from real_time_trip_processing_project_spark.operators import dedup as DD
 #: Token budget per packed bin (whitespace tokens at fixture scale).
 PACK_BUDGET = 512
 
+
+def quality_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-pass Arrow kernel for the quality-gate inputs: per document,
+    ``(h = md5(text), id, lang, n_chars, n_tokens, stop, punct)`` — the
+    exact INTEGER counts :func:`TX.quality_exprs` computes, plus the
+    dedup key, in a single map-only scan.
+
+    Why a kernel: the expression form's stopword count is an
+    interpreted array-HOF filter over every token and its punct count
+    is a full-text regexp_replace — together 36 s of the 77 s
+    curation_corpus_pipeline at sf10 (r14 profile; the r6
+    interpreted-HOF finding again).  Only integer counts cross the
+    Arrow boundary; every float op (round-6 ratios, the CASE-sum score)
+    stays in Spark expressions via
+    :func:`TX.quality_score_from_counts`, so results are bit-identical
+    to the expression form — parity pinned on the fixture in
+    tests/test_training_tier.py.
+
+    Tokenization parity (ASCII corpus, like the udtf_tokenize
+    precedent): ``re`` patterns compiled with ``re.ASCII`` so ``\\s``
+    matches Java regex semantics; ``n_chars = len(text)`` (code points)
+    equals Java's UTF-16 length on BMP text; md5 runs over the same
+    UTF-8 bytes in both engines."""
+    import hashlib
+    import re as _re
+
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    stop_set = frozenset(TX.STOPWORDS)
+    word_pat = TX.WORD_SPLIT_PATTERN
+    punct_pat = TX.PUNCT_PATTERN
+
+    def run(batches):
+        import pandas as pd
+
+        word_re = _re.compile(word_pat, _re.ASCII)
+        punct_re = _re.compile(punct_pat, _re.ASCII)
+        ws_re = _re.compile(r"\s+", _re.ASCII)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "h": [], "id": [], "lang": [],
+                "n_chars": [], "n_tokens": [], "stop": [], "punct": [],
+            }
+            for did, lang, text in zip(
+                pdf[id_col], pdf["lang"], pdf[text_col]
+            ):
+                t = text or ""
+                out["h"].append(hashlib.md5(t.encode("utf-8")).hexdigest())
+                out["id"].append(did)
+                out["lang"].append(lang)
+                out["n_chars"].append(len(t))
+                # split(trim(t), '\s+'): [''] (size 1) for empty text —
+                # re.split reproduces that, str.split() would not
+                out["n_tokens"].append(len(ws_re.split(t.strip())))
+                out["stop"].append(
+                    sum(1 for w in word_re.split(t) if w in stop_set)
+                )
+                out["punct"].append(len(punct_re.findall(t)))
+            yield pd.DataFrame(out)
+
+    return spread_small_input(
+        docs.select(id_col, "lang", text_col)
+    ).mapInPandas(
+        run,
+        f"h string, id {id_type}, lang string, n_chars long, "
+        "n_tokens long, stop long, punct long",
+    )
+
 #: Bloom filter shape for the sketch-based contamination probe: 2^20
 #: bits, 4 hash functions — each position is 8 hex nibbles (32 bits) of
 #: ONE md5 per shingle, reduced mod BLOOM_BITS (4 groups × 8 nibbles =

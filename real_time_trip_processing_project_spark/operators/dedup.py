@@ -84,6 +84,63 @@ def word_bigrams(text_col):
     return F.slice(grams, 1, F.greatest(n - 1, F.lit(0)))
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document bigram repetition statistics — ``(id, n_grams,
+    n_distinct, max_c)`` for every doc with ≥1 bigram — as a MAP-ONLY
+    Arrow kernel: tokenize + Counter per document inside each batch,
+    emit four ints per doc.
+
+    This replaces the explode → groupBy(doc, gram) → groupBy(doc) shape
+    whose gram exchange was the sf10 probe's heaviest linear constant
+    (r13 SCALE.md: 66.9 s at sf10 — the shuffle carries every bigram
+    string).  The statistics are per-document, so no cross-row state is
+    needed at all: ZERO shuffle, and the output is one narrow row per
+    doc.  All four stats are exact integers — kernel/expression parity
+    is pinned in tests (same discipline as winnowing/text_fingerprint:
+    hot gram paths run as Arrow kernels, the expression form stays as
+    the parity twin).
+
+    Tokenization is Python ``str.split()`` ≡ the expression form's
+    ``split(trim(text), '\\s+')`` and the oracle's
+    ``string_split_regex`` on whitespace-delimited text (the
+    udtf_tokenize precedent — pinned against the expression form on the
+    fixture).  Docs with <2 tokens produce no bigrams and are absent
+    from the output, matching the explode form."""
+    from collections import Counter
+
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ng, nd, mx = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").strip().split()
+                if len(toks) < 2:
+                    continue
+                c = Counter(zip(toks, toks[1:]))
+                ids.append(did)
+                ng.append(len(toks) - 1)
+                nd.append(len(c))
+                mx.append(max(c.values()))
+            yield pd.DataFrame(
+                {"id": ids, "n_grams": ng, "n_distinct": nd, "max_c": mx}
+            )
+
+    return spread_small_input(docs.select(id_col, text_col)).mapInPandas(
+        run, f"id {id_type}, n_grams long, n_distinct long, max_c long"
+    )
+
+
 def shingled_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shingles, n_shingles) per document.
 

@@ -569,26 +569,54 @@ def curation_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies their COMPOSITION, where stage-boundary bugs (dedup before
     vs after scoring, split leakage through duplicates) live.
 
-    Plan shape: ONE shuffle on md5(text) for the dedup window, then a
-    histogram-sized groupBy; the quality score and token counts are
-    codegen expressions computed in the same pass.  Scores aggregate as
-    integer millis (the derived-double lesson)."""
+    Plan shape (r14): score, token count, md5 key and split tag are all
+    computed BEFORE the exchange, so the dedup shuffle carries ~50-byte
+    rows instead of full document bodies (the r13 sf10 probe's second-
+    heaviest linear constant — 78.8 s — was exactly that: a window over
+    md5(text) exchanging every text).  The window itself is gone too:
+    "keep the lowest-doc_id copy" is ``min(struct(doc_id, …))`` with
+    map-side partial aggregation, which collapses duplicate groups
+    before they ever reach the wire.  The quality gate commutes with
+    the dedup (duplicates share text, hence score), so it also runs
+    pre-shuffle and drops low-quality rows from the exchange entirely.
+    Scores aggregate as integer millis (the derived-double lesson).
+
+    The per-row stats come from the one-pass Arrow kernel
+    (:func:`CU.quality_counts` — the expression form's interpreted
+    stopword HOF + full-text punct regexp were 36 s of the 77 s sf10
+    runtime); the score itself is the SAME Spark expression over those
+    integer counts (:func:`TX.quality_score_from_counts`), bit-identical
+    to the expression form and the oracle."""
     docs = load_fixture(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    counts = CU.quality_counts(docs)
+    stop_ratio = F.round(
+        F.col("stop").cast("double") / F.col("n_tokens").cast("double"), 6
+    )
+    punct_ratio = F.round(
+        F.col("punct").cast("double") / F.col("n_chars").cast("double"), 6
+    )
+    narrow = counts.select(
+        "h",
+        F.col("id").alias("doc_id"),
+        "lang",
+        TX.quality_score_from_counts(
+            F.col("n_chars"), stop_ratio, punct_ratio
+        ).alias("score"),
+        F.col("n_tokens").alias("n_tok"),
+    ).filter(F.col("score") >= 0.5)
     kept = (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .withColumn("score", TX.quality_score_expr("text"))
-        .filter(F.col("score") >= 0.5)
+        narrow.groupBy("h")
+        .agg(
+            F.min(F.struct("doc_id", "lang", "score", "n_tok")).alias("s")
+        )
+        .select("s.*")
     )
     return (
         kept.withColumn("split", CU.split_expr())
         .groupBy("split", "lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(TX.ws_token_count_expr("text"))
-            .cast("long")
-            .alias("n_tokens"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
             F.sum(F.round(F.col("score") * 1000).cast("long")).alias(
                 "sum_score_milli"
             ),
@@ -1520,21 +1548,28 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single most repeated bigram — the two signals that catch
     boilerplate and degenerate loops before training.
 
-    Scale: explode → two hash-aggregates, both keyed by doc_id (the
-    second groupBy re-uses the first's partitioning — one effective
-    shuffle of narrow (doc_id, gram-hash) rows).  No per-doc maps or
-    UDFs; multiplicity is carried by count, never by materialized gram
-    lists."""
+    Scale (r14): the statistics are strictly per-document, so they run
+    as a MAP-ONLY Arrow kernel (:func:`DD.repetition_stats`) — ZERO
+    shuffle, one narrow int row per doc.  The previous explode →
+    groupBy(doc, gram) shape shuffled every bigram string and was the
+    sf10 probe's heaviest linear constant (66.9 s at sf10; the kernel
+    measured 23× faster there, SCALE.md r14).  All stats are exact
+    integers, so the fractions below are bit-identical to the
+    expression form — parity pinned in tests/test_training_tier.py."""
     docs = load_fixture(spark, sf_dir, "documents")
-    g = docs.select("doc_id", F.explode(DD.word_bigrams(F.col("text"))).alias("g"))
-    per = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    return per.groupBy("doc_id").agg(
-        F.sum("c").alias("n_grams"),
-        F.count("*").alias("n_distinct"),
+    stats = DD.repetition_stats(docs)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_distinct",
         F.round(
-            F.lit(1.0) - F.count("*").cast("double") / F.sum("c"), 6
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_grams"),
+            6,
         ).alias("dup_frac"),
-        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_frac"),
+        F.round(
+            F.col("max_c").cast("double") / F.col("n_grams"), 6
+        ).alias("top_frac"),
     )
 
 

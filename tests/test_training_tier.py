@@ -1807,3 +1807,113 @@ def test_mp4_lossy_index_invariants_and_rate_bound(spark):
     )
     sent = MM.mp4_container_index(bad, rate_bound_bytes=400).collect()[0]
     assert not sent.index_consistent and not sent.within_rate_bound
+
+
+def test_repetition_kernel_matches_expression_twin(spark):
+    """r14: text_repetition's map-only Arrow kernel (tokenize+Counter
+    per doc) must agree row-for-row with the explode → groupBy
+    expression form it replaced — all four stats are exact integers, so
+    equality is total, not approximate."""
+    from real_time_trip_processing_project_spark.operators import dedup as DD
+
+    docs = load_fixture(spark, SF, "documents")
+    kern = {
+        r["id"]: (r["n_grams"], r["n_distinct"], r["max_c"])
+        for r in DD.repetition_stats(docs).collect()
+    }
+    g = docs.select(
+        "doc_id", F.explode(DD.word_bigrams(F.col("text"))).alias("g")
+    )
+    expr = {
+        r["doc_id"]: (r["n_grams"], r["n_distinct"], r["max_c"])
+        for r in g.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("max_c"),
+        )
+        .collect()
+    }
+    assert kern == expr and kern
+
+
+def test_repetition_kernel_edge_docs(spark):
+    """Empty / single-word / whitespace-only docs yield no bigrams in
+    BOTH forms (absent from output); a doc of one repeated bigram is
+    fully duplicated."""
+    from real_time_trip_processing_project_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "   "), (4, "a b a b a"), (5, "x y")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["id"]: (r["n_grams"], r["n_distinct"], r["max_c"])
+        for r in DD.repetition_stats(docs).collect()
+    }
+    assert got == {4: (4, 2, 2), 5: (1, 1, 1)}
+
+
+def test_quality_counts_kernel_matches_expression_twin(spark):
+    """r14: curation_corpus_pipeline's one-pass Arrow kernel must emit
+    the SAME integer counts as TX.quality_exprs and the same md5 key —
+    the seam that keeps the kernel-fed score bit-identical to the
+    expression form and the DuckDB oracle."""
+    from real_time_trip_processing_project_spark.functions import text as TX
+    from real_time_trip_processing_project_spark.operators import (
+        curation as CU,
+    )
+
+    docs = load_fixture(spark, SF, "documents")
+    q = TX.quality_exprs("text")
+    stop = F.size(
+        F.filter(
+            F.split(F.col("text"), TX.WORD_SPLIT_PATTERN),
+            lambda t: t.isin(*TX.STOPWORDS),
+        )
+    ).cast("long")
+    punct = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", TX.PUNCT_PATTERN, ""))
+    ).cast("long")
+    expr = {
+        r["doc_id"]: (
+            r["h"], r["lang"], r["n_chars"], r["n_tokens"],
+            r["stop"], r["punct"],
+        )
+        for r in docs.select(
+            "doc_id", "lang", F.md5("text").alias("h"),
+            q["n_chars"].alias("n_chars"), q["n_tokens"].alias("n_tokens"),
+            stop.alias("stop"), punct.alias("punct"),
+        ).collect()
+    }
+    kern = {
+        r["id"]: (
+            r["h"], r["lang"], r["n_chars"], r["n_tokens"],
+            r["stop"], r["punct"],
+        )
+        for r in CU.quality_counts(docs).collect()
+    }
+    assert kern == expr and kern
+
+
+def test_quality_counts_kernel_edge_docs(spark):
+    """Empty text: split(trim(''), '\\s+') = [''] → n_tokens 1 in the
+    expression form — the kernel must reproduce that, plus zero stops,
+    zero punct, and the md5 of the empty string."""
+    from real_time_trip_processing_project_spark.operators import (
+        curation as CU,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", ""), (2, "en", "the quick, brown fox!")],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    got = {
+        r["id"]: (r["n_chars"], r["n_tokens"], r["stop"], r["punct"])
+        for r in CU.quality_counts(docs).collect()
+    }
+    assert got[1] == (0, 1, 0, 0)
+    assert got[2] == (21, 4, 1, 2)
