@@ -58,19 +58,25 @@ _REGISTERED_ROUND = {
     "sim_ann_recall_bounds": 13,
     "multimodal_mp4_px_bounds": 13,
     "multimodal_mjpeg_px_bounds": 13,
+    # r14: bounded-output siblings of the two semantics-quadratic
+    # queries (r13 verdict item 4); funnel_conversion and
+    # text_lm_score retired to pay the budget
+    "session_overlap_top_pairs": 14,
+    "graph_triangles_clustered": 14,
 }
 
 # Ladder plan (maintained per round; tests/test_entry_rotation.py
-# projects it mechanically).  r13: the 47-query r9 cohort is overdue
-# and fills first; the 3 free slots drain multimodal_mp4_cabac_index,
-# multimodal_mp4_cabac_gop_index and multimodal_mp4_b_gop_index (the
-# head of the never-checked queue).  r13 also RETIRED four near-dup
-# queries (plans/catalog.RETIRED) — two from the r10 cohort, two from
-# the r11 cohort — so r14 = 45 r10-cohort + 5 never-checked
-# (p2_index, b_cabac_gop_index, then the first three r13 bounds twins
-# in registry order) and r15 = 48 r11-cohort + the last bounds twin +
-# one wrap-around slot.  Every never-checked query is therefore
-# driver-checked by registration + 3 — ahead of the promotion bound
+# projects it mechanically).  r14: the r10 cohort (45 after the r13
+# retirements) is overdue and fills first; the 5 free slots drain the
+# never-checked queue in registration order — multimodal_mp4_p2_index,
+# multimodal_mp4_b_cabac_gop_index, then the first three r13 bounds
+# twins.  r14 also registered two bounded-output siblings
+# (session_overlap_top_pairs, graph_triangles_clustered; r13 verdict
+# item 4) and RETIRED funnel_conversion + text_lm_score in exchange
+# (registry stays at 199), so r15 = the 47-query r11 cohort (48 minus
+# retired text_lm_score) + the queue tail (multimodal_mjpeg_px_bounds
+# + the two r14 siblings).  Every never-checked query is therefore
+# driver-checked by registration + 1..3 — ahead of the promotion bound
 # (registration-age promotion at > _MAX_STALENESS keeps the worst case
 # at registered + _MAX_STALENESS + 2 even for back-to-back 50-cohorts).
 

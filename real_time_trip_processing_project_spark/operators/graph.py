@@ -250,6 +250,124 @@ def triangle_count(
     )
 
 
+def triangle_count_clustered(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_component_edges: int = 2_000_000,
+    components: DataFrame | None = None,
+) -> DataFrame:
+    """Per-node triangle counts via CLUSTER-FIRST enumeration — the
+    100 TB path for dedup-shaped graphs (r13 verdict item 4): connected
+    components route each edge to its component, then triangles are
+    enumerated INSIDE each component with a local degree-ordered
+    NodeIterator++ (Arrow ``applyInPandas`` group).  Same output as
+    :func:`triangle_count` (per-node counts over the undirected pair
+    graph) — identical oracle.
+
+    Why this scales where the global wedge join eventually hurts: real
+    dedup graphs are forests of small near-cliques, so after the CC
+    label join (logarithmic star-contraction rounds + one linear edge
+    shuffle keyed by component) every triangle lives inside a bounded
+    pandas group — no global wedge exchange at all, and the wedge work
+    parallelizes per component instead of per join partition.  The sf10
+    probe showed the GLOBAL form's cost tracking the fixture graph's
+    densification (226×/100× — per-edge cost falls; SCALE.md r13);
+    cluster-first keeps that cost inside components, which on
+    production dedup data stay small by construction (they ARE the
+    duplicate clusters).
+
+    ``components`` — optional precomputed (doc_id, canonical_id) table.
+    In a dedup pipeline the clusters are ALREADY computed (the
+    `dedup_clusters` output this path is named for); passing them skips
+    the CC rounds entirely, leaving one linear label join + the
+    per-component Arrow groups — the amortization that makes
+    cluster-first the right call when clustering is a pipeline stage
+    anyway (measured: the CC rounds are ~¾ of the self-contained cost,
+    SCALE.md r14).
+
+    ``max_component_edges`` guards the in-memory enumeration: a
+    component larger than the bound raises with instructions to use the
+    distributed :func:`triangle_count` — the documented ValueError-edge
+    discipline (a silent spill would hide a graph that stopped being
+    dedup-shaped)."""
+    from real_time_trip_processing_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    und = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    comp = components
+    if comp is None:
+        comp = connected_components(
+            und.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+        )
+    e = und.join(
+        comp.select(
+            F.col("doc_id").alias("u"), F.col("canonical_id").alias("comp")
+        ),
+        "u",
+    ).localCheckpoint(eager=False)  # guard pass + enumeration share one run
+    # Guard BEFORE any group materializes: a giant component would be
+    # collected into one Arrow group first and only then hit an in-kernel
+    # size check — i.e. the OOM would arrive before the ValueError.  One
+    # linear aggregate over the checkpointed edges raises driver-side
+    # instead.
+    mx = (
+        e.groupBy("comp")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()["mx"]
+    )
+    if mx is not None and mx > max_component_edges:
+        raise ValueError(
+            f"triangle_count_clustered: largest component has {mx} edges,"
+            f" exceeding max_component_edges={max_component_edges}; this"
+            " graph is not dedup-shaped — use triangle_count (the"
+            " distributed degree-ordered wedge join) instead"
+        )
+    id_type = und.schema["u"].dataType.simpleString()
+
+    def count_local(pdf):
+        import pandas as pd
+
+        from collections import Counter, defaultdict
+
+        us, vs = pdf["u"].tolist(), pdf["v"].tolist()
+        deg = Counter(us) + Counter(vs)
+        key = lambda x: (deg[x], x)  # noqa: E731 — the orientation order
+        adj = defaultdict(set)
+        for x, y in zip(us, vs):
+            s, t = (x, y) if key(x) < key(y) else (y, x)
+            adj[s].add(t)
+        tri = Counter()
+        for s, nbrs in adj.items():
+            ns = sorted(nbrs, key=key)
+            for i, a in enumerate(ns):
+                closes = adj.get(a)
+                if not closes:
+                    continue
+                for b in ns[i + 1 :]:
+                    if b in closes:
+                        tri[s] += 1
+                        tri[a] += 1
+                        tri[b] += 1
+        nodes = sorted(deg)
+        return pd.DataFrame(
+            {"id": nodes, "n_triangles": [tri.get(n, 0) for n in nodes]}
+        )
+
+    return e.groupBy("comp").applyInPandas(
+        count_local, f"id {id_type}, n_triangles long"
+    )
+
+
 def triangle_oracle_sql(pairs_cte: str, id_col_out: str = "doc_id") -> str:
     """DuckDB oracle for :func:`triangle_count`: id-ordered triangle
     enumeration (x<y<z via two joins + closure) — a DIFFERENT but

@@ -1943,6 +1943,11 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     """,
     tags=["EXT", "A6", "J1"],
+    retired=True,  # r14: near-dup twin of funnel_3step_ordered (same
+    # first-event-per-step + ordered-within-deadline mechanism, one
+    # step shorter); retired to pay the rotation budget for
+    # session_overlap_top_pairs (register-one-retire-one, r13 verdict
+    # item 4).  Still oracle-tested locally via REGISTRY ∪ RETIRED.
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered two-step funnel: per user, first click → first purchase
@@ -3029,6 +3034,147 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("overlap_sec"),
+        )
+    )
+
+
+@register(
+    "session_overlap_top_pairs",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_us
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, us,
+                   CAST(sum(CASE WHEN prev_us IS NULL
+                                  OR us - prev_us > 1800000000
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id)
+                        AS BIGINT) AS session_seq
+            FROM seq
+        ),
+        sessions AS (
+            SELECT user_id, session_seq,
+                   min(us) AS s_us, max(us) AS e_us
+            FROM numbered GROUP BY user_id, session_seq
+        ),
+        p AS (
+            SELECT a.user_id AS user_id, a.session_seq AS session_seq,
+                   b.user_id AS other_user, b.session_seq AS other_seq,
+                   CAST((least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us))
+                        // 1000000 AS BIGINT) AS overlap_sec
+            FROM sessions a JOIN sessions b
+              ON a.user_id <> b.user_id
+             AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+        )
+        SELECT user_id, session_seq, other_user, other_seq, overlap_sec,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id, session_seq
+                   ORDER BY overlap_sec DESC, other_user, other_seq
+               ) AS INTEGER) AS rk
+        FROM p
+        QUALIFY rk <= 3
+    """,
+    tags=["EXT", "J1", "T6"],
+)
+def session_overlap_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-OUTPUT sibling of ``session_overlap_pairs`` (r13 verdict
+    item 4): per session, only its top-3 longest-overlapping partner
+    sessions (symmetric — every session anchors its own list), under
+    the total order (overlap DESC, other_user, other_seq).  The
+    all-pairs form's OUTPUT is quadratic by semantics on density-
+    growing data (14.9 M rows at sf1, spill-killed at sf10 — SCALE.md
+    r13); this is the form a 100 TB co-presence investigation actually
+    consumes: O(sessions × k) rows out, always.
+
+    Plan shape: same hour-bucket equi-join candidates, then top-k is
+    taken TWICE — first per (anchor session, bucket) BEFORE the pair
+    dedup (a pair absent from every bucket-local top-k is beaten by ≥k
+    globally-better pairs in any shared bucket, so the global top-k
+    survives the prune; standard local/global top-k argument), then
+    globally per anchor after dedup.  The bucket-local window runs on
+    the join's own partitioning, so the only full exchange carries the
+    pruned ≤ (sessions × buckets × k) candidate rows, not the quadratic
+    pair set.  DuckDB plans the raw inequality join (IEJoin) + one
+    window — two engines, two physical strategies, one verified
+    answer."""
+    events = load_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    numbered = events.withColumn(
+        "session_seq",
+        F.sum(
+            F.when(
+                F.lag(us).over(w).isNull()
+                | (us - F.lag(us).over(w) > 1_800_000_000),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(w),
+    ).withColumn("us", us)
+    sessions = numbered.groupBy("user_id", "session_seq").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    hour = 3_600_000_000
+    binned = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / hour).cast("long"),
+                (F.col("e_us") / hour).cast("long"),
+            )
+        ),
+    )
+    a = binned.select(
+        F.col("user_id").alias("ua"), F.col("session_seq").alias("qa"),
+        F.col("s_us").alias("sa"), F.col("e_us").alias("ea"), "bucket",
+    )
+    b = binned.select(
+        F.col("user_id").alias("ub"), F.col("session_seq").alias("qb"),
+        F.col("s_us").alias("sb"), F.col("e_us").alias("eb"), "bucket",
+    )
+    k = 3
+    cand = (
+        a.join(
+            b,
+            (a.bucket == b.bucket)
+            & (F.col("ua") != F.col("ub"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea")),
+        )
+        .select(
+            "ua", "qa", "ub", "qb", a["bucket"].alias("bucket"),
+            (
+                (F.least("ea", "eb") - F.greatest("sa", "sb"))
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("overlap_sec"),
+        )
+    )
+    w_bucket = Window.partitionBy("ua", "qa", "bucket").orderBy(
+        F.col("overlap_sec").desc(), "ub", "qb"
+    )
+    pruned = (
+        cand.withColumn("brk", F.row_number().over(w_bucket))
+        .filter(F.col("brk") <= k)
+        .dropDuplicates(["ua", "qa", "ub", "qb"])
+    )
+    w_global = Window.partitionBy("ua", "qa").orderBy(
+        F.col("overlap_sec").desc(), "ub", "qb"
+    )
+    return (
+        pruned.withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("ua").alias("user_id"),
+            F.col("qa").alias("session_seq"),
+            F.col("ub").alias("other_user"),
+            F.col("qb").alias("other_seq"),
+            "overlap_sec",
+            F.col("rk").cast("int").alias("rk"),
         )
     )
 

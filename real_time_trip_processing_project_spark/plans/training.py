@@ -378,6 +378,34 @@ def graph_triangles_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_triangles_clustered",
+    oracle=None,  # placeholder; assigned right below (needs GR import)
+    tags=["EXT", "dedup", "graph"],
+)
+def graph_triangles_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output sibling of ``graph_triangles_dedup`` (r13 verdict
+    item 4): the SAME per-document triangle counts, computed
+    cluster-first (operators/graph.py:triangle_count_clustered) —
+    connected components route edges, then each component enumerates
+    its own triangles in one Arrow group.  On dedup-shaped graphs
+    (bounded duplicate clusters) this removes the global wedge
+    exchange entirely, which is the 100 TB path; the fixture's
+    closed-vocab graph densifies with scale (SCALE.md r13), so the
+    component-size ValueError guard is the honest edge.  Shares
+    ``triangle_oracle_sql`` with the global form — same answer, third
+    independent orientation (Spark wedge join / Spark per-component
+    local / DuckDB id-ordered enumeration)."""
+    from real_time_trip_processing_project_spark.operators import (
+        graph as GR,
+    )
+
+    pairs = DD.common_span_pairs(load_fixture(spark, sf_dir, "documents"))
+    return GR.triangle_count_clustered(pairs).select(
+        F.col("id").alias("doc_id"), "n_triangles"
+    )
+
+
+@register(
     "graph_bfs_depths",
     oracle=None,  # placeholder; assigned right below (needs GR import)
     tags=["EXT", "graph"],
@@ -408,6 +436,9 @@ def _install_graph_oracles() -> None:
         _SPAN_PAIRS_CTES
     )
     REGISTRY["graph_triangles_dedup"].oracle = GR.triangle_oracle_sql(
+        _SPAN_PAIRS_CTES
+    )
+    REGISTRY["graph_triangles_clustered"].oracle = GR.triangle_oracle_sql(
         _SPAN_PAIRS_CTES
     )
     REGISTRY["graph_bfs_depths"].oracle = GR.bfs_oracle_sql(
@@ -1590,6 +1621,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id
     """,
     tags=["EXT", "text", "curation"],
+    retired=True,  # r14: near-dup twin of text_bigram_lm_score, which
+    # interpolates THIS unigram model inside its Jelinek-Mercer score
+    # (same explode → vocab aggregate → join-back shape, strictly more
+    # mechanism); retired to pay the rotation budget for
+    # graph_triangles_clustered (register-one-retire-one, r13 verdict
+    # item 4).  Still oracle-tested locally via REGISTRY ∪ RETIRED.
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality score: per doc, the mean log

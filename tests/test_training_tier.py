@@ -1917,3 +1917,56 @@ def test_quality_counts_kernel_edge_docs(spark):
     }
     assert got[1] == (0, 1, 0, 0)
     assert got[2] == (21, 4, 1, 2)
+
+
+def test_triangle_clustered_matches_global_and_oracle_shape(spark):
+    """r14: the cluster-first triangle path must equal the global
+    degree-ordered wedge join node-for-node — on a graph with several
+    components, including nodes in no triangle (count 0)."""
+    from real_time_trip_processing_project_spark.operators import graph as GR
+
+    edges = spark.createDataFrame(
+        # K4 (ids 1-4), a triangle (10-12), a chain (20-22: no triangle)
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (10, 11), (11, 12), (10, 12), (20, 21), (21, 22)],
+        "id_a LONG, id_b LONG",
+    )
+    glob = {r["id"]: r["n_triangles"]
+            for r in GR.triangle_count(edges).collect()}
+    clus = {r["id"]: r["n_triangles"]
+            for r in GR.triangle_count_clustered(edges).collect()}
+    assert clus == glob
+    assert clus[1] == 3 and clus[10] == 1 and clus[20] == 0
+
+
+def test_triangle_clustered_accepts_precomputed_components(spark):
+    """Passing the dedup pipeline's existing (doc_id, canonical_id)
+    table skips the CC rounds and must give the same answer."""
+    from real_time_trip_processing_project_spark.operators import graph as GR
+    from real_time_trip_processing_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (7, 8)], "id_a LONG, id_b LONG"
+    )
+    comps = connected_components(edges)
+    a = {r["id"]: r["n_triangles"]
+         for r in GR.triangle_count_clustered(
+             edges, components=comps).collect()}
+    assert a == {1: 1, 2: 1, 3: 1, 7: 0, 8: 0}
+
+
+def test_triangle_clustered_guard_raises_before_materializing(spark):
+    """A component above max_component_edges must raise the documented
+    ValueError from the driver-side pre-check — not an executor OOM."""
+    import pytest
+
+    from real_time_trip_processing_project_spark.operators import graph as GR
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(1, 8) for j in range(i + 1, 8)],
+        "id_a LONG, id_b LONG",
+    )
+    with pytest.raises(ValueError, match="max_component_edges"):
+        GR.triangle_count_clustered(edges, max_component_edges=5)
