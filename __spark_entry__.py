@@ -33,9 +33,11 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: tests nor steal a window slot from the never-checked queue.  No
 #: round-start manual clearing needed (it was late twice, r10 and r11).
 _RECHECK_FIRST: list[tuple[str, int]] = [
-    # (name, round_added) — empty this round: r13 changed no module
-    # behind an already-checked query (the four new bounds twins enter
-    # via _REGISTERED_ROUND; the four retired queries left the registry).
+    # r14: output schema changed — the integer (slope_num, slope_den)
+    # pair's true values overflow int64 at sf10 (sweep-caught
+    # ARITHMETIC_OVERFLOW), replaced by DECIMAL(38,0) moments + the
+    # reduced round-6 slope (corpus_zipf_fit discipline).
+    ("events_trend_slopes", 14),
 ]
 
 #: Registration round of every query that has not yet had a driver

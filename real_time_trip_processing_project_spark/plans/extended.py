@@ -2866,16 +2866,17 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         m AS (
             SELECT event_type,
-                   count(*) AS n,
-                   CAST(sum(x) AS BIGINT) AS sx,
-                   CAST(sum(y) AS BIGINT) AS sy,
-                   CAST(sum(x * y) AS BIGINT) AS sxy,
-                   CAST(sum(x * x) AS BIGINT) AS sxx
+                   CAST(count(*) AS DECIMAL(38,0)) AS n,
+                   CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+                   CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                   CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+                   CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
             FROM t GROUP BY event_type
         )
         SELECT event_type, CAST(n AS BIGINT) AS n,
-               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                   AS slope_milli_per_hour
         FROM m
     """,
     tags=["EXT", "A6"],
@@ -2885,12 +2886,16 @@ def events_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     value (milli-ticks) against time (integer hours since the fixture
     epoch) — drift detection over telemetry streams.
 
-    The slope is emitted as its exact integer numerator/denominator
-    (n·Σxy − ΣxΣy, n·Σx² − (Σx)²) — the z-score discipline applied to
-    first-order regression; one grouped aggregate with map-side
-    partials, magnitudes ≤ ~2e17 at fixture ranges (« 2^63; at corpus
-    scales beyond ~1e9 rows per group the moments move to
-    DECIMAL(38,0), the ``corpus_zipf_fit`` pattern)."""
+    All OLS moments accumulate in DECIMAL(38,0) (the corpus_zipf_fit
+    discipline) and only the REDUCED slope leaves the plan as a
+    round-6 double of two exact decimals — bit-identical cross-engine
+    because both inputs to the one float division are exact integers in
+    both engines.  r14 scale fix: the previous output was the raw
+    integer (numerator, denominator) pair, whose true VALUES
+    (n·Σxy − ΣxΣy ≈ 1e20 at sf10's 2.5 M rows/group) overflow int64 —
+    the r14 sf10 sweep caught the ARITHMETIC_OVERFLOW.  DECIMAL(38,0)
+    holds the moments to ~1e9 rows per GROUP (n²·x·y ≈ 1e37), i.e.
+    100 TB-safe for any per-type telemetry split."""
     events = load_fixture(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
@@ -2907,22 +2912,26 @@ def events_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
         F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("y"),
     )
+    dec = "decimal(38,0)"
     m = t.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
     )
     return m.select(
         "event_type",
-        "n",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
-            "slope_num"
-        ),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
-            "slope_den"
-        ),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("slope_milli_per_hour"),
     )
 
 
