@@ -38,6 +38,9 @@ _RECHECK_FIRST: list[tuple[str, int]] = [
     # ARITHMETIC_OVERFLOW), replaced by DECIMAL(38,0) moments + the
     # reduced round-6 slope (corpus_zipf_fit discipline).
     ("events_trend_slopes", 14),
+    # r14: same overflow class — raw Σ xₜ·yₜ₊ₗ BIGINT (~6e22 at sf10)
+    # replaced by the DECIMAL-moment Pearson coefficient.
+    ("ts_cross_correlation", 14),
 ]
 
 #: Registration round of every query that has not yet had a driver

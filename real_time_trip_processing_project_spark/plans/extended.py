@@ -3375,15 +3375,29 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY event_type, (epoch_us(ts) - (epoch_us(ts) % 3600000000))
                                  // 3600000000
         ),
-        lags(lag) AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(l))
-        SELECT a.event_type AS type_a, b.event_type AS type_b, lag,
-               CAST(count(*) AS BIGINT) AS n_hours,
-               CAST(sum(a.v * b.v) AS BIGINT) AS xcorr_num
-        FROM hourly a
-        JOIN lags ON true
-        JOIN hourly b ON b.event_type <> a.event_type
-                     AND b.hr = a.hr + lag
-        GROUP BY a.event_type, b.event_type, lag
+        lags(lag) AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(l)),
+        m AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b, lag,
+                   CAST(count(*) AS DECIMAL(38,0)) AS n,
+                   CAST(sum(a.v) AS DECIMAL(38,0)) AS sa,
+                   CAST(sum(b.v) AS DECIMAL(38,0)) AS sb,
+                   CAST(sum(a.v * b.v) AS DECIMAL(38,0)) AS sab,
+                   CAST(sum(a.v * a.v) AS DECIMAL(38,0)) AS saa,
+                   CAST(sum(b.v * b.v) AS DECIMAL(38,0)) AS sbb
+            FROM hourly a
+            JOIN lags ON true
+            JOIN hourly b ON b.event_type <> a.event_type
+                         AND b.hr = a.hr + lag
+            GROUP BY a.event_type, b.event_type, lag
+        )
+        SELECT type_a, type_b, lag,
+               CAST(n AS BIGINT) AS n_hours,
+               CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+                    THEN round(CAST(n * sab - sa * sb AS DOUBLE)
+                               / sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                               / sqrt(CAST(n * sbb - sb * sb AS DOUBLE)), 6)
+                    ELSE CAST(0 AS DOUBLE) END AS xcorr_r
+        FROM m
     """,
     tags=["EXT", "A6", "J1"],
 )
@@ -3398,10 +3412,16 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``hr = hr + lag`` — the lag set is exploded on the left so all four
     alignments ride ONE join, and there is no cross product anywhere
     (the hour key carries the join; types pair only within an hour
-    row).  The emitted numerator Σ xₜ·yₜ₊ₗ is an exact integer in both
-    engines; normalization to a correlation coefficient is a consumer-
-    side division of exact moments (kept out of the hash like every
-    ratio in the catalogue).
+    row).  All moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    DECIMAL(38,0) and the emitted value is the REDUCED Pearson
+    coefficient — round-6 double of exact decimals (the
+    corpus_zipf_fit discipline; sqrt and division are single IEEE ops
+    on identical exact inputs in both engines, with a decimal-exact
+    zero-variance guard).  r14 scale fix: the previous output was the
+    raw Σ xₜ·yₜ₊ₗ BIGINT, whose true value (~6e22 at sf10's 2.5e10
+    per-hour milli-tick sums) overflows int64 — the r14 sf10 sweep
+    caught the ARITHMETIC_OVERFLOW.  DECIMAL(38,0) holds these moments
+    to ~1e15 per-hour sums (1e9 events/hour/type).
 
     At 100 TB: hourly compaction shrinks the series to |types|×|hours|
     rows regardless of event volume (map-side partial agg), so the lag
@@ -3443,8 +3463,46 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("type_a", "type_b", "lag")
         .agg(
-            F.count("*").alias("n_hours"),
-            F.sum(F.col("v_a") * F.col("v_b")).alias("xcorr_num"),
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("v_a").cast("decimal(38,0)").alias("sa"),
+            F.sum("v_b").cast("decimal(38,0)").alias("sb"),
+            F.sum(F.col("v_a").cast("decimal(38,0)") * F.col("v_b")).alias("sab"),
+            F.sum(F.col("v_a").cast("decimal(38,0)") * F.col("v_a")).alias("saa"),
+            F.sum(F.col("v_b").cast("decimal(38,0)") * F.col("v_b")).alias("sbb"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "lag",
+            F.col("n").cast("long").alias("n_hours"),
+            F.when(
+                (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa") > 0)
+                & (
+                    F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+                    > 0
+                ),
+                F.round(
+                    (
+                        F.col("n") * F.col("sab")
+                        - F.col("sa") * F.col("sb")
+                    ).cast("double")
+                    / F.sqrt(
+                        (
+                            F.col("n") * F.col("saa")
+                            - F.col("sa") * F.col("sa")
+                        ).cast("double")
+                    )
+                    / F.sqrt(
+                        (
+                            F.col("n") * F.col("sbb")
+                            - F.col("sb") * F.col("sb")
+                        ).cast("double")
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("xcorr_r"),
         )
     )
 
