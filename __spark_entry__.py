@@ -41,6 +41,13 @@ _RECHECK_FIRST: list[tuple[str, int]] = [
     # r14: same overflow class — raw Σ xₜ·yₜ₊ₗ BIGINT (~6e22 at sf10)
     # replaced by the DECIMAL-moment Pearson coefficient.
     ("ts_cross_correlation", 14),
+    # r14: implementation changed (map-only Arrow kernels replacing the
+    # gram-shuffle / interpreted-HOF forms; outputs bit-identical,
+    # parity-pinned) — verify near the front of the window anyway.
+    ("text_repetition", 14),
+    ("curation_corpus_pipeline", 14),
+    ("text_lang_id", 14),
+    ("sim_cosine_topk", 14),
 ]
 
 #: Registration round of every query that has not yet had a driver

@@ -171,7 +171,17 @@ def lang_score_sqls(text: str) -> dict[str, str]:
 def lang_id_expr(text: str) -> Column:
     """argmax over language scores; ties go to the earlier LANG_MARKERS
     entry; all-zero scores → 'und' (undetermined)."""
-    scores = lang_score_exprs(text)
+    return lang_id_from_scores(lang_score_exprs(text))
+
+
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """The argmax/tie-break CASE chain over ALREADY-COMPUTED score
+    columns — the seam that lets a hot path supply the marker counts
+    from an Arrow kernel (operators/curation.py:lang_marker_counts).
+    Over plain integer columns the chain is cheap codegen; over the
+    expression scores it re-evaluates each score per comparison (HOFs
+    get no CSE — the reason text_lang_id was the r14 sweep's worst
+    text constant)."""
     best = None
     for lang, _ in LANG_MARKERS:
         s = scores[lang]

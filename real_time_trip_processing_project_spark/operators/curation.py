@@ -31,6 +31,77 @@ from real_time_trip_processing_project_spark.operators import dedup as DD
 PACK_BUDGET = 512
 
 
+def lang_marker_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One-pass Arrow kernel for the language-ID inputs: per document,
+    one INTEGER marker-occurrence total per language in
+    :data:`TX.LANG_MARKERS` (columns ``s_<lang>``), from a single
+    tokenize + Counter pass.
+
+    Why a kernel: the expression form runs one split + interpreted
+    HOF-filter PER MARKER (16 passes over every text), and the argmax
+    CASE chain re-evaluates each score expression per comparison (HOFs
+    get no CSE) — the r14 sf10 sweep's worst text constant (4.5 s at
+    sf0.1, >240 s at sf10).  The argmax itself stays a Spark expression
+    over these plain int columns (:func:`TX.lang_id_from_scores`), so
+    the query's output logic — and the DuckDB oracle — are unchanged.
+    Counts parity pinned in tests/test_training_tier.py.
+
+    Tokenization parity: same explicit-ASCII delimiter class as the
+    expression form (``TX.WORD_SPLIT_PATTERN``), see
+    :func:`quality_counts`.
+
+    ``carry_cols`` — additional input columns copied through unchanged
+    (e.g. the declared ``lang``), so consumers need no join-back."""
+    import re as _re
+
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    carry_types = {
+        c: docs.schema[c].dataType.simpleString() for c in carry_cols
+    }
+    langs = [(lang, tuple(markers)) for lang, markers in TX.LANG_MARKERS]
+    word_pat = TX.WORD_SPLIT_PATTERN
+
+    def run(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        word_re = _re.compile(word_pat, _re.ASCII)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out: dict[str, list] = {"id": list(pdf[id_col])}
+            for c in carry_cols:
+                out[c] = list(pdf[c])
+            for lang, _ in langs:
+                out[f"s_{lang}"] = []
+            for text in pdf[text_col]:
+                c = Counter(word_re.split(text or ""))
+                for lang, markers in langs:
+                    out[f"s_{lang}"].append(
+                        sum(c.get(w, 0) for w in markers)
+                    )
+            yield pd.DataFrame(out)
+
+    fields = ", ".join(
+        [f"{c} {t}" for c, t in carry_types.items()]
+        + [f"s_{lang} long" for lang, _ in langs]
+    )
+    cols = [id_col, *carry_cols, text_col]
+    return spread_small_input(docs.select(*cols)).mapInPandas(
+        run, f"id {id_type}, {fields}"
+    )
+
+
 def quality_counts(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

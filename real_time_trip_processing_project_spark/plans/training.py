@@ -899,13 +899,27 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (exact split-token counts, deterministic
-    argmax) vs the declared lang column."""
+    argmax) vs the declared lang column.
+
+    r14: marker counts come from the one-pass Arrow kernel
+    (:func:`CU.lang_marker_counts`) — the expression form ran one
+    split + interpreted HOF-filter per marker (16 full-text passes) and
+    the argmax CASE re-evaluated each score per comparison (no CSE for
+    HOFs), the sweep's worst text constant (>240 s at sf10).  The
+    argmax/tie-break itself is the SAME Spark expression, now over
+    plain int columns (:func:`TX.lang_id_from_scores`) — integer-exact,
+    so output and oracle are unchanged; counts parity pinned in
+    tests."""
     docs = load_fixture(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
+    counts = CU.lang_marker_counts(docs, carry_cols=("lang",))
+    scores = {
+        lang: F.col(f"s_{lang}") for lang, _ in TX.LANG_MARKERS
+    }
+    return counts.select(
+        F.col("id").alias("doc_id"),
         F.col("lang").alias("lang_declared"),
-        TX.lang_id_expr("text").alias("lang_pred"),
-        TX.lang_score_exprs("text")["en"].alias("score_en"),
+        TX.lang_id_from_scores(scores).alias("lang_pred"),
+        F.col("s_en").alias("score_en"),
     )
 
 

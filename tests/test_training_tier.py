@@ -1970,3 +1970,47 @@ def test_triangle_clustered_guard_raises_before_materializing(spark):
     )
     with pytest.raises(ValueError, match="max_component_edges"):
         GR.triangle_count_clustered(edges, max_component_edges=5)
+
+
+def test_lang_marker_counts_kernel_matches_expression_twin(spark):
+    """r14: text_lang_id's marker-count kernel must emit the same
+    per-language integer scores as TX.lang_score_exprs — including the
+    carried-through declared lang column."""
+    from real_time_trip_processing_project_spark.functions import text as TX
+    from real_time_trip_processing_project_spark.operators import (
+        curation as CU,
+    )
+
+    docs = load_fixture(spark, SF, "documents")
+    scores = TX.lang_score_exprs("text")
+    expr = {
+        r["doc_id"]: tuple(r[f"s_{lang}"] for lang, _ in TX.LANG_MARKERS)
+        for r in docs.select(
+            "doc_id",
+            *[scores[lang].alias(f"s_{lang}") for lang, _ in TX.LANG_MARKERS],
+        ).collect()
+    }
+    kern_rows = CU.lang_marker_counts(docs, carry_cols=("lang",)).collect()
+    kern = {
+        r["id"]: tuple(r[f"s_{lang}"] for lang, _ in TX.LANG_MARKERS)
+        for r in kern_rows
+    }
+    assert kern == expr and kern
+    declared = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    assert {r["id"]: r["lang"] for r in kern_rows} == declared
+
+
+def test_lang_marker_counts_adjacent_repeats(spark):
+    """' the the the ' counts 3 (the split form's guarantee over the
+    old replace-length trick); empty and marker-free docs score 0."""
+    from real_time_trip_processing_project_spark.operators import (
+        curation as CU,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", " the the the "), (2, "de", ""), (3, "es", "xyz abc")],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    got = {r["id"]: r["s_en"] for r in
+           CU.lang_marker_counts(docs, carry_cols=("lang",)).collect()}
+    assert got == {1: 3, 2: 0, 3: 0}
