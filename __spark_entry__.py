@@ -48,6 +48,7 @@ _RECHECK_FIRST: list[tuple[str, int]] = [
     ("curation_corpus_pipeline", 14),
     ("text_lang_id", 14),
     ("sim_cosine_topk", 14),
+    ("tokenizer_apply_bpe_counts", 14),
 ]
 
 #: Registration round of every query that has not yet had a driver

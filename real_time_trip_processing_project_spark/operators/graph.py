@@ -82,15 +82,27 @@ def pagerank_integer(
     r_init = scale // n
     tele = (100 - damping_pct) * r_init // 100
     ranks = nodes.withColumn("r", F.lit(r_init).cast("long"))
+    # Above this node count the per-iteration joins are pinned to
+    # shuffle-side strategies: the rank/sum tables hover near the
+    # broadcast threshold as bytes but explode as driver-built JVM hash
+    # relations (the documented checkpoint/broadcast class — the r14
+    # sf10 sweep OOM'd here on the 37.7 M-edge densified graph).
+    big = n > 1_000_000
     for i in range(iters):
+        rsrc = ranks.withColumnRenamed("id", "src")
+        if big:
+            rsrc = rsrc.hint("shuffle_hash")
         sums = (
-            ed.join(ranks.withColumnRenamed("id", "src"), "src")
+            ed.join(rsrc, "src")
             .select("dst", F.expr("r div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        s_id = sums.withColumnRenamed("dst", "id")
+        if big:
+            s_id = s_id.hint("shuffle_hash")
         ranks = (
-            nodes.join(sums.withColumnRenamed("dst", "id"), "id", "left")
+            nodes.join(s_id, "id", "left")
             .select(
                 "id",
                 (
@@ -444,12 +456,19 @@ def bfs_depths(
         .localCheckpoint(eager=True)
     )
     frontier = visited
+    # On big graphs the frontier/visited tables sit near the broadcast
+    # threshold as bytes but explode as driver-built JVM hash relations
+    # (the documented checkpoint/broadcast class — the r14 sf10 sweep
+    # OOM'd here); pin the per-round joins to shuffle-side strategies.
+    big = edges.count() > 10_000_000
     for d in range(1, max_depth + 1):
+        f = frontier.hint("shuffle_hash") if big else frontier
+        v = visited.hint("shuffle_hash") if big else visited
         nxt = (
-            frontier.join(edges, frontier.id == edges.src)
+            f.join(edges, f.id == edges.src)
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(visited, "id", "left_anti")
+            .join(v, "id", "left_anti")
             .withColumn("depth", F.lit(d).cast("long"))
             .localCheckpoint(eager=True)
         )

@@ -152,3 +152,67 @@ def apply_bpe(
     for r in sorted(merge_rows, key=lambda r: r["rank"]):
         sym = _merge_adjacent(sym, r["left"], r["right"], r["merged"])
     return docs.withColumn(out_col, sym)
+
+
+def apply_bpe_counts(
+    docs: DataFrame,
+    merge_rows: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token count under a trained merge table — the
+    map-only Arrow kernel form of ``size(apply_bpe(...).symbols)``.
+
+    Why a kernel: :func:`_merge_adjacent`'s aggregate fold rebuilds the
+    accumulator array PER SYMBOL (``concat(slice(acc), …)``) and is
+    interpreted — O(L²) boxed copies per document per merge, ×8 chained
+    merges.  The r14 sf10 sweep caught ``tokenizer_apply_bpe_counts``
+    timing out at sf0.1 ALREADY (>90 s for 5 k docs); this kernel is
+    the standard linear leftmost-greedy pair scan (one list pass per
+    merge).  The two are formally equivalent: in the fold, a merged
+    token can never re-merge within the same rule's pass (merged =
+    a||b ≠ a for non-empty b), which is exactly the skip-2 scan's
+    non-overlap rule — equivalence pinned per merge table in
+    tests/test_training_tier.py.  Tokenization parity with the
+    expression form follows the quality_counts/udtf precedent (ASCII
+    fixture; empty words filtered; empty doc → zero symbols)."""
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in sorted(merge_rows, key=lambda r: r["rank"])
+    ]
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ns = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                syms: list[str] = []
+                for w in (text or "").strip().split():
+                    syms.extend(w)
+                    syms.append(" ")
+                for a, b, m in merges:
+                    out: list[str] = []
+                    i, n = 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                            out.append(m)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                ids.append(did)
+                ns.append(len(syms))
+            yield pd.DataFrame({"id": ids, "n_tokens": ns})
+
+    return spread_small_input(docs.select(id_col, text_col)).mapInPandas(
+        run, f"id {id_type}, n_tokens long"
+    )

@@ -2665,7 +2665,13 @@ def tokenizer_apply_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly model-sized), and emit each doc's resulting token count —
     the number every packing/budgeting stage downstream consumes.
     Hash-verified by extending the unrolled training oracle with a
-    word → final-segment-count map joined back to the corpus words."""
+    word → final-segment-count map joined back to the corpus words.
+
+    r14: the counts come from the linear Arrow scan
+    (:func:`TK.apply_bpe_counts`) — the interpreted fold form rebuilt
+    the accumulator array per symbol (O(L²) per doc per merge; the
+    sweep caught this query >90 s at sf0.1).  Same greedy semantics,
+    equivalence pinned in tests; output unchanged."""
     from real_time_trip_processing_project_spark.operators import (
         tokenizer as TK,
     )
@@ -2674,9 +2680,8 @@ def tokenizer_apply_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~F.col("text").contains(_BPE_SEP)
     )
     merges = TK.train_bpe(docs, n_merges=8).collect()
-    toks = TK.apply_bpe(docs, merges)
-    return toks.select(
-        "doc_id", F.size("symbols").cast("long").alias("n_tokens")
+    return TK.apply_bpe_counts(docs, merges).select(
+        F.col("id").alias("doc_id"), "n_tokens"
     )
 
 

@@ -2014,3 +2014,59 @@ def test_lang_marker_counts_adjacent_repeats(spark):
     got = {r["id"]: r["s_en"] for r in
            CU.lang_marker_counts(docs, carry_cols=("lang",)).collect()}
     assert got == {1: 3, 2: 0, 3: 0}
+
+
+def test_apply_bpe_counts_kernel_matches_fold_form(spark):
+    """r14: the linear greedy-scan kernel must equal
+    size(apply_bpe(...).symbols) doc-for-doc under the fixture-trained
+    merge table — including chainable rules (a==b) exercised below."""
+    from real_time_trip_processing_project_spark.operators import (
+        tokenizer as TK,
+    )
+
+    docs = load_fixture(spark, SF, "documents").filter(
+        ~F.col("text").contains("␟")
+    )
+    merges = TK.train_bpe(docs, n_merges=8).collect()
+    fold = {
+        r["doc_id"]: r["n"]
+        for r in TK.apply_bpe(docs, merges)
+        .select("doc_id", F.size("symbols").cast("long").alias("n"))
+        .collect()
+    }
+    kern = {
+        r["id"]: r["n_tokens"]
+        for r in TK.apply_bpe_counts(docs, merges).collect()
+    }
+    assert kern == fold and kern
+
+
+def test_apply_bpe_counts_chainable_rules(spark):
+    """Hand-picked adversarial merges: a==b runs ('x x x' style) and a
+    rule whose left side is another rule's output — both forms must
+    agree (merged tokens never re-merge within one rule's pass)."""
+    from real_time_trip_processing_project_spark.operators import (
+        tokenizer as TK,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "xxxx xx"), (2, "abab"), (3, ""), (4, "x")],
+        "doc_id LONG, text STRING",
+    )
+    merges = [
+        {"rank": 0, "left": "x", "right": "x", "merged": "xx"},
+        {"rank": 1, "left": "xx", "right": "xx", "merged": "xxxx"},
+        {"rank": 2, "left": "a", "right": "b", "merged": "ab"},
+    ]
+    fold = {
+        r["doc_id"]: r["n"]
+        for r in TK.apply_bpe(docs, merges)
+        .select("doc_id", F.size("symbols").cast("long").alias("n"))
+        .collect()
+    }
+    kern = {
+        r["id"]: r["n_tokens"]
+        for r in TK.apply_bpe_counts(docs, merges).collect()
+    }
+    assert kern == fold
+    assert kern[3] == 0 and kern[4] == 2  # 'x' + word sentinel
