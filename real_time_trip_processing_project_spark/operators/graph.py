@@ -70,7 +70,15 @@ def pagerank_integer(
     # the CHECKPOINTED frame — deriving it from `edges` would re-run
     # the whole upstream pair pipeline on every iteration's node join
     # (measured as the dominant cost of the registered query).
-    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    # deg is an aggregate whose size estimate collapses under the
+    # checkpointed/stat-less upstream — at sf10 Catalyst broadcast a
+    # ~2 M-row degree table as a driver-built hash relation and the ed
+    # materialization died (r14 sweep).  Shuffle-side join is the safe
+    # strategy at every scale (deg is histogram-sized at bench scale,
+    # where the hint costs nothing measurable).
+    ed = edges.join(deg.hint("shuffle_hash"), "src").localCheckpoint(
+        eager=False
+    )
     nodes = (
         ed.select(F.col("src").alias("id"))
         .distinct()
@@ -82,25 +90,25 @@ def pagerank_integer(
     r_init = scale // n
     tele = (100 - damping_pct) * r_init // 100
     ranks = nodes.withColumn("r", F.lit(r_init).cast("long"))
-    # Above this node count the per-iteration joins are pinned to
-    # shuffle-side strategies: the rank/sum tables hover near the
-    # broadcast threshold as bytes but explode as driver-built JVM hash
-    # relations (the documented checkpoint/broadcast class — the r14
-    # sf10 sweep OOM'd here on the 37.7 M-edge densified graph).
+    # The per-iteration join strategy is pinned EXPLICITLY on the rank
+    # side in both regimes: left to its estimates, Catalyst broadcast
+    # the checkpointed 75 M-row EDGE table (BuildLeft) at sf10 and died
+    # collecting ~1 GB into the driver (r14 sweep; the documented
+    # checkpoint-stats/broadcast class).  Below the node bound the rank
+    # table is broadcast (it IS the small side — megabytes); above it
+    # both sides shuffle.  An explicit hint always wins over the
+    # size-estimate chooser, so the wrong-side broadcast can't recur.
     big = n > 1_000_000
+    side_hint = "shuffle_hash" if big else "broadcast"
     for i in range(iters):
-        rsrc = ranks.withColumnRenamed("id", "src")
-        if big:
-            rsrc = rsrc.hint("shuffle_hash")
+        rsrc = ranks.withColumnRenamed("id", "src").hint(side_hint)
         sums = (
             ed.join(rsrc, "src")
             .select("dst", F.expr("r div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        s_id = sums.withColumnRenamed("dst", "id")
-        if big:
-            s_id = s_id.hint("shuffle_hash")
+        s_id = sums.withColumnRenamed("dst", "id").hint(side_hint)
         ranks = (
             nodes.join(s_id, "id", "left")
             .select(
@@ -456,14 +464,17 @@ def bfs_depths(
         .localCheckpoint(eager=True)
     )
     frontier = visited
-    # On big graphs the frontier/visited tables sit near the broadcast
-    # threshold as bytes but explode as driver-built JVM hash relations
-    # (the documented checkpoint/broadcast class — the r14 sf10 sweep
-    # OOM'd here); pin the per-round joins to shuffle-side strategies.
-    big = edges.count() > 10_000_000
+    # Join strategy pinned EXPLICITLY on the frontier/visited side in
+    # both regimes — left to its checkpoint-era estimates Catalyst can
+    # broadcast the EDGE side instead (the wrong-side-broadcast class
+    # that killed pagerank at sf10, r14 sweep).  Small graphs broadcast
+    # the frontier (it is the small side); big graphs shuffle both.
+    side_hint = (
+        "shuffle_hash" if edges.count() > 10_000_000 else "broadcast"
+    )
     for d in range(1, max_depth + 1):
-        f = frontier.hint("shuffle_hash") if big else frontier
-        v = visited.hint("shuffle_hash") if big else visited
+        f = frontier.hint(side_hint)
+        v = visited.hint(side_hint)
         nxt = (
             f.join(edges, f.id == edges.src)
             .select(F.col("dst").alias("id"))
