@@ -49,6 +49,8 @@ _RECHECK_FIRST: list[tuple[str, int]] = [
     ("text_lang_id", 14),
     ("sim_cosine_topk", 14),
     ("tokenizer_apply_bpe_counts", 14),
+    ("text_quality", 14),
+    ("quality_calibration", 14),
 ]
 
 #: Registration round of every query that has not yet had a driver

@@ -280,6 +280,29 @@ def quality_score_expr(text: str) -> Column:
     )
 
 
+def quality_stats_from_counts(
+    n_chars, n_tokens, stop, punct, alpha
+) -> dict[str, Column]:
+    """The :func:`quality_exprs` output dict rebuilt over
+    ALREADY-COMPUTED integer count columns (the Arrow-kernel seam,
+    operators/curation.py:quality_counts) — same ratio expressions to
+    the round-6 bit, so every consumer (text_quality,
+    quality_calibration, curation_corpus_pipeline) is hash-identical to
+    the expression form and the SQL twin."""
+    avg_token_len = F.round(
+        alpha.cast("double") / n_tokens.cast("double"), 6
+    )
+    stop_ratio = F.round(stop.cast("double") / n_tokens.cast("double"), 6)
+    punct_ratio = F.round(punct.cast("double") / n_chars.cast("double"), 6)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": avg_token_len,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+    }
+
+
 def quality_score_from_counts(n_chars, stopword_ratio, punct_ratio) -> Column:
     """Score composition over ALREADY-COMPUTED stat columns — the seam
     that lets a hot path supply the integer counts from an Arrow kernel

@@ -144,12 +144,14 @@ def quality_counts(
         word_re = _re.compile(word_pat, _re.ASCII)
         punct_re = _re.compile(punct_pat, _re.ASCII)
         ws_re = _re.compile(r"\s+", _re.ASCII)
+        alpha_re = _re.compile(r"[A-Za-z]")
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             out = {
                 "h": [], "id": [], "lang": [],
                 "n_chars": [], "n_tokens": [], "stop": [], "punct": [],
+                "alpha": [],
             }
             for did, lang, text in zip(
                 pdf[id_col], pdf["lang"], pdf[text_col]
@@ -166,6 +168,7 @@ def quality_counts(
                     sum(1 for w in word_re.split(t) if w in stop_set)
                 )
                 out["punct"].append(len(punct_re.findall(t)))
+                out["alpha"].append(len(alpha_re.findall(t)))
             yield pd.DataFrame(out)
 
     return spread_small_input(
@@ -173,7 +176,7 @@ def quality_counts(
     ).mapInPandas(
         run,
         f"h string, id {id_type}, lang string, n_chars long, "
-        "n_tokens long, stop long, punct long",
+        "n_tokens long, stop long, punct long, alpha long",
     )
 
 #: Bloom filter shape for the sketch-based contamination probe: 2^20

@@ -940,17 +940,29 @@ def _quality_oracle() -> str:
 @register("text_quality", oracle=_quality_oracle(), tags=["EXT", "text"])
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score (length band, stopword
-    ratio, punctuation ratio) — all integer-exact or 6dp-rounded."""
+    ratio, punctuation ratio) — all integer-exact or 6dp-rounded.
+
+    r14: counts come from the one-pass Arrow kernel
+    (:func:`CU.quality_counts` — the expression form's stopword HOF +
+    two full-text regexes made this the sweep's 4th-heaviest text
+    query, 52 s at sf10); every ratio/score is the SAME Spark
+    expression over those integers (:func:`TX.quality_stats_from_counts`)."""
     docs = load_fixture(spark, sf_dir, "documents")
-    q = TX.quality_exprs("text")
-    return docs.select(
-        "doc_id",
+    counts = CU.quality_counts(docs)
+    q = TX.quality_stats_from_counts(
+        F.col("n_chars"), F.col("n_tokens"), F.col("stop"),
+        F.col("punct"), F.col("alpha"),
+    )
+    return counts.select(
+        F.col("id").alias("doc_id"),
         q["n_chars"].alias("n_chars"),
         q["n_tokens"].alias("n_tokens"),
         q["avg_token_len"].alias("avg_token_len"),
         q["stopword_ratio"].alias("stopword_ratio"),
         q["punct_ratio"].alias("punct_ratio"),
-        TX.quality_score_expr("text").alias("quality_score"),
+        TX.quality_score_from_counts(
+            q["n_chars"], q["stopword_ratio"], q["punct_ratio"]
+        ).alias("quality_score"),
     )
 
 
@@ -1551,10 +1563,23 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) order is fully deterministic so the same doc always gets the
     same rank.  A 100 TB corpus adds a shard key inside each language to
     bound partition size and runs the same plan per shard with a
-    per-shard sample-quantile correction."""
+    per-shard sample-quantile correction.
+
+    r14: the score comes from the quality-counts kernel + the same
+    score expression (see :func:`text_quality`) — 43.9 s → seconds at
+    sf10, hash-identical."""
     docs = load_fixture(spark, sf_dir, "documents")
-    q = docs.select(
-        "doc_id", "lang", TX.quality_score_expr("text").alias("quality_score")
+    counts = CU.quality_counts(docs)
+    stats = TX.quality_stats_from_counts(
+        F.col("n_chars"), F.col("n_tokens"), F.col("stop"),
+        F.col("punct"), F.col("alpha"),
+    )
+    q = counts.select(
+        F.col("id").alias("doc_id"),
+        "lang",
+        TX.quality_score_from_counts(
+            stats["n_chars"], stats["stopword_ratio"], stats["punct_ratio"]
+        ).alias("quality_score"),
     )
     w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
     pct = F.percent_rank().over(w)

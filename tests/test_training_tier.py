@@ -1878,21 +1878,24 @@ def test_quality_counts_kernel_matches_expression_twin(spark):
         F.length("text")
         - F.length(F.regexp_replace("text", TX.PUNCT_PATTERN, ""))
     ).cast("long")
+    alpha = F.length(
+        F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")
+    ).cast("long")
     expr = {
         r["doc_id"]: (
             r["h"], r["lang"], r["n_chars"], r["n_tokens"],
-            r["stop"], r["punct"],
+            r["stop"], r["punct"], r["alpha"],
         )
         for r in docs.select(
             "doc_id", "lang", F.md5("text").alias("h"),
             q["n_chars"].alias("n_chars"), q["n_tokens"].alias("n_tokens"),
-            stop.alias("stop"), punct.alias("punct"),
+            stop.alias("stop"), punct.alias("punct"), alpha.alias("alpha"),
         ).collect()
     }
     kern = {
         r["id"]: (
             r["h"], r["lang"], r["n_chars"], r["n_tokens"],
-            r["stop"], r["punct"],
+            r["stop"], r["punct"], r["alpha"],
         )
         for r in CU.quality_counts(docs).collect()
     }
@@ -1912,11 +1915,12 @@ def test_quality_counts_kernel_edge_docs(spark):
         "doc_id LONG, lang STRING, text STRING",
     )
     got = {
-        r["id"]: (r["n_chars"], r["n_tokens"], r["stop"], r["punct"])
+        r["id"]: (r["n_chars"], r["n_tokens"], r["stop"], r["punct"],
+                  r["alpha"])
         for r in CU.quality_counts(docs).collect()
     }
-    assert got[1] == (0, 1, 0, 0)
-    assert got[2] == (21, 4, 1, 2)
+    assert got[1] == (0, 1, 0, 0, 0)
+    assert got[2] == (21, 4, 1, 2, 16)
 
 
 def test_triangle_clustered_matches_global_and_oracle_shape(spark):
