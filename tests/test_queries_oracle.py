@@ -143,7 +143,7 @@ def test_events_oracles_ns_robust(spark, tmp_path):
         f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
     )
     for qname in ("funnel_conversion", "asof_join_events"):
-        qdef = REGISTRY[qname]
+        qdef = _ALL[qname]  # funnel_conversion RETIRED r14
         df = qdef.fn(spark, str(tmp_path))
         res = testing.compare_query(qname, df, qdef.oracle, con)
         assert res.ok, f"{qname} on ns fixture: {res.detail}"
@@ -151,7 +151,7 @@ def test_events_oracles_ns_robust(spark, tmp_path):
     # and 2 count as converted under us semantics
     got = {
         r.click_date.isoformat(): (r.n_clickers, r.n_converted)
-        for r in REGISTRY["funnel_conversion"].fn(spark, str(tmp_path)).collect()
+        for r in _ALL["funnel_conversion"].fn(spark, str(tmp_path)).collect()
     }
     # users 1-4 clicked on 2024-01-01; 1,2,3 converted post-truncation
     # (1 and 2 ONLY because both engines truncated the ns residues)

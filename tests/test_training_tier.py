@@ -880,11 +880,11 @@ def test_repetition_semantics(spark):
 def test_lm_score_orders_common_above_rare(spark):
     """A doc made of corpus-frequent tokens must out-score a doc of
     singleton tokens under the corpus's own unigram LM."""
-    from real_time_trip_processing_project_spark.plans import REGISTRY
+    from real_time_trip_processing_project_spark.plans import RETIRED
 
     scored = {
         r.doc_id: r.avg_logp
-        for r in REGISTRY["text_lm_score"].fn(spark, SF).collect()
+        for r in RETIRED["text_lm_score"].fn(spark, SF).collect()
     }
     docs = load_fixture(spark, SF, "documents")
     # most docs share the fixture's small vocab; compare extremes
