@@ -51,6 +51,7 @@ _RECHECK_FIRST: list[tuple[str, int]] = [
     ("tokenizer_apply_bpe_counts", 14),
     ("text_quality", 14),
     ("quality_calibration", 14),
+    ("tokenizer_pair_counts", 14),
 ]
 
 #: Registration round of every query that has not yet had a driver

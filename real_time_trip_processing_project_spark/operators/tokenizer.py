@@ -154,6 +154,63 @@ def apply_bpe(
     return docs.withColumn(out_col, sym)
 
 
+def pair_count_partials(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-Arrow-batch partial counts of adjacent in-word character
+    pairs — ``(pair, n)`` rows the caller aggregates with one
+    histogram-sized groupBy.
+
+    Why a kernel: the expression form explodes one row per character
+    position via an interpreted ``transform(sequence, substr)`` HOF —
+    per-element boxing over every char of the corpus (53.6 s at sf10,
+    r14 sweep).  Here each batch joins its whitespace tokens with a
+    single space and counts byte bigrams with two numpy ops: pairs
+    containing the separator byte are exactly the cross-word and
+    length-1-word cases, so masking them reproduces the in-word pair
+    semantics (parity with the expression form pinned whole-table in
+    tests).  ASCII-corpus precedent as the other char-gram kernels
+    (byte == char under utf-8 for this fixture; the winnowing /
+    text_fingerprint discipline)."""
+    import numpy as np
+
+    from real_time_trip_processing_project_spark.sources.readers import (
+        spread_small_input,
+    )
+
+    def run(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            joined = " ".join(
+                " ".join((t or "").split()) for t in pdf[text_col]
+            )
+            b = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
+            if len(b) < 2:
+                continue
+            sep = np.uint8(32)
+            mask = (b[:-1] != sep) & (b[1:] != sep)
+            codes = (
+                b[:-1][mask].astype(np.int32) * 256
+                + b[1:][mask].astype(np.int32)
+            )
+            uniq, cnt = np.unique(codes, return_counts=True)
+            c = Counter()
+            for u, n in zip(uniq.tolist(), cnt.tolist()):
+                c[chr(u >> 8) + chr(u & 0xFF)] += n
+            yield pd.DataFrame(
+                {"pair": list(c.keys()), "n": list(c.values())}
+            )
+
+    return spread_small_input(docs.select(text_col)).mapInPandas(
+        run, "pair string, n long"
+    )
+
+
 def apply_bpe_counts(
     docs: DataFrame,
     merge_rows: list,

@@ -1880,26 +1880,22 @@ def tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide adjacent character-pair frequencies, top 20 with a
     deterministic (count DESC, pair) tiebreak.
 
-    Scale: two pipelined Generates (words, then in-word pairs) feeding
-    one hash-aggregate on a ≤ tens-of-thousands key space, then
-    TakeOrderedAndProject — the iterative BPE loop re-runs this plan on
-    progressively merged symbols, so its shape (explode → count → top-k,
-    no sort of the full pair table) is the per-iteration cost."""
-    docs = load_fixture(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
-    ).filter(F.length("w") >= 2)
-    pairs = words.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("w") - 1),
-                lambda i: F.col("w").substr(i, F.lit(2)),
-            )
-        ).alias("pair")
+    Scale (r14): the per-character pair enumeration runs as a numpy
+    byte-bigram kernel emitting per-batch PARTIAL counts
+    (operators/tokenizer.py:pair_count_partials — the expression form's
+    interpreted transform/substr HOF was 53.6 s at sf10; the kernel
+    measured 16× faster there, SCALE.md r14), then one histogram-sized
+    groupBy sum + TakeOrderedAndProject.  Counts are exact integers —
+    whole-table parity with the expression form pinned in tests."""
+    from real_time_trip_processing_project_spark.operators import (
+        tokenizer as TK,
     )
+
+    docs = load_fixture(spark, sf_dir, "documents")
     return (
-        pairs.groupBy("pair")
-        .agg(F.count("*").alias("n"))
+        TK.pair_count_partials(docs)
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n"))
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )

@@ -2074,3 +2074,60 @@ def test_apply_bpe_counts_chainable_rules(spark):
     }
     assert kern == fold
     assert kern[3] == 0 and kern[4] == 2  # 'x' + word sentinel
+
+
+def test_pair_count_partials_matches_expression_whole_table(spark):
+    """r14: the numpy byte-bigram kernel (summed) must equal the
+    explode/transform expression form over the WHOLE pair table — not
+    just the top-20 the registered query emits."""
+    from real_time_trip_processing_project_spark.operators import (
+        tokenizer as TK,
+    )
+
+    docs = load_fixture(spark, SF, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    expr = {
+        r["pair"]: r["n"]
+        for r in words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kern = {
+        r["pair"]: r["n"]
+        for r in TK.pair_count_partials(docs)
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert kern == expr and kern
+
+
+def test_pair_count_partials_edge_docs(spark):
+    """Single-char words, empty docs, and multi-space runs contribute
+    no pairs; cross-word pairs never count."""
+    from real_time_trip_processing_project_spark.operators import (
+        tokenizer as TK,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab  a b"), (2, ""), (3, "   "), (4, "abc")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["pair"]: r["n"]
+        for r in TK.pair_count_partials(docs)
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert got == {"ab": 2, "bc": 1}
