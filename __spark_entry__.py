@@ -41,17 +41,15 @@ _RECHECK_FIRST: list[tuple[str, int]] = [
     # r14: same overflow class — raw Σ xₜ·yₜ₊ₗ BIGINT (~6e22 at sf10)
     # replaced by the DECIMAL-moment Pearson coefficient.
     ("ts_cross_correlation", 14),
-    # r14: implementation changed (map-only Arrow kernels replacing the
-    # gram-shuffle / interpreted-HOF forms; outputs bit-identical,
-    # parity-pinned) — verify near the front of the window anyway.
-    ("text_repetition", 14),
-    ("curation_corpus_pipeline", 14),
-    ("text_lang_id", 14),
-    ("sim_cosine_topk", 14),
-    ("tokenizer_apply_bpe_counts", 14),
-    ("text_quality", 14),
-    ("quality_calibration", 14),
-    ("tokenizer_pair_counts", 14),
+    # The other eight r14-changed queries are NOT pinned, by the pin
+    # budget policy (stalest cohort + non-cohort pins must fit the
+    # window; an 8-pin list pushed past the edge and would have delayed
+    # the never-checked drain).  Their outputs are bit-identical to the
+    # forms last driver-checked (Arrow kernels over the same integers;
+    # kernel/expression parity pinned in tests/test_training_tier.py),
+    # and natural rotation re-checks them: sim_cosine_topk and
+    # events_trend_slopes sit in the overdue r10 cohort this round,
+    # the rest in the r11 cohort next round.
 ]
 
 #: Registration round of every query that has not yet had a driver
