@@ -80,16 +80,17 @@ _REGISTERED_ROUND = {
 }
 
 # Ladder plan (maintained per round; tests/test_entry_rotation.py
-# projects it mechanically).  r14: the r10 cohort (45 after the r13
-# retirements) is overdue and fills first; the 5 free slots drain the
-# never-checked queue in registration order — multimodal_mp4_p2_index,
-# multimodal_mp4_b_cabac_gop_index, then the first three r13 bounds
-# twins.  r14 also registered two bounded-output siblings
-# (session_overlap_top_pairs, graph_triangles_clustered; r13 verdict
-# item 4) and RETIRED funnel_conversion + text_lm_score in exchange
-# (registry stays at 199), so r15 = the 47-query r11 cohort (48 minus
-# retired text_lm_score) + the queue tail (multimodal_mjpeg_px_bounds
-# + the two r14 siblings).  Every never-checked query is therefore
+# projects it mechanically; verified against the live ordering).  r14
+# window = the overdue 44-query r10 cohort (which already contains the
+# schema-changed events_trend_slopes) + 1 pin (ts_cross_correlation)
+# + all 5 never-checked queue entries (multimodal_mp4_p2_index,
+# multimodal_mp4_b_cabac_gop_index, approx_sketch_bounds,
+# multimodal_mp4_px_bounds, multimodal_mjpeg_px_bounds) = 50.  r14 also
+# registered two bounded-output siblings (session_overlap_top_pairs,
+# graph_triangles_clustered; r13 verdict item 4) and RETIRED
+# funnel_conversion + text_lm_score in exchange (registry stays 199),
+# so r15 = the r11 cohort + the queue tail (sim_ann_recall_bounds +
+# the two r14 siblings).  Every never-checked query is therefore
 # driver-checked by registration + 1..3 — ahead of the promotion bound
 # (registration-age promotion at > _MAX_STALENESS keeps the worst case
 # at registered + _MAX_STALENESS + 2 even for back-to-back 50-cohorts).
