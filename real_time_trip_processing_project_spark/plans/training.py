@@ -1918,22 +1918,14 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-class profile per document (alpha/digit/space/other) —
     the curation signal that catches binary-in-text, mojibake, and
     markup-heavy docs that a word-level language model scores normally.
-    Map-only codegen regexp counts, integer-exact parity (explicit
-    ASCII classes on both engines, so no unicode-category drift)."""
+
+    r14: one numpy bincount per document (:func:`CU.script_profile_counts`)
+    — the four full-text regexp_replace length-diff passes were 31.6 s
+    at sf10 (sweep).  Integer-exact, whole-table parity pinned."""
     docs = load_fixture(spark, sf_dir, "documents")
-
-    def n(pat):
-        return F.length(
-            F.regexp_replace(F.col("text"), pat, "")
-        ).cast("long")
-
-    return docs.select(
-        "doc_id",
-        n(r"[^a-zA-Z]").alias("n_alpha"),
-        n(r"[^0-9]").alias("n_digit"),
-        n(r"[^ ]").alias("n_space"),
-        n(r"[a-zA-Z0-9 ]").alias("n_other"),
-        F.length("text").cast("long").alias("n_chars_total"),
+    return CU.script_profile_counts(docs).select(
+        F.col("id").alias("doc_id"),
+        "n_alpha", "n_digit", "n_space", "n_other", "n_chars_total",
     )
 
 

@@ -2131,3 +2131,54 @@ def test_pair_count_partials_edge_docs(spark):
         .collect()
     }
     assert got == {"ab": 2, "bc": 1}
+
+
+def test_script_profile_kernel_matches_expression_whole_table(spark):
+    """r14: the bincount kernel must equal the regexp_replace
+    length-diff expression form on every count column."""
+    from real_time_trip_processing_project_spark.operators import (
+        curation as CU,
+    )
+
+    docs = load_fixture(spark, SF, "documents")
+
+    def n(pat):
+        return F.length(
+            F.regexp_replace(F.col("text"), pat, "")
+        ).cast("long")
+
+    expr = {
+        r["doc_id"]: (r["a"], r["d"], r["s"], r["o"], r["t"])
+        for r in docs.select(
+            "doc_id",
+            n(r"[^a-zA-Z]").alias("a"), n(r"[^0-9]").alias("d"),
+            n(r"[^ ]").alias("s"), n(r"[a-zA-Z0-9 ]").alias("o"),
+            F.length("text").cast("long").alias("t"),
+        ).collect()
+    }
+    kern = {
+        r["id"]: (r["n_alpha"], r["n_digit"], r["n_space"],
+                  r["n_other"], r["n_chars_total"])
+        for r in CU.script_profile_counts(docs).collect()
+    }
+    assert kern == expr and kern
+
+
+def test_script_profile_kernel_edge_docs(spark):
+    """Empty text, tabs/newlines count as 'other' (not space — the
+    class is literal ' '), mixed content."""
+    from real_time_trip_processing_project_spark.operators import (
+        curation as CU,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a1 \t\nZ!")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["id"]: (r["n_alpha"], r["n_digit"], r["n_space"],
+                  r["n_other"], r["n_chars_total"])
+        for r in CU.script_profile_counts(docs).collect()
+    }
+    assert got[1] == (0, 0, 0, 0, 0)
+    assert got[2] == (2, 1, 1, 3, 7)
