@@ -256,16 +256,7 @@ def apply_bpe_counts(
                     syms.extend(w)
                     syms.append(" ")
                 for a, b, m in merges:
-                    out: list[str] = []
-                    i, n = 0, len(syms)
-                    while i < n:
-                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                            out.append(m)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    syms = out
+                    syms = _greedy_merge_scan(syms, a, b, m)
                 ids.append(did)
                 ns.append(len(syms))
             yield pd.DataFrame({"id": ids, "n_tokens": ns})
@@ -273,3 +264,22 @@ def apply_bpe_counts(
     return spread_small_input(docs.select(id_col, text_col)).mapInPandas(
         run, f"id {id_type}, n_tokens long"
     )
+
+
+def _greedy_merge_scan(syms: list, a: str, b: str, m: str) -> list:
+    """One BPE merge pass as the linear leftmost-greedy skip-2 scan —
+    provably equivalent to :func:`_merge_adjacent`'s fold (a merged
+    token ``a||b`` can never equal ``a`` for non-empty ``b``, so merged
+    output never re-merges within the same rule's pass in EITHER form);
+    the equivalence is property-tested against a literal fold reference
+    over adversarial symbol streams in tests/test_kernel_properties.py."""
+    out: list = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(m)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out

@@ -447,3 +447,93 @@ def test_minhash_kernel_matches_expr_form(spark):
         for r in D._minhash_from_sh_expr(sh).collect()
     }
     assert kernel == expr and kernel
+
+
+# ---------------------------------------------------------------------------
+# r14 text-kernel properties: the pure per-document computations the new
+# Arrow kernels run, falsified against literal references (no JVM)
+# ---------------------------------------------------------------------------
+
+_SYM = st.sampled_from(["a", "b", "c", "ab", "bc", "x", " "])
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.lists(_SYM, max_size=40),
+    _SYM, _SYM,
+)
+def test_greedy_merge_scan_equals_fold_reference(syms, a, b):
+    """tokenizer._greedy_merge_scan (the BPE kernel's pass) must equal
+    the aggregate fold's literal semantics — replace acc[-1] when
+    (acc[-1], s) == (a, b) — for arbitrary streams and rules, including
+    a == b runs and rules whose merged token collides with other
+    symbols in the stream."""
+    from real_time_trip_processing_project_spark.operators.tokenizer import (
+        _greedy_merge_scan,
+    )
+
+    m = a + b
+    acc = []
+    for s in syms:
+        if acc and acc[-1] == a and s == b:
+            acc[-1] = m
+        else:
+            acc.append(s)
+    assert _greedy_merge_scan(syms, a, b, m) == acc
+
+
+_ASCII_TEXT = st.text(
+    alphabet=st.sampled_from("ab1 .\t\nxy!Z"), max_size=200
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_ASCII_TEXT, max_size=8))
+def test_pair_count_byte_mask_equals_string_reference(texts):
+    """The byte-bigram mask trick (join words with ' ', drop pairs
+    containing the separator byte) must equal the per-word substring
+    enumeration the expression form implements."""
+    from collections import Counter
+
+    want = Counter()
+    for t in texts:
+        for w in t.split():
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    want[w[i : i + 2]] += 1
+
+    joined = " ".join(" ".join((t or "").split()) for t in texts)
+    b = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
+    got = Counter()
+    if len(b) >= 2:
+        sep = np.uint8(32)
+        mask = (b[:-1] != sep) & (b[1:] != sep)
+        codes = (
+            b[:-1][mask].astype(np.int32) * 256
+            + b[1:][mask].astype(np.int32)
+        )
+        uniq, cnt = np.unique(codes, return_counts=True)
+        for u, n in zip(uniq.tolist(), cnt.tolist()):
+            got[chr(u >> 8) + chr(u & 0xFF)] += n
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ASCII_TEXT)
+def test_script_profile_bincount_equals_char_classes(t):
+    """The per-doc bincount classes must equal literal per-char
+    classification (space is the literal ' ' only — tab/newline are
+    'other', matching the [^ ] regex class)."""
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+    cnt = np.bincount(b, minlength=256)
+    n_alpha = int(cnt[65:91].sum() + cnt[97:123].sum())
+    n_digit = int(cnt[48:58].sum())
+    n_space = int(cnt[32])
+    n_other = len(b) - n_alpha - n_digit - n_space
+    assert n_alpha == sum(1 for c in t if c.isascii() and c.isalpha())
+    assert n_digit == sum(1 for c in t if c.isdigit())
+    assert n_space == t.count(" ")
+    assert n_other == sum(
+        1 for c in t
+        if not (c.isascii() and c.isalpha()) and not c.isdigit() and c != " "
+    )
