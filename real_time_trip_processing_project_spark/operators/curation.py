@@ -134,15 +134,37 @@ def script_profile_counts(
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 t = text or ""
                 b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                cnt = np.bincount(b, minlength=256)
-                n_alpha = int(cnt[65:91].sum() + cnt[97:123].sum())
-                n_digit = int(cnt[48:58].sum())
-                n_space = int(cnt[32])
+                if len(b) == len(t):
+                    # pure-ASCII doc: byte == code point, one bincount
+                    cnt = np.bincount(b, minlength=256)
+                    n_alpha = int(cnt[65:91].sum() + cnt[97:123].sum())
+                    n_digit = int(cnt[48:58].sum())
+                    n_space = int(cnt[32])
+                else:
+                    # Non-ASCII guard (r14 advice): UTF-8 continuation
+                    # bytes would inflate n_other relative to the
+                    # regexp expression twin, a SILENT drift.  Count
+                    # CODE POINTS instead via a fixed-width UTF-32
+                    # view — same vectorized comparisons, exact on any
+                    # BMP+ text (the expression twin's character
+                    # classes are ASCII-only, so only the totals
+                    # change).  Exact for BMP text; astral code points
+                    # count 1 here vs 2 UTF-16 units in a JVM twin —
+                    # the honest code-point semantics.
+                    cp = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32
+                    )
+                    n_alpha = int(
+                        (((cp >= 65) & (cp < 91))
+                         | ((cp >= 97) & (cp < 123))).sum()
+                    )
+                    n_digit = int(((cp >= 48) & (cp < 58)).sum())
+                    n_space = int((cp == 32).sum())
                 out["id"].append(did)
                 out["n_alpha"].append(n_alpha)
                 out["n_digit"].append(n_digit)
                 out["n_space"].append(n_space)
-                out["n_other"].append(len(b) - n_alpha - n_digit - n_space)
+                out["n_other"].append(len(t) - n_alpha - n_digit - n_space)
                 out["n_chars_total"].append(len(t))
             yield pd.DataFrame(out)
 

@@ -328,23 +328,48 @@ def triangle_count_clustered(
         comp = connected_components(
             und.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
         )
+    # LEFT join: connected_components only emits nodes present in the
+    # pairs it was built from, so a caller-supplied ``components`` table
+    # missing any endpoint would, under an inner join, silently drop
+    # those edges and UNDERCOUNT triangles.  The left join keeps the
+    # orphaned edges with a NULL label and the guard aggregate below
+    # (the same single pass that sizes the largest component) fails
+    # loudly instead.
     e = und.join(
         comp.select(
             F.col("doc_id").alias("u"), F.col("canonical_id").alias("comp")
         ),
         "u",
+        "left",
     ).localCheckpoint(eager=False)  # guard pass + enumeration share one run
     # Guard BEFORE any group materializes: a giant component would be
     # collected into one Arrow group first and only then hit an in-kernel
     # size check — i.e. the OOM would arrive before the ValueError.  One
     # linear aggregate over the checkpointed edges raises driver-side
     # instead.
-    mx = (
+    guard = (
         e.groupBy("comp")
         .count()
-        .agg(F.max("count").alias("mx"))
-        .first()["mx"]
+        .agg(
+            F.max(F.when(F.col("comp").isNotNull(), F.col("count"))).alias(
+                "mx"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("comp").isNull(), F.col("count"))),
+                F.lit(0),
+            ).alias("orphans"),
+        )
+        .first()
     )
+    if guard["orphans"]:
+        raise ValueError(
+            f"triangle_count_clustered: {guard['orphans']} edge(s) have an"
+            " endpoint absent from the supplied components table —"
+            " triangle counts would be silently undercounted; pass a"
+            " components table covering every node (or components=None"
+            " to self-compute connected components)"
+        )
+    mx = guard["mx"]
     if mx is not None and mx > max_component_edges:
         raise ValueError(
             f"triangle_count_clustered: largest component has {mx} edges,"

@@ -189,19 +189,33 @@ def pair_count_partials(
             joined = " ".join(
                 " ".join((t or "").split()) for t in pdf[text_col]
             )
-            b = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
-            if len(b) < 2:
+            enc = joined.encode("utf-8")
+            if len(joined) < 2:
                 continue
-            sep = np.uint8(32)
+            if len(enc) == len(joined):
+                # pure-ASCII batch: byte == code point, uint8 bigrams
+                b = np.frombuffer(enc, dtype=np.uint8)
+                base = np.int64(256)
+            else:
+                # Non-ASCII guard (r14 advice): UTF-8 byte bigrams on
+                # multi-byte chars would emit Latin-1 byte-pair labels
+                # that silently diverge from the character-pair
+                # expression twin.  A fixed-width UTF-32 view keeps the
+                # same vectorized mask/unique path over CODE POINTS.
+                b = np.frombuffer(
+                    joined.encode("utf-32-le"), dtype=np.uint32
+                )
+                base = np.int64(0x110000)
+            sep = b.dtype.type(32)
             mask = (b[:-1] != sep) & (b[1:] != sep)
             codes = (
-                b[:-1][mask].astype(np.int32) * 256
-                + b[1:][mask].astype(np.int32)
+                b[:-1][mask].astype(np.int64) * base
+                + b[1:][mask].astype(np.int64)
             )
             uniq, cnt = np.unique(codes, return_counts=True)
             c = Counter()
             for u, n in zip(uniq.tolist(), cnt.tolist()):
-                c[chr(u >> 8) + chr(u & 0xFF)] += n
+                c[chr(u // base) + chr(u % base)] += n
             yield pd.DataFrame(
                 {"pair": list(c.keys()), "n": list(c.values())}
             )

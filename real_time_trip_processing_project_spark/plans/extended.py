@@ -2874,8 +2874,10 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM t GROUP BY event_type
         )
         SELECT event_type, CAST(n AS BIGINT) AS n,
-               round(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+               CASE WHEN n * sxx - sx * sx > 0
+                    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                    ELSE CAST(0 AS DOUBLE) END
                    AS slope_milli_per_hour
         FROM m
     """,
@@ -2920,18 +2922,29 @@ def events_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
     )
+    # Decimal-exact degenerate-group guard (the ts_cross_correlation
+    # pattern): a single-event group, or all of a type's events in one
+    # hour bucket, makes the denominator n·Σx² − (Σx)² exactly zero —
+    # Spark's double 0/0 is NULL while DuckDB's IEEE mode yields
+    # inf/NaN, a latent cross-engine mismatch.  The comparison happens
+    # on the exact DECIMAL (never the double), and the sentinel 0.0 is
+    # identical in both engines by construction.
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return m.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                "double"
-            )
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                "double"
+        F.when(
+            den > 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / den.cast("double"),
+                6,
             ),
-            6,
-        ).alias("slope_milli_per_hour"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("slope_milli_per_hour"),
     )
 
 
