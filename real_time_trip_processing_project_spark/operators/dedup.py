@@ -244,8 +244,17 @@ def jaccard_prefix_candidates(
     return _prefix_candidates(sh, threshold, l=l)
 
 
-def _prefix_candidates(sh: DataFrame, threshold: float, l: int = 1) -> DataFrame:
+def _prefix_candidates(
+    sh: DataFrame, threshold: float, l: int = 1, big: bool = False
+) -> DataFrame:
     """Candidate join over pre-shingled (id, shingles, n_sh) rows.
+
+    ``big`` — corpus is above :data:`_PREFIX_L2_MIN_DOCS` (the caller
+    already counts rows to pick ``l``): pins the candidate self-join to
+    sort-merge.  Above that size AQE's runtime choice measured ~1.4×
+    slower at sf10 (and a pinned shuffle-hash OOM'd building 32
+    concurrent per-partition hash maps); below it, broadcast is right
+    and the pin would cost ~0.5 s, so small corpora stay unpinned.
 
     ``l`` selects the prefix-scheme order (the AdaptJoin l-prefix
     family, Wang et al., SIGMOD 2012): a qualifying pair — overlap
@@ -282,9 +291,25 @@ def _prefix_candidates(sh: DataFrame, threshold: float, l: int = 1) -> DataFrame
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("id").orderBy("df", "shingle")
+    # ranked is consumed EXACTLY ONCE per scheme (the l=1 self-join's
+    # two sides collapse into one computation via ReusedExchange; the
+    # l=2 residual tier reads sh directly, see below) — so no
+    # materialization: a localCheckpoint here would strip size
+    # statistics and invite the wrong-side-broadcast class (r14
+    # pagerank; reproduced here at sf10 as a 1 GiB broadcast build).
     ranked = posting.join(dfreq, "shingle").withColumn(
         "pos", F.row_number().over(w)
     )
+    # Join keys are the xxhash64 of the shingle, NOT the shingle string:
+    # the candidate self-joins below sort/shuffle tens of millions of
+    # index rows, and 8-byte fixed keys sort ~4× faster than ~100-byte
+    # gram strings (measured sf10: the pair-key join fell 139 s → 33 s).
+    # EXACTNESS IS UNCONDITIONAL: hashing an equi-JOIN key can only
+    # merge key groups, i.e. produce a SUPERSET of the string-keyed
+    # candidates, and every candidate is exact-Jaccard verified against
+    # the full shingle sets afterwards.  (The prefix ORDERING, where a
+    # collision could in principle lose a pair, stays on the exact
+    # (df, shingle) total order above.)
     # ⌈t·n⌉ computed with a 1e-9 slack: t is a binary double, so the
     # product can land marginally ABOVE the exact rational ⌈t·n⌉
     # boundary (e.g. 0.7·10 → 7.000000000000001) and an unslacked
@@ -294,9 +319,16 @@ def _prefix_candidates(sh: DataFrame, threshold: float, l: int = 1) -> DataFrame
     c_min = F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
     prefix1 = ranked.filter(
         F.col("pos") <= F.col("n_sh") - c_min + 1
-    ).select("id", "n_sh", "shingle")
+    ).select("id", "n_sh", F.xxhash64("shingle").alias("hsh"))
 
     def pair_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+        # Self-join of one index relation: both sides carry identical
+        # plans, so the exchange is computed once and reused
+        # (ReusedExchange).  Small corpora leave the strategy to
+        # AQE (broadcast wins there); big ones pin sort-merge — see
+        # the ``big`` docstring note.
+        if big:
+            left = left.hint("merge")
         a, b = left.alias("a"), right.alias("b")
         cond = (F.col("a.id") < F.col("b.id")) & (
             # length filter: |B| ∈ [t·|A|, |A|/t]
@@ -311,18 +343,24 @@ def _prefix_candidates(sh: DataFrame, threshold: float, l: int = 1) -> DataFrame
         )
 
     if l == 1:
-        return pair_join(prefix1, prefix1, ["shingle"])
+        return pair_join(prefix1, prefix1, ["hsh"])
     if l != 2:  # pragma: no cover - guarded API edge
         raise ValueError(f"unsupported prefix order l={l}")
 
-    # l = 2: ordered shingle-pair keys from the (…+2)-prefix of every
-    # doc whose overlap bound supports a 2-token requirement.
+    # l = 2: unordered shingle-pair keys from the (…+2)-prefix of every
+    # doc whose overlap bound supports a 2-token requirement.  Keys are
+    # struct(least, greatest) over the two token HASHES — pair
+    # enumeration is long arithmetic in the HOF (the old string-concat
+    # form allocated a ~200-byte key per pair in the interpreter), and
+    # the join sorts 16-byte structs.
     eligible = ranked.filter(c_min >= 2)
     prefix2 = eligible.filter(
         F.col("pos") <= F.col("n_sh") - c_min + 2
-    ).groupBy("id").agg(
+    ).select("id", "n_sh", F.xxhash64("shingle").alias("h")).groupBy(
+        "id"
+    ).agg(
         F.first("n_sh").alias("n_sh"),
-        F.collect_list("shingle").alias("pref"),
+        F.collect_list("h").alias("pref"),
     )
     pair_keys = prefix2.select(
         "id",
@@ -331,22 +369,43 @@ def _prefix_candidates(sh: DataFrame, threshold: float, l: int = 1) -> DataFrame
             F.expr(
                 "flatten(transform(pref, (x, i) -> "
                 "transform(slice(pref, i + 2, size(pref)), y -> "
-                "concat(least(x, y), '\\u0001', greatest(x, y)))))"
+                "struct(least(x, y) AS k1, greatest(x, y) AS k2))))"
             )
         ).alias("pk"),
     )
     cand_big = pair_join(pair_keys, pair_keys, ["pk"])
 
-    # Residual tier: docs that cannot owe a 2-token match (⌈t·n⌉ < 2)
-    # join their WHOLE shingle set (≡ their 1-prefix) against every
-    # doc's 1-prefix; normalize to id_a < id_b afterwards since the
-    # small doc may sit on either side of the ordered pair.
-    small_post = ranked.filter(c_min < 2).select("id", "n_sh", "shingle")
-    s, p1 = small_post.alias("a"), prefix1.alias("b")
+    # Residual tier: docs that cannot owe a 2-token match (⌈t·n⌉ < 2,
+    # i.e. |A| ≤ 1/t) join their WHOLE shingle set against the whole
+    # shingle sets of every doc SMALL ENOUGH to be their partner — the
+    # length filter bounds a qualifying partner at |B| ≤ |A|/t ≤ 1/t²,
+    # so both sides come STRAIGHT from sh with no df/rank dependency
+    # (whole sets ⊇ the 1-prefixes this tier previously probed: a
+    # candidate superset, exact after verification).  This is what
+    # lets ranked stay single-consumer above — the old prefix1 probe
+    # side re-executed the whole df join + window a second time
+    # (measured sf10: the restructure + hashed keys took the candidate
+    # stage 206 s → ~95 s and dedup_clusters 271 s → 132 s).
+    # Normalize to id_a < id_b afterwards since the tiny doc may sit
+    # on either side of the ordered pair.
+    def whole_post(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "id", "n_sh", F.explode("shingles").alias("shingle")
+        ).select("id", "n_sh", F.xxhash64("shingle").alias("hsh"))
+
+    tiny_c_min = F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
+    small_post = whole_post(sh.filter(tiny_c_min < 2))
+    probe_post = whole_post(
+        sh.filter(
+            F.col("n_sh") * F.lit(threshold * threshold)
+            <= F.lit(1.0) + F.lit(1e-9)
+        )
+    )
+    s, p1 = small_post.alias("a"), probe_post.alias("b")
     cand_small = (
         s.join(
             p1,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.hsh") == F.col("b.hsh"))
             & (F.col("a.id") != F.col("b.id"))
             & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
             & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh")),
@@ -368,6 +427,14 @@ def _prefix_candidates(sh: DataFrame, threshold: float, l: int = 1) -> DataFrame
 #: enumeration has gone quadratic).  The boundary sits between the first
 #: two points; 20 k splits it with margin on both sides.
 _PREFIX_L2_MIN_DOCS = 20_000
+
+#: Corpus size above which the candidate self-join is PINNED to
+#: sort-merge (r15): at 500 k docs AQE's runtime pick measured ~1.4×
+#: slower than pinned SMJ (180 → 132 s for dedup_clusters at sf10) and
+#: a pinned shuffle-hash OOM'd; at 50 k docs the pin costs ~0.4 s over
+#: letting AQE broadcast.  Between the measured points; an order of
+#: magnitude above the l=2 crossover.
+_PREFIX_PIN_MIN_DOCS = 200_000
 
 
 def jaccard_pairs(
@@ -415,10 +482,12 @@ def jaccard_pairs(
     upstream plan when ``docs`` is an unpersisted derived frame).
     """
     sh = shingled_docs(docs, id_col, text_col).localCheckpoint(eager=False)
+    n = docs_rows if docs_rows is not None else docs.count()
     if l is None:
-        n = docs_rows if docs_rows is not None else docs.count()
         l = 2 if n > _PREFIX_L2_MIN_DOCS else 1
-    cand = _prefix_candidates(sh, threshold, l=l)
+    cand = _prefix_candidates(
+        sh, threshold, l=l, big=n > _PREFIX_PIN_MIN_DOCS
+    )
     return _verify_pairs(cand, sh, threshold)
 
 
