@@ -385,13 +385,25 @@ def main() -> None:
         "flavors": flavors,
     }
     out["quality"] = _quality(spark)
-    streaming = _stream_throughput(spark)
+    sustained_waves = int(
+        os.environ.get(
+            "SPARK_GRAFT_SUSTAINED_WAVES",
+            # full sustained gate at the canonical sf0.1 record; a
+            # shorter burn for smoke-scale local runs
+            "150" if (sf or 0) >= 0.1 else "24",
+        )
+    )
+    streaming = _stream_throughput(spark, sustained_waves=sustained_waves)
     if streaming:
         out["streaming"] = streaming
         # rates normalize the other way round: a loaded box lengthens
         # the probe AND lowers events/sec, so rate x probe is the
         # box-independent figure of merit
-        for k in ("steady_state_events_per_sec", "events_per_sec"):
+        for k in (
+            "steady_state_events_per_sec",
+            "events_per_sec",
+            "sustained_events_per_sec",
+        ):
             if streaming.get(k):
                 out["normalized"]["streaming_" + k] = round(
                     streaming[k] * probe_mean, 1
@@ -439,7 +451,12 @@ def main() -> None:
             name = reg["query"]
             if name.startswith("streaming_"):
                 if restream is None:
-                    restream = _stream_throughput(spark) or {}
+                    restream = (
+                        _stream_throughput(
+                            spark, sustained_waves=sustained_waves
+                        )
+                        or {}
+                    )
                 rate = restream.get(name.removeprefix("streaming_"))
                 retest = (rate or 0.0) * _fresh("jvm")
                 ratio2 = reg["prev_norm"] / retest if retest else 0.0
@@ -497,7 +514,13 @@ def main() -> None:
     if streaming:
         compact["streaming"] = {
             k: streaming[k]
-            for k in ("events", "steady_state_events_per_sec")
+            for k in (
+                "events",
+                "steady_state_events_per_sec",
+                "sustained_events",
+                "sustained_events_per_sec",
+                "sustained_state_bounded",
+            )
             if k in streaming
         }
     # hard budget: the driver tail is 2,000 chars — keep the final line
@@ -1115,7 +1138,7 @@ def _quality(spark) -> dict:
     return q
 
 
-def _stream_throughput(spark) -> dict | None:
+def _stream_throughput(spark, sustained_waves: int = 150) -> dict | None:
     """Replay the reference's 9,998 trip events through the full streaming
     pipeline (file sources → stateful correlator → partitioned store) and
     report end-to-end events/sec.
@@ -1272,9 +1295,45 @@ def _stream_throughput(spark) -> dict | None:
             state_sec = time.perf_counter() - t0
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+        # Sustained long-lived replay (r14 verdict item 5): a
+        # scaled-down invocation of the 10 M-event scale probe
+        # (streaming/scale.py; ~1.5 M events over ~15 micro-batches)
+        # so sustained throughput AND the bounded-state assertion are
+        # regression-gated per round, not one-off.  Waves default to
+        # 150 (env SPARK_GRAFT_SUSTAINED_WAVES overrides; 0 disables).
+        sustained = None
+        if sustained_waves > 0:
+            from real_time_trip_processing_project_spark.streaming import (
+                scale as _scale,
+            )
+
+            sroot = os.path.join(root, "sustained")
+            prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                sustained, _ = _scale.sustained_replay(
+                    spark, sroot, sustained_waves, max_files=10
+                )
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        extra = (
+            {
+                "sustained_events": sustained["events"],
+                "sustained_batches": sustained["batches"],
+                "sustained_events_per_sec": sustained[
+                    "sustained_ev_per_sec"
+                ],
+                "sustained_state_mb_max": sustained["state_mb_max"],
+                "sustained_state_bounded": sustained["state_bounded"],
+            }
+            if sustained
+            else {}
+        )
         return {
             "events": n,
             "key_groups": 16,
+            **extra,
             "pipeline_sec": round(dt, 3),
             "events_per_sec": round(n / dt, 1),
             "source_only_sec": round(source_sec, 3),
