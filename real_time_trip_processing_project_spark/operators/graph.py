@@ -25,6 +25,7 @@ bounded at high iteration counts.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,6 +39,25 @@ PR_DAMPING_PCT = 85
 #: oracle, so this is deliberately modest; convergence on the planted
 #: dedup graph is fast — components are small).
 PR_ITERS = 6
+
+#: triangle_count FUSED-regime threshold: edge counts at or below this
+#: broadcast the edge frame into BOTH the wedge join and the closing
+#: probe, so the whole enumeration runs as one codegen stage with no
+#: shuffle at all (a ≤~100 MB hashed relation at the limit) — the
+#: committed-bench shape at fixture scale (0.9 s at sf0.1's 5 k-edge
+#: graph, where the mid regime's SMJ machinery measured ~7 s).
+_TRI_FUSED_MAX_EDGES = 2_000_000
+
+#: triangle_count BROADCAST-probe threshold: up to here the closing
+#: semi probe broadcasts the 2-column (src,dst) edge projection (~3 GB
+#: hashed at the limit, under Spark's 8 GB broadcast cap) so the
+#: O(m^1.5) wedge stream never hits an exchange, while the wedge
+#: self-join runs sort-merge (its inputs are just the edge table —
+#: cheap to shuffle; a second multi-GB broadcast measured 1.9× slower
+#: at sf10).  Above it the probe pins sort-merge too and the wedge
+#: stream is shuffled — the honest exact-global cost, with
+#: triangle_count_clustered as the designed scale path.
+_TRI_BROADCAST_MAX_EDGES = 64_000_000
 
 
 def pagerank_integer(
@@ -196,9 +216,67 @@ def triangle_count(
     (s→a, s→b with a before b in the same total order) closes iff the
     oriented edge (a→b) exists; each triangle is found exactly once,
     from its smallest vertex in the order.  Three equi-joins + one
-    explode-aggregate; no iteration, no driver data."""
-    und = (
-        pairs.select(
+    explode-aggregate; no iteration; the one driver scalar is the input
+    pair COUNT (the BPE-argmax class), which picks the join regime.
+
+    The join strategy is pinned EXPLICITLY per measured size — Catalyst
+    cannot make this choice itself: the compile-time stats above a
+    cached-but-unmaterialized frame are still the upstream ESTIMATE,
+    and AQE never re-validates a broadcast decided above a non-exchange
+    scan (the r14 wrong-side-broadcast class) — left to those estimates
+    it auto-broadcast the full 37.7 M-row edge frame, which OOM'd the
+    build at sf10 in 2/2 attempts this round while "working" at
+    sf0.001.  Three regimes, every crossover measured in the r15 sf10 /
+    sf0.1 A/Bs (SCALE.md r15; the dedup._PREFIX_PIN_MIN_DOCS
+    discipline):
+
+    1. **Fused (m ≤ _TRI_FUSED_MAX_EDGES).**  Edge frame broadcast into
+       both the wedge join and the closing probe: the whole enumeration
+       is one codegen stage, the O(m^1.5) wedge stream never exists as
+       rows between operators.  Zero extra persists — rebuild over the
+       cached input is milliseconds, and the mid regime's SMJ machinery
+       measured ~7 s on sf0.1's 5 k-edge graph vs ~1 s fused.
+    2. **Broadcast probe (m ≤ _TRI_BROADCAST_MAX_EDGES).**  The wedge
+       self-join runs sort-merge — its INPUTS are just the edge table
+       twice, cheap to shuffle — and the closing semi probe broadcasts
+       the 2-column (src,dst) projection (~3 GB hashed at the
+       threshold, under Spark's 8 GB cap), so the wedge OUTPUT
+       pipelines from the SMJ straight through the probe into the
+       partial aggregate, never exchanged.  Broadcasting the wedge side
+       TOO was measured 1.9× slower at sf10 (a second multi-GB relation
+       buys no exchange savings and doubles build memory); ``und`` and
+       ``e`` are persisted DISK_ONLY (deliberately NOT localCheckpoint/
+       MEMORY_AND_DISK: two 37.7 M-row frames resident on-heap crowd
+       the broadcast build) so the three references re-read instead of
+       re-running the multi-minute edge build.
+    3. **Sort-merge (above).**  The probe pins sort-merge too and the
+       full wedge stream is shuffled+sorted — measured 4.1× slower at
+       sf10 (773 s vs 189 s repeat-invocation) but bounded-memory at
+       any scale; :func:`triangle_count_clustered` is the documented
+       100 TB path for dedup-shaped graphs.
+
+    All three regimes are plan-pinned in tests/test_plans_physical.py."""
+    # The regime scalar: one count of the (cached) input pair frame —
+    # an upper bound on the oriented edge count (exact for deduped
+    # inputs like common_span_pairs).  Counting the INPUT rather than
+    # the built edge frame keeps the fused regime's pre-pass to a
+    # single cheap scan, and the count also materializes the cache, so
+    # everything downstream reads it instead of re-running the
+    # upstream pair pipeline.
+    p = pairs.persist(StorageLevel.DISK_ONLY)
+    m_ub = p.count()
+    fused = m_ub <= _TRI_FUSED_MAX_EDGES
+    small = m_ub <= _TRI_BROADCAST_MAX_EDGES
+
+    def _store(df: DataFrame) -> DataFrame:
+        # the mid/big regimes reference the edge frame three times with
+        # multi-minute rebuild costs; the fused regime's rebuilds are
+        # milliseconds over the cached input and skipping the persist
+        # saves two materialization jobs
+        return df if fused else df.persist(StorageLevel.DISK_ONLY)
+
+    und = _store(
+        p.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
             F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
         )
@@ -210,31 +288,56 @@ def triangle_count(
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
     )
-    e = (
-        und.join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
-        .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
+    # deg is node-sized; in the fused regime it is genuinely tiny and
+    # broadcast explicitly; above it Catalyst may try a driver-built
+    # broadcast of a multi-M-row deg under misestimates — the r14
+    # pagerank death — so shuffle_hash is pinned (same pin as
+    # pagerank_integer's degree join).
+    deg_hint = (
+        (lambda d: F.broadcast(d))
+        if fused
+        else (lambda d: d.hint("shuffle_hash"))
+    )
+    e = _store(
+        und.join(
+            deg_hint(
+                deg.withColumnRenamed("id", "u").withColumnRenamed(
+                    "deg", "du"
+                )
+            ),
+            "u",
+        )
+        .join(
+            deg_hint(
+                deg.withColumnRenamed("id", "v").withColumnRenamed(
+                    "deg", "dv"
+                )
+            ),
+            "v",
+        )
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))
                 | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
                 F.struct(
-                    F.col("u").alias("src"), F.col("du").alias("dsrc"),
+                    F.col("u").alias("src"),
                     F.col("v").alias("dst"), F.col("dv").alias("ddst"),
                 ),
             )
             .otherwise(
                 F.struct(
-                    F.col("v").alias("src"), F.col("dv").alias("dsrc"),
+                    F.col("v").alias("src"),
                     F.col("u").alias("dst"), F.col("du").alias("ddst"),
                 )
             )
             .alias("o")
         )
-        .select("o.src", "o.dsrc", "o.dst", "o.ddst")
+        .select("o.src", "o.dst", "o.ddst")
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    e3 = e.select("src", "dst").alias("e3")
     wedges = e1.join(
-        e2,
+        F.broadcast(e2) if fused else e2.hint("merge"),
         (F.col("e1.src") == F.col("e2.src"))
         & (
             (F.col("e1.ddst") < F.col("e2.ddst"))
@@ -249,7 +352,7 @@ def triangle_count(
         F.col("e2.dst").alias("b"),
     )
     tri = wedges.join(
-        e3,
+        F.broadcast(e3) if small else e3.hint("merge"),
         (F.col("a") == F.col("e3.src")) & (F.col("b") == F.col("e3.dst")),
         "left_semi",
     )
@@ -260,7 +363,11 @@ def triangle_count(
     )
     return (
         deg.select("id")
-        .join(per_node, "id", "left")
+        .join(
+            F.broadcast(per_node) if fused else per_node.hint("merge"),
+            "id",
+            "left",
+        )
         .select(
             "id",
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias(

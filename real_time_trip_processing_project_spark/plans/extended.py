@@ -3122,7 +3122,17 @@ def session_overlap_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned ≤ (sessions × buckets × k) candidate rows, not the quadratic
     pair set.  DuckDB plans the raw inequality join (IEJoin) + one
     window — two engines, two physical strategies, one verified
-    answer."""
+    answer.
+
+    Scale note (r14 verdict watch item): candidate ENUMERATION — the
+    step before either top-k — is ∝ Σ per-bucket concurrency².  On a
+    real fleet concurrency per hour bucket is bounded by fleet size, so
+    enumeration is linear in sessions; the SYNTHETIC fixture's user
+    count grows with sf inside a fixed one-month window, so its
+    concurrency — and this query's sf-probe cost (286 s at sf10) — is
+    the fixture's density artifact, not the operator's scaling law.  An
+    sf100-class sweep should cap fixture concurrency (or budget for the
+    quadratic enumeration) before reading the number as a regression."""
     events = load_fixture(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))

@@ -145,10 +145,19 @@ def sustained_replay(
         ),
         "state_mb_max": max(mem_curve, default=None),
     }
-    bounded = (
-        summary["state_mb_final_third_max"] is not None
-        and summary["state_mb_final_third_max"]
-        <= 1.1 * summary["state_mb_mid_third_max"]
-    )
-    summary["state_bounded"] = bool(bounded)
+    if len(mem_curve) < 9:
+        # too short to split into meaningful thirds: a smoke-scale burn
+        # (bench's 24-wave sf0.001 run yields ~3 batches) is still in
+        # the state-store FILL phase, so a false here would read as
+        # "unbounded" when the honest verdict is "not enough curve".
+        # None = no verdict; the canonical sf0.1/sf10 gates always run
+        # ≥ 15 batches.
+        summary["state_bounded"] = None
+    else:
+        bounded = (
+            summary["state_mb_final_third_max"] is not None
+            and summary["state_mb_final_third_max"]
+            <= 1.1 * summary["state_mb_mid_third_max"]
+        )
+        summary["state_bounded"] = bool(bounded)
     return summary, batches

@@ -126,6 +126,55 @@ def test_no_cartesian_products_in_catalogue(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_triangle_joins_pin_both_size_regimes(spark, monkeypatch):
+    """triangle_count references its disk-cached oriented-edge frame
+    three times; the join regime is pinned EXPLICITLY per edge count
+    because the compile-time stats above the cached input are still the
+    upstream estimate and AQE never re-validates a broadcast above a
+    non-exchange scan (the r14 wrong-side-broadcast class — left to
+    its estimates Catalyst auto-broadcast the full edge frame and
+    OOM'd the build at sf10).  Fused regime (tiny graphs): everything
+    broadcast, one codegen stage, no wedge materialization.  Mid
+    regime: SMJ wedge join (its INPUTS are cheap to shuffle) + a
+    broadcast 2-col closing probe, so the O(m^1.5) wedge OUTPUT
+    pipelines into the probe + partial agg without ever being
+    exchanged.  Big regime: everything sort-merge — the honest
+    global-exact shuffle (4.1× slower at sf10, SCALE.md r15; the
+    clustered sibling is the scale path)."""
+    from real_time_trip_processing_project_spark.operators import (
+        graph as GR,
+    )
+
+    def _tri_plan() -> str:
+        df = (REGISTRY | RETIRED)["graph_triangles_dedup"].fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        return buf.getvalue()
+
+    # fused regime at fixture scale: wedge + probe + final all broadcast
+    plan = _tri_plan()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # the cached INPUT pair frame is re-read, not re-derived
+    assert "InMemoryTableScan" in plan
+
+    # mid regime (forced): SMJ wedge, broadcast LeftSemi probe, cached
+    # edge frame re-read per reference
+    monkeypatch.setattr(GR, "_TRI_FUSED_MAX_EDGES", 0)
+    mid = _tri_plan()
+    assert "BroadcastHashJoin" in mid and "LeftSemi" in mid
+    assert mid.count("SortMergeJoin") >= 2
+    assert mid.count("InMemoryTableScan") >= 2
+
+    # big regime (forced): the probe must be sort-merge too
+    monkeypatch.setattr(GR, "_TRI_BROADCAST_MAX_EDGES", 0)
+    big = _tri_plan()
+    assert big.count("SortMergeJoin") >= 3
+    assert "BroadcastHashJoin" not in big
+
+
 def test_embedding_pairs_plan_is_equi_joined(spark):
     """The registered near-dup pair query must run as shuffle/broadcast
     equi-joins on (cell, pair id) keys — the metric-blocked design —
