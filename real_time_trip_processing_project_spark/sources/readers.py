@@ -78,12 +78,51 @@ def load_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.schema(schema).parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _parquet_row_groups(df: DataFrame, cap: int) -> int | None:
+    """Total parquet row groups beneath ``df``, or ``None`` when unknowable
+    cheaply (non-parquet source, no scan, more files than ``cap`` — at
+    which point the source is parallel enough that the answer no longer
+    matters).  Footer-metadata reads only; no data scan, no Spark job."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > cap:
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for uri in files:
+        if not uri.endswith(".parquet"):
+            return None
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            total += pq.read_metadata(path).num_row_groups
+        except Exception:
+            return None
+    return total
+
+
 def spread_small_input(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a DataFrame whose source arrived as fewer
-    input splits than half the cores — a single local parquet file
-    otherwise serializes CPU-heavy per-row work (shingling, codecs) onto
-    one task.  At real scale the source has ≫ cores splits and this is
-    a no-op (the repartition of raw rows would be a pure tax there).
+    """Round-robin repartition a DataFrame whose source cannot feed at
+    least half the cores — otherwise CPU-heavy per-row work (shingling,
+    codecs, interpreted scoring) serializes onto one or two tasks.  At
+    real scale the source has ≫ cores row groups and this is a no-op
+    (the repartition of raw rows would be a pure tax there).
+
+    TWO observables gate the spread, because each lies alone:
+
+    - ``rdd.getNumPartitions()`` — the byte-range SPLIT count.  A
+      mid-size single-file source yields ≥ cores/2 splits, but parquet
+      reads are ROW-GROUP atomic: a file whose row count is below the
+      writer's row-group size (pyarrow default 1 Mi rows) is ONE row
+      group, so every split but one reads 0 rows and the whole scan
+      lands on a single task (r15 sf30 probe: `sim_cosine_topk`'s
+      pinned-expr scoring ran 39 minutes on task 15-of-32 while 31
+      tasks read 904 footer bytes each).
+    - parquet footer ``num_row_groups`` — the true upper bound on scan
+      parallelism, read driver-side from the file metadata (no job).
+      Checked only when the split count alone would skip the spread.
 
     ``SPARK_GRAFT_NO_SPREAD=1`` turns it into an unconditional no-op —
     the paired-A/B switch tools/ab_spread.py uses to attribute a query's
@@ -97,7 +136,11 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     ):
         return df
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, cores // 2):
+    floor = max(2, cores // 2)
+    if df.rdd.getNumPartitions() < floor:
+        return df.repartition(cores)
+    groups = _parquet_row_groups(df, cap=max(cores, 64))
+    if groups is not None and groups < floor:
         return df.repartition(cores)
     return df
 

@@ -56,8 +56,24 @@ NATIONS = [
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
 
+#: Rows per parquet row group.  pyarrow's default (1 Mi rows) writes any
+#: table under ~1 M rows as ONE row group — and parquet reads are
+#: row-group atomic, so Spark's byte-range splits all land on a single
+#: task no matter how many cores ask (r15: `sim_cosine_topk` at sf30 ran
+#: its whole 120 M-row scoring stage on 1 of 32 tasks for 39 minutes).
+#: Real lake files carry many row groups; 128 Ki keeps every ≥ 4 M-row
+#: fixture table at ≥ 32-way scan parallelism while staying large enough
+#: that per-group overhead is noise.  Smaller tables are handled by
+#: readers.spread_small_input's row-group gate.
+ROW_GROUP_ROWS = 131_072
+
+
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    pq.write_table(
+        table,
+        os.path.join(out_dir, f"{name}.parquet"),
+        row_group_size=ROW_GROUP_ROWS,
+    )
     print(f"  {name}: {table.num_rows:,} rows")
 
 
