@@ -28,6 +28,8 @@ no Python UDFs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -373,6 +375,42 @@ def _prefix_candidates(
             )
         ).alias("pk"),
     )
+    if big:
+        # Pre-flight disk guard (r15 sf30 probe): the candidate join's
+        # output is EXACTLY Σ cnt(pk)² rows before the id/length
+        # filters, and on closed-vocabulary corpora that sum grows
+        # quadratically in corpus size (measured on the fixture:
+        # 1.22e8 at 500 k docs → 8.65e8 at 1.5 M docs, 7.1× for 3×
+        # docs) — at sf30 the join's shuffle spill exceeded the
+        # box's 70 GB free disk and died mid-stage with "No space left
+        # on device".  One aggregate over the persisted index converts
+        # that into an immediate, actionable error naming the designed
+        # 100 TB path.  DISK_ONLY persist makes the guard pass nearly
+        # free (the join re-reads ~3 GB instead of recomputing the
+        # window/rank pipeline) and keeps size stats for the planner.
+        from pyspark import StorageLevel
+
+        pair_keys = pair_keys.persist(StorageLevel.DISK_ONLY)
+        fan = (
+            pair_keys.groupBy("pk")
+            .count()
+            .agg(F.sum(F.col("count") * F.col("count")).alias("fan"))
+            .first()["fan"]
+            or 0
+        )
+        if fan > _MAX_CANDIDATE_ROWS:
+            raise ValueError(
+                f"jaccard_pairs: prefix candidate fan-out Σ cnt(pair-key)²"
+                f" = {fan:,} rows exceeds the"
+                f" {_MAX_CANDIDATE_ROWS:,}-row budget (≈32 B/row of"
+                " shuffle before spill amplification).  This corpus is"
+                " too collision-dense for EXACT pairwise verification —"
+                " use minhash_lsh_pairs / dedup_minhash_lsh (the designed"
+                " 100 TB near-dup path; recall ≥ 0.95 floor, measured"
+                " 1.0 on this fixture) or raise"
+                " SPARK_GRAFT_MAX_CAND_ROWS on a fleet with more"
+                " aggregate shuffle disk."
+            )
     cand_big = pair_join(pair_keys, pair_keys, ["pk"])
 
     # Residual tier: docs that cannot owe a 2-token match (⌈t·n⌉ < 2,
@@ -435,6 +473,17 @@ _PREFIX_L2_MIN_DOCS = 20_000
 #: letting AQE broadcast.  Between the measured points; an order of
 #: magnitude above the l=2 crossover.
 _PREFIX_PIN_MIN_DOCS = 200_000
+
+#: Candidate-row budget for the exact pairwise join (guard active only
+#: in the big regime).  Σ cnt(pair-key)² IS the join's pre-filter output
+#: row count; at ~32 B/row the default bounds the candidate shuffle at
+#: ~8 GB before spill amplification — the sf10 fixture (1.22e8) clears
+#: it 2×, the quadratically-densified sf30 fixture (8.65e8) fails fast
+#: instead of dying mid-stage on exhausted shuffle disk.  Env-tunable
+#: for fleets with real aggregate disk.
+_MAX_CANDIDATE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_MAX_CAND_ROWS", str(250_000_000))
+)
 
 
 def jaccard_pairs(

@@ -96,8 +96,18 @@ def pagerank_integer(
     # materialization died (r14 sweep).  Shuffle-side join is the safe
     # strategy at every scale (deg is histogram-sized at bench scale,
     # where the hint costs nothing measurable).
-    ed = edges.join(deg.hint("shuffle_hash"), "src").localCheckpoint(
-        eager=False
+    # DISK_ONLY, deliberately NOT localCheckpoint: a localCheckpoint
+    # caches DESERIALIZED rows on-heap (MEMORY_AND_DISK), and the
+    # doubled edge frame is the biggest thing in the whole query — at
+    # sf30 (~300 M pairs → ~600 M ed rows) materializing it OOM'd the
+    # 16 g heap inside MemoryStore.putIterator (r15 sf30 probe; the
+    # triangle_count mid-regime hit the identical class at sf10 and
+    # DISK_ONLY was the measured fix).  persist also KEEPS size stats,
+    # so Catalyst sees the true edge-frame size downstream — strictly
+    # safer than the stats-less checkpoint this replaces.  At bench
+    # scale (5 k edges) the disk round-trip is milliseconds.
+    ed = edges.join(deg.hint("shuffle_hash"), "src").persist(
+        StorageLevel.DISK_ONLY
     )
     nodes = (
         ed.select(F.col("src").alias("id"))
@@ -448,7 +458,12 @@ def triangle_count_clustered(
         ),
         "u",
         "left",
-    ).localCheckpoint(eager=False)  # guard pass + enumeration share one run
+        # guard pass + enumeration share one materialization; DISK_ONLY
+        # (not localCheckpoint) so the labeled edge frame is never
+        # resident deserialized on-heap — the pagerank sf30 OOM class —
+        # and the guard aggregate below can actually run to its
+        # ValueError on a graph too dense for this operator
+    ).persist(StorageLevel.DISK_ONLY)
     # Guard BEFORE any group materializes: a giant component would be
     # collected into one Arrow group first and only then hit an in-kernel
     # size check — i.e. the OOM would arrive before the ValueError.  One
@@ -583,8 +598,12 @@ def bfs_depths(
         # materialize ONCE: every BFS round joins against edges, and
         # without this the upstream pair generation (winnowing over the
         # whole corpus for the registered query) re-executes per round
-        # — measured 11.4 s vs ~2 s at sf0.1
-        .localCheckpoint(eager=True)
+        # — measured 11.4 s vs ~2 s at sf0.1.  DISK_ONLY rather than
+        # localCheckpoint: the checkpoint's DESERIALIZED on-heap cache
+        # of the doubled edge frame is the pagerank sf30 OOM class
+        # (r15 probe; GCLocker retry warnings here at sf30 were the
+        # same pressure), and persist keeps size stats for the planner.
+        .persist(StorageLevel.DISK_ONLY)
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()
     smaller_nbr = edges.filter(F.col("dst") < F.col("src")).select(

@@ -1,0 +1,63 @@
+"""The exact-dedup candidate fan-out guard (r15 sf30 probe finding).
+
+At sf30 the l=2 candidate self-join's output (EXACTLY Σ cnt(pair-key)²
+rows before the id/length filters) reached 8.65e8 rows and its shuffle
+spill exhausted the box's 70 GB free disk mid-stage ("No space left on
+device").  The guard converts that into an immediate ValueError naming
+the designed 100 TB path (MinHash-LSH), computed from one aggregate
+over the DISK_ONLY-persisted pair-key index — so a passing guard costs
+one cheap count pass, and the join then re-reads the persisted index
+instead of recomputing the rank/window pipeline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_project_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog wordy text " + str(i % 7))
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingled(docs):
+    return DD.shingled_docs(docs, "doc_id", "text")
+
+
+def test_guard_trips_on_shrunk_budget(docs, monkeypatch):
+    monkeypatch.setattr(DD, "_MAX_CANDIDATE_ROWS", 10)
+    with pytest.raises(ValueError) as e:
+        DD._prefix_candidates(_shingled(docs), 0.8, l=2, big=True).count()
+    msg = str(e.value)
+    assert "fan-out" in msg and "minhash" in msg
+    assert "SPARK_GRAFT_MAX_CAND_ROWS" in msg
+
+
+def test_guard_passes_within_budget_and_output_unchanged(docs):
+    sh = _shingled(docs)
+    # big=True routes through the guarded persist+aggregate path;
+    # big=False is the historical un-guarded shape — same candidates
+    guarded = DD._prefix_candidates(sh, 0.8, l=2, big=True)
+    plain = DD._prefix_candidates(sh, 0.8, l=2, big=False)
+    assert guarded.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(guarded).isEmpty()
+    assert guarded.count() > 0
+
+
+def test_default_budget_is_env_tunable(monkeypatch):
+    import importlib
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_CAND_ROWS", "123")
+    importlib.reload(DD)
+    try:
+        assert DD._MAX_CANDIDATE_ROWS == 123
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_MAX_CAND_ROWS")
+        importlib.reload(DD)
