@@ -10,6 +10,8 @@ plans/core.py (_cents integer-exact money sums, 6dp rounding).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd  # module scope: pandas_udf type-hint resolution
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -3060,6 +3062,16 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Enumeration budget for session_overlap_top_pairs (rows; Σ cnt(bucket)²
+#: over hour buckets IS the bucket join's pre-filter output count).
+#: Default clears the sf10 fixture (1.3e11, streamed in 286 s on this
+#: box) ~3× and fails the sf30 fixture (1.17e12, measured disk death)
+#: fast instead of mid-sort.  See the guard comment in the query body.
+_MAX_OVERLAP_CANDIDATES = int(
+    os.environ.get("SPARK_GRAFT_MAX_OVERLAP_CAND", str(400_000_000_000))
+)
+
+
 @register(
     "session_overlap_top_pairs",
     oracle="""
@@ -3159,6 +3171,33 @@ def session_overlap_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # Pre-flight enumeration guard (r15 sf30 probe): the bucket
+    # equi-join enumerates Σ cnt(bucket)² candidate rows, and the
+    # bucket-local top-k's per-task sort must materialize its share of
+    # them — at sf30 (Σ cnt² = 1.17e12; the fixture grows per-hour
+    # concurrency with sf) the sort spill exhausted the shuffle disk
+    # mid-stage where sf10 (1.3e11) streamed through in 286 s.  On a
+    # bounded-concurrency fleet Σ cnt² is linear in sessions and this
+    # aggregate (sessions-scale, one pass) never fires; past the budget
+    # it raises an actionable error instead of dying on exhausted disk.
+    fan = (
+        binned.groupBy("bucket")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")).alias("fan"))
+        .first()["fan"]
+        or 0
+    )
+    if fan > _MAX_OVERLAP_CANDIDATES:
+        raise ValueError(
+            f"session_overlap_top_pairs: per-bucket enumeration"
+            f" Σ cnt(bucket)² = {fan:,} rows exceeds the"
+            f" {_MAX_OVERLAP_CANDIDATES:,}-row budget — per-hour session"
+            " concurrency is unbounded on this input (the synthetic"
+            " fixture densifies concurrency with scale; real fleets"
+            " bound it by fleet size).  Cap concurrency upstream, use a"
+            " finer bucket, or raise SPARK_GRAFT_MAX_OVERLAP_CAND on a"
+            " fleet with more aggregate shuffle disk."
+        )
     a = binned.select(
         F.col("user_id").alias("ua"), F.col("session_seq").alias("qa"),
         F.col("s_us").alias("sa"), F.col("e_us").alias("ea"), "bucket",

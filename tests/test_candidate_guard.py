@@ -61,3 +61,17 @@ def test_default_budget_is_env_tunable(monkeypatch):
     finally:
         monkeypatch.delenv("SPARK_GRAFT_MAX_CAND_ROWS")
         importlib.reload(DD)
+
+
+def test_session_overlap_enumeration_guard(spark, monkeypatch):
+    """Same guard discipline on session_overlap_top_pairs: shrink the
+    budget and the sf-smoke fixture must trip it with the actionable
+    message; the driver's sf0.01 oracle run (test_queries_oracle) pins
+    that the default budget does NOT trip at oracle scale."""
+    from real_time_trip_processing_project_spark.plans import extended as EXT
+
+    monkeypatch.setattr(EXT, "_MAX_OVERLAP_CANDIDATES", 1)
+    with pytest.raises(ValueError) as e:
+        EXT.session_overlap_top_pairs(spark, "/root/testdata/sf0.001").count()
+    msg = str(e.value)
+    assert "enumeration" in msg and "SPARK_GRAFT_MAX_OVERLAP_CAND" in msg
