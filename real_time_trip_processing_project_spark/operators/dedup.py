@@ -607,22 +607,28 @@ def _minhash_from_sh(sh: DataFrame) -> DataFrame:
     """Signatures from pre-shingled (id, shingles, n_sh) rows — Arrow
     numpy kernel, shuffle-FREE.
 
-    One ``mapInPandas`` pass: per document, md5 each shingle once
-    (hashlib — byte-identical to ``F.md5``), take the first 8 hex
-    digits as the 32-bit base (= :func:`_h32`), apply all 64 universal
-    transforms ``(a·h + b) mod P`` as one broadcasted int64 matrix, and
-    reduce per-doc minima with ``np.minimum.reduceat``.  Values are
+    One ``mapInPandas`` pass: per DISTINCT shingle in the task, md5
+    once (hashlib — byte-identical to ``F.md5``; a per-task memo
+    dedupes, which a Zipf vocabulary rewards heavily), take the first
+    4 digest bytes as the 32-bit base (= :func:`_h32` — the first 8
+    hex nibbles ARE the first 4 bytes), apply all 64 universal
+    transforms ``(a·h + b) mod P`` as one broadcasted int64 matrix,
+    and reduce per-doc minima with ``np.minimum.reduceat``.  (r15
+    A/B: hashing JVM-side via ``transform(shingles, _h32)`` to ship
+    longs across Arrow measured SLOWER at sf10/sf30 — the interpreted
+    HOF re-computes md5 for every duplicate occurrence, which the memo
+    avoids; the memo variant took sf30 113 → 87 s.)  Values are
     BIT-IDENTICAL to the expression form (kept as
     :func:`_minhash_from_sh_expr`, fuzz-pinned by
     ``test_minhash_kernel_matches_expr_form``): P < 2³² and a < 2³¹
     keep a·h + b < 2⁶³, so int64 arithmetic is exact in both.
 
-    Why a kernel: the expression form explodes to one row per (doc,
-    shingle) and runs a 64-buffer hash aggregate over the blow-up —
-    measured as the dominant cost of the LSH pipeline.  The kernel is
-    row-in/row-out (no explode, no exchange), and chunks its (shingles
-    × 64) transform matrix so one Arrow batch of long documents cannot
-    balloon task memory."""
+    Why a kernel at all: the expression form explodes to one row per
+    (doc, shingle) and runs a 64-buffer hash aggregate over the
+    blow-up — measured as the dominant cost of the LSH pipeline.  The
+    kernel is row-in/row-out (no explode, no exchange), and chunks its
+    (shingles × 64) transform matrix so one Arrow batch of long
+    documents cannot balloon task memory."""
     import numpy as np
     import pandas as pd
 
@@ -632,6 +638,23 @@ def _minhash_from_sh(sh: DataFrame) -> DataFrame:
 
     def run(batches):
         import hashlib
+
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        # Per-task memo: the base hash depends only on the shingle
+        # string, and shingle vocabularies are Zipf-repetitive, so each
+        # DISTINCT shingle is hashed once.  Capped so an adversarial
+        # unbounded vocabulary degrades to the uncached cost instead of
+        # ballooning worker memory.
+        memo: dict[str, int] = {}
+
+        def h32(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                v = from_bytes(md5(s.encode("utf-8")).digest()[:4], "big")
+                if len(memo) < 4_000_000:
+                    memo[s] = v
+            return v
 
         for pdf in batches:
             keep = pdf["n_sh"] > 0
@@ -644,7 +667,7 @@ def _minhash_from_sh(sh: DataFrame) -> DataFrame:
             counts = pdf["n_sh"].to_numpy(dtype=np.int64)
             flat = np.fromiter(
                 (
-                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    h32(s)
                     for shingles in pdf["shingles"]
                     for s in shingles
                 ),
