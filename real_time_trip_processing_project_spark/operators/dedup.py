@@ -643,17 +643,26 @@ def _minhash_from_sh(sh: DataFrame) -> DataFrame:
         from_bytes = int.from_bytes
         # Per-task memo: the base hash depends only on the shingle
         # string, and shingle vocabularies are Zipf-repetitive, so each
-        # DISTINCT shingle is hashed once.  Capped so an adversarial
-        # unbounded vocabulary degrades to the uncached cost instead of
-        # ballooning worker memory.
+        # DISTINCT shingle is hashed once.  Capped by an approximate
+        # BYTE budget, not entry count — one worker runs per core, and
+        # 4 M multi-word shingle strings is ~0.5–1 GB of retained
+        # Python objects per worker (ADVICE r15).  64 MB of string
+        # payload per task keeps the whole executor's memo footprint
+        # ~2 GB worst case at 32 cores; an open (non-Zipf) vocabulary
+        # degrades to the uncached cost instead of ballooning memory.
         memo: dict[str, int] = {}
+        memo_bytes = 0
+        MEMO_BYTE_BUDGET = 64 * 1024 * 1024
 
         def h32(s: str) -> int:
+            nonlocal memo_bytes
             v = memo.get(s)
             if v is None:
                 v = from_bytes(md5(s.encode("utf-8")).digest()[:4], "big")
-                if len(memo) < 4_000_000:
+                if memo_bytes < MEMO_BYTE_BUDGET:
                     memo[s] = v
+                    # ~len(s) payload + ~80 B object/dict-slot overhead
+                    memo_bytes += len(s) + 80
             return v
 
         for pdf in batches:

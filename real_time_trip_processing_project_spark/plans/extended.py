@@ -3180,6 +3180,13 @@ def session_overlap_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded-concurrency fleet Σ cnt² is linear in sessions and this
     # aggregate (sessions-scale, one pass) never fires; past the budget
     # it raises an actionable error instead of dying on exhausted disk.
+    # DISK_ONLY persist so the guard's .first() and the returned query
+    # share one execution of the sessionization pipeline (scan, lag
+    # window, groupBy, explode) — the dedup guard's discipline
+    # (operators/dedup.py:388); serialized-on-disk, stats-preserving.
+    from pyspark import StorageLevel
+
+    binned = binned.persist(StorageLevel.DISK_ONLY)
     fan = (
         binned.groupBy("bucket")
         .count()

@@ -95,7 +95,15 @@ def _parquet_row_groups(df: DataFrame, cap: int) -> int | None:
     for uri in files:
         if not uri.endswith(".parquet"):
             return None
-        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        if uri.startswith("file:"):
+            # inputFiles() returns percent-encoded URIs (spaces, unicode);
+            # pq.read_metadata wants the raw filesystem path — unquote or
+            # such paths raise and silently skip the spread (ADVICE r15)
+            from urllib.parse import unquote, urlparse
+
+            path = unquote(urlparse(uri).path)
+        else:
+            path = uri
         try:
             total += pq.read_metadata(path).num_row_groups
         except Exception:

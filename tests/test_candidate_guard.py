@@ -75,3 +75,81 @@ def test_session_overlap_enumeration_guard(spark, monkeypatch):
         EXT.session_overlap_top_pairs(spark, "/root/testdata/sf0.001").count()
     msg = str(e.value)
     assert "enumeration" in msg and "SPARK_GRAFT_MAX_OVERLAP_CAND" in msg
+
+
+def test_cosine_fanout_guard_trips_on_shrunk_budget(spark, monkeypatch):
+    """r16: the last semantics-quadratic shape gets the same pre-flight
+    discipline — Σ |cell_a|·|cell_b| over surviving blocks (the exact
+    matmul pair count) vs a budget, BEFORE any vector shuffles."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+    from real_time_trip_processing_project_spark.plans import REGISTRY
+
+    monkeypatch.setattr(SIM, "_MAX_COSINE_CANDIDATES", 10)
+    with pytest.raises(ValueError) as e:
+        REGISTRY["dedup_embedding_cosine"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).count()
+    msg = str(e.value)
+    assert "fan-out" in msg and "ann" in msg.lower()
+    assert "SPARK_GRAFT_MAX_COSINE_CAND" in msg
+    # the message carries the EXACT comparison count for remediation
+    assert "comparisons" in msg
+
+
+def test_cosine_fanout_guard_trips_on_join_path_too(spark, monkeypatch):
+    """The distributed (broadcast self-join) cell-pair path computes the
+    same fan sum as the driver loop and must trip identically."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+
+    emb = load_fixture(spark, "/root/testdata/sf0.001", "embeddings")
+    monkeypatch.setattr(SIM, "_CELL_PAIR_JOIN_MIN_K", 0)
+    monkeypatch.setattr(SIM, "_MAX_COSINE_CANDIDATES", 10)
+    with pytest.raises(ValueError, match="SPARK_GRAFT_MAX_COSINE_CAND"):
+        SIM.cosine_pairs_blocked(emb, 0.8, n_cells=24).count()
+
+
+def test_cosine_fanout_paths_agree_on_the_count(spark, monkeypatch):
+    """Driver-loop and broadcast-join candidate paths must report the
+    SAME Σ |cᵢ|·|cⱼ| (the guard's correctness claim: the count is exact,
+    not an estimate)."""
+    import numpy as np
+
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    rng = np.random.RandomState(3)
+    C = rng.standard_normal((12, 8))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    radii = {i: 0.4 for i in range(12)}
+    counts = {i: (i + 1) * 3 for i in range(12)}
+    _, fan_loop = SIM._candidate_cell_pairs(spark, C, radii, 0.6, counts)
+    monkeypatch.setattr(SIM, "_CELL_PAIR_JOIN_MIN_K", 0)
+    pair_df, fan_join = SIM._candidate_cell_pairs(
+        spark, C, radii, 0.6, counts
+    )
+    assert fan_loop == fan_join > 0
+    pair_df.unpersist()
+
+
+def test_cosine_budget_is_env_tunable(monkeypatch):
+    import importlib
+
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_COSINE_CAND", "456")
+    importlib.reload(SIM)
+    try:
+        assert SIM._MAX_COSINE_CANDIDATES == 456
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_MAX_COSINE_CAND")
+        importlib.reload(SIM)

@@ -105,3 +105,20 @@ def test_no_spread_env_wins(spark, single_group, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_NO_SPREAD", "1")
     df = spark.read.parquet(single_group)
     assert spread_small_input(df) is df
+
+
+def test_percent_encoded_path_still_probed(spark, tmp_path):
+    """inputFiles() percent-encodes special characters in its URIs
+    (a space becomes %20); the probe must unquote before handing the
+    path to pyarrow, or such fixtures silently skip the spread and
+    reintroduce the single-task regression (ADVICE r15)."""
+    d = tmp_path / "row group dir ü"
+    d.mkdir()
+    path = str(d / "emb file.parquet")
+    pq.write_table(_vec_table(), path)
+    df = spark.read.parquet(path)
+    uris = df.inputFiles()
+    assert any("%" in u for u in uris), (
+        "fixture path was not percent-encoded; trap not reproduced"
+    )
+    assert _parquet_row_groups(df, cap=64) == 1
