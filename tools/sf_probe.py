@@ -2,16 +2,28 @@
 general form of sf10_sweep's timer for targeted A/Bs and the r15 sf30
 third-decade slope probe (r14 verdict stretch item 8).
 
-Usage: python tools/sf_probe.py SF_DIR QUERY_CSV [N_RUNS] [CAP_SEC]
+Usage: python tools/sf_probe.py SF_DIR QUERY_CSV [N_RUNS] [CAP_SEC] [--isolate]
 Prints one JSON line per query:
   {"query": ..., "sf_dir": ..., "runs": [...], "min": ...}
 A clamped/failed run records the error string in place of a time.
+
+``--isolate`` (r15 verdict item 6 — probe-cancellation honesty): run
+each query in its OWN subprocess/JVM.  In local mode a cancelled
+CPU-bound task can outlive ``cancelJobGroup`` by minutes (interpreted
+TimSort/HOF loops rarely check interrupts) and a long session
+accumulates shuffle files until ShuffleDependency GC — both pollute
+successor measurements by up to ~2× (SCALE.md r15 caveats).  A fresh
+JVM per query pays ~20 s startup (excluded from the timed runs — the
+timer starts after the session is up) and removes both pollution
+sources, so isolated sweep rows are directly comparable to paired
+A/B numbers.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
@@ -19,11 +31,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _isolated(sf_dir: str, qs: list[str], n: int, cap: int) -> None:
+    """One subprocess (its own JVM, its own shuffle dirs) per query;
+    relay each child's JSON line.  A child that dies without printing
+    (OOM kill, JVM abort) records an error row instead of silence."""
+    for q in qs:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, q, str(n), str(cap)],
+            capture_output=True,
+            text=True,
+        )
+        line = next(
+            (l for l in r.stdout.splitlines() if l.startswith("{")), None
+        )
+        if line:
+            print(line, flush=True)
+        else:
+            err = (r.stderr or "no output").strip().splitlines()
+            print(
+                json.dumps(
+                    {
+                        "query": q,
+                        "sf_dir": sf_dir,
+                        "runs": [f"child died rc={r.returncode}: "
+                                 + (err[-1][:160] if err else "")],
+                        "min": None,
+                    }
+                ),
+                flush=True,
+            )
+
+
 def main() -> None:
     sf_dir = sys.argv[1]
     qs = [q for q in sys.argv[2].split(",") if q]
-    n = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    cap = int(sys.argv[4]) if len(sys.argv) > 4 else 900
+    args = [a for a in sys.argv[3:] if a != "--isolate"]
+    n = int(args[0]) if len(args) > 0 else 1
+    cap = int(args[1]) if len(args) > 1 else 900
+    if "--isolate" in sys.argv and len(qs) > 1:
+        _isolated(sf_dir, qs, n, cap)
+        return
 
     from real_time_trip_processing_project_spark.plans import REGISTRY
     from real_time_trip_processing_project_spark.session import get_spark
