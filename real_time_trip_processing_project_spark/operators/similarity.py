@@ -308,7 +308,11 @@ def _signatures_udf(planes):
     return sigs
 
 
-#: Occupancy cap for the ad-hoc LSH index (r15 verdict watch item #2):
+#: Occupancy cap for the ad-hoc LSH index (r15 verdict watch item #2;
+#: measured frontier in SCALE.md r16 — at sf30/600 k corpus: flat
+#: 107.5 s / recall 0.95-class, cap 1024 → 62.4 s / 0.868, cap 512 →
+#: 43.9 s / 0.74; warm min-of-2, isolated sessions.  The default 1024
+#: is the balanced point; the env knob is a latency↔recall dial):
 #: with a FIXED 2^ANN_BITS-bucket grid, per-bucket occupancy grows
 #: ∝ N/256, so re-rank work per probe grows with the corpus and the
 #: whole query (queries ∝ N too) goes quadratic-ish — measured 6.7×

@@ -97,7 +97,9 @@ def main() -> None:
                 if el >= cap - 1 or "cancelled" in str(e).lower():
                     runs.append(f"timeout>{cap}s")
                 else:
-                    runs.append(f"error: {str(e)[:160]}")
+                    # elapsed-to-error matters: fail-fast guards are
+                    # graded on HOW FAST they raise
+                    runs.append(f"error@{el:.1f}s: {str(e)[:200]}")
                 break
             finally:
                 timer.cancel()
