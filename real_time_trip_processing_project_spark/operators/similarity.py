@@ -1315,7 +1315,15 @@ def ann_topk_indexed(
     The probed (table, bucket) pairs (queries × tables × radius-2
     multi-probes, a few thousand ints) are collected driver-side and
     pushed into the scan as partition filters, so a probe reads only
-    matching bucket directories instead of re-signing the corpus."""
+    matching bucket directories instead of re-signing the corpus.
+
+    Layout note (r16): the persisted index keeps the FLAT (table,
+    bucket) partitioning — the occupancy cap (:data:`_LSH_MAX_OCC`,
+    ad-hoc path only) is not baked into stored buckets, because a
+    stored index can instead bound per-probe reads by re-partitioning
+    at build time (more tables / more bits are build-time knobs there);
+    rebuilding the index is the documented remediation when a stored
+    bucket outgrows its probe budget."""
     planes = _planes(dim)
     sig_udf = _signatures_udf(planes)
     qvecs = queries.select(
