@@ -175,7 +175,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _verify_pairs(
-    cand: DataFrame, sh: DataFrame, threshold: float
+    cand: DataFrame, sh: DataFrame, threshold: float, big: bool = False
 ) -> DataFrame:
     """Exact-Jaccard verification of narrow (id_a, id_b) candidate pairs
     against pre-shingled (id, shingles, n_sh) rows.
@@ -184,7 +184,21 @@ def _verify_pairs(
     onto the candidate row; wide array payloads are joined only for
     candidates — orders of magnitude fewer than the corpus — and never
     travel through the candidate-generation shuffle.
+
+    ``big`` pins both joins to sort-merge (r16 sf10 probe finding): in
+    the big prefix regime the candidate set is tens of millions of
+    (id, id) rows whose SHUFFLE bytes compress under the 64 MB
+    auto-broadcast threshold, so AQE happily broadcasts it — but the
+    deserialized hash relation is ~1 GB and is held across BOTH verify
+    joins: run 1 completed 155 s with GCLocker retry warnings, run 2 in
+    the same 16 g JVM died with "Not enough memory to build and
+    broadcast".  Same size-conditional discipline as ``pair_join``
+    (small regimes keep AQE's broadcast, which wins there); the minhash
+    verify caller keeps the default — its banded candidate set is
+    output-scale, not corpus-scale.
     """
+    if big:
+        cand = cand.hint("merge")
     sh_a = sh.select(
         F.col("id").alias("id_a"),
         F.col("shingles").alias("sh_a"),
@@ -534,10 +548,9 @@ def jaccard_pairs(
     n = docs_rows if docs_rows is not None else docs.count()
     if l is None:
         l = 2 if n > _PREFIX_L2_MIN_DOCS else 1
-    cand = _prefix_candidates(
-        sh, threshold, l=l, big=n > _PREFIX_PIN_MIN_DOCS
-    )
-    return _verify_pairs(cand, sh, threshold)
+    big = n > _PREFIX_PIN_MIN_DOCS
+    cand = _prefix_candidates(sh, threshold, l=l, big=big)
+    return _verify_pairs(cand, sh, threshold, big=big)
 
 
 #: Universal-hash permutation constants (h_i = (a_i·h + b_i) mod P over a
