@@ -209,9 +209,15 @@ def _verify_pairs(
         F.col("shingles").alias("sh_b"),
         F.col("n_sh").alias("n_b"),
     )
+    half = cand.join(sh_a, "id_a")
+    if big:
+        # A join-strategy hint binds only to the nearest join above the
+        # hinted subtree, so the first hint covers the sh_a join only;
+        # re-hint the intermediate result to pin the sh_b join too
+        # (r17, ADVICE r16 — previously SMJ-by-size, now guaranteed).
+        half = half.hint("merge")
     paired = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        half.join(sh_b, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -413,6 +419,12 @@ def _prefix_candidates(
             or 0
         )
         if fan > _MAX_CANDIDATE_ROWS:
+            # Release the DISK_ONLY index before raising — persists
+            # stay registered in the CacheManager until session end,
+            # and a failed guard should not leave gigabytes of index
+            # cached in a session that will retry differently (r17,
+            # ADVICE r16).
+            pair_keys.unpersist()
             raise ValueError(
                 f"jaccard_pairs: prefix candidate fan-out Σ cnt(pair-key)²"
                 f" = {fan:,} rows exceeds the"

@@ -421,6 +421,14 @@ def ann_topk(
                 F.col("z.sigs").alias("bucket"),
                 F.col("z.xbs").alias("xb"),
             )
+            # DISK_ONLY so the signature compute runs once for the
+            # depth map AND the candidate join.  Documented retention
+            # (ADVICE r16): the persist stays registered until session
+            # end — releasing it pre-return is impossible (the returned
+            # plan is lazy), and it is narrow (4 skinny columns, no
+            # vectors).  Long-lived multi-query sessions should prefer
+            # the persistent-index path (`lsh_build_index` /
+            # `lsh_query_index`), which owns its lifecycle explicitly.
             .persist(StorageLevel.DISK_ONLY)
         )
         depth_df = (
@@ -740,7 +748,7 @@ def _candidate_cell_pairs(
     radii: dict[int, float],
     d_max: float,
     counts: dict[int, int],
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame | None]:
     """Cell pairs (i ≤ j) that can hold a qualifying pair:
     ‖ĉᵢ − ĉⱼ‖ ≤ d_max + rᵢ + rⱼ (triangle inequality — lossless) —
     plus the EXACT score-stage volume Σ |cᵢ|·|cⱼ| over those pairs, so
@@ -774,6 +782,7 @@ def _candidate_cell_pairs(
         return (
             spark.createDataFrame(pairs, "pid LONG, cell_a INT, cell_b INT"),
             fan,
+            None,
         )
     cent = spark.createDataFrame(
         [
@@ -820,7 +829,12 @@ def _candidate_cell_pairs(
         .persist(StorageLevel.DISK_ONLY)
     )
     fan = surv.agg(F.sum("nn").alias("fan")).first()["fan"] or 0
-    return surv.select("pid", "cell_a", "cell_b"), int(fan)
+    # The persisted handle rides along so the caller can unpersist on
+    # its guard's raise path; on the success path it stays cached for
+    # the downstream block joins and is released at session end (the
+    # documented long-session retention — metadata-scale, ≤ k² skinny
+    # rows, same class as the capped-LSH index persist).
+    return surv.select("pid", "cell_a", "cell_b"), int(fan), surv
 
 
 def cosine_pairs_blocked(
@@ -899,7 +913,9 @@ def cosine_pairs_blocked(
     counts = {r["cell"]: r["n"] for r in cell_stats}
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     spark = emb.sparkSession
-    pair_df, fan = _candidate_cell_pairs(spark, C, radii, d_max, counts)
+    pair_df, fan, surv_handle = _candidate_cell_pairs(
+        spark, C, radii, d_max, counts
+    )
     # Pre-flight fan-out guard (r15 verdict watch item #1 — the last
     # unguarded semantics-quadratic shape): Σ |cᵢ|·|cⱼ| over surviving
     # blocks is EXACTLY the score stage's matmul pair count and ∝ its
@@ -911,9 +927,16 @@ def cosine_pairs_blocked(
     # scalar from metadata already in hand converts it into an
     # immediate, actionable error naming the designed scale path.
     if fan > _MAX_COSINE_CANDIDATES:
+        n_surviving = pair_df.count()
+        if surv_handle is not None:
+            # Release the DISK_ONLY survivor set before raising — a
+            # failed guard must not leave the persisted relation
+            # registered in the CacheManager for the rest of the
+            # session (r17, ADVICE r16).
+            surv_handle.unpersist()
         raise ValueError(
             f"cosine_pairs_blocked: score-stage fan-out Σ |cell_a|·|cell_b|"
-            f" = {fan:,} comparisons over {pair_df.count():,} surviving"
+            f" = {fan:,} comparisons over {n_surviving:,} surviving"
             f" cell-pair blocks exceeds the {_MAX_COSINE_CANDIDATES:,}"
             "-comparison budget — EXACT all-pairs cosine is"
             " semantics-quadratic on corpora this weakly clustered."

@@ -958,13 +958,17 @@ def events_resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     active-hour rows gives each observation its validity span
     [h, next_h), and ONE ``sequence()`` explode emits the span's dense
     hours carrying the forward-filled value directly — every silent
-    hour inherits its span's ``v_cents`` by construction, because the
-    last non-null value at hour x IS the value of the active hour that
-    opened x's span.  No dense-grid join and no window sort over the
-    densified users × span-hours rows (the prior shape's superlinear
-    term); the only window runs on the sparse pre-aggregate, reusing
-    its shuffle partitioning.  Value sums ride the exact-cents integer
-    discipline so the filled values hash-match bit-for-bit."""
+    hour inherits its span's fill value by construction.  The carried
+    value is ``last(v_cents, ignorenulls=True)`` over the SAME sparse
+    window (r17 fix, ADVICE r16): an active hour whose value sum is
+    NULL (all-NULL inputs) must inherit the previous non-null value —
+    the oracle's ``last_value IGNORE NULLS`` semantics — not open a
+    NULL span.  Both window functions share one window spec, so it is
+    still a single window pass over sparse rows only; no dense-grid
+    join and no window sort over the densified users × span-hours rows
+    (the prior shape's superlinear term).  Value sums ride the
+    exact-cents integer discipline so the filled values hash-match
+    bit-for-bit."""
     ev = load_fixture(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("hour", F.col("ts")).alias("h"),
@@ -976,11 +980,12 @@ def events_resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = Window.partitionBy("user_id").orderBy("h")
     return (
         b.withColumn("h_next", F.lead("h").over(wn))
+        .withColumn("v_fill", F.last("v_cents", ignorenulls=True).over(wn))
         .select(
             "user_id",
             "h",
             "n_events",
-            "v_cents",
+            "v_fill",
             F.explode(
                 F.sequence(
                     F.col("h"),
@@ -998,7 +1003,7 @@ def events_resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .cast("long")
             .alias("n_events"),
-            F.col("v_cents").alias("v_ffill_cents"),
+            F.col("v_fill").alias("v_ffill_cents"),
         )
     )
 

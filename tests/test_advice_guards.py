@@ -223,3 +223,49 @@ def test_pair_count_partials_non_ascii_matches_expression(spark):
     assert kern == expr and kern
     # sanity: the fallback actually produced multi-byte pairs
     assert any(ord(c) > 127 for p in kern for c in p)
+
+
+def test_resample_ffill_null_value_hours_match_oracle(spark, tmp_path):
+    """r17 pin (ADVICE r16, medium): an ACTIVE hour whose value sum is
+    NULL (all events that hour carry NULL value) must inherit the
+    previous non-null fill — the oracle's last_value IGNORE NULLS —
+    for itself AND its silent-hour span, not open a NULL span.  Also
+    pins the leading-NULL case (no prior non-null → NULL, both
+    engines) so the ignorenulls carry is bounded correctly."""
+    t0 = dt.datetime(2024, 3, 1, 0, 15)
+
+    def ev(i, uid, hours, val):
+        return (i, t0 + dt.timedelta(hours=hours), uid, "t", val, "{}")
+
+    rows = [
+        # user 1: active h0 (v=5.0), active h2 all-NULL, silent h3,
+        # active h4 (v=7.25) — h2 and h3 must ffill 500 cents.
+        ev(0, 1, 0, 5.0),
+        ev(1, 1, 2, None),
+        ev(2, 1, 2.5, None),
+        ev(3, 1, 4, 7.25),
+        # user 2: LEADING all-NULL hour then a value — h0 stays NULL
+        # in both engines (nothing to carry), h1 is 300 cents.
+        ev(4, 2, 0, None),
+        ev(5, 2, 1, 3.0),
+    ]
+    sf_dir = _fixture_dir_with_events(tmp_path, spark, rows)
+    qdef = REGISTRY["events_resample_1h_ffill"]
+    df = qdef.fn(spark, sf_dir)
+    res = testing.compare_query(
+        "events_resample_1h_ffill",
+        df,
+        qdef.oracle,
+        testing.duckdb_conn(sf_dir),
+    )
+    assert res.ok, res.detail
+    got = {
+        (r["user_id"], r["hour"].hour): (r["n_events"], r["v_ffill_cents"])
+        for r in df.collect()
+    }
+    assert got[(1, 0)] == (1, 500)
+    assert got[(1, 2)] == (2, 500)  # active, all-NULL → carried fill
+    assert got[(1, 3)] == (0, 500)  # its silent span carries it too
+    assert got[(1, 4)] == (1, 725)
+    assert got[(2, 0)] == (1, None)  # leading NULL: nothing to carry
+    assert got[(2, 1)] == (1, 300)

@@ -111,8 +111,23 @@ def test_cosine_fanout_guard_trips_on_join_path_too(spark, monkeypatch):
     emb = load_fixture(spark, "/root/testdata/sf0.001", "embeddings")
     monkeypatch.setattr(SIM, "_CELL_PAIR_JOIN_MIN_K", 0)
     monkeypatch.setattr(SIM, "_MAX_COSINE_CANDIDATES", 10)
+    # r17 (ADVICE r16): the raise path must release the DISK_ONLY
+    # survivor-set persist, not leave it in the CacheManager — capture
+    # the persisted handle and check its storage level is reset.
+    captured = {}
+    orig = SIM._candidate_cell_pairs
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        captured["surv"] = out[2]
+        return out
+
+    monkeypatch.setattr(SIM, "_candidate_cell_pairs", spy)
     with pytest.raises(ValueError, match="SPARK_GRAFT_MAX_COSINE_CAND"):
         SIM.cosine_pairs_blocked(emb, 0.8, n_cells=24).count()
+    surv = captured["surv"]
+    assert surv is not None
+    assert not surv.storageLevel.useDisk and not surv.storageLevel.useMemory
 
 
 def test_cosine_fanout_paths_agree_on_the_count(spark, monkeypatch):
@@ -130,13 +145,14 @@ def test_cosine_fanout_paths_agree_on_the_count(spark, monkeypatch):
     C /= np.linalg.norm(C, axis=1, keepdims=True)
     radii = {i: 0.4 for i in range(12)}
     counts = {i: (i + 1) * 3 for i in range(12)}
-    _, fan_loop = SIM._candidate_cell_pairs(spark, C, radii, 0.6, counts)
+    _, fan_loop, _ = SIM._candidate_cell_pairs(spark, C, radii, 0.6, counts)
     monkeypatch.setattr(SIM, "_CELL_PAIR_JOIN_MIN_K", 0)
-    pair_df, fan_join = SIM._candidate_cell_pairs(
+    pair_df, fan_join, surv = SIM._candidate_cell_pairs(
         spark, C, radii, 0.6, counts
     )
     assert fan_loop == fan_join > 0
-    pair_df.unpersist()
+    assert surv is not None
+    surv.unpersist()
 
 
 def test_cosine_budget_is_env_tunable(monkeypatch):

@@ -576,3 +576,46 @@ def test_derived_partsupp_primary_key(spark, sf_smoke):
         (F.col("ps_suppkey") < 0) | (F.col("ps_suppkey") >= s_total)
     ).count()
     assert bad == 0
+
+
+def test_verify_pairs_big_regime_pins_both_joins_smj(spark):
+    """r17 pin (ADVICE r16): a join-strategy hint binds only to the
+    nearest join above the hinted subtree, so `_verify_pairs(big=True)`
+    must re-hint the intermediate (cand ⋈ sh_a) result — BOTH verify
+    joins sort-merge, zero broadcast (the r16 sf10 OOM class: the
+    narrow candidate set compresses under the auto-broadcast threshold
+    but deserializes to ~1 GB held across both joins).  Small regime
+    keeps AQE's choice."""
+    import io as _io
+    import contextlib as _ctx
+
+    from pyspark.sql import functions as F
+    from real_time_trip_processing_project_spark.operators import (
+        dedup as DD,
+    )
+
+    sh = (
+        spark.range(200)
+        .select(
+            F.col("id"),
+            F.array(F.concat(F.lit("s"), F.col("id").cast("string"))).alias(
+                "shingles"
+            ),
+            F.lit(1).alias("n_sh"),
+        )
+    )
+    cand = spark.range(100).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+
+    def plan_of(df):
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            df.explain("simple")
+        return buf.getvalue()
+
+    big = plan_of(DD._verify_pairs(cand, sh, 0.5, big=True))
+    assert big.count("SortMergeJoin") >= 2
+    assert "BroadcastHashJoin" not in big
+    small = plan_of(DD._verify_pairs(cand, sh, 0.5))
+    assert "BroadcastHashJoin" in small or "SortMergeJoin" not in small
