@@ -25,6 +25,8 @@ bounded at high iteration counts.
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,6 +60,45 @@ _TRI_FUSED_MAX_EDGES = 2_000_000
 #: stream is shuffled — the honest exact-global cost, with
 #: triangle_count_clustered as the designed scale path.
 _TRI_BROADCAST_MAX_EDGES = 64_000_000
+
+#: Pre-flight edge-volume budget for the ITERATIVE operators (r17,
+#: verdict item 3 — the sf100 envelope): BFS/pagerank re-shuffle the
+#: doubled edge frame once per round (8 BFS rounds / 6+ pagerank
+#: iterations), so total shuffle disk ≈ rounds × m × ~16 B.  At sf100
+#: the winnowing pair graph densifies to ~1e9 edges and
+#: graph_bfs_depths burned ~800 s into a clean ENOSPC at 92 GB of
+#: shuffle (SCALE.md r16) — this guard converts that into an immediate
+#: driver-scalar ValueError carrying the exact count, from an
+#: aggregate the operators already materialize.  Default 6e8 doubled
+#: rows ≈ 75 GB worst-case BFS spill against this box's ~96 GB
+#: headroom; sf30 (~2e8 doubled rows) passes with margin.  Size it
+#: per-deployment: budget ≈ aggregate_shuffle_disk / (rounds × 16 B).
+_MAX_GRAPH_EDGES = int(
+    os.environ.get("SPARK_GRAFT_MAX_GRAPH_EDGES", "600000000")
+)
+
+
+def _edge_volume_guard(m: int, op: str, persisted=None) -> None:
+    """Raise past the iterative-shuffle edge budget, releasing
+    ``persisted`` first — a failed guard must not leave the multi-GB
+    edge frame cached for the session (the dedup/cosine fan-out guard
+    discipline)."""
+    if m <= _MAX_GRAPH_EDGES:
+        return
+    if persisted is not None:
+        persisted.unpersist()
+    raise ValueError(
+        f"{op}: doubled edge frame holds {m:,} rows — past the"
+        f" {_MAX_GRAPH_EDGES:,}-row iterative-shuffle budget (each"
+        " BFS round / pagerank iteration re-shuffles it; at ~16 B/row"
+        " the cumulative spill exceeds local shuffle disk — measured"
+        " ENOSPC at sf100, SCALE.md r16).  Remediations: cluster first"
+        " and process per-component like triangle_count_clustered"
+        " (graphs this dense are a closed-vocab density artifact —"
+        " real corpora have bounded near-dup degree), tighten the"
+        " upstream pair threshold, or raise SPARK_GRAFT_MAX_GRAPH_EDGES"
+        " on a fleet with more aggregate shuffle disk."
+    )
 
 
 def pagerank_integer(
@@ -109,6 +150,11 @@ def pagerank_integer(
     ed = edges.join(deg.hint("shuffle_hash"), "src").persist(
         StorageLevel.DISK_ONLY
     )
+    # pre-flight volume guard (r17): one count over the frame the node
+    # derivation below materializes anyway — fail fast with the exact
+    # doubled-edge count instead of grinding 6 iterations into the
+    # shuffle-disk wall (the sf100 BFS death class, SCALE.md r16)
+    _edge_volume_guard(ed.count(), "pagerank_integer", persisted=ed)
     nodes = (
         ed.select(F.col("src").alias("id"))
         .distinct()
@@ -605,6 +651,12 @@ def bfs_depths(
         # same pressure), and persist keeps size stats for the planner.
         .persist(StorageLevel.DISK_ONLY)
     )
+    # count first: it materializes the persisted edge frame ONCE and
+    # doubles as the pre-flight volume guard input (r17) — fail fast
+    # with the exact edge count BEFORE the eager seed checkpoint below,
+    # instead of ~800 s into an ENOSPC (the sf100 death, SCALE.md r16)
+    m = edges.count()
+    _edge_volume_guard(m, "bfs_depths", persisted=edges)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     smaller_nbr = edges.filter(F.col("dst") < F.col("src")).select(
         F.col("src").alias("id")
@@ -620,9 +672,7 @@ def bfs_depths(
     # broadcast the EDGE side instead (the wrong-side-broadcast class
     # that killed pagerank at sf10, r14 sweep).  Small graphs broadcast
     # the frontier (it is the small side); big graphs shuffle both.
-    side_hint = (
-        "shuffle_hash" if edges.count() > 10_000_000 else "broadcast"
-    )
+    side_hint = "shuffle_hash" if m > 10_000_000 else "broadcast"
     for d in range(1, max_depth + 1):
         f = frontier.hint(side_hint)
         v = visited.hint(side_hint)

@@ -332,6 +332,12 @@ _LSH_SPLIT_MIN_CORPUS = int(
 )
 _LSH_EXTRA_BITS = 8
 _LSH_EXTRA_SEED = 137
+# Radius-1 sibling probing on the extra (split) bits — ON by default
+# (r17 recall recovery; see the qp comment in ann_topk).  Explicit
+# value check: "0"/"false" means own-sub-only, anything else stays on.
+_LSH_SUB_PROBE_R1 = os.environ.get(
+    "SPARK_GRAFT_LSH_SUB_PROBE", "1"
+).lower() not in ("0", "false", "no")
 
 
 def _probe_array():
@@ -469,14 +475,43 @@ def ann_topk(
                 F.col("z.xbs").alias("xb"),
             )
         )
+        # Query-side sub-bucket probe set (r17, verdict item 2): probing
+        # ONLY the query's own sub-bucket cost 8+ recall points at sf30
+        # (0.868 at the default cap vs the flat path's 0.95-class) —
+        # the mass lost is exactly the near neighbors that disagree on
+        # ONE extra hyperplane bit, which the 8-table × radius-2
+        # redundancy does not recover (the split applies to every table
+        # that overflows the same hot region).  So at a split bucket of
+        # depth d the query probes its own sub plus the d radius-1
+        # siblings on the extra bits: candidate volume in split buckets
+        # is bounded by (1+d)·cap per probe (d ≤ 8), query-side only —
+        # the corpus index is untouched.  SPARK_GRAFT_LSH_SUB_PROBE=0
+        # restores own-sub-only probing (the A/B arm).
+        if _LSH_SUB_PROBE_R1:
+            sub_probe = F.when(
+                F.col("depth").isNull(), F.array(F.lit(0))
+            ).otherwise(
+                F.expr(
+                    "concat(array(sub0), transform("
+                    "sequence(0, depth - 1),"
+                    " i -> cast(sub0 ^ shiftleft(1, i) as int)))"
+                )
+            )
+        else:
+            sub_probe = F.array(
+                F.when(F.col("depth").isNull(), F.lit(0)).otherwise(
+                    F.col("sub0")
+                )
+            )
         qp = (
             q.withColumn("bucket", F.explode(_probe_array()))
             .drop("sig")
             .join(F.broadcast(depth_df), ["table", "bucket"], "left")
             .withColumn(
-                "sub",
+                "sub0",
                 F.when(F.col("depth").isNull(), F.lit(0)).otherwise(sub_expr),
             )
+            .withColumn("sub", F.explode(sub_probe))
             .select("query_id", "table", "bucket", "sub")
         )
         join_keys = ["table", "bucket", "sub"]

@@ -2215,11 +2215,13 @@ def test_lsh_occupancy_cap_identity_when_under_cap(spark, monkeypatch):
 def test_lsh_occupancy_cap_split_regime(spark, monkeypatch):
     """Degenerate cap (=1: every multi-occupant bucket splits, depth
     1-3 at fixture occupancy): output stays k rows per query with exact
-    re-rank cosines, runs deterministically, and recall only degrades
-    to the measured ~0.78 (floor 0.65 with drift margin) — splitting
-    removes candidates, never corrupts survivors.  The production cap
-    (1024) never bites buckets this small; this pins the mechanism at
-    its harshest setting."""
+    re-rank cosines, runs deterministically, and recall holds at the
+    measured 0.96 (floor 0.85 with drift margin) — r17's radius-1
+    sibling sub-probe recovered the one-bit-disagreement mass that
+    own-sub-only probing lost (0.72 measured at this cap; the old floor
+    was 0.65).  Splitting removes candidates, never corrupts survivors.
+    The production cap (1024) never bites buckets this small; this pins
+    the mechanism at its harshest setting."""
     from real_time_trip_processing_project_spark.operators import (
         similarity as SIM,
     )
@@ -2250,4 +2252,77 @@ def test_lsh_occupancy_cap_split_regime(spark, monkeypatch):
         for r in REGISTRY["sim_cosine_topk"].fn(spark, SF).collect()
     }
     s = {(a, b) for a, b, _, _ in rows1}
-    assert len(bf & s) / len(bf) >= 0.65
+    assert len(bf & s) / len(bf) >= 0.85
+
+
+def test_lsh_sibling_sub_probe_recovers_recall(spark, monkeypatch):
+    """r17 (verdict item 2): at split buckets the query probes its
+    radius-1 siblings on the extra bits.  Pins (a) the recovery is real
+    — sibling probing strictly beats own-sub-only at the harshest cap —
+    and (b) the A/B arm (own-sub-only) still produces valid exact
+    re-ranked output, so the knob is a pure candidate-set dial."""
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+    from real_time_trip_processing_project_spark.plans.training import (
+        TOPK,
+        _ann_queries,
+    )
+
+    emb = load_fixture(spark, SF, "embeddings")
+    qs = _ann_queries(emb)
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, SF).collect()
+    }
+    monkeypatch.setattr(SIM, "_LSH_SPLIT_MIN_CORPUS", 0)
+    monkeypatch.setattr(SIM, "_LSH_MAX_OCC", 1)
+
+    def recall(on):
+        monkeypatch.setattr(SIM, "_LSH_SUB_PROBE_R1", on)
+        s = {
+            (r.query_id, r.neighbor_id)
+            for r in SIM.ann_topk(emb, qs, TOPK, dim=64).collect()
+        }
+        return len(bf & s) / len(bf)
+
+    r_on, r_off = recall(True), recall(False)
+    # measured 0.96 vs 0.72 at this cap on the fixture corpus
+    assert r_on > r_off
+    assert r_on >= 0.85
+
+
+def test_graph_edge_volume_guard_fires_with_exact_count(spark, monkeypatch):
+    """r17 (verdict item 3): past the iterative-shuffle edge budget,
+    bfs_depths and pagerank_integer must fail fast with the EXACT
+    doubled-edge count in the message — and release the DISK_ONLY edge
+    persist on the way out.  At the default budget the same graph runs
+    clean (no-fire pin)."""
+    from real_time_trip_processing_project_spark.operators import graph as GR
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a LONG, id_b LONG"
+    )
+    # doubled + distinct = 8 rows; budget 7 fires, default passes
+    monkeypatch.setattr(GR, "_MAX_GRAPH_EDGES", 7)
+    with pytest.raises(ValueError, match=r"bfs_depths: .*8 rows"):
+        GR.bfs_depths(pairs)
+    with pytest.raises(ValueError, match=r"pagerank_integer: .*8 rows"):
+        GR.pagerank_integer(pairs)
+    monkeypatch.setattr(GR, "_MAX_GRAPH_EDGES", 600_000_000)
+    assert GR.bfs_depths(pairs).count() == 6
+    assert GR.pagerank_integer(pairs).count() == 6
+
+
+def test_graph_edge_budget_is_env_tunable(monkeypatch):
+    import importlib
+
+    from real_time_trip_processing_project_spark.operators import graph as GR
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_GRAPH_EDGES", "123")
+    importlib.reload(GR)
+    try:
+        assert GR._MAX_GRAPH_EDGES == 123
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_MAX_GRAPH_EDGES")
+        importlib.reload(GR)

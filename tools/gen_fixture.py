@@ -68,7 +68,19 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 ROW_GROUP_ROWS = 131_072
 
 
+#: --only filter (r17): tables NOT listed are still fully DRAWN (the
+#: single seeded RNG stream must advance identically or every later
+#: table's bytes change vs prior rounds' full fixtures) but not encoded
+#: or written — targeted probes (e.g. the LSH frontier needs only
+#: embeddings, the graph guard only documents) stop paying the
+#: multi-GB lineitem/events parquet bill.
+ONLY_TABLES: set[str] | None = None
+
+
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
+    if ONLY_TABLES is not None and name not in ONLY_TABLES:
+        print(f"  {name}: {table.num_rows:,} rows (drawn, skipped)")
+        return
     pq.write_table(
         table,
         os.path.join(out_dir, f"{name}.parquet"),
@@ -204,7 +216,14 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/spark-graft-sf{sf}"
-    print(f"generating sf={sf} into {out}")
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")),
+        None,
+    )
+    if only:
+        ONLY_TABLES = set(only.split(","))
+    sf = float(args[0]) if args else 1.0
+    out = args[1] if len(args) > 1 else f"/tmp/spark-graft-sf{sf}"
+    print(f"generating sf={sf} into {out}" + (f" (only {only})" if only else ""))
     generate(sf, out)
