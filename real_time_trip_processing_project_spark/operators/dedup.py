@@ -772,6 +772,7 @@ def minhash_lsh_pairs(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    docs_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
@@ -800,8 +801,20 @@ def minhash_lsh_pairs(
     pass over the corpus.  Recall for Jaccard=0.9 with 16×4 banding:
     1-(1-0.9⁴)¹⁶ ≈ 1.0000 (tested against the exact operator in
     tests/test_training_tier.py).
+
+    Big-regime pin (r17 sweep for the narrow-huge broadcast class —
+    r14 pagerank / r15 triangle / r16 verify-stage all died the same
+    way): past :data:`_PREFIX_PIN_MIN_DOCS` the band self-join is
+    pinned sort-merge — its (id, band, bucket) sides are 16× the
+    corpus in NARROW rows, which compress under the 64 MB
+    auto-broadcast threshold long after the deserialized hash relation
+    stops fitting the heap.  Small corpora keep AQE's broadcast.
+    ``docs_rows`` skips the sizing ``count()`` when the caller knows it.
     """
     sh = shingled_docs(docs, id_col, text_col).localCheckpoint(eager=False)
+    big = (
+        docs_rows if docs_rows is not None else docs.count()
+    ) > _PREFIX_PIN_MIN_DOCS
     sigs = _minhash_from_sh(sh)
     # narrow band index: (id, band, bucket) — signatures and shingle
     # arrays stay out of the candidate shuffle
@@ -821,6 +834,8 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if big:
+        bands = bands.hint("merge")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -833,6 +848,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify deliberately NOT big-pinned: the banded candidate set is
+    # OUTPUT-scale (true near-dups), not corpus-scale — broadcasting it
+    # into the verify joins is the winning plan at every measured SF
     return _verify_pairs(cand, sh, threshold)
 
 
@@ -848,6 +866,7 @@ def simhash_pairs(
     max_hamming: int = SIMHASH_MAX_HAMMING,
     id_col: str = "doc_id",
     text_col: str = "text",
+    docs_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -866,7 +885,17 @@ def simhash_pairs(
     of magnitude fewer, reach ``dropDuplicates``.  The signature
     relation is checkpointed once for the join's two sides (the
     minhash ``sh`` discipline).
+
+    Big-regime pin (r17 narrow-huge sweep): the band sides are 4× the
+    corpus in narrow (id, simhash, band, val) rows ABOVE A STATS-LESS
+    CHECKPOINT — exactly the r14 wrong-side-broadcast class — so past
+    :data:`_PREFIX_PIN_MIN_DOCS` the self-join is pinned sort-merge;
+    small corpora keep AQE's broadcast.  ``docs_rows`` skips the sizing
+    ``count()`` when the caller knows it.
     """
+    big = (
+        docs_rows if docs_rows is not None else docs.count()
+    ) > _PREFIX_PIN_MIN_DOCS
     sims = simhash_docs(docs, id_col, text_col).localCheckpoint(
         eager=False
     )
@@ -884,6 +913,8 @@ def simhash_pairs(
             )
         ).alias("band", "val"),
     )
+    if big:
+        bands = bands.hint("merge")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

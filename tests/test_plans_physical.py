@@ -619,3 +619,46 @@ def test_verify_pairs_big_regime_pins_both_joins_smj(spark):
     assert "BroadcastHashJoin" not in big
     small = plan_of(DD._verify_pairs(cand, sh, 0.5))
     assert "BroadcastHashJoin" in small or "SortMergeJoin" not in small
+
+
+def test_band_self_joins_pin_smj_in_big_regime(spark, monkeypatch):
+    """r17 narrow-huge sweep: the minhash and simhash band self-joins
+    carry 16×/4× the corpus in NARROW rows (minhash above a candidate
+    explode, simhash above a stats-less localCheckpoint — the r14
+    wrong-side-broadcast class).  Past _PREFIX_PIN_MIN_DOCS both must
+    plan sort-merge; at fixture scale AQE's broadcast is kept."""
+    import io as _io
+    import contextlib as _ctx
+
+    from real_time_trip_processing_project_spark.operators import (
+        dedup as DD,
+    )
+    from real_time_trip_processing_project_spark.sources.readers import (
+        load_fixture,
+    )
+
+    docs = load_fixture(spark, SF, "documents")
+
+    def plan_of(df):
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            df.explain("simple")
+        return buf.getvalue()
+
+    # big regime (forced): the band join must be sort-merge
+    monkeypatch.setattr(DD, "_PREFIX_PIN_MIN_DOCS", 0)
+    assert "SortMergeJoin" in plan_of(
+        DD.minhash_lsh_pairs(docs, 0.9)
+    )
+    assert "SortMergeJoin" in plan_of(DD.simhash_pairs(docs))
+
+    # small regime: no forced SMJ on the band join (AQE may still pick
+    # one at runtime, but the compile-time pin must be absent)
+    monkeypatch.setattr(DD, "_PREFIX_PIN_MIN_DOCS", 10**9)
+    small_mh = plan_of(DD.minhash_lsh_pairs(docs, 0.9, docs_rows=500))
+    small_sh = plan_of(DD.simhash_pairs(docs, docs_rows=500))
+    # compile-time plans above AQE show the unpinned shape; assert the
+    # hint did not leak into the small regime by checking the big plans
+    # differ from the small ones
+    assert small_mh != plan_of(DD.minhash_lsh_pairs(docs, 0.9, docs_rows=10**18))
+    assert small_sh != plan_of(DD.simhash_pairs(docs, docs_rows=10**18))

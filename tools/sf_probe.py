@@ -2,7 +2,8 @@
 general form of sf10_sweep's timer for targeted A/Bs and the r15 sf30
 third-decade slope probe (r14 verdict stretch item 8).
 
-Usage: python tools/sf_probe.py SF_DIR QUERY_CSV [N_RUNS] [CAP_SEC] [--isolate]
+Usage: python tools/sf_probe.py SF_DIR QUERY_CSV [N_RUNS] [CAP_SEC]
+       [--isolate] [--prewarm]
 Prints one JSON line per query:
   {"query": ..., "sf_dir": ..., "runs": [...], "min": ...}
 A clamped/failed run records the error string in place of a time.
@@ -35,9 +36,11 @@ def _isolated(sf_dir: str, qs: list[str], n: int, cap: int) -> None:
     """One subprocess (its own JVM, its own shuffle dirs) per query;
     relay each child's JSON line.  A child that dies without printing
     (OOM kill, JVM abort) records an error row instead of silence."""
+    extra = ["--prewarm"] if "--prewarm" in sys.argv else []
     for q in qs:
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), sf_dir, q, str(n), str(cap)],
+            [sys.executable, os.path.abspath(__file__), sf_dir, q,
+             str(n), str(cap), *extra],
             capture_output=True,
             text=True,
         )
@@ -65,7 +68,9 @@ def _isolated(sf_dir: str, qs: list[str], n: int, cap: int) -> None:
 def main() -> None:
     sf_dir = sys.argv[1]
     qs = [q for q in sys.argv[2].split(",") if q]
-    args = [a for a in sys.argv[3:] if a != "--isolate"]
+    args = [
+        a for a in sys.argv[3:] if a not in ("--isolate", "--prewarm")
+    ]
     n = int(args[0]) if len(args) > 0 else 1
     cap = int(args[1]) if len(args) > 1 else 900
     if "--isolate" in sys.argv and len(qs) > 1:
@@ -78,6 +83,27 @@ def main() -> None:
     spark = get_spark(app_name="sf-probe", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
+
+    if "--prewarm" in sys.argv:
+        # Spin up the Python worker pool + Arrow serde BEFORE the timed
+        # runs (r17, verdict item 5): a fresh JVM's first Pandas-UDF
+        # stage pays one python-worker fork + Arrow init per core, and
+        # on min-of-2 probes that amortization leaked into the "warm"
+        # number for UDF-heavy queries (dedup_minhash_lsh sf10 read
+        # 126.6 s isolated vs 58.5 s in a long session).  One trivial
+        # mapInPandas over every core makes run 1 pay only ITS OWN
+        # compute.  Untimed by design — the pool is session
+        # infrastructure, not query cost.
+        def _noop(it):
+            for b in it:
+                yield b
+
+        cores = sc.defaultParallelism
+        (
+            spark.range(cores * 4, numPartitions=cores)
+            .mapInPandas(_noop, "id long")
+            .write.format("noop").mode("overwrite").save()
+        )
 
     for q in qs:
         runs: list[float | str] = []
