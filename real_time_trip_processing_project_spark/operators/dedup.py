@@ -1256,6 +1256,7 @@ def common_span_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = WINNOW_K, w: int = WINNOW_W,
     max_postings: int = WINNOW_MAX_POSTINGS,
+    max_pair_rows: int | None = None,
 ) -> DataFrame:
     """Cross-document exact-span dedup: pairs of docs sharing at least
     one winnowing fingerprint — i.e. a verbatim character run of length
@@ -1267,7 +1268,19 @@ def common_span_pairs(
     Plan: fingerprint scan (map-only) → posting-list groupBy with the
     boilerplate cap → fp-keyed self-join of capped postings → pair
     aggregation.  Shuffle volume is Σ postings² per surviving fp,
-    bounded by the cap; no all-pairs shape anywhere."""
+    bounded by the cap; no all-pairs shape anywhere.
+
+    ``max_pair_rows`` (r17, verdict item 3): opt-in pre-flight budget
+    for callers that feed the pair graph into ITERATIVE shuffles
+    (BFS/pagerank).  Σ sᵢ(sᵢ−1) over surviving posting lists is the
+    EXACT doubled pre-distinct pair-row count — one driver scalar off
+    the posting aggregate, BEFORE any pair is enumerated, so on a
+    closed-vocab corpus that densifies toward ~1e9 edges (the sf100
+    ENOSPC, SCALE.md r16) the raise lands right after the linear
+    fingerprint scan instead of after the multi-GB pair shuffle.  It
+    upper-bounds the doubled DISTINCT edge count (exact when no pair
+    shares two fingerprints), and is itself proportional to the pair
+    enumeration's shuffle — the resource that fills first."""
     fps = winnow_fingerprints(docs, id_col, text_col, k, w)
     capped = (
         fps.groupBy("fp")
@@ -1275,6 +1288,32 @@ def common_span_pairs(
         .filter(F.size("ids") <= max_postings)
         .filter(F.size("ids") >= 2)
     )
+    if max_pair_rows is not None:
+        from pyspark import StorageLevel
+
+        capped = capped.persist(StorageLevel.DISK_ONLY)
+        vol = (
+            capped.agg(
+                F.sum(
+                    F.size("ids").cast("long")
+                    * (F.size("ids").cast("long") - 1)
+                ).alias("v")
+            ).first()["v"]
+            or 0
+        )
+        if vol > max_pair_rows:
+            capped.unpersist()
+            raise ValueError(
+                f"common_span_pairs: posting lists imply {vol:,} doubled"
+                f" pair rows — past the {max_pair_rows:,}-row budget the"
+                " caller set for iterative consumption (BFS/pagerank"
+                " re-shuffle the edge frame every round; measured ENOSPC"
+                " at sf100, SCALE.md r16).  Remediations: cluster first"
+                " and process per-component like triangle_count_clustered,"
+                " lower WINNOW_MAX_POSTINGS (boilerplate spans dominate"
+                " dense corpora), or raise SPARK_GRAFT_MAX_GRAPH_EDGES on"
+                " a fleet with more aggregate shuffle disk."
+            )
     pairs = capped.select(
         F.explode(
             F.expr(

@@ -338,6 +338,12 @@ _LSH_EXTRA_SEED = 137
 _LSH_SUB_PROBE_R1 = os.environ.get(
     "SPARK_GRAFT_LSH_SUB_PROBE", "1"
 ).lower() not in ("0", "false", "no")
+# Sibling budget per split bucket: probe at most this many one-bit
+# siblings (the lowest extra bits).  Depth ≤ 2 — the bulk of the
+# corpus at measured occupancies — is fully covered; only the hottest
+# buckets (depth 3+) leave deeper siblings unprobed, bounding the
+# candidate growth at (1+min(d, max))·cap per probe.
+_LSH_SUB_PROBE_MAX = int(os.environ.get("SPARK_GRAFT_LSH_SUB_PROBE_MAX", "2"))
 
 
 def _probe_array():
@@ -493,7 +499,7 @@ def ann_topk(
             ).otherwise(
                 F.expr(
                     "concat(array(sub0), transform("
-                    "sequence(0, depth - 1),"
+                    f"sequence(0, least(depth, {_LSH_SUB_PROBE_MAX}) - 1),"
                     " i -> cast(sub0 ^ shiftleft(1, i) as int)))"
                 )
             )

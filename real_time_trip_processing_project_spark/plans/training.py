@@ -347,7 +347,13 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph as GR,
     )
 
-    pairs = DD.common_span_pairs(load_fixture(spark, sf_dir, "documents"))
+    pairs = DD.common_span_pairs(
+        load_fixture(spark, sf_dir, "documents"),
+        # pre-flight budget (r17): the pair graph feeds 6 iterative
+        # shuffles — fail right after the linear fingerprint scan on
+        # corpora whose posting lists imply an over-budget edge frame
+        max_pair_rows=GR._MAX_GRAPH_EDGES,
+    )
     return GR.pagerank_integer(pairs).select(
         F.col("id").alias("doc_id"), "rank_fp"
     )
@@ -422,7 +428,11 @@ def graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph as GR,
     )
 
-    pairs = DD.common_span_pairs(load_fixture(spark, sf_dir, "documents"))
+    pairs = DD.common_span_pairs(
+        load_fixture(spark, sf_dir, "documents"),
+        # pre-flight budget (r17): see graph_pagerank_dedup
+        max_pair_rows=GR._MAX_GRAPH_EDGES,
+    )
     return GR.bfs_depths(pairs).select(
         F.col("id").alias("doc_id"), "depth"
     )

@@ -2326,3 +2326,23 @@ def test_graph_edge_budget_is_env_tunable(monkeypatch):
     finally:
         monkeypatch.delenv("SPARK_GRAFT_MAX_GRAPH_EDGES")
         importlib.reload(GR)
+
+
+def test_span_pair_volume_preguard_fires_before_enumeration(spark):
+    """r17: common_span_pairs(max_pair_rows=...) must raise with the
+    exact Σ s(s−1) posting volume when over budget, and produce the
+    identical pair set when under it (the guard is read-only)."""
+    from real_time_trip_processing_project_spark.operators import dedup as DD
+
+    docs = load_fixture(spark, SF, "documents")
+    base = {
+        (r.id_a, r.id_b, r.n_shared_fps)
+        for r in DD.common_span_pairs(docs).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b, r.n_shared_fps)
+        for r in DD.common_span_pairs(docs, max_pair_rows=10**18).collect()
+    }
+    assert guarded == base and base
+    with pytest.raises(ValueError, match=r"doubled\s+pair rows"):
+        DD.common_span_pairs(docs, max_pair_rows=1).count()
