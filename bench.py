@@ -266,10 +266,86 @@ def _probe_flavor(df) -> str:
     return "py" if _PY_PLAN_NODE.search(plan) else "jvm"
 
 
+def _read_cpu() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]), sum(int(x) for x in parts[1:9])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+class _StealTape:
+    """Background sampler of CPU steal% — the one /proc signal that
+    separates host-tenant contention from our own local[32] load (r17:
+    the box takes periodic external spikes that rotate bench flags
+    across same-code runs; loadavg cannot attribute them because a
+    busy bench ITSELF holds 1-min load at ~26).  Max/mean land in the
+    detail JSON so a flag carries its contention evidence."""
+
+    def __init__(self, interval: float = 10.0):
+        self._interval = interval
+        self.samples: list[float] = []
+        self._stop = __import__("threading").Event()
+        t = __import__("threading").Thread(target=self._loop, daemon=True)
+        self._thread = t
+
+    def _loop(self) -> None:
+        prev = _read_cpu()
+        while not self._stop.wait(self._interval):
+            cur = _read_cpu()
+            if prev and cur and cur[1] > prev[1]:
+                self.samples.append(
+                    100.0 * (cur[0] - prev[0]) / (cur[1] - prev[1])
+                )
+            prev = cur
+
+    def start(self) -> "_StealTape":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def stats(self, since: int = 0) -> dict:
+        s = self.samples[since:]
+        if not s:
+            return {"max": None, "mean": None}
+        return {
+            "max": round(max(s), 1),
+            "mean": round(sum(s) / len(s), 1),
+        }
+
+
+def _quiet_wait(max_wait: float = 180.0, threshold: float = 4.0) -> dict:
+    """Bounded wait for a quiet 1-min loadavg before the calibration
+    probe.  The r17 flag history shows same-code runs flagging 5
+    DIFFERENT queries across 3 runs purely on external spike timing —
+    starting inside a spike wastes the whole run.  Bounded so a
+    persistently loaded box still benches (the probe normalization
+    then does what it can)."""
+    waited = 0.0
+    load = None
+    while waited < max_wait:
+        try:
+            with open("/proc/loadavg") as f:
+                load = float(f.read().split()[0])
+        except (OSError, ValueError):
+            break
+        if load < threshold:
+            break
+        time.sleep(10)
+        waited += 10
+    return {"quiet_wait_sec": round(waited, 1), "start_load": load}
+
+
 def main() -> None:
     from real_time_trip_processing_project_spark.plans import REGISTRY
     from real_time_trip_processing_project_spark.session import get_spark
 
+    quiet = _quiet_wait()
+    tape = _StealTape().start()
     spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
 
     # warm the JVM/codegen path so q1 isn't charged for session startup,
@@ -435,6 +511,7 @@ def main() -> None:
     # FRESH probe sample of its own flavor; only flags still >1.3x
     # their previous normalized reading survive.  Streaming flags re-run
     # the replay once under the same rule.
+    retest_tape_from = len(tape.samples)
     if out["regressions"]:
         survivors = []
         dropped = []
@@ -486,6 +563,14 @@ def main() -> None:
         out["regressions"] = survivors
         out["regressions_unreproduced"] = dropped
 
+    # Contention context for the whole run and for the retest phase
+    # specifically: a surviving flag whose retest window shows steal
+    # means host-tenant contention, not code (adjudication evidence).
+    tape.stop()
+    out["quiet_start"] = quiet
+    out["steal_pct"] = tape.stats()
+    out["steal_pct_retest"] = tape.stats(since=retest_tape_from)
+
     # Output contract (r6 lesson): the driver captures only the LAST
     # 2,000 chars of stdout, and r6's single ever-growing JSON line
     # outgrew that — BENCH_r06.json recorded "parsed": null and the
@@ -517,6 +602,7 @@ def main() -> None:
         "probe_end_sec": probe_end,
         "normalized_value": out["normalized"]["value"],
         "regression_count": len(out["regressions"]),
+        "steal_pct_max": out["steal_pct"]["max"],
     }
     if streaming:
         compact["streaming"] = {
@@ -534,7 +620,12 @@ def main() -> None:
     # ≤1,500 with margin for a stray warning; shed detail keys in
     # priority order before ever touching the contract keys
     line = json.dumps(compact)
-    for shed in ("normalized_value", "secondary_total", "queries"):
+    for shed in (
+        "steal_pct_max",
+        "normalized_value",
+        "secondary_total",
+        "queries",
+    ):
         if len(line) <= 1500:
             break
         compact.pop(shed, None)

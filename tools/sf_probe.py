@@ -5,8 +5,15 @@ third-decade slope probe (r14 verdict stretch item 8).
 Usage: python tools/sf_probe.py SF_DIR QUERY_CSV [N_RUNS] [CAP_SEC]
        [--isolate] [--prewarm]
 Prints one JSON line per query:
-  {"query": ..., "sf_dir": ..., "runs": [...], "min": ...}
+  {"query": ..., "sf_dir": ..., "runs": [...], "min": ...,
+   "steal_pct_max": [...]}
 A clamped/failed run records the error string in place of a time.
+``steal_pct_max`` carries the per-run contention tape (max CPU steal%
+sampled from /proc/stat at 10 s cadence while the run was timed;
+null for runs shorter than one sample): >~5 on the min run means the
+row is an upper bound, not a quiet-box number — the r17 discipline
+that replaced the uptime bracket, which cannot tell host-tenant
+contention from our own just-finished 32-core load.
 
 ``--isolate`` (r15 verdict item 6 — probe-cancellation honesty): run
 each query in its OWN subprocess/JVM.  In local mode a cancelled
@@ -30,6 +37,59 @@ import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class _StealTape:
+    """Samples /proc/stat CPU steal% while a run is timed.
+
+    r17 finding (SCALE.md "fourth-decade row"): this box takes periodic
+    external load spikes (~10-min cadence, host tenants) that an uptime
+    bracket cannot attribute — a just-finished local[32] run leaves
+    1-min load at ~26 all by itself.  Steal jiffies are the one signal
+    that separates host contention from our own work, so every probe
+    row now carries its own contention evidence: ``steal_pct_max`` per
+    run; > ~5% during a timed run ⇒ treat the time as an upper bound.
+    """
+
+    def __init__(self, interval: float = 10.0):
+        self._interval = interval
+        self._samples: list[float] = []
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    @staticmethod
+    def _read() -> tuple[int, int] | None:
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            total = sum(int(x) for x in parts[1:9])
+            return int(parts[8]), total  # steal, total
+        except (OSError, IndexError, ValueError):
+            return None
+
+    def _loop(self) -> None:
+        prev = self._read()
+        while not self._stop.wait(self._interval):
+            cur = self._read()
+            if prev and cur and cur[1] > prev[1]:
+                self._samples.append(
+                    100.0 * (cur[0] - prev[0]) / (cur[1] - prev[1])
+                )
+            prev = cur
+
+    def __enter__(self) -> "_StealTape":
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=1)
+
+    @property
+    def max_pct(self) -> float | None:
+        return round(max(self._samples), 1) if self._samples else None
 
 
 def _isolated(sf_dir: str, qs: list[str], n: int, cap: int) -> None:
@@ -107,6 +167,7 @@ def main() -> None:
 
     for q in qs:
         runs: list[float | str] = []
+        steal: list[float | None] = []
         for i in range(n):
             group = f"probe-{q}-{i}"
             sc.setJobGroup(group, q, interruptOnCancel=True)
@@ -114,10 +175,12 @@ def main() -> None:
             timer.start()
             t0 = time.perf_counter()
             try:
-                REGISTRY[q].fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                with _StealTape() as tape:
+                    REGISTRY[q].fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
                 runs.append(round(time.perf_counter() - t0, 2))
+                steal.append(tape.max_pct)
             except Exception as e:
                 el = time.perf_counter() - t0
                 if el >= cap - 1 or "cancelled" in str(e).lower():
@@ -138,6 +201,10 @@ def main() -> None:
                     "sf_dir": sf_dir,
                     "runs": runs,
                     "min": min(nums) if nums else None,
+                    # max steal% sampled during each timed run; >~5 on
+                    # the min run ⇒ the row is an upper bound (SCALE.md
+                    # r17 steal-tape discipline)
+                    "steal_pct_max": steal,
                 }
             ),
             flush=True,
