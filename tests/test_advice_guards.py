@@ -269,3 +269,41 @@ def test_resample_ffill_null_value_hours_match_oracle(spark, tmp_path):
     assert got[(1, 4)] == (1, 725)
     assert got[(2, 0)] == (1, None)  # leading NULL: nothing to carry
     assert got[(2, 1)] == (1, 300)
+
+
+class TestBenchContentionInstrumentation:
+    """r17: bench.py grew a quiet-start gate and a CPU-steal tape so a
+    regression flag carries its own contention evidence (same-code runs
+    flagged 5 disjoint query sets across 3 runs purely on external
+    load-spike timing).  Pure-unit pins — no Spark session."""
+
+    def test_read_cpu_shape(self):
+        import bench
+
+        r = bench._read_cpu()
+        # on this (Linux) box the reader must return (steal, total)
+        # with steal <= total and total monotonically increasing
+        assert r is not None
+        steal, total = r
+        assert 0 <= steal <= total
+        r2 = bench._read_cpu()
+        assert r2[1] >= total
+
+    def test_steal_tape_stats_empty_and_since(self):
+        import bench
+
+        tape = bench._StealTape(interval=9999)  # never samples
+        assert tape.stats() == {"max": None, "mean": None}
+        tape.samples.extend([1.0, 9.0, 2.0])
+        assert tape.stats() == {"max": 9.0, "mean": 4.0}
+        # retest-phase slice: stats(since=k) must ignore earlier samples
+        assert tape.stats(since=1) == {"max": 9.0, "mean": 5.5}
+        assert tape.stats(since=3) == {"max": None, "mean": None}
+
+    def test_quiet_wait_immediate_when_quiet(self):
+        import bench
+
+        # threshold above any plausible load → returns without sleeping
+        out = bench._quiet_wait(max_wait=0.0, threshold=1e9)
+        assert out["quiet_wait_sec"] == 0.0
+        assert out["start_load"] is None or out["start_load"] >= 0.0
