@@ -307,3 +307,28 @@ class TestBenchContentionInstrumentation:
         out = bench._quiet_wait(max_wait=0.0, threshold=1e9)
         assert out["quiet_wait_sec"] == 0.0
         assert out["start_load"] is None or out["start_load"] >= 0.0
+
+    def test_sustained_floor_reports_instead_of_raising(self):
+        """Optimization r17: the 35 k ev/s sustained floor must surface
+        as a regression-list FLAG, not an assert — the assert form
+        killed the whole bench (no JSON lines at all) when an external
+        host-tenant spike throttled the replay to 22.5 k on a box with
+        zero local load."""
+        import bench
+
+        # no streaming / no violation → no flag
+        assert bench._floor_flag(None) is None
+        assert bench._floor_flag({"sustained_events": 1}) is None
+        flag = bench._floor_flag(
+            {"sustained_floor_violation": {"rate": 22531.0, "floor": 35000.0}}
+        )
+        assert flag["query"] == "streaming_sustained_floor"
+        assert flag["raw_now"] == 22531.0
+        assert flag["threshold"] == 35000.0
+        assert flag["retest_ratio"] == 0.64
+        # and the gate itself must no longer contain a bare assert on
+        # the floor (grep-level pin: the crash class cannot come back)
+        import inspect
+
+        src = inspect.getsource(bench._stream_throughput)
+        assert "assert rate >= floor_evs" not in src
