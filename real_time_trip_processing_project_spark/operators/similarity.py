@@ -2255,11 +2255,26 @@ def hard_negatives(
         .filter(F.col("query_label") != F.col("neg_label"))
         .withColumn("d2", _d2_ticks(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "neg_id")
+    # Single-aggregation argmin (optimization r17, guide §2.3/2.4):
+    # min(struct(d2, neg_id, neg_label)) IS the row_number ORDER BY
+    # (d2, neg_id) argmin — neg_id is unique so neg_label never breaks
+    # a tie — and a hash aggregate gets map-side PARTIAL aggregation:
+    # one candidate row per (query, map partition) crosses the
+    # exchange instead of every scored row sorting under a window.
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("query_id", "query_label", "neg_id", "neg_label", "d2")
+        scored.groupBy("query_id", "query_label")
+        .agg(
+            F.min(
+                F.struct(F.col("d2"), F.col("neg_id"), F.col("neg_label"))
+            ).alias("best")
+        )
+        .select(
+            "query_id",
+            "query_label",
+            F.col("best.neg_id").alias("neg_id"),
+            F.col("best.neg_label").alias("neg_label"),
+            F.col("best.d2").alias("d2"),
+        )
     )
 
 
@@ -2310,9 +2325,21 @@ def hard_negatives_ann(
         .filter(F.col("query_label") != F.col("neg_label"))
         .withColumn("d2", _d2_ticks(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "neg_id")
+    # Same single-aggregation argmin as the exact twin (optimization
+    # r17): the (d2, neg_id) rank collapses into min(struct(...)) with
+    # map-side partial aggregation across the probed cells.
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("query_id", "query_label", "neg_id", "neg_label", "d2")
+        scored.groupBy("query_id", "query_label")
+        .agg(
+            F.min(
+                F.struct(F.col("d2"), F.col("neg_id"), F.col("neg_label"))
+            ).alias("best")
+        )
+        .select(
+            "query_id",
+            "query_label",
+            F.col("best.neg_id").alias("neg_id"),
+            F.col("best.neg_label").alias("neg_label"),
+            F.col("best.d2").alias("d2"),
+        )
     )

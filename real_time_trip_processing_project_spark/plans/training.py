@@ -2249,6 +2249,20 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("g", " ", 2).getItem(0).alias("w1"),
         F.split("g", " ", 2).getItem(1).alias("w2"),
     )
+    # Optimization r17 (guide §2.3/§2.5): the old shape ran THREE
+    # word-keyed joins (bi, uni×2) at bigram-OCCURRENCE level and
+    # evaluated the interpolated log per occurrence.  Now the corpus
+    # bigram table is scored FIRST — the uni joins and the ln() run
+    # once per DISTINCT (w1, w2), vocabulary scale — and the
+    # occurrence stream pays exactly one join against that scored
+    # vocabulary.  (A per-doc pre-aggregate + localCheckpoint variant
+    # was measured and REJECTED: on the closed-vocab fixture the extra
+    # (doc, w1, w2) shuffle + materialization cost 69% at sf1 — the
+    # occurrence-level joins there are all pipelined broadcasts.  This
+    # form keeps the old pipelining and just removes two of the three
+    # joins and the per-occurrence ln.)  Ticks are the identical exact
+    # rationals — same c1/c2/u2c/n_corpus per bigram, same floor/log —
+    # so the per-doc integer sums cannot move.
     toks = docs.select(F.explode(TX.ws_tokens("text")).alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
     tot = uni.agg(F.sum("c1").alias("n_corpus"))
@@ -2257,9 +2271,8 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.75) * (F.col("c2").cast("double") / F.col("c1"))
         + F.lit(0.25) * (F.col("u2c").cast("double") / F.col("n_corpus"))
     )
-    scored = (
-        pairs.join(bi, ["w1", "w2"])
-        .join(uni, F.col("w1") == F.col("w"))
+    vocab = (
+        bi.join(uni, F.col("w1") == F.col("w"))
         .drop("w")
         .join(
             uni.select(F.col("w").alias("_w2"), F.col("c1").alias("u2c")),
@@ -2267,12 +2280,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(tot))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.floor(F.log(p_interp) * 1e6 + F.lit(0.5))
             .cast("long")
             .alias("tick"),
         )
     )
+    scored = pairs.join(vocab, ["w1", "w2"]).select("doc_id", "tick")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(
@@ -2426,23 +2441,29 @@ def label_noise_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label", "cand")
         .agg(F.sum("sq").alias("d2"))
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cand")
-    ranked = dist.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") == 1
+    # Argmin + own-class distance in ONE aggregation over dist
+    # (optimization r17, guide §2.4): the window/self-join form computed
+    # the whole dist pipeline (explode → broadcast join → k×dim-row
+    # partial agg) TWICE — once under the rank, once for d2_own — and
+    # paid a by-vec_id window exchange+sort on top.  min(struct(d2,
+    # cand)) is the row_number ORDER BY (d2, cand) argmin exactly
+    # (lexicographic struct ordering; cand unique per vec), and
+    # max(when(cand = label, d2)) pulls the own-class distance out of
+    # the same k rows — so one pass, map-side partial agg, no window,
+    # no self-join.  Output bit-identical (same columns, same values).
+    agg = dist.groupBy("vec_id", "label").agg(
+        F.min(F.struct(F.col("d2"), F.col("cand"))).alias("best"),
+        F.max(
+            F.when(F.col("cand") == F.col("label"), F.col("d2"))
+        ).alias("d2_own"),
     )
-    own = dist.filter(F.col("cand") == F.col("label")).select(
-        "vec_id", F.col("d2").alias("d2_own")
-    )
-    return (
-        ranked.join(own, "vec_id")
-        .select(
-            "vec_id",
-            "label",
-            F.col("cand").alias("pred_label"),
-            F.col("d2").alias("d2_pred"),
-            "d2_own",
-            (F.col("cand") != F.col("label")).alias("is_suspect"),
-        )
+    return agg.select(
+        "vec_id",
+        "label",
+        F.col("best.cand").alias("pred_label"),
+        F.col("best.d2").alias("d2_pred"),
+        "d2_own",
+        (F.col("best.cand") != F.col("label")).alias("is_suspect"),
     )
 
 
@@ -4047,9 +4068,26 @@ def _dsir_pool_scores(docs: DataFrame) -> DataFrame:
         "is_target",
         CU._bloom_pos(F.md5(F.col("g")), 0, 4096).alias("b"),
     )
-    stats = feats.groupBy("b").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("nt"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("ns"),
+    # Optimization r17 (guide §2.4 — compute once): the bucket-stats
+    # branch and the scoring branch both consumed the raw feature
+    # stream, so the corpus scan + bigram explode + md5 ran TWICE.  One
+    # aggregation to per-(doc, bucket) multiplicities — bounded at 4096
+    # rows/doc by the hashing trick, usually far fewer — feeds both:
+    # stats re-aggregate the partials by bucket, scores weight them by
+    # the broadcast llr table.  All sums are the identical integers
+    # (Σ_occurrences 1 = Σ_buckets c; Σ_occurrences w = Σ_buckets c·w).
+    per_db = (
+        feats.groupBy("doc_id", "is_target", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    stats = per_db.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias(
+            "nt"
+        ),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("c"))).alias(
+            "ns"
+        ),
     )
     tots = stats.agg(F.sum("nt").alias("tt"), F.sum("ns").alias("ts"))
     llr = stats.crossJoin(F.broadcast(tots)).select(
@@ -4066,12 +4104,12 @@ def _dsir_pool_scores(docs: DataFrame) -> DataFrame:
         .alias("w"),
     )
     return (
-        feats.filter(~F.col("is_target"))
+        per_db.filter(~F.col("is_target"))
         .join(F.broadcast(llr), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_features"),
-            F.sum("w").alias("score_tick"),
+            F.sum("c").alias("n_features"),
+            F.sum(F.col("w") * F.col("c")).alias("score_tick"),
         )
     )
 
