@@ -603,23 +603,39 @@ def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hv"),
     ).distinct()
+    # r17 (guide §2.5 — skew/straggler): the old shape ranked EVERY
+    # distinct hash under one window per group (full per-group sort in
+    # a single task — the 100 TB straggler) and carried the group count
+    # through the same window.  Split: the count is a plain partial
+    # aggregate, and the K-th smallest hash comes from a rank filtered
+    # to ``rk <= K`` — which Spark 3.5+/4 turns into a map-side
+    # WindowGroupLimit (each input partition forwards at most K rows),
+    # so no task ever sorts a full group.  ``h`` is persisted DISK_ONLY
+    # so the distinct dedup runs once for both consumers (AQE does not
+    # stage-share aliased branches — the session_overlap_pairs
+    # finding).  Identical output: same nd, same K-th hash, same
+    # estimator arithmetic.
+    from pyspark import StorageLevel
+
+    h = h.persist(StorageLevel.DISK_ONLY)
+    counts = h.groupBy("o_orderstatus").agg(F.count("*").alias("nd"))
     w = Window.partitionBy("o_orderstatus").orderBy("hv")
-    wn = Window.partitionBy("o_orderstatus")
-    ranked = h.withColumn("rk", F.row_number().over(w)).withColumn(
-        "nd", F.count("*").over(wn)
+    kth = (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+        .filter(F.col("rk") == K)
+        .select("o_orderstatus", F.col("hv").alias("hv_k"))
     )
     est = (
         F.round(
             F.lit(float(K - 1))
-            / (
-                F.max(F.when(F.col("rk") == K, F.col("hv"))).cast("double")
-                / F.lit(DENOM)
-            )
+            / (F.col("hv_k").cast("double") / F.lit(DENOM))
         )
     ).cast("long")
-    return ranked.groupBy("o_orderstatus").agg(
-        F.max("nd").cast("long").alias("n_exact"),
-        F.when(F.max("nd") < K, F.max("nd").cast("long"))
+    return counts.join(F.broadcast(kth), "o_orderstatus", "left").select(
+        "o_orderstatus",
+        F.col("nd").cast("long").alias("n_exact"),
+        F.when(F.col("nd") < K, F.col("nd").cast("long"))
         .otherwise(est)
         .alias("n_kmv_est"),
     )
@@ -812,25 +828,39 @@ def event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trip state machine's batch shadow: first 'signup' (start)
     correlated with first 'purchase' (end) per user — the same
     started→completed pairing trip_processor.py:41-78 does record-at-a-
-    time, as two partial aggregates + one join."""
+    time — as ONE conditional aggregation.
+
+    r17 (guide §2.3/§2.4): was two filtered scans + two grouped
+    aggregates + an inner join; ``min(when(type=...))`` over the
+    two-type filter computes both firsts in one scan and one exchange,
+    and the inner join's both-present semantics is the NOT NULL filter
+    on the conditional mins.  Identical output, half the scans, one
+    exchange instead of three."""
     events = load_fixture(spark, sf_dir, "events")
-    signups = (
-        events.filter(F.col("event_type") == "signup")
+    return (
+        events.filter(F.col("event_type").isin("signup", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
-    )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
-    )
-    return signups.join(purchases, "user_id").select(
-        "user_id",
-        "signup_ts",
-        "purchase_ts",
-        (
-            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
-        ).alias("gap_sec"),
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("signup_ts"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("purchase_ts"),
+        )
+        .filter(
+            F.col("signup_ts").isNotNull()
+            & F.col("purchase_ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            "signup_ts",
+            "purchase_ts",
+            (
+                F.unix_timestamp("purchase_ts")
+                - F.unix_timestamp("signup_ts")
+            ).alias("gap_sec"),
+        )
     )
 
 

@@ -3011,7 +3011,15 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic interval cross product (DuckDB plans the raw inequality
     as an IEJoin, its own specialized interval algorithm — two engines,
     two strategies, one verified answer).  Overlap is an integer-second
-    floor (microsecond subtraction first, the funnel discipline)."""
+    floor (microsecond subtraction first, the funnel discipline).
+
+    r17 (guide §2.4 — compute once): ``binned`` is persisted DISK_ONLY
+    before the self-join.  AQE does NOT recognize the two aliased sides
+    as one stage, so unpersisted both arms re-ran the whole
+    sessionization pipeline (events scan → lag window → groupBy →
+    explode); measured 9.34 → 4.38 s min-of-3 isolated at sf1 (2.1×).
+    Same serialized-on-disk, stats-preserving discipline as the
+    ``session_overlap_top_pairs`` sibling below."""
     events = load_fixture(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
@@ -3038,6 +3046,9 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    from pyspark import StorageLevel
+
+    binned = binned.persist(StorageLevel.DISK_ONLY)
     a = binned.select(
         F.col("user_id").alias("user_a"),
         F.col("session_seq").alias("seq_a"),
@@ -3527,6 +3538,15 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v")
         )
     )
+    # r17 (guide §2.4 — compute once): ``hourly`` feeds both lag-join
+    # sides; unpersisted, the full events scan + hourly aggregation ran
+    # twice (AQE does not stage-share aliased self-join arms — the
+    # session_overlap_pairs finding).  The aggregate is histogram-sized
+    # (|types|×|hours|), so DISK_ONLY materialization is ~free and the
+    # corpus scan runs once.
+    from pyspark import StorageLevel
+
+    hourly = hourly.persist(StorageLevel.DISK_ONLY)
     a = hourly.select(
         F.col("event_type").alias("type_a"),
         F.col("hr").alias("hr_a"),
