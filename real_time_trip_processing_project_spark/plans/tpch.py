@@ -28,6 +28,7 @@ every integer aggregate on the oracle side is CAST back to BIGINT
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -361,10 +362,14 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarterly revenue — the scalar-subquery-on-an-aggregate pattern
     (the revenue view is built once and probed against its own max).
 
-    Spark form: the revenue aggregate feeds a rank-1 window over a
-    single partition — legitimate here because the windowed relation
-    is per-SUPPLIER (already aggregated, |suppliers| rows, orders of
-    magnitude smaller than lineitem); ties all surface, matching the
+    Spark form (r17): the per-supplier aggregate is persisted
+    DISK_ONLY and consumed twice — once by a scalar max aggregate
+    (two-stage, never single-partition) that attaches back as a 1-row
+    broadcast equality join, once as the probe side.  The previous
+    shape sent the WHOLE aggregate through a ``Window.partitionBy()``
+    single-partition exchange — bounded by |suppliers|, which is fine
+    until |suppliers| itself is billions (100 TB TPC-H); the persist
+    keeps lineitem scanned once.  Ties all surface, matching the
     SQL = max semantics.  Exact cents make cross-engine max equality
     well-defined (no double wobble at the top)."""
     lineitem = load_fixture(spark, sf_dir, "lineitem").filter(
@@ -372,13 +377,15 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1996-04-01")
     )
     supplier = load_fixture(spark, sf_dir, "supplier")
-    revenue = lineitem.groupBy(
-        F.col("l_suppkey").alias("supplier_no")
-    ).agg(F.sum(_rev_cents()).alias("total_revenue_cents"))
-    w = Window.partitionBy()
-    top = revenue.withColumn(
-        "mx", F.max("total_revenue_cents").over(w)
-    ).filter(F.col("total_revenue_cents") == F.col("mx"))
+    revenue = (
+        lineitem.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_cents()).alias("total_revenue_cents"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    mx = revenue.agg(F.max("total_revenue_cents").alias("mx"))
+    top = revenue.join(
+        F.broadcast(mx), F.col("total_revenue_cents") == F.col("mx")
+    )
     return top.join(
         supplier, F.col("s_suppkey") == F.col("supplier_no")
     ).select("s_suppkey", "s_name", "total_revenue_cents")
@@ -904,13 +911,15 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME relation.  (Adaptation: nation key 7; fraction 1/1000.)
 
     Exactness: ``1000·Σ_part > Σ_total`` in int64 — no double fraction.
-    Spark form: the global total rides a single-partition window over
-    the already-aggregated per-part relation (|parts| rows — the Q15
-    discipline), so the nation-filtered partsupp is scanned ONCE and
-    aggregated once; the oracle's scalar subquery re-reads the CTE,
-    same values.  Plan at scale: supplier(nation-filtered) broadcasts;
-    one shuffle on ps_partkey; the window adds a 1-partition exchange
-    of pre-aggregated rows only."""
+    Spark form (r17): the per-part aggregate is persisted DISK_ONLY;
+    the global total is a scalar aggregate over it (two-stage partial
+    merge, never single-partition) attached back as the catalogue's
+    standard 1-row broadcast cross join (the Q22 / corpus-scalar
+    class).  The previous shape rode a ``Window.partitionBy()``
+    single-partition exchange of the whole per-part relation —
+    bounded by |parts|, which stops being small at 100 TB TPC-H.  The
+    nation-filtered partsupp is still scanned and aggregated ONCE;
+    the oracle's scalar subquery re-reads the CTE, same values."""
     supplier = load_fixture(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey") == 7
     )
@@ -922,10 +931,14 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"),
         )
     )
-    per_part = nps.groupBy("ps_partkey").agg(F.sum("v").alias("value_cents"))
-    w = Window.partitionBy()
+    per_part = (
+        nps.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("value_cents"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    tot = per_part.agg(F.sum("value_cents").alias("total"))
     return (
-        per_part.withColumn("total", F.sum("value_cents").over(w))
+        per_part.crossJoin(F.broadcast(tot))
         .filter(F.lit(1000) * F.col("value_cents") > F.col("total"))
         .select("ps_partkey", "value_cents")
     )
