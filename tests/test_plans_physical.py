@@ -662,3 +662,41 @@ def test_band_self_joins_pin_smj_in_big_regime(spark, monkeypatch):
     # differ from the small ones
     assert small_mh != plan_of(DD.minhash_lsh_pairs(docs, 0.9, docs_rows=10**18))
     assert small_sh != plan_of(DD.simhash_pairs(docs, docs_rows=10**18))
+
+
+def test_scalar_window_queries_plan_no_window(spark):
+    """r17: tpch_q15/q11 replaced their Window.partitionBy() scalar
+    attachment (the WHOLE grouped aggregate through one task) with a
+    DISK_ONLY-persisted aggregate + two-stage scalar broadcast.  The
+    plan must carry no Window node and must read the aggregate from
+    the persisted relation (single base scan)."""
+    for name in ("tpch_q15_top_supplier", "tpch_q11_important_stock"):
+        plan = _plan(spark, name)
+        assert "Window" not in plan, name
+        assert "InMemoryRelation" in plan, name
+
+
+def test_bigram_vocab_join_pins_build_side(spark, monkeypatch):
+    """r17: text_bigram_lm_score must never let Catalyst broadcast the
+    occurrence stream (the 4th narrow-but-huge hazard, 34 s at sf10).
+    Below the doc-count pin the scored vocabulary broadcasts
+    explicitly; above it the join is sort-merge."""
+    from real_time_trip_processing_project_spark.plans import (
+        training as TR,
+    )
+
+    fn = REGISTRY["text_bigram_lm_score"].fn
+
+    monkeypatch.setattr(TR, "_BIGRAM_PIN_MIN_DOCS", 10**9)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(spark, SF).explain("simple")
+    small = buf.getvalue()
+    assert "BroadcastHashJoin" in small
+
+    monkeypatch.setattr(TR, "_BIGRAM_PIN_MIN_DOCS", 0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(spark, SF).explain("simple")
+    big = buf.getvalue()
+    assert "SortMergeJoin" in big
