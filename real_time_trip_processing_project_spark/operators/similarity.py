@@ -1760,6 +1760,12 @@ def pq_topk(
     luts = ((Q.reshape(len(Q), m, 1, dsub) - books[None]) ** 2).sum(-1)
     kr = k * refine
     marange = np.arange(m)
+    # Flatten each query's (m × ks) LUT so the per-row code gather is a
+    # SINGLE-array fancy index over precomputed flat offsets (computed
+    # once per batch) instead of a two-array broadcast fancy index per
+    # query — same elements, same summation axis (bit-identical), ~7×
+    # less index arithmetic at nq≈200.
+    luts_flat = luts.reshape(len(qids), m * ks)
 
     def score(batches):
         for pdf in batches:
@@ -1767,21 +1773,26 @@ def pq_topk(
                 continue
             C = np.stack(pdf["codes"].to_numpy())  # (n, m)
             nid = pdf["neighbor_id"].to_numpy()
-            outs = []
-            for qi in range(len(qids)):
-                adc = luts[qi][marange[None, :], C].sum(1)
-                take = min(kr, len(adc))
+            fidx = marange[None, :] * ks + C  # flat LUT offsets, per batch
+            # The shortlist size is the same for every query in the
+            # batch, so the whole batch output is three preallocated
+            # arrays and ONE DataFrame — not nq frames + concat (the
+            # per-query frame build dominated the scorer at nq≈200).
+            nq = len(qids)
+            take = min(kr, len(C))
+            out_q = np.empty(nq * take, dtype=np.int64)
+            out_n = np.empty(nq * take, dtype=np.int64)
+            out_a = np.empty(nq * take, dtype=np.float64)
+            for qi in range(nq):
+                adc = luts_flat[qi][fidx].sum(1)
                 sel = np.argpartition(adc, take - 1)[:take]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qids[qi],
-                            "neighbor_id": nid[sel],
-                            "adc": adc[sel],
-                        }
-                    )
-                )
-            yield pd.concat(outs, ignore_index=True)
+                o = qi * take
+                out_q[o : o + take] = qids[qi]
+                out_n[o : o + take] = nid[sel]
+                out_a[o : o + take] = adc[sel]
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc": out_a}
+            )
 
     cand = enc.mapInPandas(
         score, "query_id long, neighbor_id long, adc double"
@@ -1841,6 +1852,20 @@ def _ivfpq_scorer(qids, luts, probesets, kr: int, m: int):
     probe: gather per-(query, cell) LUT entries by code, emit each
     batch's per-query shortlist."""
     marange = np.arange(m)
+    # Per-query probed-cell membership as a boolean LUT indexed by cell
+    # id, built ONCE per task: the scan mask becomes a single O(n)
+    # gather (``cell_luts[qi][cell]``) instead of ``np.isin`` — which
+    # rebuilt a Python list from the set and sorted/searched it per
+    # query per batch (O(n log p) plus the list churn, ~200× per batch).
+    n_cells, _, ks = luts.shape[1:]
+    cell_luts = np.zeros((len(qids), n_cells), dtype=bool)
+    for qi, ps in enumerate(probesets):
+        cell_luts[qi, list(ps)] = True
+    # Flatten each query's (cells × m × ks) LUT block: the gather
+    # becomes a single-array fancy index over flat offsets whose
+    # (m, code) part is computed once per batch — same elements, same
+    # summation axis (bit-identical), less index math per query.
+    luts_flat = luts.reshape(len(qids), n_cells * m * ks)
 
     def score(batches):
         for pdf in batches:
@@ -1849,27 +1874,33 @@ def _ivfpq_scorer(qids, luts, probesets, kr: int, m: int):
             cell = pdf["cell"].to_numpy()
             Cc = np.stack(pdf["codes"].to_numpy())
             nid = pdf["neighbor_id"].to_numpy()
-            outs = []
+            base = cell.astype(np.int64) * (m * ks)  # per-row cell offset
+            fmk = marange[None, :] * ks + Cc  # (m, code) offsets, per batch
+            # Shortlist sizes vary per query (mask-dependent), so
+            # accumulate raw arrays and build ONE frame per batch —
+            # never a frame per query (see pq_topk's scorer note).
+            qs: list[np.ndarray] = []
+            ns: list[np.ndarray] = []
+            ads: list[np.ndarray] = []
             for qi in range(len(qids)):
-                mask = np.isin(cell, list(probesets[qi]))
+                mask = cell_luts[qi][cell]
                 if not mask.any():
                     continue
-                cc = cell[mask]
-                cd = Cc[mask]
-                adc = luts[qi][cc[:, None], marange[None, :], cd].sum(1)
+                idx = base[mask][:, None] + fmk[mask]
+                adc = luts_flat[qi][idx].sum(1)
                 take = min(kr, len(adc))
                 sel = np.argpartition(adc, take - 1)[:take]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qids[qi],
-                            "neighbor_id": nid[mask][sel],
-                            "adc": adc[sel],
-                        }
-                    )
+                qs.append(np.full(take, qids[qi], dtype=np.int64))
+                ns.append(nid[mask][sel])
+                ads.append(adc[sel])
+            if qs:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qs),
+                        "neighbor_id": np.concatenate(ns),
+                        "adc": np.concatenate(ads),
+                    }
                 )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
 
     return score
 

@@ -537,3 +537,88 @@ def test_script_profile_bincount_equals_char_classes(t):
         1 for c in t
         if not (c.isascii() and c.isalpha()) and not c.isdigit() and c != " "
     )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 8),          # queries
+    st.integers(2, 12),         # cells
+    st.integers(1, 4),          # m subspaces
+    st.integers(2, 8),          # ks codebook entries
+    st.integers(0, 60),         # corpus rows in the batch
+    st.integers(1, 9),          # kr shortlist bound
+    st.integers(0, 2**31 - 1),  # seed
+)
+def test_ivfpq_scorer_flat_gather_matches_reference(
+    nq, n_cells, m, ks, n, kr, seed
+):
+    """The r17 flat-offset ADC gather (boolean cell LUT + single-array
+    fancy index + array-built frames) must be BIT-identical to the
+    literal reference scorer it replaced: per-query ``np.isin`` cell
+    mask, three-array fancy-index LUT gather, per-query frames.
+    ``pq_topk``'s inline scorer is the no-mask special case of the same
+    kernel."""
+    import pandas as pd
+
+    from real_time_trip_processing_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    rng = np.random.default_rng(seed)
+    qids = np.arange(nq, dtype=np.int64) * 7
+    luts = np.full((nq, n_cells, m, ks), np.inf)
+    n_probes = max(1, n_cells // 2)
+    probe = np.argsort(rng.random((nq, n_cells)), axis=1)[:, :n_probes]
+    for qi in range(nq):
+        luts[qi, probe[qi]] = rng.random((n_probes, m, ks))
+    probesets = [set(map(int, probe[qi])) for qi in range(nq)]
+
+    pdf = pd.DataFrame(
+        {
+            "neighbor_id": np.arange(n, dtype=np.int64),
+            "cell": rng.integers(0, n_cells, n).astype("int32"),
+            "codes": list(rng.integers(0, ks, (n, m), dtype=np.int32)),
+        }
+    )
+
+    # Literal pre-r17 reference semantics.
+    marange = np.arange(m)
+    outs = []
+    if n:
+        cell = pdf["cell"].to_numpy()
+        Cc = np.stack(pdf["codes"].to_numpy())
+        nid = pdf["neighbor_id"].to_numpy()
+        for qi in range(nq):
+            mask = np.isin(cell, list(probesets[qi]))
+            if not mask.any():
+                continue
+            cc = cell[mask]
+            cd = Cc[mask]
+            adc = luts[qi][cc[:, None], marange[None, :], cd].sum(1)
+            take = min(kr, len(adc))
+            sel = np.argpartition(adc, take - 1)[:take]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "neighbor_id": nid[mask][sel],
+                        "adc": adc[sel],
+                    }
+                )
+            )
+
+    got = list(SIM._ivfpq_scorer(qids, luts, probesets, kr, m)(iter([pdf])))
+    if not outs:
+        assert got == []
+        return
+    want = pd.concat(outs, ignore_index=True)
+    assert len(got) == 1
+    g = got[0]
+    assert list(g.columns) == list(want.columns)
+    assert (g["query_id"].to_numpy() == want["query_id"].to_numpy()).all()
+    assert (
+        g["neighbor_id"].to_numpy() == want["neighbor_id"].to_numpy()
+    ).all()
+    # exact float equality — the gather is the SAME elements summed on
+    # the same axis, so any drift here is a real kernel change
+    assert (g["adc"].to_numpy() == want["adc"].to_numpy()).all()
