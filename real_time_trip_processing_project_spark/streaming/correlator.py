@@ -312,55 +312,7 @@ def _to_ts(col: pd.Series) -> pd.Series:
         return pd.to_datetime(col)
 
 
-def _type_merge_columns(m: pd.DataFrame) -> pd.DataFrame:
-    """Typed COPY of a merge frame: wire strings → timestamps, ids →
-    Int32, measures → Float64, parsed ONCE per merge frame.  The copy
-    matters: the caller still folds the ORIGINAL wire-string values into
-    group state (state blobs must stay in wire format for the per-trip
-    slow path), so typing must not mutate ``m``."""
-    mt = m.copy()
-    for f in mt.columns:
-        if f in _TS_FIELDS:
-            mt[f] = _to_ts(mt[f])
-        elif f in _INT_FIELDS:
-            mt[f] = mt[f].astype("Int32")
-        elif f in _DBL_FIELDS:
-            mt[f] = mt[f].astype("Float64")
-    return mt
-
-
-def _assemble(
-    sub: pd.DataFrame, use_start: bool, use_end: bool, status: str
-) -> pd.DataFrame:
-    """Columnar OUT_SCHEMA frame from ALREADY-TYPED merged start⋈end
-    rows (see :func:`_type_merge_columns`) — per-status work is now
-    just column selection plus null-out of the fields the status must
-    not carry.  Columns are gathered in a dict and handed to one
-    ``pd.DataFrame`` constructor: 40 incremental ``out[f] = col``
-    inserts per call were re-consolidating the block manager each time
-    (profiled ~1/3 of the correlator's micro-batch CPU); per-subset
-    re-parse/astype of every column was another ~1/3."""
-    sub = sub.reset_index(drop=True)
-    n = len(sub)
-    cols: dict[str, pd.Series] = {"trip_id": sub["trip_id"].to_numpy()}
-    for f, used in [(f, use_start) for f in START_FIELDS[1:]] + [
-        (f, use_end) for f in END_FIELDS
-    ]:
-        if used:
-            cols[f] = sub[f]
-        elif f in _TS_FIELDS:
-            cols[f] = pd.Series(pd.NaT, index=sub.index)
-        elif f in _INT_FIELDS:
-            cols[f] = pd.Series(pd.NA, index=sub.index, dtype="Int32")
-        elif f in _DBL_FIELDS:
-            cols[f] = pd.Series(pd.NA, index=sub.index, dtype="Float64")
-        else:
-            cols[f] = pd.Series([None] * n, dtype="object")
-    pickup = cols["pickup_datetime"]
-    cols["date"] = pickup.dt.date.where(pickup.notna(), None)
-    cols["status"] = pd.Series([status] * n, dtype="object")
-    cols["__trig"] = sub["__trig"].to_numpy()
-    return pd.DataFrame(cols, copy=False)
+_START_DATA_SET = frozenset(START_FIELDS[1:])
 
 
 def _merge_starts_ends(rows: pd.DataFrame) -> pd.DataFrame:
@@ -386,38 +338,84 @@ def _batch_vectorized(rows: pd.DataFrame, mode: str) -> pd.DataFrame:
 
 def _emit_from_merge(m: pd.DataFrame, mode: str) -> pd.DataFrame:
     """Emission half of the vectorized state machine, over a
-    :func:`_merge_starts_ends` frame."""
-    has_s = m["__spos"].notna()
-    has_e = m["__epos"].notna()
-    end_first = has_s & has_e & (m["__epos"] < m["__spos"])
-    if mode == "buffer":
-        started = has_s & ~end_first  # buffered end completes at start
-        completed = has_s & has_e
-        orphaned = pd.Series(False, index=m.index)
-    else:  # drop: an early end is surfaced as an orphan, never stored
-        started = has_s
-        completed = has_s & has_e & ~end_first
-        orphaned = has_e & (end_first | ~has_s)
-    mt = _type_merge_columns(m)
-    # __trig = position of the event whose arrival caused the emission,
-    # so a global sort reproduces the loop's row-order emission
-    frames = []
-    sub = mt[started].copy()
-    sub["__trig"] = sub["__spos"]
-    frames.append(_assemble(sub, True, False, "Started"))
-    sub = mt[completed].copy()
-    sub["__trig"] = sub[["__spos", "__epos"]].max(axis=1)
-    frames.append(_assemble(sub, True, True, "Completed"))
-    if mode == "drop":
-        sub = mt[orphaned].copy()
-        sub["__trig"] = sub["__epos"]
-        frames.append(_assemble(sub, False, True, "Orphaned"))
-    return (
-        pd.concat(frames, ignore_index=True)
-        .sort_values("__trig", kind="stable")
-        .drop(columns="__trig")
-        .reset_index(drop=True)
+    :func:`_merge_starts_ends` frame.
+
+    Fully columnar (r17): each emitted status contributes a row-INDEX
+    subset of the merge frame; the output is one positional gather per
+    column in final emission order, with the fields a status must not
+    carry nulled by mask.  The previous shape — a typed COPY of the
+    whole frame, one frame copy + constructor per status, concat, then
+    a pandas sort — rebuilt pandas block managers five times per call
+    and profiled as half the correlator kernel.  Emission order is
+    identical: ``__trig`` (the row position of the event whose arrival
+    caused the emission) under a stable sort reproduces the per-row
+    loop's interleaving, same as before."""
+    import numpy as np
+
+    has_s = m["__spos"].notna().to_numpy()
+    has_e = m["__epos"].notna().to_numpy()
+    spos = m["__spos"].to_numpy(dtype="float64", na_value=np.nan)
+    epos = m["__epos"].to_numpy(dtype="float64", na_value=np.nan)
+    both = has_s & has_e
+    end_first = both & np.less(
+        epos, spos, out=np.zeros(len(m), dtype=bool), where=both
     )
+    # (row indices, status, carries start, carries end, trigger pos)
+    if mode == "buffer":
+        subsets = [  # buffered end completes at start; never orphans
+            (np.flatnonzero(has_s & ~end_first), "Started", True, False, spos),
+            (np.flatnonzero(both), "Completed", True, True, np.fmax(spos, epos)),
+        ]
+    else:  # drop: an early end is surfaced as an orphan, never stored
+        subsets = [
+            (np.flatnonzero(has_s), "Started", True, False, spos),
+            (
+                np.flatnonzero(both & ~end_first),
+                "Completed", True, True, np.fmax(spos, epos),
+            ),
+            (
+                np.flatnonzero(has_e & (end_first | ~has_s)),
+                "Orphaned", False, True, epos,
+            ),
+        ]
+    idx = np.concatenate([s[0] for s in subsets])
+    trig = np.concatenate([s[4][s[0]] for s in subsets])
+    status = np.concatenate(
+        [np.full(len(s[0]), s[1], dtype=object) for s in subsets]
+    )
+    null_start = np.concatenate(
+        [np.full(len(s[0]), not s[2], dtype=bool) for s in subsets]
+    )
+    null_end = np.concatenate(
+        [np.full(len(s[0]), not s[3], dtype=bool) for s in subsets]
+    )
+    order = np.argsort(trig, kind="stable")
+    fidx = idx[order]
+    cols: dict[str, object] = {
+        "trip_id": m["trip_id"].to_numpy(dtype=object)[fidx]
+    }
+    null_start, null_end = null_start[order], null_end[order]
+    for f in START_FIELDS[1:] + END_FIELDS:
+        nul = null_start if f in _START_DATA_SET else null_end
+        if f in _TS_FIELDS:
+            arr = _to_ts(m[f]).to_numpy()[fidx]  # gather copies: safe to set
+            if nul.any():
+                arr[nul] = np.datetime64("NaT")
+        elif f in _INT_FIELDS:
+            arr = m[f].astype("Int32").array.take(fidx)
+            if nul.any():
+                arr[nul] = pd.NA
+        else:  # every remaining data field is a _DBL_FIELDS measure
+            arr = m[f].astype("Float64").array.take(fidx)
+            if nul.any():
+                arr[nul] = pd.NA
+        cols[f] = arr
+    pickup = pd.Series(cols["pickup_datetime"])
+    cols["date"] = (
+        pickup.dt.date.where(pickup.notna(), None).to_numpy(dtype=object)
+    )
+    cols["status"] = status[order]
+    return pd.DataFrame(cols, copy=False)
 
 
 def correlate_batch(
@@ -549,7 +547,12 @@ def correlate_stream(
 # ∝ open-trips/G + recent-completions/G.
 # ---------------------------------------------------------------------------
 
-#: Key-group state: one JSON blob mapping trip_id → [start, end, completed].
+#: Key-group state: one JSON blob mapping trip_id → [start, end,
+#: completed, last_touched_batch].  Start/end are POSITIONAL value
+#: arrays in START_FIELDS/END_FIELDS order (v3 layout, r17): the blob
+#: is rewritten on every batch that touches the group, so repeating the
+#: 15 field names per trip (~half the v2 bytes) was pure state-store
+#: write amplification plus json encode/decode time in the hot loop.
 GROUP_STATE_SCHEMA = T.StructType(
     [T.StructField("trips_json", T.StringType(), True)]
 )
@@ -565,34 +568,63 @@ GROUP_STATE_SCHEMA = T.StructType(
 EVICT_COMPLETED_AFTER = 8
 
 
-def _load_group_blob(blob: str | None) -> tuple[int, dict, dict]:
-    """(batch_seq, trips, last_touched) from a state blob.  Accepts the
-    r5 layout (bare ``{tid: [s, e, c]}``) as generation 0 with no touch
-    stamps — its entries age out normally from the next batch on."""
+def _state_vals(d: dict | None, fields: list[str]) -> list | None:
+    """Event dict → positional value array (v3 trip-state encoding).
+    ``.get`` tolerates partial dicts from legacy (v0/v2) blobs."""
+    return None if d is None else [d.get(f) for f in fields]
+
+
+def _state_dict(vals: list | None, fields: list[str]) -> dict | None:
+    """Positional value array → event dict (the per-trip slow path and
+    :func:`_emit_row` consume dicts)."""
+    return None if vals is None else dict(zip(fields, vals))
+
+
+def _load_group_blob(blob: str | None) -> tuple[int, dict]:
+    """(batch_seq, trips) from a state blob, trips in the v3 positional
+    layout ``{tid: [s_vals, e_vals, completed, last_touched]}``.
+    Accepts the v2 layout (field-name dicts + separate ``last`` map) and
+    the r5 layout (bare ``{tid: [s, e, c]}``, generation 0 with no touch
+    stamps — its entries age out normally from the next batch on)."""
     if not blob:
-        return 0, {}, {}
+        return 0, {}
     d = json.loads(blob)
+    if isinstance(d, dict) and d.get("__v") == 3:
+        return d["n"], d["trips"]
     if isinstance(d, dict) and d.get("__v") == 2:
-        return d["n"], d["trips"], d["last"]
-    return 0, d, {}
+        last = d["last"]
+        return d["n"], {
+            tid: [
+                _state_vals(s, START_FIELDS),
+                _state_vals(e, END_FIELDS),
+                c,
+                last.get(tid, 0),
+            ]
+            for tid, (s, e, c) in d["trips"].items()
+        }
+    return 0, {
+        tid: [
+            _state_vals(s, START_FIELDS),
+            _state_vals(e, END_FIELDS),
+            c,
+            0,
+        ]
+        for tid, (s, e, c) in d.items()
+    }
 
 
 def _evict_group_state(
-    trips: dict, last: dict, batch_no: int, keep_for: int | None
+    trips: dict, batch_no: int, keep_for: int | None
 ) -> None:
     """Drop state no future event can need: emitted-orphan placeholders
     (``[None, None, False]`` ≡ no state for every later transition) and
     completed trips untouched for ``keep_for`` batches (kept only to
     re-emit on redelivery)."""
     for tid in list(trips):
-        s, e, c = trips[tid]
-        stale = (
-            keep_for is not None
-            and batch_no - last.get(tid, 0) >= keep_for
-        )
+        s, e, c, touched = trips[tid]
+        stale = keep_for is not None and batch_no - touched >= keep_for
         if (c and stale) or (s is None and e is None and not c):
             del trips[tid]
-            last.pop(tid, None)
 
 
 def _json_default(v: Any) -> Any:
@@ -600,13 +632,13 @@ def _json_default(v: Any) -> Any:
     return v.item() if hasattr(v, "item") else str(v)
 
 
-def _records(df: pd.DataFrame, cols: list[str]) -> list[dict]:
-    """Rows → plain-Python dicts with NaN/NaT normalized to None — the
-    exact state-dict shape the per-trip path stores (see ``_py``).
-    Null-masking runs VECTORIZED per column (one ``pd.isna`` per
-    column, not per value — the per-value form profiled as the fold's
-    top remaining cost after the itertuples rewrite); the per-row work
-    left is one ``dict(zip(...))``."""
+def _value_rows(df: pd.DataFrame, cols: list[str]) -> list[list]:
+    """Rows → positional plain-Python value arrays (``cols`` order) with
+    NaN/NaT normalized to None — the v3 trip-state encoding (see
+    ``_py``/:func:`_state_vals` for the dict twin).  Null-masking runs
+    VECTORIZED per column (one ``pd.isna`` per column, not per value —
+    the per-value form profiled as the fold's top remaining cost after
+    the itertuples rewrite); the per-row work left is one ``list()``."""
     arrays = []
     for c in cols:
         col = df[c]
@@ -616,25 +648,25 @@ def _records(df: pd.DataFrame, cols: list[str]) -> list[dict]:
             arr = arr.copy()
             arr[mask] = None
         arrays.append(arr)
-    return [dict(zip(cols, vals)) for vals in zip(*arrays)]
+    return [list(vals) for vals in zip(*arrays)]
 
 
 def _fold_merge_into_state(
-    m: pd.DataFrame, mode: str, trips: dict[str, list]
+    m: pd.DataFrame, mode: str, trips: dict[str, list], batch_no: int
 ) -> None:
     """Post-batch state for clean-shape stateless trips, derived from the
     merge frame — what the per-row loop would have left in state."""
     has_s = (m["__spos"].notna()).to_numpy()
     has_e = (m["__epos"].notna()).to_numpy()
     end_first = has_s & has_e & (m["__epos"] < m["__spos"]).to_numpy()
-    srecs = _records(m, START_FIELDS)
-    erecs = _records(m, END_FIELDS)
+    svals = _value_rows(m, START_FIELDS)
+    evals = _value_rows(m, END_FIELDS)
     for i, tid in enumerate(m["trip_id"].tolist()):
-        s = srecs[i] if has_s[i] else None
-        e = erecs[i] if has_e[i] else None
+        s = svals[i] if has_s[i] else None
+        e = evals[i] if has_e[i] else None
         if mode == "drop" and e is not None and (s is None or end_first[i]):
             e = None  # orphaned end was emitted, never stored
-        trips[tid] = [s, e, s is not None and e is not None]
+        trips[tid] = [s, e, s is not None and e is not None, batch_no]
 
 
 def make_group_correlator(
@@ -659,7 +691,7 @@ def make_group_correlator(
             state.remove()
             return
         (blob,) = state.get if state.exists else (None,)
-        batch_no, trips, last = _load_group_blob(blob)
+        batch_no, trips = _load_group_blob(blob)
         batch_no += 1
         parts = [p for p in pdfs if len(p)]
         frames: list[pd.DataFrame] = []
@@ -688,25 +720,30 @@ def make_group_correlator(
                 if len(fast):
                     m = _merge_starts_ends(fast)
                     frames.append(_emit_from_merge(m, mode))
-                    _fold_merge_into_state(m, mode, trips)
-                    for tid in m["trip_id"].tolist():
-                        last[tid] = batch_no
+                    _fold_merge_into_state(m, mode, trips, batch_no)
                 if slow_ids:
                     slow = pdf[pdf["trip_id"].isin(slow_ids)]
                     for tid, sub in slow.groupby("trip_id", sort=False):
-                        st = trips.get(tid) or (None, None, False)
+                        st = trips.get(tid)
+                        s0 = _state_dict(st[0], START_FIELDS) if st else None
+                        e0 = _state_dict(st[1], END_FIELDS) if st else None
                         out, s2, e2, c2 = _apply_events(
-                            tid, iter([sub]), st[0], st[1], st[2], mode
+                            tid, iter([sub]), s0, e0,
+                            st[2] if st else False, mode,
                         )
-                        trips[tid] = [s2, e2, c2]
-                        last[tid] = batch_no
+                        trips[tid] = [
+                            _state_vals(s2, START_FIELDS),
+                            _state_vals(e2, END_FIELDS),
+                            c2,
+                            batch_no,
+                        ]
                         if out:
                             frames.append(_frame_from_rows(out))
-        _evict_group_state(trips, last, batch_no, evict_completed_after)
+        _evict_group_state(trips, batch_no, evict_completed_after)
         state.update(
             (
                 json.dumps(
-                    {"__v": 2, "n": batch_no, "trips": trips, "last": last},
+                    {"__v": 3, "n": batch_no, "trips": trips},
                     default=_json_default,
                 ),
             )

@@ -167,16 +167,15 @@ def test_group_state_eviction_invariants(entries, batch_no, keep_for):
     )
 
     def build():
-        trips, last = {}, {}
+        trips = {}
         for tid, (has_s, has_e, c, touched) in entries.items():
-            s = {"trip_id": tid} if has_s else None
-            e = {"trip_id": tid} if has_e else None
-            trips[tid] = [s, e, c]
-            last[tid] = touched
-        return trips, last
+            s = [tid] if has_s else None  # v3: positional payload arrays
+            e = [tid] if has_e else None
+            trips[tid] = [s, e, c, touched]
+        return trips
 
-    trips, last = build()
-    _evict_group_state(trips, last, batch_no, keep_for)
+    trips = build()
+    _evict_group_state(trips, batch_no, keep_for)
     for tid, (has_s, has_e, c, touched) in entries.items():
         placeholder = not has_s and not has_e and not c
         stale = c and (batch_no - touched >= keep_for)
@@ -184,10 +183,9 @@ def test_group_state_eviction_invariants(entries, batch_no, keep_for):
         assert (tid not in trips) == expect_gone, (
             tid, has_s, has_e, c, touched, batch_no, keep_for
         )
-        assert (tid in last) == (tid in trips)
 
-    trips, last = build()
-    _evict_group_state(trips, last, batch_no, None)
+    trips = build()
+    _evict_group_state(trips, batch_no, None)
     for tid, (has_s, has_e, c, touched) in entries.items():
         placeholder = not has_s and not has_e and not c
         assert (tid not in trips) == placeholder

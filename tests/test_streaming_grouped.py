@@ -349,9 +349,67 @@ def test_group_state_accepts_legacy_r5_blob():
     # buffered legacy end + new start -> Completed (state still works)
     assert list(out["status"]) == ["Completed"]
     b = json.loads(st.get[0])
-    assert b["__v"] == 2
+    assert b["__v"] == 3
     # legacy completed entry (stampless -> generation 0) aged out
     assert "t0001" not in b["trips"]
+
+
+def test_group_state_v2_blob_upgrades_to_v3():
+    """An r6–r16 (v2) blob — field-name dicts plus a separate ``last``
+    map — must load losslessly: its open entries complete exactly as if
+    they had been written in v3, its touch stamps carry over, and the
+    next save is v3 positional."""
+    import json
+
+    import pandas as pd
+
+    from real_time_trip_processing_project_spark.streaming import (
+        correlator as C,
+    )
+
+    class FakeState:
+        def __init__(self, v):
+            self._v = v
+        hasTimedOut = False
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+        def remove(self):
+            self._v = None
+
+    end0 = {k: _end_event(0).get(k) for k in C.END_FIELDS}
+    start1 = {k: _start_event(1).get(k) for k in C.START_FIELDS}
+    v2 = json.dumps(
+        {
+            "__v": 2,
+            "n": 7,
+            "trips": {
+                "t0000": [None, end0, False],  # buffered early end
+                "t0001": [start1, None, False],  # open started trip
+            },
+            "last": {"t0000": 7, "t0001": 6},
+        }
+    )
+    st = FakeState((v2,))
+    fn = C.make_group_correlator("buffer", evict_completed_after=8)
+    events = pd.DataFrame([dict(_start_event(0), event_type="trip_start")])
+    out = pd.concat(list(fn((0,), iter([events]), st)))
+    # the v2 buffered end completes against the new start, all end
+    # fields intact through the positional re-encoding
+    assert list(out["status"]) == ["Completed"]
+    assert out["fare_amount"].iloc[0] == _end_event(0)["fare_amount"]
+    b = json.loads(st.get[0])
+    assert b["__v"] == 3 and "last" not in b
+    t0, t1 = b["trips"]["t0000"], b["trips"]["t0001"]
+    assert t0[2] is True and t0[3] == 8  # completed, touched this batch
+    # untouched open trip: payload positional, v2 stamp carried over
+    assert t1[0] == [start1[f] for f in C.START_FIELDS]
+    assert t1[1] is None and t1[2] is False and t1[3] == 6
 
 
 def test_drain_mode_converges_to_identical_store(spark, tmp_path):
