@@ -620,3 +620,48 @@ def test_ivfpq_scorer_flat_gather_matches_reference(
     # exact float equality — the gather is the SAME elements summed on
     # the same axis, so any drift here is a real kernel change
     assert (g["adc"].to_numpy() == want["adc"].to_numpy()).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(2, 40),          # rows per side
+    st.sampled_from([8, 64, 256, 1024]),  # dimensions
+    st.floats(0.5, 0.99),        # threshold
+    st.integers(0, 2**31 - 1),   # seed
+)
+def test_f32_prefilter_band_never_drops_true_pairs(n, d, t, seed):
+    """The r17 float32 score-stage gemm with the dimension-aware band
+    (``_f32_prefilter_band``) must keep EVERY pair whose exact f64
+    sequential cosine is ≥ t — losing one would change
+    ``cosine_pairs_blocked``'s output; over-fetching is fine (the exact
+    verify stage re-filters).  Vectors are drawn adversarially close to
+    the threshold: random pairs are blended toward cos = t so the band
+    is exercised where it matters."""
+    from real_time_trip_processing_project_spark.operators.similarity import (
+        _f32_prefilter_band,
+    )
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, d))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    # blend half the rows toward row 0 so many cosines land near t
+    alpha = np.sqrt(max(t, 0.0))
+    X[n // 2:] = alpha * X[0] + np.sqrt(1 - alpha**2) * X[n // 2:]
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+
+    # exact sequential-order f64 cosine (the verify stage / oracle form)
+    exact = np.array(
+        [
+            [float(sum(float(a) * float(b) for a, b in zip(X[i], X[j])))
+             for j in range(n)]
+            for i in range(n)
+        ]
+    )
+    true_pairs = {(i, j) for i in range(n) for j in range(n) if exact[i, j] >= t}
+
+    Xf = X.astype(np.float32)
+    Xf = Xf / np.maximum(np.linalg.norm(Xf, axis=1, keepdims=True), 1e-12)
+    t32 = np.float32(t - _f32_prefilter_band(d))
+    got = Xf @ Xf.T >= t32
+    kept = {(i, j) for i in range(n) for j in range(n) if got[i, j]}
+    assert true_pairs <= kept, sorted(true_pairs - kept)[:5]
