@@ -318,26 +318,57 @@ class _StealTape:
         }
 
 
-def _quiet_wait(max_wait: float = 180.0, threshold: float = 4.0) -> dict:
-    """Bounded wait for a quiet 1-min loadavg before the calibration
-    probe.  The r17 flag history shows same-code runs flagging 5
-    DIFFERENT queries across 3 runs purely on external spike timing —
-    starting inside a spike wastes the whole run.  Bounded so a
-    persistently loaded box still benches (the probe normalization
-    then does what it can)."""
+def _steal_sample(window: float = 5.0) -> float | None:
+    """CPU steal%% over one short window, or None off-Linux."""
+    a = _read_cpu()
+    if a is None:
+        return None
+    time.sleep(window)
+    b = _read_cpu()
+    if b is None or b[1] <= a[1]:
+        return None
+    return 100.0 * (b[0] - a[0]) / (b[1] - a[1])
+
+
+def _quiet_wait(
+    max_wait: float = 300.0,
+    threshold: float = 4.0,
+    steal_threshold: float = 5.0,
+) -> dict:
+    """Bounded wait for a quiet box before the calibration probe.  The
+    r17 flag history shows same-code runs flagging 5 DIFFERENT queries
+    across 3 runs purely on external spike timing — starting inside a
+    spike wastes the whole run.  Bounded so a persistently loaded box
+    still benches (the probe normalization then does what it can).
+
+    Two independent gates (optimization r18, VERDICT r17 item 1):
+    loadavg sees LOCAL load, but is blind to host-tenant contention —
+    the r17 driver run started through a clean loadavg gate and still
+    recorded steal_pct_max 14.9%%.  So the wait also samples /proc/stat
+    steal%% over 5 s windows and holds while steal > ``steal_threshold``
+    (the same >5%% band every adjudicated r17 contamination showed)."""
     waited = 0.0
     load = None
+    steal = None
     while waited < max_wait:
         try:
             with open("/proc/loadavg") as f:
                 load = float(f.read().split()[0])
         except (OSError, ValueError):
             break
-        if load < threshold:
+        if load >= threshold:
+            time.sleep(10)
+            waited += 10
+            continue
+        steal = _steal_sample(5.0)
+        waited += 5
+        if steal is None or steal < steal_threshold:
             break
-        time.sleep(10)
-        waited += 10
-    return {"quiet_wait_sec": round(waited, 1), "start_load": load}
+    return {
+        "quiet_wait_sec": round(waited, 1),
+        "start_load": load,
+        "start_steal_pct": round(steal, 1) if steal is not None else None,
+    }
 
 
 def main() -> None:
@@ -387,6 +418,18 @@ def main() -> None:
                 _run(df)
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                # Evict ALL cached relations between reps (optimization
+                # r18, VERDICT r17 item 1 "what's wrong"): a query fn
+                # that persists a subtree builds an identical analyzed
+                # plan every rep, and Spark's CacheManager silently
+                # serves reps 2-3 from rep 1's materialized cache — the
+                # reported min-of-N was then a warm-cache rep for the
+                # six persisted queries (distinct_kmv, session_overlap_
+                # pairs, ts_cross_correlation, tpch q11/q15, graph
+                # tier).  Every rep now pays full materialization, and
+                # nothing persists past its own query (the bench-session
+                # half of the unpersist-epilogue item).
+                spark.catalog.clearCache()
             timings[name] = round(best, 3)
             positions[name] = seq["n"]
             seq["n"] += 1
@@ -547,6 +590,8 @@ def main() -> None:
                     _run(qdef.fn(spark, SF_DIR))
                     dt = time.perf_counter() - t0
                     best = dt if best is None else min(best, dt)
+                    # same cold-rep rule as the main _time loop
+                    spark.catalog.clearCache()
                 flavor = flavors.get(name, "jvm")
                 retest = round(best / _fresh(flavor), 3)
                 ratio2 = retest / reg["prev_norm"]

@@ -1029,10 +1029,21 @@ def cosine_pairs_blocked(
         # band guarantees no true pair is dropped; the exact f64 verify
         # join downstream recomputes every survivor, so output values
         # are untouched
-        X = np.asarray([np.asarray(v, dtype=np.float32) for v in lpdf["lv"]])
-        Y = np.asarray([np.asarray(v, dtype=np.float32) for v in rpdf["rv"]])
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        Y = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
+        # Norms in f64 BEFORE the f32 cast (r18, ADVICE r17): squaring
+        # a component beyond ~1e19 overflows f32 to inf (and subnormals
+        # underflow), collapsing that row's normalized scores to 0 and
+        # dropping true pairs the band cannot cover.  f64 normalization
+        # is O(n·d) vs the O(n²·d) gemm — noise — and the normalized
+        # components are ≤1, so the cast to f32 afterwards is exactly
+        # the ≤2⁻²⁴-per-component rounding the band already budgets.
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in lpdf["lv"]])
+        Y = np.asarray([np.asarray(v, dtype=np.float64) for v in rpdf["rv"]])
+        X = (
+            X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        ).astype(np.float32)
+        Y = (
+            Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
+        ).astype(np.float32)
         t32 = np.float32(threshold - _f32_prefilter_band(X.shape[1]))
         # tile the similarity matrix: peak temp is tile² floats, not
         # |X|·|Y| — a dense cell pair cannot OOM this task
@@ -1891,6 +1902,19 @@ def _ivfpq_scorer(qids, luts, probesets, kr: int, m: int):
             if not len(pdf):
                 continue
             cell = pdf["cell"].to_numpy()
+            # Bounds pre-check (r18, ADVICE r17): the boolean cell LUT
+            # hard-indexes by cell id, so a corrupt codes row would
+            # raise a bare IndexError (negative ids silently WRAP).
+            # All internal producers stay in [0, n_cells); fail loudly
+            # if index data ever doesn't.
+            if len(cell) and (
+                cell.min() < 0 or cell.max() >= n_cells
+            ):  # pragma: no cover - corrupt-input guard
+                raise ValueError(
+                    f"ivfpq scorer: cell id out of range "
+                    f"[{cell.min()}, {cell.max()}] vs n_cells={n_cells} "
+                    "— corrupt codes input"
+                )
             Cc = np.stack(pdf["codes"].to_numpy())
             nid = pdf["neighbor_id"].to_numpy()
             base = cell.astype(np.int64) * (m * ks)  # per-row cell offset

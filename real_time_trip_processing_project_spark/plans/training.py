@@ -2317,6 +2317,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6.49 s — parity with the pre-vocab-first shape (6.64 s) while the
     # occurrence stream pays ONE probe instead of three; identical rows
     # (strategy, never answers).
+    #
+    # Cost bound of the pre-flight (r18, VERDICT r17 item 3): COUNT on
+    # a bare parquet scan folds to footer row-counts — no column is
+    # decoded, so the job reads O(#files) footers (~KB each), the same
+    # listing the scan itself must do one line later.  At 100 TB /
+    # 1 GB files that is ~1e5 footer reads fanned across the cluster,
+    # ~seconds — two orders below the query's own occurrence shuffle —
+    # and the result steers only the join STRATEGY, never the rows.
     n_docs = raw.count()
     if n_docs > _BIGRAM_PIN_MIN_DOCS:
         scored = pairs.join(vocab.hint("merge"), ["w1", "w2"]).select(

@@ -314,6 +314,15 @@ def _to_ts(col: pd.Series) -> pd.Series:
 
 _START_DATA_SET = frozenset(START_FIELDS[1:])
 
+# Every data field must be claimed by exactly one dtype family: the
+# columnar emission's else-branch astypes anything unclaimed to Float64,
+# so a NEW string wire field (e.g. store_and_fwd_flag) added without a
+# family would crash or silently corrupt at runtime.  Fail at import
+# instead (r18, ADVICE r17).
+assert frozenset(START_FIELDS[1:] + END_FIELDS) <= (
+    _TS_FIELDS | _INT_FIELDS | _DBL_FIELDS
+), "correlator wire field missing a dtype family (_TS/_INT/_DBL_FIELDS)"
+
 
 def _merge_starts_ends(rows: pd.DataFrame) -> pd.DataFrame:
     """Outer-merge a clean batch slice (≤1 start and ≤1 end per trip)
