@@ -247,9 +247,10 @@ def jaccard_prefix_candidates(
     Jaccard ≥ t, generated from a **prefix-filtered** inverted index.
 
     Shingles are ranked per doc by global document frequency ascending
-    (ties broken by shingle text — one deterministic total order for the
-    whole corpus); only the first ``|A| − ⌈t·|A|⌉ + 1`` shingles of each
-    doc are indexed.  Soundness (the classic prefix-filter lemma): the
+    (computed over, and tie-broken by, the int64 shingle hash — one
+    deterministic global preorder for the whole corpus, with rank()
+    including boundary ties; see :func:`_prefix_candidates`); only the
+    first ``|A| − ⌈t·|A|⌉ + 1`` shingles of each doc are indexed.  Soundness (the classic prefix-filter lemma): the
     candidate join also applies the length filter ``t·|B| ≤ |A| ≤
     |B|/t``, under which a qualifying pair has overlap
     c ≥ t(|A|+|B|)/(1+t) ≥ ⌈t·|X|⌉ for BOTH sides, and two sets whose
@@ -308,30 +309,45 @@ def _prefix_candidates(
     exactly afterwards), so the final output is identical — pinned by
     ``test_prefix_l2_candidates_match_l1`` and the registered query's
     O(N²) DuckDB oracle."""
-    posting = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
-    dfreq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
+    # Shingle strings are hashed to int64 AT THE EXPLODE (r18, VERDICT
+    # r17 item 2 "int-hashed tokens end-to-end"): every downstream
+    # exchange of the index build — the df groupBy, the posting⋈df
+    # join, and the per-doc window sort — previously carried (and the
+    # window SORTED) ~100-byte gram strings; now they all move 8-byte
+    # keys.  r15 measured the same narrowing on just the pair-key join
+    # at 4× (139 s → 33 s sf10); this applies it to the remaining three
+    # string exchanges.
+    #
+    # EXACTNESS IS UNCONDITIONAL, in two parts:
+    # - JOIN keys: hashing an equi-join key can only merge key groups —
+    #   a SUPERSET of the string-keyed candidates, all exact-Jaccard
+    #   verified against the full shingle sets afterwards.
+    # - PREFIX ORDERING: tokens are ordered by the global preorder
+    #   (df(hsh), hsh) and positioned with ``rank()`` (not row_number).
+    #   The prefix lemma holds for ANY global token preorder — df is a
+    #   selectivity heuristic, never a soundness condition — provided
+    #   every token tied at the prefix boundary is INCLUDED: rank()
+    #   gives all tied tokens the lowest position, so a tie (possible
+    #   only when two distinct grams collide in xxhash64 AND df — the
+    #   one case where a per-doc row_number could order them
+    #   inconsistently across docs and lose a pair) only ever WIDENS
+    #   the prefix.  Superset again; verification makes it exact.
+    posting = sh.select(
+        "id", "n_sh", F.explode("shingles").alias("shingle")
+    ).select("id", "n_sh", F.xxhash64("shingle").alias("hsh"))
+    dfreq = posting.groupBy("hsh").agg(F.count("*").alias("df"))
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("id").orderBy("df", "shingle")
+    w = Window.partitionBy("id").orderBy("df", "hsh")
     # ranked is consumed EXACTLY ONCE per scheme (the l=1 self-join's
     # two sides collapse into one computation via ReusedExchange; the
     # l=2 residual tier reads sh directly, see below) — so no
     # materialization: a localCheckpoint here would strip size
     # statistics and invite the wrong-side-broadcast class (r14
     # pagerank; reproduced here at sf10 as a 1 GiB broadcast build).
-    ranked = posting.join(dfreq, "shingle").withColumn(
-        "pos", F.row_number().over(w)
+    ranked = posting.join(dfreq, "hsh").withColumn(
+        "pos", F.rank().over(w)
     )
-    # Join keys are the xxhash64 of the shingle, NOT the shingle string:
-    # the candidate self-joins below sort/shuffle tens of millions of
-    # index rows, and 8-byte fixed keys sort ~4× faster than ~100-byte
-    # gram strings (measured sf10: the pair-key join fell 139 s → 33 s).
-    # EXACTNESS IS UNCONDITIONAL: hashing an equi-JOIN key can only
-    # merge key groups, i.e. produce a SUPERSET of the string-keyed
-    # candidates, and every candidate is exact-Jaccard verified against
-    # the full shingle sets afterwards.  (The prefix ORDERING, where a
-    # collision could in principle lose a pair, stays on the exact
-    # (df, shingle) total order above.)
     # ⌈t·n⌉ computed with a 1e-9 slack: t is a binary double, so the
     # product can land marginally ABOVE the exact rational ⌈t·n⌉
     # boundary (e.g. 0.7·10 → 7.000000000000001) and an unslacked
@@ -341,7 +357,7 @@ def _prefix_candidates(
     c_min = F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
     prefix1 = ranked.filter(
         F.col("pos") <= F.col("n_sh") - c_min + 1
-    ).select("id", "n_sh", F.xxhash64("shingle").alias("hsh"))
+    ).select("id", "n_sh", "hsh")
 
     def pair_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
         # Self-join of one index relation: both sides carry identical
@@ -378,7 +394,7 @@ def _prefix_candidates(
     eligible = ranked.filter(c_min >= 2)
     prefix2 = eligible.filter(
         F.col("pos") <= F.col("n_sh") - c_min + 2
-    ).select("id", "n_sh", F.xxhash64("shingle").alias("h")).groupBy(
+    ).select("id", "n_sh", F.col("hsh").alias("h")).groupBy(
         "id"
     ).agg(
         F.first("n_sh").alias("n_sh"),
