@@ -2290,6 +2290,115 @@ def _d2_ticks(a, b):
     )
 
 
+def _tick_np(X):
+    """numpy twin of :func:`_tick` — the same IEEE f64 ops
+    (``floor(double(x)·1e6 + ½)``), so tick values are bit-identical to
+    the expression path at any input."""
+    return np.floor(X * 1e6 + 0.5)
+
+
+def _hard_neg_scorer(qids, qlabels, Qt, cell_luts=None):
+    """mapInPandas body shared by :func:`hard_negatives` and
+    :func:`hard_negatives_ann`: per Arrow batch, the exact int64 tick
+    distance of every (query, candidate) pair via ONE f64 BLAS gemm,
+    then the per-query (d2, neg_id) argmin over the batch.
+
+    Exactness of the f64 gemm: ticks are integers, and with
+    ``T = max|tick|`` every intermediate — each product (≤ T²), any
+    partial-order sum of |q·c| (≤ d·T²), ``qq + cc`` (≤ 2d·T²), and
+    ``d2 = qq + cc − 2·(q·c)`` (≤ 4d·T²) — is an integer of magnitude
+    ≤ 4d·T², so requiring ``4d·T² < 2⁵³`` makes every f64 operation
+    exactly representable and exactly rounded: d2 is the SAME int64
+    :func:`_d2_ticks` produces, bit for bit, in any summation order
+    (guarded per batch; the fixture family sits 10× inside the bound).
+
+    Tie-break: the batch is pre-sorted by ``neg_id``, so ``argmin``'s
+    first-hit over exactly-equal d2 values IS the (d2, neg_id) order
+    the expression argmin used.
+    """
+    nq = len(qids)
+    qq = (Qt * Qt).sum(1) if nq else None
+    qarange = np.arange(nq)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf) or not nq:
+                continue
+            keep = pdf["neg_label"].notna() & pdf["cv"].notna()
+            if not keep.all():
+                pdf = pdf[keep]
+                if not len(pdf):
+                    continue
+            nid = pdf["neg_id"].to_numpy()
+            order = np.argsort(nid, kind="stable")
+            nid = nid[order]
+            nlab = pdf["neg_label"].to_numpy()[order]
+            C = np.asarray(list(pdf["cv"]), dtype=np.float64)[order]
+            Ct = _tick_np(C)
+            d = Ct.shape[1]
+            tmax = max(
+                np.abs(Ct).max(initial=0.0), np.abs(Qt).max(initial=0.0)
+            )
+            if 4.0 * d * tmax * tmax >= 2.0**53:
+                raise ValueError(
+                    f"hard_negatives: tick magnitude {tmax:.3g} at d={d} "
+                    "exceeds the exact-f64 gemm envelope (4·d·T² < 2^53) "
+                    "— embedding components this large need the "
+                    "expression-path int64 distance"
+                )
+            cc = (Ct * Ct).sum(1)
+            d2 = qq[:, None] + cc[None, :] - 2.0 * (Qt @ Ct.T)
+            mask = nlab[None, :] == qlabels[:, None]
+            if cell_luts is not None:
+                cell = pdf["cell"].to_numpy()[order].astype(np.int64)
+                mask |= ~cell_luts[:, cell]
+            d2[mask] = np.inf
+            best = d2.argmin(axis=1)
+            bd = d2[qarange, best]
+            ok = np.isfinite(bd)
+            if not ok.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[ok],
+                    "query_label": qlabels[ok],
+                    "neg_id": nid[best[ok]],
+                    "neg_label": nlab[best[ok]],
+                    "d2": bd[ok].astype(np.int64),
+                }
+            )
+
+    return score
+
+
+def _hard_neg_workload(queries, id_col, vec_col, label_col):
+    """Collect the bounded query workload (the qrows idiom the PQ/IVFPQ
+    paths established) as (ids, labels, raw f64 matrix, tick matrix)."""
+    rows = [
+        r
+        for r in queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(label_col).alias("ql"),
+            F.col(vec_col).alias("qv"),
+        ).collect()
+        # a NULL label/vector never survives the != / distance filters
+        if r["ql"] is not None and r["qv"] is not None
+    ]
+    qids = np.asarray([r["qid"] for r in rows])
+    qlabels = np.asarray([r["ql"] for r in rows])
+    Q = np.asarray([np.asarray(r["qv"], dtype=np.float64) for r in rows])
+    return qids, qlabels, Q, _tick_np(Q) if len(rows) else Q
+
+
+def _hard_neg_schema(emb, id_col, label_col) -> str:
+    id_t = emb.schema[id_col].dataType.simpleString()
+    lab_t = emb.schema[label_col].dataType.simpleString()
+    return (
+        f"query_id {id_t}, query_label {lab_t}, "
+        f"neg_id {id_t}, neg_label {lab_t}, d2 long"
+    )
+
+
 def hard_negatives(
     emb: DataFrame,
     queries: DataFrame,
@@ -2302,20 +2411,26 @@ def hard_negatives(
     metric-learning / embedding-training pipeline feeds as its hardest
     negative (closest point the model must push away).
 
-    Exactness: distances are exact int64 tick sums (:func:`_d2_ticks`),
+    Exactness: distances are exact int64 tick sums — the gemm kernel is
+    bit-identical to :func:`_d2_ticks` (see :func:`_hard_neg_scorer`) —
     so the argmin with an (d2, neg_id) tie-break is deterministic in
-    both engines.  Shape: the bounded query workload broadcasts and the
-    corpus is scanned ONCE (the sim_cosine_topk class — quadratic in
-    |queries|·|corpus| by design as the exactness twin;
+    both engines.  Shape (optimization r18, guide §4.2): the bounded
+    query workload rides the task closure and the corpus is scanned
+    ONCE through ``mapInPandas``, where the |queries|·|corpus| distance
+    matrix is ONE BLAS gemm per Arrow batch instead of an interpreted
+    64-element HOF per pair (the r17-measured sf10 wall: the argmin was
+    already optimal, the per-pair expression evaluation was the cost).
+    Only one (query, batch-best) row per query per batch shuffles into
+    the final min(struct) argmin — same exchange bound as before.
     :func:`hard_negatives_ann` is the label-filtered IVF serving path
-    at 100 TB, floored against this twin in bench.py).  Only
-    (query, best-negative) rows shuffle — one row per query survives
-    the per-partition rank."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("query_label"),
-        F.col(vec_col).alias("qv"),
+    at 100 TB, floored against this twin in bench.py."""
+    qids, qlabels, _Q, Qt = _hard_neg_workload(
+        queries, id_col, vec_col, label_col
     )
+    if not len(qids):
+        return emb.sparkSession.createDataFrame(
+            [], _hard_neg_schema(emb, id_col, label_col)
+        )
     c = _spread(
         emb.select(
             F.col(id_col).alias("neg_id"),
@@ -2323,20 +2438,17 @@ def hard_negatives(
             F.col(vec_col).alias("cv"),
         )
     )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_label") != F.col("neg_label"))
-        .withColumn("d2", _d2_ticks(F.col("qv"), F.col("cv")))
+    batch_best = c.mapInPandas(
+        _hard_neg_scorer(qids, qlabels, Qt),
+        _hard_neg_schema(emb, id_col, label_col),
     )
     # Single-aggregation argmin (optimization r17, guide §2.3/2.4):
     # min(struct(d2, neg_id, neg_label)) IS the row_number ORDER BY
     # (d2, neg_id) argmin — neg_id is unique so neg_label never breaks
-    # a tie — and a hash aggregate gets map-side PARTIAL aggregation:
-    # one candidate row per (query, map partition) crosses the
-    # exchange instead of every scored row sorting under a window.
+    # a tie — and a hash aggregate gets map-side PARTIAL aggregation
+    # over the per-batch winners.
     return (
-        scored.groupBy("query_id", "query_label")
+        batch_best.groupBy("query_id", "query_label")
         .agg(
             F.min(
                 F.struct(F.col("d2"), F.col("neg_id"), F.col("neg_label"))
@@ -2386,24 +2498,35 @@ def hard_negatives_ann(
     ).withColumn(
         "cell", F.element_at(_assign_udf(centroids, 1)(F.col("cv")), 1)
     )
-    qp = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("query_label"),
-        F.col(vec_col).alias("qv"),
-    ).withColumn(
-        "cell", F.explode(_assign_udf(centroids, n_probes)(F.col("qv")))
+    qids, qlabels, Q, Qt = _hard_neg_workload(
+        queries, id_col, vec_col, label_col
     )
-    scored = (
-        F.broadcast(qp)
-        .join(corpus, "cell")
-        .filter(F.col("query_label") != F.col("neg_label"))
-        .withColumn("d2", _d2_ticks(F.col("qv"), F.col("cv")))
+    if not len(qids):
+        return emb.sparkSession.createDataFrame(
+            [], _hard_neg_schema(emb, id_col, label_col)
+        )
+    # Per-query probed-cell sets, computed driver-side with EXACTLY the
+    # numpy ops _assign_udf applies executor-side (same normalize, same
+    # gemm, same argsort over the same raw-f64 values → identical probe
+    # sets), folded into a boolean (query × cell) LUT the scorer masks
+    # with — the ivfpq cell-LUT idiom.  The probe JOIN disappears: the
+    # gemm scores every (query, row) pair anyway, so probing is a mask,
+    # not data movement.
+    Cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    X = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probe_order = np.argsort(-(X @ Cn.T), axis=1)[:, :n_probes]
+    cell_luts = np.zeros((len(qids), len(centroids)), dtype=bool)
+    for qi in range(len(qids)):
+        cell_luts[qi, probe_order[qi]] = True
+    batch_best = corpus.mapInPandas(
+        _hard_neg_scorer(qids, qlabels, Qt, cell_luts=cell_luts),
+        _hard_neg_schema(emb, id_col, label_col),
     )
     # Same single-aggregation argmin as the exact twin (optimization
     # r17): the (d2, neg_id) rank collapses into min(struct(...)) with
     # map-side partial aggregation across the probed cells.
     return (
-        scored.groupBy("query_id", "query_label")
+        batch_best.groupBy("query_id", "query_label")
         .agg(
             F.min(
                 F.struct(F.col("d2"), F.col("neg_id"), F.col("neg_label"))
